@@ -1,0 +1,58 @@
+"""Benchmark harness: runs every registry query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from gmall_flink_2021_spark.plans import QUERIES
+    from gmall_flink_2021_spark.session import get_spark
+
+    spark = get_spark("gmall-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footers so per-query numbers measure the
+    # queries, not session startup.
+    from gmall_flink_2021_spark.sources.tables import load_all
+    for df in load_all(spark, sf_dir).values():
+        df.count()
+
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        try:
+            n = len(fn(spark, sf_dir).collect())
+        except Exception as exc:  # a failing query must not kill the bench
+            print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
+            n = -1
+        timings[name] = round(time.time() - t0, 3)
+        print(f"bench: {name} rows={n} sec={timings[name]}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "registry_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Text column expressions: tokenization, shingles, portable hashing.
+
+The reference's only text operator is the IK Chinese tokenizer UDTF
+(gmall-realtime/.../app/udf/KeywordUDTF.java:11-24 +
+utils/KeywordUtil.java:12-31), used as LATERAL TABLE in
+KeywordStatsApp.java:63-64. We generalize to a deterministic
+whitespace tokenizer (JVM-side split + explode — no Python UDF in the
+hot path) and add the text-pipeline primitives a large-scale
+training-data pipeline needs: shingling, MinHash, fingerprints,
+quality metrics.
+
+Hashing is md5-based because md5 is available and bit-identical in
+both Spark and DuckDB, which keeps every one of these operators
+oracle-checkable. At 100 TB the md5-per-shingle cost is ~the same
+class as any murmur-based MinHash and stays inside whole-stage
+codegen (no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Deliberately tiny, fixed stopword list (deterministic across engines).
+STOPWORDS = ("the", "a")
+
+MINHASH_SEEDS = 8          # signature length
+LSH_BANDS = 4              # bands of MINHASH_SEEDS // LSH_BANDS rows
+SHINGLE_N = 3
+
+# Rolling-hash modulus: FP_MOD * 1000003 must stay inside int64 so the
+# fold is overflow-free in both Spark (Java long) and DuckDB (BIGINT).
+FP_MOD = 10 ** 12
+
+
+def tokens(text_col: Column | str) -> Column:
+    """Whitespace tokenizer; drops empty tokens (U1 analog)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(c, " "), lambda t: F.length(t) > 0)
+
+
+def shingles(tok: Column, n: int = SHINGLE_N) -> Column:
+    """Word n-gram shingles joined by single spaces.
+
+    Empty array when the document has fewer than ``n`` tokens.
+    """
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tok) - n, F.lit(-1)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tok, i + k + 1) for k in range(n)]),
+    )
+    return F.when(F.size(tok) >= n, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def minhash(sh: Column, seed: int) -> Column:
+    """One MinHash value: min md5 over seed-prefixed shingles."""
+    return F.array_min(
+        F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))))
+
+
+def stopword_ratio(tok: Column) -> Column:
+    stop = F.size(F.filter(
+        tok, lambda t: t.isin(*STOPWORDS)))
+    return stop.cast("double") / F.size(tok).cast("double")
+
+
+def token_fingerprint(tok: Column) -> Column:
+    """Order-sensitive rolling hash over the token stream (bigint).
+
+    Portable across engines: per-token hash is
+    ``length(t)*31 + ascii(first char)``; the fold is
+    ``h = (h*1000003 + th) % FP_MOD`` starting from 0.
+    """
+    th = F.transform(
+        tok, lambda t: F.length(t) * 31 + F.ascii(F.substring(t, 1, 1)))
+    return F.aggregate(
+        th,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * 1000003 + v) % FP_MOD,
+    )

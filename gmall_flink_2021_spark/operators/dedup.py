@@ -1,0 +1,129 @@
+"""Deduplication operators over the documents table: exact,
+MinHash(+LSH banding) and n-gram Jaccard near-dup.
+
+Training-data-pipeline extensions. Hashing is md5-based so every
+stage is bit-identical in the DuckDB oracle (functions/text.py).
+
+Scale design:
+ - exact dedup: one hash aggregation on a fingerprint — at 100 TB,
+   group on md5(text) (16 bytes) rather than the raw text.
+ - MinHash: per-doc signature is a narrow projection (no shuffle);
+   LSH banding turns all-pairs into a per-band equi-join on the band
+   hash, i.e. candidate generation is a shuffle on band buckets, not
+   O(n²).
+ - n-gram Jaccard runs only on candidate pairs (here, for the
+   oracle-checkable form, on the inverted shingle index directly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import LSH_BANDS, MINHASH_SEEDS, shingles, tokens
+
+
+def exact_dups(documents: DataFrame) -> DataFrame:
+    """Exact duplicate groups keyed by content fingerprint: canonical
+    doc (min id), group size."""
+    fp = F.md5(F.concat_ws(" ", tokens("text")))
+    return (documents
+            .groupBy(fp.alias("fp"))
+            .agg(F.min("doc_id").alias("canonical_id"),
+                 F.count(F.lit(1)).alias("dup_ct"))
+            .select("canonical_id", "dup_ct", "fp"))
+
+
+def minhash_signatures(documents: DataFrame,
+                       n_hashes: int = MINHASH_SEEDS) -> DataFrame:
+    """Per-document MinHash signature columns h0..h{n-1} over word
+    3-shingles. Docs with < 3 tokens get null signatures.
+
+    Shape chosen for scale: shingles are exploded once and each
+    shingle is hashed exactly twice (two salted md5s, sliced into
+    eight 8-hex-char sub-hashes); the mins aggregate in a single
+    map-side-combined shuffle on doc_id. This is ~10x cheaper than
+    evaluating 8 independent md5 passes per document and keeps the
+    whole pipeline in whole-stage codegen.
+    """
+    assert n_hashes == MINHASH_SEEDS, "slicing scheme is fixed at 8"
+    tok = tokens("text")
+    sh = shingles(tok)
+    expl = documents.select("doc_id", F.explode(sh).alias("s"))
+    h1 = F.md5(F.concat(F.lit("0|"), F.col("s")))
+    h2 = F.md5(F.concat(F.lit("1|"), F.col("s")))
+    hashed = expl.select(
+        "doc_id",
+        *[F.substring(h1, 1 + 8 * j, 8).alias(f"s{j}") for j in range(4)],
+        *[F.substring(h2, 1 + 8 * j, 8).alias(f"s{j + 4}") for j in range(4)])
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"s{j}").alias(f"h{j}") for j in range(n_hashes)])
+    return documents.select("doc_id").join(sig, "doc_id", "left")
+
+
+def minhash_band_pairs(documents: DataFrame,
+                       n_hashes: int = MINHASH_SEEDS,
+                       bands: int = LSH_BANDS) -> DataFrame:
+    """LSH candidate pairs: docs whose signatures collide in ≥1 band.
+
+    Band hash = md5 of the band's concatenated minhashes; candidates
+    are generated per band by an equi-join on (band_id, band_hash)
+    and deduplicated across bands — the scalable alternative to an
+    all-pairs comparison. The banded projection is persisted so the
+    self-join reads it once instead of recomputing the signature
+    pipeline on both sides.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(documents, n_hashes).filter(
+        F.col("h0").isNotNull())
+    band_hashes = F.array(*[
+        F.md5(F.concat_ws(
+            "|", *[f"h{b * rows_per_band + r}" for r in range(rows_per_band)]))
+        for b in range(bands)])
+    banded = sig.select(
+        "doc_id", F.posexplode(band_hashes).alias("band", "band_hash"))
+    banded = banded.persist()
+    l = banded.alias("l")
+    r = banded.alias("r")
+    pairs = (l.join(r, ["band", "band_hash"])
+             .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+             .select(F.col("l.doc_id").alias("doc_a"),
+                     F.col("r.doc_id").alias("doc_b"))
+             .distinct())
+    return pairs
+
+
+def ngram_jaccard_pairs(documents: DataFrame, top_n: int = 50) -> DataFrame:
+    """Top near-duplicate pairs by word-3-gram Jaccard similarity,
+    computed via an inverted shingle index (explode → self-join →
+    count), never all-pairs. Join keys are 16-hex-char md5 prefixes of
+    the shingles (shorter, fixed-width shuffle keys); ties broken on
+    (doc_a, doc_b)."""
+    tok = tokens("text")
+    sh = F.array_distinct(shingles(tok))
+    docs = documents.select("doc_id", sh.alias("sh")) \
+                    .filter(F.size("sh") > 0)
+    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
+    inv = (docs.select("doc_id", F.explode("sh").alias("s"))
+           .select("doc_id",
+                   F.substring(F.md5(F.col("s")), 1, 16).alias("shingle")))
+    inv = inv.persist()
+    l = inv.alias("l")
+    r = inv.alias("r")
+    common = (l.join(r, "shingle")
+              .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+              .groupBy(F.col("l.doc_id").alias("doc_a"),
+                       F.col("r.doc_id").alias("doc_b"))
+              .agg(F.count(F.lit(1)).alias("common_sh")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("n_b"))
+    jac = (common.join(sa, "doc_a").join(sb, "doc_b")
+           .withColumn("jaccard",
+                       F.col("common_sh").cast("double")
+                       / (F.col("n_a") + F.col("n_b")
+                          - F.col("common_sh")).cast("double")))
+    return (jac.select("doc_a", "doc_b", "common_sh", "jaccard")
+            .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+            .limit(top_n))

@@ -1,0 +1,165 @@
+"""DWM-layer derived streams: interval joins, dim enrichment, and the
+batch (oracle-checkable) formulations of the stateful trio.
+
+Reference parity:
+ - interval join (J1/J2): OrderWideApp.java:76-85 (±5 s) and
+   PaymentWideApp.java:80-88 (−15 min..0) — here an event-time range
+   join between event slices of the events table.
+ - dim enrichment (J3): the 6 chained async Phoenix lookups of
+   OrderWideApp.java:87-194 collapse into broadcast hash joins.
+ - unique visitors (O6): UniqueVisitApp.java:74-117 keyed first-visit
+   dedup per day (with the reference's yyyy-MM-DD bug corrected).
+ - user-jump / bounce (O4): UserJumpDetailApp.java:84-125 CEP pattern;
+   batch oracle form = lead() over (user, time) as SURVEY §2.6 notes.
+ - is_new repair (O5): BaseLogApp.java:73-105 ValueState rewrite;
+   batch oracle form = min(date) over user.
+
+The streaming formulations of O4/O5/O6 live in
+``streaming/stateful.py``; these batch forms are the correctness
+oracles the streaming tests compare against.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import money
+
+
+def interval_join(left: DataFrame, right: DataFrame, key: str,
+                  lower: str, upper: str,
+                  left_ts: str = "ts", right_ts: str = "ts") -> DataFrame:
+    """Event-time interval join: right.ts in [left.ts+lower, left.ts+upper].
+
+    Batch form of the reference's intervalJoin
+    (OrderWideApp.java:76-85). In streaming mode the same expression
+    with withWatermark on both sides becomes a watermarked
+    stream-stream join whose state Spark evicts automatically.
+    """
+    l = left.alias("l")
+    r = right.alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}")
+           >= F.expr(f"l.{left_ts} + interval {lower}"))
+        & (F.col(f"r.{right_ts}")
+           <= F.expr(f"l.{left_ts} + interval {upper}"))
+    )
+    return l.join(r, cond, "inner")
+
+
+def click_purchase_join(events: DataFrame,
+                        window: str = "10 minutes") -> DataFrame:
+    """J1/J2 analog on the events table: each click joined to the same
+    user's purchases within the next 10 minutes."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"))
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"), money("value").alias("amount"))
+    joined = clicks.join(buys, "user_id").filter(
+        (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.expr(f"click_ts + interval {window}")))
+    return joined.select("user_id", "click_id", "purchase_id",
+                         "click_ts", "purchase_ts", "amount")
+
+
+def order_wide(orders: DataFrame, customer: DataFrame, nation: DataFrame,
+               region: DataFrame) -> DataFrame:
+    """Dim-enrichment join chain (J3): fact ⋈ broadcast dims.
+
+    The reference chains 6 AsyncDataStream lookups with a Redis cache
+    (OrderWideApp.java:87-194, utils/DimUtil.java:12-70); set-oriented
+    broadcast hash joins subsume the per-record RPC + cache machinery.
+    Dims are explicitly broadcast — at 100 TB the fact side never
+    shuffles for these joins.
+    """
+    return (
+        orders
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+
+
+def order_wide_stats(orders: DataFrame, customer: DataFrame,
+                     nation: DataFrame, region: DataFrame) -> DataFrame:
+    """Aggregated order_wide readback: order count/amount by region ×
+    nation × market segment."""
+    wide = order_wide(orders, customer, nation, region)
+    return (
+        wide.groupBy(F.col("r_name").alias("region_name"),
+                     F.col("n_name").alias("nation_name"),
+                     F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count(F.lit(1)).alias("order_ct"),
+             F.sum(money("o_totalprice")).alias("order_amount"),
+             F.countDistinct("o_custkey").alias("customer_ct"))
+    )
+
+
+def unique_visitors_daily(events: DataFrame) -> DataFrame:
+    """O6 batch form: distinct visitors per day.
+
+    The reference keeps first-visit-per-day via keyed ValueState with
+    1-day TTL (UniqueVisitApp.java:74-117); in batch this is exactly a
+    per-day distinct count. (Implements the corrected 'yyyy-MM-dd'
+    day format — the reference's ':82' uses 'yyyy-MM-DD'.)
+    """
+    day = F.date_trunc("DAY", F.col("ts")).alias("day")
+    return (events.groupBy(day)
+            .agg(F.countDistinct("user_id").alias("uv_ct"),
+                 F.count(F.lit(1)).alias("pv_ct")))
+
+
+def first_visits(events: DataFrame) -> DataFrame:
+    """O6 row-level form: the first event of each user on each day —
+    the exact rows UniqueVisitApp would emit downstream."""
+    day = F.date_trunc("DAY", F.col("ts"))
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    return (events.withColumn("day", day)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("day", "user_id", "event_id", "ts"))
+
+
+def is_new_repair(events: DataFrame) -> DataFrame:
+    """O5 batch form: an event's is_new flag is 1 iff it falls on the
+    user's first-ever active day (BaseLogApp.java:73-105 semantics:
+    a claimed first visit is rewritten to 0 when state shows an
+    earlier visit date)."""
+    day = F.date_trunc("DAY", F.col("ts"))
+    w = Window.partitionBy("user_id")
+    return (events
+            .withColumn("day", day)
+            .withColumn("first_day", F.min("day").over(w))
+            .select("event_id", "user_id",
+                    F.when(F.col("day") == F.col("first_day"), F.lit(1))
+                     .otherwise(F.lit(0)).alias("is_new")))
+
+
+def user_jumps(events: DataFrame, timeout: str = "10 minutes") -> DataFrame:
+    """O4 batch form: bounce detection.
+
+    Reference CEP (UserJumpDetailApp.java:84-125): an entry event is a
+    bounce if no further event from the same mid arrives within the
+    pattern window — including the timeout path. Batch formulation:
+    lead(ts) over (user order by ts) is null or beyond the timeout.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (events
+            .withColumn("next_ts", nxt)
+            .filter(F.col("next_ts").isNull()
+                    | (F.col("next_ts") > F.expr(f"ts + interval {timeout}")))
+            .select("user_id", F.col("event_id").alias("bounce_event_id"),
+                    "ts"))
+
+
+def user_jump_stats(events: DataFrame,
+                    timeout: str = "10 minutes") -> DataFrame:
+    """Daily bounce counts (uj_ct of VisitorStats)."""
+    jumps = user_jumps(events, timeout)
+    return (jumps.groupBy(F.date_trunc("DAY", F.col("ts")).alias("day"))
+            .agg(F.count(F.lit(1)).alias("uj_ct")))

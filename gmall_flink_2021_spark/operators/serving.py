@@ -1,0 +1,140 @@
+"""Serving-layer batch queries (the gmall-publisher surface) plus the
+TPC-H-style relational workload that exercises the engine's
+scan/filter/join/aggregate/sort/limit path.
+
+Reference parity:
+ - GMV by date: ProductStatsMapper.java:13-14
+   (`sum(order_amount) where toYYYYMMDD(stt)=#{date}`).
+ - trademark top-N: ProductStatsMapper.java:21
+   (`group by tm_name order by order_amount desc limit N`) — here the
+   part-brand revenue top-N.
+
+All monetary aggregates are exact decimals (see functions.money); all
+ORDER BY ... LIMIT queries carry a unique tie-break key so top-N sets
+are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import money
+
+
+def gmv_daily(orders: DataFrame) -> DataFrame:
+    """Daily GMV over all orders (A7 serving aggregate)."""
+    return (orders
+            .groupBy(F.date_trunc("DAY", "o_orderdate").alias("order_day"))
+            .agg(F.sum(money("o_totalprice")).alias("gmv"),
+                 F.count(F.lit(1)).alias("order_ct"),
+                 F.countDistinct("o_custkey").alias("customer_ct")))
+
+
+def top_brands(lineitem: DataFrame, part: DataFrame,
+               limit: int = 10) -> DataFrame:
+    """Brand revenue top-N — the trademark top-N analog (T1).
+
+    part is dimension-sized → broadcast; lineitem never shuffles for
+    the join, only for the 25-group aggregation.
+    """
+    revenue = (money("l_extendedprice")
+               * (F.lit(1).cast("decimal(18,2)") - money("l_discount")))
+    return (lineitem
+            .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.sum(revenue).cast("decimal(18,2)").alias("revenue"),
+                 F.count(F.lit(1)).alias("item_ct"))
+            .orderBy(F.desc("revenue"), F.asc("p_brand"))
+            .limit(limit))
+
+
+def pricing_summary(lineitem: DataFrame,
+                    cutoff: str = "2000-12-01") -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem.
+
+    Exact decimal sums; averages derived from the decimal sums as
+    doubles so the values are deterministic and engine-portable.
+    """
+    disc_price = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                             - money("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(18,2)")
+                           + money("l_tax"))
+    agg = (lineitem
+           .filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp_ntz"))
+           .groupBy("l_returnflag", "l_linestatus")
+           .agg(F.sum(money("l_quantity")).cast("decimal(18,2)")
+                 .alias("sum_qty"),
+                F.sum(money("l_extendedprice")).cast("decimal(18,2)")
+                 .alias("sum_base_price"),
+                F.sum(disc_price).cast("decimal(18,2)")
+                 .alias("sum_disc_price"),
+                F.sum(charge).cast("decimal(18,2)").alias("sum_charge"),
+                F.count(F.lit(1)).alias("count_order"))
+           .withColumn("avg_qty",
+                       F.col("sum_qty").cast("double")
+                       / F.col("count_order"))
+           .withColumn("avg_price",
+                       F.col("sum_base_price").cast("double")
+                       / F.col("count_order")))
+    return agg.select("l_returnflag", "l_linestatus", "sum_qty",
+                      "sum_base_price", "sum_disc_price", "sum_charge",
+                      "avg_qty", "avg_price", "count_order")
+
+
+def segment_revenue(customer: DataFrame, orders: DataFrame,
+                    lineitem: DataFrame, segment: str = "BUILDING",
+                    limit: int = 10) -> DataFrame:
+    """TPC-H Q3-style: top orders by revenue within a market segment."""
+    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                          - money("l_discount"))
+    return (lineitem
+            .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(
+                customer.filter(F.col("c_mktsegment") == segment)),
+                orders.o_custkey == customer.c_custkey)
+            .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(revenue).cast("decimal(18,2)").alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+            .limit(limit))
+
+
+def region_nation_revenue(region: DataFrame, nation: DataFrame,
+                          customer: DataFrame, orders: DataFrame,
+                          lineitem: DataFrame,
+                          region_name: str = "ASIA") -> DataFrame:
+    """TPC-H Q5-style: revenue by nation within one region.
+
+    Dimension chain region→nation→customer is broadcast; the only
+    shuffle on the fact path is orders⋈lineitem plus the final
+    aggregation (AQE coalesces the post-join partitions).
+    """
+    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                          - money("l_discount"))
+    dims = (customer
+            .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(
+                region.filter(F.col("r_name") == region_name)),
+                nation.n_regionkey == region.r_regionkey))
+    return (lineitem
+            .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(dims.select("c_custkey", "n_name")),
+                  orders.o_custkey == F.col("c_custkey"))
+            .groupBy("n_name")
+            .agg(F.sum(revenue).cast("decimal(18,2)").alias("revenue"),
+                 F.count(F.lit(1)).alias("item_ct"))
+            .orderBy(F.desc("revenue"), F.asc("n_name")))
+
+
+def props_stats(events: DataFrame) -> DataFrame:
+    """JSON field extraction from the events props column (F8 analog:
+    get_json_object over the schemaless payload), aggregated by
+    event_type."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (events
+            .select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("ct"),
+                 F.sum("k").alias("k_sum"),
+                 F.min("k").alias("k_min"),
+                 F.max("k").alias("k_max")))

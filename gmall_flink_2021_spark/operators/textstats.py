@@ -1,0 +1,86 @@
+"""Text-analysis operators over the documents table: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+These are the training-data-pipeline extensions (not in the
+reference, which only has the keyword tokenizer —
+gmall-realtime/.../app/udf/KeywordUDTF.java:11-24). Everything stays
+JVM-side via higher-order array functions; results are deterministic
+and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    STOPWORDS,
+    token_fingerprint,
+    tokens,
+    stopword_ratio,
+)
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Per-source token statistics (token counting at corpus scale)."""
+    tok = tokens("text")
+    per_doc = documents.select(
+        "source",
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_distinct"),
+        F.col("n_chars"))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("doc_ct"),
+                 F.sum("n_tokens").alias("token_ct"),
+                 F.sum("n_distinct").alias("distinct_token_ct"),
+                 F.sum("n_chars").alias("char_ct")))
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Per-document quality signals: length, type-token ratio,
+    stopword ratio, mean token length — the standard cheap filters of
+    a pretraining data pipeline."""
+    tok = tokens("text")
+    n = F.size(tok)
+    sum_len = F.aggregate(
+        F.transform(tok, lambda t: F.length(t)),
+        F.lit(0).cast("long"), lambda a, v: a + v)
+    return documents.select(
+        "doc_id", "lang", "source",
+        n.alias("n_tokens"),
+        (F.size(F.array_distinct(tok)).cast("double")
+         / n.cast("double")).alias("ttr"),
+        stopword_ratio(tok).alias("stop_ratio"),
+        (sum_len.cast("double") / n.cast("double")).alias("mean_tok_len"),
+        (n >= 20).cast("int").alias("len_ok"),
+    )
+
+
+def lang_id(documents: DataFrame,
+            threshold: float = 0.05) -> DataFrame:
+    """Stopword-ratio language heuristic → confusion counts vs the
+    labeled lang column.
+
+    A real deployment swaps the scorer for per-language n-gram
+    profiles; the Spark shape (pure column expressions, one
+    aggregation) is identical.
+    """
+    tok = tokens("text")
+    pred = F.when(stopword_ratio(tok) >= threshold, F.lit("en")) \
+            .otherwise(F.lit("unknown"))
+    return (documents
+            .select(F.col("lang").alias("label_lang"),
+                    pred.alias("pred_lang"))
+            .groupBy("label_lang", "pred_lang")
+            .agg(F.count(F.lit(1)).alias("ct")))
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Per-document fingerprints: md5 of the normalized text plus an
+    order-sensitive rolling token hash (both engine-portable)."""
+    tok = tokens("text")
+    return documents.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", tok)).alias("md5_fp"),
+        token_fingerprint(tok).alias("roll_fp"),
+    )

@@ -1,0 +1,539 @@
+"""The query registry: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable, paired with the equivalent
+DuckDB oracle SQL for the driver's correctness gate.
+
+Conventions that keep the value-hash comparison exact:
+ - every aggregate/computed column is aliased identically on both
+   sides;
+ - monetary aggregates are DECIMAL(18,2) end-to-end (order-
+   independent exact arithmetic);
+ - doubles are only ever derived by identical sequential IEEE
+   operations on both engines (see functions/vectors.py), or rounded
+   where an upstream aggregation order is engine-dependent
+   (label centroids);
+ - events.ts is CAST(ts AS TIMESTAMP) in the oracle because the
+   parquet stores nanos (微-aligned) while Spark reads micros;
+ - ORDER BY ... LIMIT queries always carry a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import dedup, dwm, dws, serving, similarity, textstats
+from ..session import harden
+from ..sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    harden(spark)
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+# --------------------------------------------------------------------------
+# Spark-side query callables
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf):
+    (lineitem,) = _t(spark, sf, "lineitem")
+    return serving.pricing_summary(lineitem)
+
+
+def q_segment_revenue(spark, sf):
+    customer, orders, lineitem = _t(spark, sf, "customer", "orders",
+                                    "lineitem")
+    return serving.segment_revenue(customer, orders, lineitem)
+
+
+def q_region_revenue(spark, sf):
+    region, nation, customer, orders, lineitem = _t(
+        spark, sf, "region", "nation", "customer", "orders", "lineitem")
+    return serving.region_nation_revenue(region, nation, customer, orders,
+                                         lineitem)
+
+
+def q_top_brands(spark, sf):
+    lineitem, part = _t(spark, sf, "lineitem", "part")
+    return serving.top_brands(lineitem, part)
+
+
+def q_gmv_daily(spark, sf):
+    (orders,) = _t(spark, sf, "orders")
+    return serving.gmv_daily(orders)
+
+
+def q_props_stats(spark, sf):
+    (events,) = _t(spark, sf, "events")
+    return serving.props_stats(events)
+
+
+def q_order_wide_stats(spark, sf):
+    orders, customer, nation, region = _t(spark, sf, "orders", "customer",
+                                          "nation", "region")
+    return dwm.order_wide_stats(orders, customer, nation, region)
+
+
+def q_visitor_stats_window(spark, sf):
+    (events,) = _t(spark, sf, "events")
+    return dws.visitor_stats_window(events)
+
+
+def q_event_stats_daily(spark, sf):
+    (events,) = _t(spark, sf, "events")
+    return dws.event_stats_daily(events)
+
+
+def q_keyword_stats(spark, sf):
+    (documents,) = _t(spark, sf, "documents")
+    return dws.keyword_stats(documents)
+
+
+def q_province_stats_sql(spark, sf):
+    orders, customer, nation = _t(spark, sf, "orders", "customer", "nation")
+    return dws.province_stats_sql(spark, orders, customer, nation)
+
+
+def q_unique_visitors_daily(spark, sf):
+    (events,) = _t(spark, sf, "events")
+    return dwm.unique_visitors_daily(events)
+
+
+def q_first_visits(spark, sf):
+    (events,) = _t(spark, sf, "events")
+    return dwm.first_visits(events)
+
+
+def q_is_new_repair(spark, sf):
+    (events,) = _t(spark, sf, "events")
+    return dwm.is_new_repair(events)
+
+
+def q_user_jump_stats(spark, sf):
+    (events,) = _t(spark, sf, "events")
+    return dwm.user_jump_stats(events)
+
+
+def q_click_purchase_join(spark, sf):
+    (events,) = _t(spark, sf, "events")
+    return dwm.click_purchase_join(events)
+
+
+def q_exact_dups(spark, sf):
+    (documents,) = _t(spark, sf, "documents")
+    return dedup.exact_dups(documents)
+
+
+def q_minhash_signatures(spark, sf):
+    (documents,) = _t(spark, sf, "documents")
+    return dedup.minhash_signatures(documents)
+
+
+def q_minhash_band_pairs(spark, sf):
+    (documents,) = _t(spark, sf, "documents")
+    return dedup.minhash_band_pairs(documents)
+
+
+def q_ngram_jaccard_pairs(spark, sf):
+    (documents,) = _t(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs(documents)
+
+
+def q_token_stats(spark, sf):
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.token_stats(documents)
+
+
+def q_quality_scores(spark, sf):
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.quality_scores(documents)
+
+
+def q_lang_id(spark, sf):
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.lang_id(documents)
+
+
+def q_fingerprints(spark, sf):
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.fingerprints(documents)
+
+
+def q_knn_bruteforce(spark, sf):
+    (embeddings,) = _t(spark, sf, "embeddings")
+    return similarity.knn_bruteforce(embeddings)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "segment_revenue": q_segment_revenue,
+    "region_revenue": q_region_revenue,
+    "top_brands": q_top_brands,
+    "gmv_daily": q_gmv_daily,
+    "props_stats": q_props_stats,
+    "order_wide_stats": q_order_wide_stats,
+    "visitor_stats_window": q_visitor_stats_window,
+    "event_stats_daily": q_event_stats_daily,
+    "keyword_stats": q_keyword_stats,
+    "province_stats_sql": q_province_stats_sql,
+    "unique_visitors_daily": q_unique_visitors_daily,
+    "first_visits": q_first_visits,
+    "is_new_repair": q_is_new_repair,
+    "user_jump_stats": q_user_jump_stats,
+    "click_purchase_join": q_click_purchase_join,
+    "exact_dups": q_exact_dups,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_band_pairs": q_minhash_band_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "token_stats": q_token_stats,
+    "quality_scores": q_quality_scores,
+    "lang_id": q_lang_id,
+    "fingerprints": q_fingerprints,
+    "knn_bruteforce": q_knn_bruteforce,
+}
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL
+# --------------------------------------------------------------------------
+
+# Shared CTE fragments for the text queries.
+_TOKS = """
+toks AS (
+    SELECT doc_id, lang, source, n_chars,
+           list_filter(string_split(text, ' '), t -> len(t) > 0) AS tok
+    FROM documents
+)"""
+
+_SHINGLES = _TOKS + """,
+shing AS (
+    SELECT doc_id,
+           CASE WHEN len(tok) >= 3
+                THEN list_transform(range(1, len(tok) - 1),
+                     i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
+                ELSE [] END AS sh
+    FROM toks
+)"""
+
+# Signature scheme mirrors operators/dedup.minhash_signatures: two
+# salted md5s per shingle, sliced into eight 8-hex-char sub-hashes.
+_SIG = _SHINGLES + """,
+sig AS (
+    SELECT doc_id,
+""" + ",\n".join(
+    f"           CASE WHEN len(sh) > 0 THEN list_aggregate("
+    f"list_transform(sh, x -> substr(md5('{j // 4}|' || x), {1 + 8 * (j % 4)}, 8)),"
+    f" 'min') END AS h{j}"
+    for j in range(8)
+) + """
+    FROM shing
+)"""
+
+_BANDS = _SIG + """,
+bands AS (
+""" + "\n    UNION ALL\n".join(
+    f"    SELECT {b} AS band, md5(h{2*b} || '|' || h{2*b+1}) AS band_hash,"
+    f" doc_id FROM sig WHERE h{2*b} IS NOT NULL"
+    for b in range(4)
+) + """
+)"""
+
+_DISC = ("(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+         "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))")
+
+_DOT = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), "
+        "(acc, v) -> acc + v)")
+
+
+def _cos(a: str, b: str) -> str:
+    return (f"({_DOT.format(a=a, b=b)} / "
+            f"(sqrt({_DOT.format(a=a, b=a)}) * "
+            f"sqrt({_DOT.format(a=b, b=b)})))")
+
+
+ORACLES: dict[str, str] = {
+    "pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+               CAST(round(sum({_DISC}), 2) AS DECIMAL(18,2)) AS sum_disc_price,
+               CAST(round(sum(CAST({_DISC} AS DECIMAL(18,4)) *
+                        (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS sum_charge,
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / count(*) AS avg_qty,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / count(*) AS avg_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "segment_revenue": f"""
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               CAST(round(sum({_DISC}), 2) AS DECIMAL(18,2)) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    "region_revenue": f"""
+        SELECT n_name,
+               CAST(round(sum({_DISC}), 2) AS DECIMAL(18,2)) AS revenue,
+               count(*) AS item_ct
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    "top_brands": f"""
+        SELECT p_brand,
+               CAST(round(sum({_DISC}), 2) AS DECIMAL(18,2)) AS revenue,
+               count(*) AS item_ct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+        ORDER BY revenue DESC, p_brand
+        LIMIT 10
+    """,
+    "gmv_daily": """
+        SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS order_day,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS gmv,
+               count(*) AS order_ct,
+               count(DISTINCT o_custkey) AS customer_ct
+        FROM orders
+        GROUP BY 1
+    """,
+    "props_stats": """
+        SELECT event_type,
+               count(*) AS ct,
+               CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
+               CAST(min(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS k_min,
+               CAST(max(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS k_max
+        FROM events
+        GROUP BY event_type
+    """,
+    "order_wide_stats": """
+        SELECT r_name AS region_name, n_name AS nation_name,
+               c_mktsegment AS mktsegment,
+               count(*) AS order_ct,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS order_amount,
+               count(DISTINCT o_custkey) AS customer_ct
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2, 3
+    """,
+    "visitor_stats_window": """
+        SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS stt,
+               time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
+                   + INTERVAL '10 minutes' AS edt,
+               event_type,
+               count(*) AS pv_ct,
+               count(DISTINCT user_id) AS uv_ct,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS value_sum
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    "event_stats_daily": """
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+               CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view_ct,
+               CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click_ct,
+               CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup_ct,
+               CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error_ct,
+               CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase_ct,
+               CAST(coalesce(sum(CAST(value AS DECIMAL(18,2)))
+                    FILTER (WHERE event_type = 'purchase'), 0) AS DECIMAL(18,2)) AS purchase_amount
+        FROM events
+        GROUP BY 1
+    """,
+    "keyword_stats": f"""
+        WITH {_TOKS}
+        SELECT keyword, CAST(ct AS BIGINT) AS ct FROM (
+            SELECT kw.keyword AS keyword, count(*) AS ct
+            FROM toks, unnest(tok) AS kw(keyword)
+            GROUP BY 1
+        )
+        ORDER BY ct DESC, keyword
+        LIMIT 20
+    """,
+    "province_stats_sql": """
+        SELECT CAST(date_trunc('day', o.o_orderdate) AS TIMESTAMP) AS stt,
+               n.n_name AS province_name,
+               count(DISTINCT o.o_custkey) AS customer_ct,
+               count(*) AS order_count,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS order_amount
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    """,
+    "unique_visitors_daily": """
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+               count(DISTINCT user_id) AS uv_ct,
+               count(*) AS pv_ct
+        FROM events
+        GROUP BY 1
+    """,
+    "first_visits": """
+        SELECT day, user_id, event_id, ts FROM (
+            SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+                   user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                   row_number() OVER (
+                       PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+                       ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "is_new_repair": """
+        SELECT event_id, user_id,
+               CASE WHEN date_trunc('day', CAST(ts AS TIMESTAMP))
+                         = min(date_trunc('day', CAST(ts AS TIMESTAMP)))
+                           OVER (PARTITION BY user_id)
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    """,
+    "user_jump_stats": """
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+               count(*) AS uj_ct
+        FROM (
+            SELECT CAST(ts AS TIMESTAMP) AS ts,
+                   lead(CAST(ts AS TIMESTAMP)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+            FROM events
+        )
+        WHERE next_ts IS NULL OR next_ts > ts + INTERVAL '10 minutes'
+        GROUP BY 1
+    """,
+    "click_purchase_join": """
+        SELECT c.user_id AS user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               CAST(c.ts AS TIMESTAMP) AS click_ts,
+               CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+               CAST(p.value AS DECIMAL(18,2)) AS amount
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+         AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL '10 minutes'
+    """,
+    "exact_dups": f"""
+        WITH {_TOKS}
+        SELECT min(doc_id) AS canonical_id,
+               count(*) AS dup_ct,
+               md5(array_to_string(tok, ' ')) AS fp
+        FROM toks
+        GROUP BY 3
+    """,
+    "minhash_signatures": f"""
+        WITH {_SIG}
+        SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7 FROM sig
+    """,
+    "minhash_band_pairs": f"""
+        WITH {_BANDS}
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM bands l
+        JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
+        WHERE l.doc_id < r.doc_id
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH {_SHINGLES},
+        docs AS (
+            SELECT doc_id, list_distinct(sh) AS sh FROM shing
+            WHERE len(sh) > 0
+        ),
+        sizes AS (SELECT doc_id, len(sh) AS n_sh FROM docs),
+        inv AS (
+            SELECT doc_id, substr(md5(s.shingle), 1, 16) AS shingle
+            FROM docs, unnest(sh) AS s(shingle)
+        ),
+        common AS (
+            SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                   count(*) AS common_sh
+            FROM inv l JOIN inv r
+              ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, CAST(common_sh AS BIGINT) AS common_sh,
+               CAST(common_sh AS DOUBLE)
+                   / CAST(a.n_sh + b.n_sh - common_sh AS DOUBLE) AS jaccard
+        FROM common
+        JOIN sizes a ON common.doc_a = a.doc_id
+        JOIN sizes b ON common.doc_b = b.doc_id
+        ORDER BY jaccard DESC, doc_a, doc_b
+        LIMIT 50
+    """,
+    "token_stats": f"""
+        WITH {_TOKS}
+        SELECT source,
+               count(*) AS doc_ct,
+               CAST(sum(len(tok)) AS BIGINT) AS token_ct,
+               CAST(sum(len(list_distinct(tok))) AS BIGINT) AS distinct_token_ct,
+               CAST(sum(n_chars) AS BIGINT) AS char_ct
+        FROM toks
+        GROUP BY source
+    """,
+    "quality_scores": f"""
+        WITH {_TOKS}
+        SELECT doc_id, lang, source,
+               CAST(len(tok) AS INT) AS n_tokens,
+               CAST(len(list_distinct(tok)) AS DOUBLE)
+                   / CAST(len(tok) AS DOUBLE) AS ttr,
+               CAST(len(list_filter(tok, t -> t IN ('the', 'a'))) AS DOUBLE)
+                   / CAST(len(tok) AS DOUBLE) AS stop_ratio,
+               CAST(list_aggregate(list_transform(tok, t -> len(t)), 'sum') AS DOUBLE)
+                   / CAST(len(tok) AS DOUBLE) AS mean_tok_len,
+               CAST(len(tok) >= 20 AS INT) AS len_ok
+        FROM toks
+    """,
+    "lang_id": f"""
+        WITH {_TOKS}
+        SELECT label_lang, pred_lang, count(*) AS ct FROM (
+            SELECT lang AS label_lang,
+                   CASE WHEN CAST(len(list_filter(tok, t -> t IN ('the', 'a'))) AS DOUBLE)
+                             / CAST(len(tok) AS DOUBLE) >= 0.05
+                        THEN 'en' ELSE 'unknown' END AS pred_lang
+            FROM toks
+        )
+        GROUP BY 1, 2
+    """,
+    "fingerprints": f"""
+        WITH {_TOKS}
+        SELECT doc_id,
+               md5(array_to_string(tok, ' ')) AS md5_fp,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(tok,
+                           t -> CAST(len(t) * 31 + ascii(substr(t, 1, 1)) AS BIGINT))),
+                   (acc, v) -> (acc * 1000003 + v) % 1000000000000
+               ) AS roll_fp
+        FROM toks
+    """,
+    "knn_bruteforce": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS vq
+            FROM embeddings WHERE vec_id < 5
+        ),
+        c AS (
+            SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS vn
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id, {_cos('vq', 'vn')} AS cos_sim
+            FROM c, q WHERE neighbor_id <> query_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """,
+}

@@ -1,0 +1,65 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference pins parallelism to Kafka partition counts (1 or 4,
+BASELINE.md). On Spark we instead size shuffle partitions to the
+cluster and let AQE coalesce at runtime; locally we default to the
+core count. All settings here are safe on a 1000-executor cluster:
+AQE handles skew and partition coalescing, broadcast joins cover the
+reference's async dim-lookup pattern (SURVEY.md §2.4 J3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the local[32] test rig; on a real cluster the
+# same keys are what you would tune (shuffle.partitions ~ 2-3x cores).
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet stores TIMESTAMP(NANOS); Spark reads it as long.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.driver.memory": "8g",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "gmall-spark", master: str | None = None,
+              extra: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]")
+    conf = dict(_DEFAULTS)
+    if extra:
+        conf.update(extra)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def harden(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an externally-created
+    session (the driver passes its own SparkSession to ``entry``).
+
+    Only touches confs that are safe to set mid-session and that the
+    engine's correctness depends on (timezone-stable timestamps, the
+    nanos→long parquet read used by the events loader).
+    """
+    for k in ("spark.sql.session.timeZone",
+              "spark.sql.legacy.parquet.nanosAsLong",
+              "spark.sql.adaptive.enabled"):
+        try:
+            spark.conf.set(k, _DEFAULTS[k])
+        except Exception:
+            pass  # conf locked down — loaders fall back gracefully
+    return spark

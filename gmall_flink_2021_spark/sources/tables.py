@@ -1,0 +1,56 @@
+"""Batch loaders for the driver testdata (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file each under
+/root/testdata/sf{0.001,0.01,0.1}/.
+
+events.parquet stores its ``ts`` as parquet TIMESTAMP(NANOS), which
+Spark cannot read natively; with ``spark.sql.legacy.parquet.nanosAsLong``
+we read it as a long and rebuild a TIMESTAMP_NTZ (the generator emits
+microsecond-aligned values, so ``div 1000`` is lossless). All other
+timestamps arrive as TIMESTAMP_NTZ already, which matches DuckDB's
+naive-timestamp semantics in the oracle comparisons.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name != "events":
+        return spark.read.parquet(path)
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(path)
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        # nanos since epoch → tz-independent TIMESTAMP_NTZ
+        df = df.withColumn(
+            "ts",
+            F.expr(f"timestampadd(MICROSECOND, ts div 1000, {_EPOCH_NTZ})"),
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (SQL surface)."""
+    for n in TABLE_NAMES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

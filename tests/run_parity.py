@@ -1,0 +1,50 @@
+"""Dev loop: run every registry query against its DuckDB oracle.
+
+Usage: python tests/run_parity.py [sf_dir] [query ...]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from gmall_flink_2021_spark.plans import ORACLES, QUERIES
+    from gmall_flink_2021_spark.session import get_spark
+    from parity import compare, duck_connect
+
+    spark = get_spark("parity")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_connect(sf_dir)
+    failures = 0
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            problems = compare(df, ORACLES[name], con)
+        except Exception as e:
+            problems = [f"EXCEPTION: {type(e).__name__}: {str(e)[:500]}"]
+        dt = time.time() - t0
+        status = "PASS" if not problems else "FAIL"
+        if problems:
+            failures += 1
+        print(f"[{status}] {name} ({dt:.1f}s)")
+        for p in problems:
+            print(f"    {p}")
+    print(f"\n{failures} failures / {len(only) if only else len(QUERIES)} run")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,35 @@
+"""Every registry query must match its DuckDB oracle at sf0.001
+(the driver's gate runs the same comparison at sf0.01)."""
+
+import pytest
+
+from gmall_flink_2021_spark.plans import ORACLES, QUERIES
+
+from .conftest import SF_SMOKE
+from .parity import compare, duck_connect
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connect(SF_SMOKE)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    df = QUERIES[name](spark, SF_SMOKE)
+    problems = compare(df, ORACLES[name], duck)
+    assert not problems, f"{name}: {problems}"
+
+
+def test_every_query_has_oracle():
+    assert set(ORACLES) == set(QUERIES)
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.queries()) == set(e.oracle_sql())
