@@ -157,6 +157,29 @@ def user_jumps(events: DataFrame, timeout: str = "10 minutes") -> DataFrame:
                     "ts"))
 
 
+def user_jumps_page_log(page_events: DataFrame,
+                        timeout_ms: int = 10_000) -> DataFrame:
+    """O4 batch oracle on the gmall page-log shape (mid, ts millis,
+    last_page_id, page_id) with the full CEP semantics of
+    UserJumpDetailApp.java:84-125: an *entry* event (last_page_id
+    null/empty) is a bounce iff the immediately-next event of the same
+    mid is absent, past the window, or is itself another entry.
+    Convention: a next event at exactly +timeout is within the window
+    (must match streaming/stateful.detect_jumps)."""
+    w = Window.partitionBy("mid").orderBy("ts")
+    is_entry = (F.col("last_page_id").isNull()
+                | (F.length("last_page_id") == 0))
+    df = (page_events
+          .withColumn("is_entry", is_entry)
+          .withColumn("next_ts", F.lead("ts").over(w))
+          .withColumn("next_entry", F.lead(is_entry).over(w)))
+    bounce = (F.col("is_entry")
+              & (F.col("next_ts").isNull()
+                 | (F.col("next_ts") - F.col("ts") > timeout_ms)
+                 | F.col("next_entry")))
+    return df.filter(bounce).select("mid", "ts")
+
+
 def user_jump_stats(events: DataFrame,
                     timeout: str = "10 minutes") -> DataFrame:
     """Daily bounce counts (uj_ct of VisitorStats)."""

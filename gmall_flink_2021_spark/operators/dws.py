@@ -30,19 +30,28 @@ from ..functions.timeutil import window_stamps
 
 
 def visitor_stats_window(events: DataFrame,
-                         window_duration: str = "10 minutes") -> DataFrame:
+                         window_duration: str = "10 minutes",
+                         streaming: bool = False) -> DataFrame:
     """Tumbling-window stats keyed by event_type (A2/A3 analog).
 
     pv_ct = events in window, uv_ct = distinct users, value_sum =
     exact decimal sum of `value`. stt/edt are the window bounds, as in
     VisitorStats (bean/VisitorStats.java:11-36).
+
+    ``streaming=True`` computes the distinct count via collect_set —
+    exact within a window and supported by streaming aggregation
+    (the reference keeps a Set in the accumulator the same way:
+    bean/ProductStats.java:74-85, SURVEY §2.5 A4); batch mode uses
+    countDistinct, which plans a partial/final hash aggregate.
     """
+    uv = (F.size(F.collect_set("user_id")).cast("long") if streaming
+          else F.countDistinct("user_id"))
     return (
         events
         .groupBy(F.window("ts", window_duration), "event_type")
         .agg(
             F.count(F.lit(1)).alias("pv_ct"),
-            F.countDistinct("user_id").alias("uv_ct"),
+            uv.alias("uv_ct"),
             F.sum(money("value")).alias("value_sum"),
         )
         .select(*window_stamps(), "event_type", "pv_ct", "uv_ct",

@@ -27,6 +27,16 @@ TABLE_NAMES = (
 _EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
 
+def convert_events_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """nanos-since-epoch long → tz-independent TIMESTAMP_NTZ (the
+    generator emits microsecond-aligned nanos, so ``div 1000`` is
+    lossless). Shared by the batch loader and the streaming reader."""
+    return df.withColumn(
+        col,
+        F.expr(f"timestampadd(MICROSECOND, {col} div 1000, {_EPOCH_NTZ})"),
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
@@ -36,13 +46,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:
         pass
     df = spark.read.parquet(path)
-    ts_type = dict(df.dtypes)["ts"]
-    if ts_type == "bigint":
-        # nanos since epoch → tz-independent TIMESTAMP_NTZ
-        df = df.withColumn(
-            "ts",
-            F.expr(f"timestampadd(MICROSECOND, ts div 1000, {_EPOCH_NTZ})"),
-        )
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = convert_events_ts(df)
     return df
 
 

@@ -1,0 +1,64 @@
+"""Streaming == batch for the windowed aggregation path (A2/O2/O7):
+the same visitor_stats operator behind a watermark must produce, for
+every closed window, exactly the batch answer."""
+
+from pyspark.sql import functions as F
+
+from gmall_flink_2021_spark.operators.dws import visitor_stats_window
+from gmall_flink_2021_spark.sources.tables import load_table
+from gmall_flink_2021_spark.streaming.jobs import (
+    read_events_stream,
+    run_to_completion,
+    visitor_stats_stream,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_visitor_stats_streaming_matches_batch(spark, tmp_path):
+    stream = read_events_stream(spark, SF_SMOKE)
+    out = run_to_completion(visitor_stats_stream(stream),
+                            str(tmp_path / "ckpt_vs"))
+    got = {tuple(r) for r in out.collect()}
+
+    events = load_table(spark, SF_SMOKE, "events")
+    batch = visitor_stats_window(events)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    # append mode only emits windows closed by the final watermark
+    # (max event time - 1 s delay)
+    import datetime
+
+    horizon = max_ts - datetime.timedelta(seconds=1)
+    want = {tuple(r) for r in batch.filter(F.col("edt") <= horizon).collect()}
+    assert want and got == want
+
+
+def test_streaming_sinks(spark, tmp_path):
+    """K1/K2/K3 analogs: idempotent batch write, routed write, dim
+    upsert (K4)."""
+    from gmall_flink_2021_spark.streaming import sinks
+
+    df = spark.createDataFrame(
+        [(1, "a", "dwd_t1"), (2, "b", "dwd_t1"), (3, "c", "dwd_t2")],
+        "id long, v string, sink_table string")
+    # idempotent: re-writing the same batch_id must not duplicate
+    p = str(tmp_path / "idem")
+    sinks.write_idempotent(df, 7, p)
+    sinks.write_idempotent(df, 7, p)
+    assert spark.read.parquet(p).count() == 3
+
+    r = str(tmp_path / "routed")
+    sinks.write_routed(df, 1, r)
+    routed = spark.read.parquet(r)
+    assert routed.filter(F.col("sink_table") == "dwd_t1").count() == 2
+    assert routed.filter(F.col("sink_table") == "dwd_t2").count() == 1
+
+    d = str(tmp_path / "dim")
+    sinks.upsert_dim(
+        spark.createDataFrame([(1, "x"), (2, "y")], "id long, name string"),
+        d)
+    sinks.upsert_dim(
+        spark.createDataFrame([(2, "y2"), (3, "z")], "id long, name string"),
+        d)
+    got = {(r.id, r.name) for r in spark.read.parquet(d).collect()}
+    assert got == {(1, "x"), (2, "y2"), (3, "z")}
