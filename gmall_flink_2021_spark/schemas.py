@@ -145,3 +145,27 @@ PAYMENT_INFO_SCHEMA = _s(
     _f("create_time", StringType()),
     _f("callback_time", StringType()),
 )
+
+# ProductStats side sources (app/dws/ProductStatsApp.java:139-191)
+FAVOR_INFO_SCHEMA = _s(
+    _f("id", LongType()), _f("user_id", LongType()),
+    _f("sku_id", LongType()), _f("create_time", StringType()),
+)
+
+CART_INFO_SCHEMA = _s(
+    _f("id", LongType()), _f("user_id", LongType()),
+    _f("sku_id", LongType()), _f("sku_num", LongType()),
+    _f("create_time", StringType()),
+)
+
+ORDER_REFUND_INFO_SCHEMA = _s(
+    _f("id", LongType()), _f("order_id", LongType()),
+    _f("sku_id", LongType()), _f("refund_amount", MONEY),
+    _f("create_time", StringType()),
+)
+
+COMMENT_INFO_SCHEMA = _s(
+    _f("id", LongType()), _f("order_id", LongType()),
+    _f("sku_id", LongType()), _f("appraise", StringType()),
+    _f("create_time", StringType()),
+)

@@ -149,6 +149,25 @@ def cdc_rows() -> list[dict]:
             "create_time": t(order_ts + pay_off),
             "callback_time": t(order_ts + pay_off + 2_000),
         }))
+    # the other four ProductStats sources (P6's 7-stream union):
+    # favor, cart, refund, comment
+    for i in range(1, 6):
+        t0 = BASE_TS + i * 2 * MINUTE
+        rows.append(_cdc("favor_info", "insert", {
+            "id": 500 + i, "user_id": 100 + i % 5, "sku_id": 1 + i % 9,
+            "create_time": t(t0)}))
+        rows.append(_cdc("cart_info", "insert", {
+            "id": 600 + i, "user_id": 100 + i % 5, "sku_id": 1 + (i + 1) % 9,
+            "sku_num": 1 + i % 3, "create_time": t(t0 + 30_000)}))
+    for i in range(1, 4):
+        t0 = BASE_TS + 30 * MINUTE + i * MINUTE
+        rows.append(_cdc("order_refund_info", "insert", {
+            "id": 700 + i, "order_id": i, "sku_id": 1 + i % 9,
+            "refund_amount": 19.90, "create_time": t(t0)}))
+        rows.append(_cdc("comment_info", "insert", {
+            "id": 800 + i, "order_id": i, "sku_id": 1 + i % 9,
+            "appraise": "1201" if i % 2 else "1202",  # good='1201'
+            "create_time": t(t0 + 10_000)}))
     for sku in range(1, 10):
         rows.append(_cdc("sku_info", "insert", {
             "id": sku, "sku_name": f"sku {sku}", "price": 10 * sku,
@@ -157,6 +176,21 @@ def cdc_rows() -> list[dict]:
     rows.append(_cdc("base_trademark", "insert", {"id": 1, "tm_name": "tm-a"}))
     rows.append(_cdc("base_trademark", "insert", {"id": 2, "tm_name": "tm-b"}))
     rows.append(_cdc("base_trademark", "insert", {"id": 3, "tm_name": "tm-c"}))
+    for uid in range(100, 105):
+        rows.append(_cdc("user_info", "insert", {
+            "id": uid, "birthday": f"19{60 + uid % 40}-0{1 + uid % 9}-15",
+            "gender": "F" if uid % 2 else "M"}))
+    for pid in range(1, 4):
+        rows.append(_cdc("base_province", "insert", {
+            "id": pid, "name": f"province_{pid}",
+            "area_code": f"{110000 + pid}", "iso_code": f"CN-{pid}",
+            "iso_3166_2": f"CN-P{pid}"}))
+    for spu in range(1, 4):
+        rows.append(_cdc("spu_info", "insert",
+                         {"id": spu, "spu_name": f"spu {spu}"}))
+    for c3 in range(1, 5):
+        rows.append(_cdc("base_category3", "insert",
+                         {"id": c3, "name": f"cat3_{c3}"}))
     rows.append(_cdc("order_info", "delete", {"id": 1}))          # P2 drop
     rows.append(_cdc("mystery_table", "insert", {"id": 1}))       # J4 drop
     return rows
@@ -172,10 +206,18 @@ def table_process_rows() -> list[dict]:
                         "create_time",
         "payment_info": "id,order_id,user_id,total_amount,payment_type,"
                         "create_time",
+        "favor_info": "id,user_id,sku_id,create_time",
+        "cart_info": "id,user_id,sku_id,sku_num,create_time",
+        "order_refund_info": "id,order_id,sku_id,refund_amount,create_time",
+        "comment_info": "id,order_id,sku_id,appraise,create_time",
     }
     dims = {
         "sku_info": "id,sku_name,price,spu_id,category3_id,tm_id",
         "base_trademark": "id,tm_name",
+        "user_info": "id,birthday,gender",
+        "base_province": "id,name,area_code,iso_code,iso_3166_2",
+        "spu_info": "id,spu_name",
+        "base_category3": "id,name",
     }
     rows = [{"source_table": s, "operate_type": "insert",
              "sink_type": "kafka", "sink_table": f"dwd_{s}",

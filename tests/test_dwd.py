@@ -52,8 +52,10 @@ def test_cdc_routing_and_projection(spark):
     assert routed.filter(F.col("table") == "mystery_table").count() == 0
     kafka_side = routed.filter(F.col("sink_type") == "kafka")
     hbase_side = routed.filter(F.col("sink_type") == "hbase")
-    assert kafka_side.count() == 10 + 20 + 10   # orders + details + payments
-    assert hbase_side.count() == 9 + 3          # sku_info + trademarks
+    # orders + details + payments + favors + carts + refunds + comments
+    assert kafka_side.count() == 10 + 20 + 10 + 5 + 5 + 3 + 3
+    # skus + trademarks + users + provinces + spus + category3s
+    assert hbase_side.count() == 9 + 3 + 5 + 3 + 3 + 4
     # P3 projection keeps only configured sink columns
     skus = dwd.project_sink_columns(
         routed, "dim_sku_info",
