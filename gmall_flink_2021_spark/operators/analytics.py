@@ -1,0 +1,109 @@
+"""Analytic (OVER-window) and multidimensional aggregation operators.
+
+The reference has no ranking/frame functions (SURVEY.md §2.6) and no
+grouping sets (§2.5 note) — these extend the engine beyond reference
+parity with the standard warehouse analytics a serving layer needs,
+plus gap-based sessionization (the batch formulation of session
+windows, §2.9 O11).
+
+All are single-shuffle window/rollup plans; monetary arithmetic stays
+in exact decimals so results are engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import money
+
+
+def top_orders_per_segment(customer: DataFrame, orders: DataFrame,
+                           k: int = 3) -> DataFrame:
+    """Top-k orders by value within each market segment (row_number)."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (orders
+            .join(F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+                  orders.o_custkey == F.col("c_custkey"))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("c_mktsegment", "rank", "o_orderkey", "o_totalprice"))
+
+
+def gmv_daily_delta(orders: DataFrame) -> DataFrame:
+    """Daily GMV with day-over-day delta (lag) and running cumulative
+    total (frame: unbounded preceding)."""
+    daily = (orders
+             .groupBy(F.date_trunc("DAY", "o_orderdate").alias("order_day"))
+             .agg(F.sum(money("o_totalprice")).cast("decimal(18,2)")
+                  .alias("gmv")))
+    w = Window.orderBy("order_day")
+    run = Window.orderBy("order_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "order_day", "gmv",
+        (F.col("gmv") - F.lag("gmv").over(w)).cast("decimal(18,2)")
+        .alias("gmv_delta"),
+        F.sum("gmv").over(run).cast("decimal(18,2)").alias("gmv_running"))
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based sessionization: a new session starts when the user's
+    inter-event gap exceeds ``gap``; emits one row per session with
+    bounds and event count (batch form of session_window)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(
+        F.col("ts") > F.expr(f"prev_ts + interval {gap}"), 1) \
+        .otherwise(0)
+    sess = (events
+            .withColumn("prev_ts", F.lag("ts").over(w))
+            .withColumn("is_new_session",
+                        F.when(F.col("prev_ts").isNull(), F.lit(1))
+                         .otherwise(new_sess))
+            .withColumn("session_seq",
+                        F.sum("is_new_session").over(
+                            w.rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow))))
+    return (sess.groupBy("user_id", "session_seq")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"))
+            .withColumn("duration_sec",
+                        F.expr("timestampdiff(MICROSECOND, session_start,"
+                               " session_end) div 1000000").cast("long")))
+
+
+def priority_rollup(orders: DataFrame) -> DataFrame:
+    """ROLLUP(priority, status): per-combination, per-priority and
+    grand-total order counts and GMV in one pass."""
+    return (orders
+            .rollup("o_orderpriority", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("order_ct"),
+                 F.sum(money("o_totalprice")).cast("decimal(18,2)")
+                 .alias("gmv")))
+
+
+def revenue_forecast(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6-style: revenue increase from discounted small-quantity
+    items within a shipping year."""
+    return (lineitem
+            .filter((F.col("l_shipdate") >= F.lit("1998-01-01")
+                     .cast("timestamp_ntz"))
+                    & (F.col("l_shipdate") < F.lit("1999-01-01")
+                       .cast("timestamp_ntz"))
+                    & (F.col("l_discount") >= 0.02)
+                    & (F.col("l_discount") <= 0.06)
+                    & (F.col("l_quantity") < 10))
+            .agg(F.sum(money("l_extendedprice") * money("l_discount"))
+                 .cast("decimal(18,2)").alias("revenue"),
+                 F.count(F.lit(1)).alias("item_ct")))
+
+
+def customers_without_orders(customer: DataFrame,
+                             orders: DataFrame) -> DataFrame:
+    """Anti-join: customers that never placed an order."""
+    return (customer
+            .join(orders.select("o_custkey"),
+                  customer.c_custkey == F.col("o_custkey"), "left_anti")
+            .select("c_custkey", "c_name", "c_mktsegment"))

@@ -93,6 +93,36 @@ def minhash_band_pairs(documents: DataFrame,
     return pairs
 
 
+def simhash_signatures(documents: DataFrame, bits: int = 32) -> DataFrame:
+    """32-bit SimHash per document over unigram tokens.
+
+    Token hash = first 8 hex chars of md5 (engine-portable); each hex
+    nibble contributes 4 bits; per bit position the ±1 votes are
+    summed and the sign forms the signature bit. Computed via
+    explode → 32 conditional sums → recombine: one narrow shuffle on
+    doc_id, the same scalable shape as the MinHash pipeline.
+    """
+    assert bits == 32, "token hash uses 8 md5 nibbles"
+    tok = tokens("text")
+    hashed = (documents
+              .select("doc_id", F.explode(tok).alias("t"))
+              .select("doc_id",
+                      F.substring(F.md5(F.col("t")), 1, 8).alias("h")))
+    sums = []
+    for b in range(bits):
+        k, j = b // 4 + 1, b % 4
+        bit = F.expr(
+            f"((instr('0123456789abcdef', substring(h, {k}, 1)) - 1)"
+            f" div {2 ** j}) % 2")
+        sums.append(F.sum(bit * 2 - 1).alias(f"s{b}"))
+    votes = hashed.groupBy("doc_id").agg(*sums)
+    sig = sum(
+        (F.when(F.col(f"s{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+         for b in range(bits)),
+        F.lit(0)).cast("long")
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
 def ngram_jaccard_pairs(documents: DataFrame, top_n: int = 50) -> DataFrame:
     """Top near-duplicate pairs by word-3-gram Jaccard similarity,
     computed via an inverted shingle index (explode → self-join →

@@ -1,0 +1,90 @@
+"""Multimodal column plumbing: opaque binary media columns with typed
+metadata, processed by Arrow-batched pandas UDFs via mapInPandas.
+
+Training-data-pipeline extension. The actual decoders (image/audio/
+video libs) are not available in this environment, so ``_decode`` is a
+clearly-marked deterministic fake keyed only on the payload bytes —
+but the Spark-side plumbing is real: binary column schema, Arrow batch
+transfer, per-batch vectorized processing, and a stable output
+schema. Swapping the fake for PIL/ffmpeg is a one-function change.
+
+At scale this is the right shape: mapInPandas streams Arrow record
+batches (no per-row Python overhead), media bytes never pass through
+a shuffle (the decode is a narrow map), and the output is a slim
+feature row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType)
+
+MEDIA_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("media_type", StringType()),
+    StructField("media", BinaryType()),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("media_type", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_frames", IntegerType()),
+])
+
+
+def documents_as_media(documents: DataFrame) -> DataFrame:
+    """Wrap the documents table's text as opaque binary payloads —
+    the stand-in corpus for media blobs (utf-8 bytes; the driver's
+    text is ASCII so n_bytes == n_chars)."""
+    return documents.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+         .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+         .otherwise(F.lit("video")).alias("media_type"),
+        F.encode("text", "utf-8").alias("media"))
+
+
+def _decode(media: bytes, media_type: str) -> tuple[int, int, int]:
+    """STUB decoder — deterministic fake. A real deployment decodes
+    with PIL/torchaudio/ffmpeg here; only this function changes."""
+    n = len(media)
+    if media_type == "image":
+        return 16 + n % 64, 16 + n % 48, 1
+    if media_type == "audio":
+        return 0, 0, 1 + n % 100          # "frames" = chunks
+    return 16 + n % 64, 16 + n % 48, 1 + n % 5
+
+
+def decode_features(media_df: DataFrame) -> DataFrame:
+    """mapInPandas decode: Arrow batches in, slim feature rows out."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [_decode(m, t)
+                    for m, t in zip(pdf["media"], pdf["media_type"])]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": [len(m) for m in pdf["media"]],
+                "width": [d[0] for d in dims],
+                "height": [d[1] for d in dims],
+                "n_frames": [d[2] for d in dims],
+            })
+
+    return media_df.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+def media_features(documents: DataFrame) -> DataFrame:
+    """End-to-end: documents → binary media column → decoded feature
+    rows (the registry query; oracle recomputes the deterministic
+    fake's arithmetic from n_chars)."""
+    return decode_features(documents_as_media(documents))

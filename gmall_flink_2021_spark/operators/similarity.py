@@ -37,30 +37,67 @@ def knn_bruteforce(embeddings: DataFrame, n_queries: int = 5,
             .select("query_id", "neighbor_id", "rank", "cos_sim"))
 
 
-def label_centroid_similarity(embeddings: DataFrame) -> DataFrame:
-    """Cluster-level similarity: per-label centroid (element-wise mean
-    via posexplode → avg → collect back), then each vector's cosine
-    to its own label centroid, aggregated per label.
-
-    This is the building block of the IVF-style ANN path: centroids
-    come from exactly this aggregation; probe = broadcast-join query
-    against centroids, then search the matching partition only.
-    """
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid: element-wise mean via posexplode → avg →
+    ordered collect back. Centroid elements are rounded to 6 dp to
+    make them independent of floating-point summation order (partial
+    aggregation order differs between engines/runs)."""
     expl = embeddings.select(
         "vec_id", "label",
         F.posexplode(as_double("embedding")).alias("pos", "x"))
-    cent = (expl.groupBy("label", "pos").agg(F.avg("x").alias("cx"))
+    return (expl.groupBy("label", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("cx"))
             .groupBy("label")
             .agg(F.array_sort(
                 F.collect_list(F.struct("pos", "cx"))).alias("pairs"))
             .select("label",
                     F.transform("pairs", lambda p: p.cx).alias("centroid")))
+
+
+def label_centroid_similarity(embeddings: DataFrame) -> DataFrame:
+    """Cluster-level similarity: each vector's cosine to its own label
+    centroid, aggregated per label (rounded 6 dp for portability)."""
     scored = (embeddings
-              .join(F.broadcast(cent), "label")
+              .join(F.broadcast(label_centroids(embeddings)), "label")
               .withColumn("cos_sim",
-                          cosine(as_double("embedding"),
-                                 F.col("centroid"))))
+                          F.round(cosine(as_double("embedding"),
+                                         F.col("centroid")), 6)))
     return (scored.groupBy("label")
             .agg(F.count(F.lit(1)).alias("n_vecs"),
                  F.min("cos_sim").alias("min_sim"),
                  F.max("cos_sim").alias("max_sim")))
+
+
+def ivf_ann(embeddings: DataFrame, n_queries: int = 5, k: int = 3,
+            n_probe: int = 1) -> DataFrame:
+    """IVF-style approximate nearest neighbors: the label column acts
+    as the coarse quantizer's partition assignment. Each query probes
+    its ``n_probe`` nearest centroids and searches only those
+    partitions — the 100 TB path where brute force scans everything,
+    this scans ~1/n_clusters of the corpus.
+
+    Returns (query_id, probed label, neighbor_id, rank, cos_sim)."""
+    cents = label_centroids(embeddings)
+    queries = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        as_double("embedding").alias("vec_q"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("c_sim"), F.asc("label"))
+    probes = (queries.join(F.broadcast(cents))
+              .withColumn("c_sim",
+                          F.round(cosine(F.col("vec_q"),
+                                         F.col("centroid")), 6))
+              .withColumn("c_rank", F.row_number().over(probe_w))
+              .filter(F.col("c_rank") <= n_probe)
+              .select("query_id", "vec_q", "label"))
+    cand = embeddings.select(
+        "label", F.col("vec_id").alias("neighbor_id"),
+        as_double("embedding").alias("vec_n"))
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (cand.join(F.broadcast(probes), "label")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("cos_sim", cosine(F.col("vec_q"), F.col("vec_n")))
+            .withColumn("rank", F.row_number().over(rank_w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "label", "neighbor_id", "rank", "cos_sim"))

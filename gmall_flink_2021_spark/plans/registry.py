@@ -22,7 +22,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import dedup, dwm, dws, serving, similarity, textstats
+from ..operators import (
+    analytics,
+    dedup,
+    dwm,
+    dws,
+    multimodal,
+    serving,
+    similarity,
+    textstats,
+)
 from ..session import harden
 from ..sources.tables import load_table
 
@@ -165,6 +174,56 @@ def q_knn_bruteforce(spark, sf):
     return similarity.knn_bruteforce(embeddings)
 
 
+def q_simhash_signatures(spark, sf):
+    (documents,) = _t(spark, sf, "documents")
+    return dedup.simhash_signatures(documents)
+
+
+def q_label_centroid_similarity(spark, sf):
+    (embeddings,) = _t(spark, sf, "embeddings")
+    return similarity.label_centroid_similarity(embeddings)
+
+
+def q_ivf_ann(spark, sf):
+    (embeddings,) = _t(spark, sf, "embeddings")
+    return similarity.ivf_ann(embeddings)
+
+
+def q_top_orders_per_segment(spark, sf):
+    customer, orders = _t(spark, sf, "customer", "orders")
+    return analytics.top_orders_per_segment(customer, orders)
+
+
+def q_gmv_daily_delta(spark, sf):
+    (orders,) = _t(spark, sf, "orders")
+    return analytics.gmv_daily_delta(orders)
+
+
+def q_sessionize(spark, sf):
+    (events,) = _t(spark, sf, "events")
+    return analytics.sessionize(events)
+
+
+def q_priority_rollup(spark, sf):
+    (orders,) = _t(spark, sf, "orders")
+    return analytics.priority_rollup(orders)
+
+
+def q_revenue_forecast(spark, sf):
+    (lineitem,) = _t(spark, sf, "lineitem")
+    return analytics.revenue_forecast(lineitem)
+
+
+def q_customers_without_orders(spark, sf):
+    customer, orders = _t(spark, sf, "customer", "orders")
+    return analytics.customers_without_orders(customer, orders)
+
+
+def q_media_features(spark, sf):
+    (documents,) = _t(spark, sf, "documents")
+    return multimodal.media_features(documents)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -191,6 +250,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
     "knn_bruteforce": q_knn_bruteforce,
+    "simhash_signatures": q_simhash_signatures,
+    "label_centroid_similarity": q_label_centroid_similarity,
+    "ivf_ann": q_ivf_ann,
+    "top_orders_per_segment": q_top_orders_per_segment,
+    "gmv_daily_delta": q_gmv_daily_delta,
+    "sessionize": q_sessionize,
+    "priority_rollup": q_priority_rollup,
+    "revenue_forecast": q_revenue_forecast,
+    "customers_without_orders": q_customers_without_orders,
+    "media_features": q_media_features,
 }
 
 
@@ -241,6 +310,32 @@ bands AS (
 
 _DISC = ("(CAST(l_extendedprice AS DECIMAL(18,2)) * "
          "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))")
+
+# SimHash: 32 per-bit ±1 vote sums from the first 8 md5 nibbles,
+# mirroring operators/dedup.simhash_signatures.
+_SIMHASH_SUMS = ",\n".join(
+    f"           sum((((strpos('0123456789abcdef', substr(h, {b // 4 + 1}, 1))"
+    f" - 1) // {2 ** (b % 4)}) % 2) * 2 - 1) AS s{b}"
+    for b in range(32))
+_SIMHASH_COMBINE = " + ".join(
+    f"CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(32))
+
+# Per-label centroids rounded to 6 dp (portable across engines).
+_CENTROIDS = """
+e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pos AS (
+    SELECT label, vec_id,
+           UNNEST(range(1, len(v) + 1)) AS pos, UNNEST(v) AS x
+    FROM e
+),
+cpos AS (
+    SELECT label, pos, round(avg(x), 6) AS cx FROM pos GROUP BY 1, 2
+),
+cent AS (
+    SELECT label, list(cx ORDER BY pos) AS centroid FROM cpos GROUP BY label
+)"""
 
 _DOT = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         "list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), "
@@ -535,5 +630,147 @@ ORACLES: dict[str, str] = {
                 PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
             FROM scored
         ) WHERE rank <= 5
+    """,
+    "simhash_signatures": f"""
+        WITH {_TOKS},
+        tk AS (SELECT doc_id, unnest(tok) AS t FROM toks),
+        h AS (SELECT doc_id, substr(md5(t), 1, 8) AS h FROM tk),
+        v AS (
+            SELECT doc_id,
+{_SIMHASH_SUMS}
+            FROM h GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({_SIMHASH_COMBINE} AS BIGINT) AS simhash FROM v
+    """,
+    "label_centroid_similarity": f"""
+        WITH {_CENTROIDS},
+        scored AS (
+            SELECT e.label AS label,
+                   round({_cos('v', 'centroid')}, 6) AS cos_sim
+            FROM e JOIN cent ON e.label = cent.label
+        )
+        SELECT label, count(*) AS n_vecs,
+               min(cos_sim) AS min_sim, max(cos_sim) AS max_sim
+        FROM scored GROUP BY label
+    """,
+    "ivf_ann": f"""
+        WITH {_CENTROIDS},
+        q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS vq
+            FROM embeddings WHERE vec_id < 5
+        ),
+        probes AS (
+            SELECT query_id, vq, label FROM (
+                SELECT q.query_id, q.vq, cent.label,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY round({_cos('vq', 'centroid')}, 6) DESC,
+                                    cent.label) AS c_rank
+                FROM q, cent
+            ) WHERE c_rank <= 1
+        ),
+        cand AS (
+            SELECT p.query_id, p.label, e.vec_id AS neighbor_id,
+                   {_cos('p.vq', 'e.v')} AS cos_sim
+            FROM probes p JOIN e ON p.label = e.label
+            WHERE e.vec_id <> p.query_id
+        )
+        SELECT query_id, label, neighbor_id,
+               CAST(rank AS BIGINT) AS rank, cos_sim
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM cand
+        ) WHERE rank <= 3
+    """,
+    "top_orders_per_segment": """
+        SELECT c_mktsegment, CAST(rank AS BIGINT) AS rank,
+               o_orderkey, o_totalprice
+        FROM (
+            SELECT c_mktsegment, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rank
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ) WHERE rank <= 3
+    """,
+    "gmv_daily_delta": """
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS order_day,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS gmv
+            FROM orders GROUP BY 1
+        )
+        SELECT order_day, gmv,
+               CAST(gmv - lag(gmv) OVER (ORDER BY order_day) AS DECIMAL(18,2)) AS gmv_delta,
+               CAST(sum(gmv) OVER (ORDER BY order_day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DECIMAL(18,2)) AS gmv_running
+        FROM daily
+    """,
+    "sessionize": """
+        WITH o AS (
+            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                   lag(CAST(ts AS TIMESTAMP)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        ),
+        f AS (
+            SELECT *, CASE WHEN prev_ts IS NULL
+                           OR ts > prev_ts + INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END AS ns
+            FROM o
+        ),
+        s AS (
+            SELECT *, CAST(sum(ns) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_seq
+            FROM f
+        )
+        SELECT user_id, session_seq, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end,
+               CAST(date_diff('microsecond', min(ts), max(ts)) // 1000000 AS BIGINT) AS duration_sec
+        FROM s GROUP BY 1, 2
+    """,
+    "priority_rollup": """
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS order_ct,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS gmv
+        FROM orders
+        GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    """,
+    "revenue_forecast": """
+        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * CAST(l_discount AS DECIMAL(18,2))), 2)
+                    AS DECIMAL(18,2)) AS revenue,
+               count(*) AS item_ct
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+          AND l_discount >= 0.02 AND l_discount <= 0.06
+          AND l_quantity < 10
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "media_features": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               CAST(n_chars AS BIGINT) AS n_bytes,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + n_chars % 64
+                         WHEN doc_id % 3 = 1 THEN 0
+                         ELSE 16 + n_chars % 64 END AS INT) AS width,
+               CAST(CASE WHEN doc_id % 3 = 1 THEN 0
+                         ELSE 16 + n_chars % 48 END AS INT) AS height,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                         WHEN doc_id % 3 = 1 THEN 1 + n_chars % 100
+                         ELSE 1 + n_chars % 5 END AS INT) AS n_frames
+        FROM documents
     """,
 }
