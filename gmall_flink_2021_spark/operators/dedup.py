@@ -131,13 +131,15 @@ def ngram_jaccard_pairs(documents: DataFrame, top_n: int = 50) -> DataFrame:
     (doc_a, doc_b)."""
     tok = tokens("text")
     sh = F.array_distinct(shingles(tok))
-    docs = documents.select("doc_id", sh.alias("sh")) \
-                    .filter(F.size("sh") > 0)
+    # one materialization of the shingle arrays feeds the inverted
+    # index (both join sides) and the per-doc sizes
+    docs = (documents.select("doc_id", sh.alias("sh"))
+            .filter(F.size("sh") > 0)
+            .persist())
     sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
     inv = (docs.select("doc_id", F.explode("sh").alias("s"))
            .select("doc_id",
                    F.substring(F.md5(F.col("s")), 1, 16).alias("shingle")))
-    inv = inv.persist()
     l = inv.alias("l")
     r = inv.alias("r")
     common = (l.join(r, "shingle")
