@@ -67,6 +67,33 @@ def stopword_ratio(tok: Column) -> Column:
     return stop.cast("double") / F.size(tok).cast("double")
 
 
+def register_tokenizer_udtf(spark, name: str = "ik_analyze") -> None:
+    """U1/U2 parity: register the tokenizer as a real table function,
+    mirroring the reference's ``createTemporarySystemFunction
+    ("ik_analyze", KeywordUDTF.class)`` + ``LATERAL TABLE(ik_analyze
+    (fullword))`` usage (KeywordStatsApp.java:40,63-64).
+
+    The production path stays the JVM-side tokens()+explode; this UDTF
+    exposes the same segmentation through the SQL surface:
+        SELECT d.doc_id, t.keyword
+        FROM docs d, LATERAL ik_analyze(d.text) t
+    The reference's IK segmenter (Chinese, smart mode) is replaced by
+    the engine's deterministic whitespace segmentation — swap the body
+    for jieba when available.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="keyword: string")
+    class Tokenize:
+        def eval(self, text: str):  # noqa: D102
+            if text:
+                for t in text.split(" "):
+                    if t:
+                        yield (t,)
+
+    spark.udtf.register(name, Tokenize)
+
+
 def token_fingerprint(tok: Column) -> Column:
     """Order-sensitive rolling hash over the token stream (bigint).
 

@@ -107,3 +107,19 @@ def customers_without_orders(customer: DataFrame,
             .join(orders.select("o_custkey"),
                   customer.c_custkey == F.col("o_custkey"), "left_anti")
             .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+def late_shipment_priority(orders: DataFrame,
+                           lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4-style semi-join: orders with at least one lineitem
+    shipped more than 90 days after the order date, counted by
+    priority (left_semi — each order counted once)."""
+    late = lineitem.select(
+        "l_orderkey", "l_shipdate")
+    cond = ((orders.o_orderkey == late.l_orderkey)
+            & (late.l_shipdate
+               > F.expr("o_orderdate + interval 90 days")))
+    return (orders
+            .join(late, cond, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_ct")))

@@ -68,6 +68,25 @@ def label_centroid_similarity(embeddings: DataFrame) -> DataFrame:
                  F.max("cos_sim").alias("max_sim")))
 
 
+def embedding_dups(embeddings: DataFrame,
+                   threshold: float = 0.35) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by the label
+    column (the coarse-quantizer partition): only intra-block pairs
+    are scored, which is the standard blocking strategy that keeps
+    near-dup detection out of O(n²) at corpus scale — at 100 TB the
+    blocks come from LSH/IVF assignment, here from the given labels.
+    """
+    a = embeddings.select("label", F.col("vec_id").alias("vec_a"),
+                          as_double("embedding").alias("va"))
+    b = embeddings.select("label", F.col("vec_id").alias("vec_b"),
+                          as_double("embedding").alias("vb"))
+    return (a.join(b, "label")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
+            .filter(F.col("cos_sim") >= threshold)
+            .select("label", "vec_a", "vec_b", "cos_sim"))
+
+
 def ivf_ann(embeddings: DataFrame, n_queries: int = 5, k: int = 3,
             n_probe: int = 1) -> DataFrame:
     """IVF-style approximate nearest neighbors: the label column acts

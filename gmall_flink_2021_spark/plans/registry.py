@@ -224,6 +224,16 @@ def q_media_features(spark, sf):
     return multimodal.media_features(documents)
 
 
+def q_embedding_dups(spark, sf):
+    (embeddings,) = _t(spark, sf, "embeddings")
+    return similarity.embedding_dups(embeddings)
+
+
+def q_late_shipment_priority(spark, sf):
+    orders, lineitem = _t(spark, sf, "orders", "lineitem")
+    return analytics.late_shipment_priority(orders, lineitem)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -260,6 +270,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_forecast": q_revenue_forecast,
     "customers_without_orders": q_customers_without_orders,
     "media_features": q_media_features,
+    "embedding_dups": q_embedding_dups,
+    "late_shipment_priority": q_late_shipment_priority,
 }
 
 
@@ -772,5 +784,24 @@ ORACLES: dict[str, str] = {
                          WHEN doc_id % 3 = 1 THEN 1 + n_chars % 100
                          ELSE 1 + n_chars % 5 END AS INT) AS n_frames
         FROM documents
+    """,
+    "embedding_dups": f"""
+        WITH e AS (
+            SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        )
+        SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_cos('a.v', 'b.v')} AS cos_sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_cos('a.v', 'b.v')} >= 0.35
+    """,
+    "late_shipment_priority": """
+        SELECT o_orderpriority, count(*) AS order_ct
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL '90 days')
+        GROUP BY o_orderpriority
     """,
 }

@@ -1,0 +1,124 @@
+"""Source modeling + SQL-surface coverage: the Python tokenizer UDTF
+(U1/U2), the CDC changelog source with type normalization (S2/S3),
+exactly-once recovery via checkpoints (O9), and the four SQL
+stream-stream join modes (J5)."""
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gmall_flink_2021_spark.functions.text import register_tokenizer_udtf
+from gmall_flink_2021_spark.sources import cdc as cdc_src
+from gmall_flink_2021_spark.sources import gmall_fixtures as fx
+from gmall_flink_2021_spark.streaming.jobs import run_to_completion
+
+
+def test_tokenizer_udtf_lateral(spark):
+    register_tokenizer_udtf(spark)
+    spark.createDataFrame(
+        [(1, "apple phone case"), (2, ""), (3, None), (4, "red  dress")],
+        "doc_id long, text string").createOrReplaceTempView("_udtf_docs")
+    rows = spark.sql("""
+        SELECT d.doc_id, t.keyword
+        FROM _udtf_docs d, LATERAL ik_analyze(d.text) t
+    """).collect()
+    got = sorted((r.doc_id, r.keyword) for r in rows)
+    assert got == [(1, "apple"), (1, "case"), (1, "phone"),
+                   (4, "dress"), (4, "red")]
+
+
+def test_cdc_changelog_stream(spark, tmp_path):
+    rows = fx.cdc_rows()
+    # disguise some rows with Debezium-style op codes to exercise the
+    # create/read→insert normalization path
+    rows[0] = dict(rows[0], type="c")
+    rows[1] = dict(rows[1], type="r")
+    path = str(tmp_path / "changelog")
+    cdc_src.write_changelog_fixture(rows, path)
+
+    out = run_to_completion(cdc_src.read_changelog_stream(spark, path),
+                            str(tmp_path / "ck_cdc"))
+    assert out.count() == len(rows)
+    assert out.filter(F.col("type").isin("c", "r", "read")).count() == 0
+    batch = cdc_src.read_changelog(spark, path)
+    assert batch.filter(F.col("type") == "insert").count() == \
+        out.filter(F.col("type") == "insert").count()
+
+
+def test_checkpoint_recovery_no_duplicates(spark, tmp_path):
+    """O9: restarting a checkpointed stream over a grown source dir
+    must process only the new file — the already-committed batch is
+    not re-emitted (the exactly-once analog of the transactional
+    producer)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_text("\n".join(f"a{i}" for i in range(10)))
+    stream = spark.readStream.format("text").load(str(src))
+    from gmall_flink_2021_spark.streaming import sinks
+
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def write(df, bid):
+        sinks.write_idempotent(df, bid, out_dir)
+
+    q = (stream.writeStream.foreachBatch(write)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert spark.read.parquet(out_dir).count() == 10
+
+    (src / "b.txt").write_text("\n".join(f"b{i}" for i in range(5)))
+    q = (stream.writeStream.foreachBatch(write)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 15
+    assert got.filter(F.col("value").startswith("b")).count() == 5
+
+
+@pytest.mark.parametrize("how,expect", [
+    ("inner", {(1, 1)}),
+    ("left", {(1, 1), (2, None)}),
+    ("right", {(1, 1), (None, 3)}),
+    ("full", {(1, 1), (2, None), (None, 3)}),
+])
+def test_sql_stream_joins(spark, tmp_path, how, expect):
+    """J5: the four SQL join modes as watermarked stream-stream joins
+    (FlinkSQLJoinTest.java:20-47); outer sides emit their null rows
+    once the watermark passes the join window."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(dirname, rows):
+        d = tmp_path / dirname
+        d.mkdir()
+        with open(d / "p.jsonl", "w") as f:
+            for rid, sec in rows:
+                f.write(json.dumps({
+                    "id": rid,
+                    "t": (base + datetime.timedelta(seconds=sec))
+                        .strftime("%Y-%m-%d %H:%M:%S")}) + "\n")
+        return (spark.readStream.schema("id long, t string")
+                .json(str(d))
+                .withColumn("t", F.to_timestamp("t")))
+
+    # id 1 matches; id 2 only left; id 3 only right; a far-future row
+    # on each side advances the watermark so outer results flush
+    left = mk("l", [(1, 0), (2, 1), (99, 4000)])
+    right = mk("r", [(1, 2), (3, 3), (98, 4000)])
+    l = left.withWatermark("t", "1 second").alias("l")
+    r = right.withWatermark("t", "1 second").alias("r")
+    joined = l.join(
+        r, F.expr("l.id = r.id AND r.t BETWEEN l.t - INTERVAL 10 SECONDS "
+                  "AND l.t + INTERVAL 10 SECONDS"), how)
+    out = run_to_completion(joined.select(F.col("l.id").alias("lid"),
+                                          F.col("r.id").alias("rid")),
+                            str(tmp_path / f"ck_{how}"))
+    got = {(r.lid, r.rid) for r in out.collect()
+           if r.lid not in (98, 99) and r.rid not in (98, 99)}
+    assert got == expect
