@@ -1,0 +1,254 @@
+"""The composed warehouse: every reference job wired as one streaming
+topology over file-backed ODS directories (swap the readers for
+sources/kafka.py builders in production — the operator layer is
+transport-agnostic).
+
+Topology (mirrors SURVEY.md §0's layer diagram):
+
+  ods_log/   ──text──► parse → dirty/│start│page│display   (BaseLogApp)
+  ods_db/    ──jsonl──► normalize → route via table_process (BaseDBApp)
+      ├─ dims → merge-by-pk parquet tables                  (DimSink)
+      └─ facts → typed streams
+  page ──► UV dedup / bounce detect (stateful)              (UniqueVisit/UserJump)
+  order⋈detail ──► order_wide  ──⋈payment──► payment_wide   (OrderWide/PaymentWide)
+  all ──► visitor/product/keyword stats → parquet           (DWS apps)
+  stats tables ──► gmv / trademark top-N readback           (publisher)
+
+Each writer is an idempotent foreachBatch parquet append
+(sinks.write_idempotent), checkpointed per job — the exactly-once
+analog of the reference's transactional producers. For test
+determinism the whole topology runs with availableNow triggers.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dwd, gmall_dwm
+from ..schemas import TABLE_PROCESS_SCHEMA
+from ..sources import cdc as cdc_src
+from . import sinks, stateful
+
+DIM_TABLES = {
+    "dim_sku_info": ["id", "sku_name", "price", "spu_id", "category3_id",
+                     "tm_id"],
+    "dim_base_trademark": ["id", "tm_name"],
+    "dim_user_info": ["id", "birthday", "gender"],
+    "dim_base_province": ["id", "name", "area_code", "iso_code",
+                          "iso_3166_2"],
+    "dim_spu_info": ["id", "spu_name"],
+    "dim_base_category3": ["id", "name"],
+}
+
+
+class Warehouse:
+    """Paths + SparkSession for one warehouse instance."""
+
+    def __init__(self, spark: SparkSession, workdir: str,
+                 config_rows: list[dict]):
+        self.spark = spark
+        self.work = workdir
+        self.config = spark.createDataFrame(config_rows,
+                                            TABLE_PROCESS_SCHEMA)
+        for d in ("ods_log", "ods_db", "dwd", "dwd_facts", "dim", "dws", "ck"):
+            os.makedirs(os.path.join(workdir, d), exist_ok=True)
+
+    def _p(self, *parts: str) -> str:
+        return os.path.join(self.work, *parts)
+
+    # ------------------------------------------------------------ ODS→DWD
+    def run_base_db(self) -> None:
+        """BaseDBApp: changelog → route → dim merge + fact topics."""
+        stream = cdc_src.read_changelog_stream(self.spark,
+                                               self._p("ods_db"))
+        routed = dwd.route_cdc(dwd.filter_deletes(stream), self.config)
+
+        def sink(batch: DataFrame, bid: int) -> None:
+            batch = batch.persist()
+            facts = batch.filter(F.col("sink_type") == "kafka")
+            sinks.write_routed(facts, bid, self._p("dwd_facts"))
+            for table, cols in DIM_TABLES.items():
+                rows = dwd.project_sink_columns(
+                    batch.filter(F.col("sink_type") == "hbase"),
+                    table, cols)
+                if rows.take(1):
+                    sinks.upsert_dim(
+                        rows.withColumn("id", F.col("id").cast("long")),
+                        self._p("dim", table))
+            batch.unpersist()
+
+        q = (routed.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", self._p("ck", "base_db"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    def run_base_log(self) -> None:
+        """BaseLogApp: raw log → dirty + start/page/display topics."""
+        raw = self.spark.readStream.format("text").load(self._p("ods_log"))
+        parsed = dwd.parse_log(raw)
+
+        def sink(batch: DataFrame, bid: int) -> None:
+            batch = batch.persist()
+            sinks.write_idempotent(
+                dwd.dirty_records(batch), bid, self._p("dwd", "dirty"))
+            streams = dwd.split_log(batch)
+            for name in ("start", "page"):
+                sinks.write_idempotent(streams[name], bid,
+                                       self._p("dwd", f"log_{name}"))
+            sinks.write_idempotent(
+                streams["display"].withColumn(
+                    "common", F.col("common").cast("string")),
+                bid, self._p("dwd", "log_display"))
+            batch.unpersist()
+
+        q = (parsed.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", self._p("ck", "base_log"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    # ------------------------------------------------------------ helpers
+    def dim(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self._p("dim", name))
+
+    def dims(self) -> dict[str, DataFrame]:
+        return {k.removeprefix("dim_"): self.dim(k) for k in DIM_TABLES}
+
+    def fact(self, sink_table: str):
+        df = (self.spark.read
+              .option("basePath", self._p("dwd_facts"))
+              .parquet(self._p("dwd_facts")))
+        return df.filter(F.col("sink_table") == sink_table)
+
+    def typed_fact(self, table: str) -> DataFrame:
+        rows = self.fact(f"dwd_{table}")
+        return (rows.select(F.from_json(
+            "data", gmall_dwm.FACT_SCHEMAS[table]).alias("d"))
+            .select("d.*"))
+
+    def page_stream(self) -> DataFrame:
+        schema = self.spark.read.parquet(
+            self._p("dwd", "log_page")).schema
+        return (self.spark.readStream.schema(schema)
+                .option("basePath", self._p("dwd", "log_page"))
+                .parquet(self._p("dwd", "log_page")))
+
+    # ------------------------------------------------------------ DWM
+    def run_unique_visitors(self) -> None:
+        """UniqueVisitApp: stateful daily-UV dedup → dwm_unique_visit."""
+        proj = stateful.page_events_projection(self.page_stream()) \
+            .withWatermark("et", "1 second")
+        uv = stateful.dedup_uv(proj)
+        q = (uv.writeStream.foreachBatch(
+                lambda b, i: sinks.write_idempotent(
+                    b, i, self._p("dwd", "dwm_unique_visit")))
+             .option("checkpointLocation", self._p("ck", "uv"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    def run_user_jumps(self) -> None:
+        """UserJumpDetailApp: stateful bounce detect → dwm_user_jump."""
+        proj = stateful.page_events_projection(self.page_stream()) \
+            .withWatermark("et", "1 second")
+        jumps = stateful.detect_jumps(proj)
+        q = (jumps.writeStream.foreachBatch(
+                lambda b, i: sinks.write_idempotent(
+                    b, i, self._p("dwd", "dwm_user_jump")))
+             .option("checkpointLocation", self._p("ck", "uj"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    def typed_fact_stream(self, table: str) -> DataFrame:
+        """The fact topic as a stream: reads the routed parquet dir
+        directly (partition pruning on sink_table), so the job's
+        checkpoint tracks the real topic files — re-runs without new
+        ODS input process nothing (exactly-once)."""
+        schema = self.spark.read.option(
+            "basePath", self._p("dwd_facts")).parquet(
+            self._p("dwd_facts")).schema
+        rows = (self.spark.readStream.schema(schema)
+                .option("basePath", self._p("dwd_facts"))
+                .parquet(self._p("dwd_facts"))
+                .filter(F.col("sink_table") == f"dwd_{table}"))
+        return (rows.select(F.from_json(
+            "data", gmall_dwm.FACT_SCHEMAS[table]).alias("d"))
+            .select("d.*"))
+
+    def run_order_wide(self) -> None:
+        """OrderWideApp: streaming interval join + dim enrichment."""
+        oi_s = self.typed_fact_stream("order_info")
+        od_s = self.typed_fact_stream("order_detail")
+        wide = gmall_dwm.order_wide_join(oi_s, od_s, streaming=True)
+
+        dims = self.dims()
+
+        def sink(batch: DataFrame, bid: int) -> None:
+            enriched = gmall_dwm.enrich_order_wide(batch, dims)
+            sinks.write_idempotent(enriched, bid,
+                                   self._p("dwd", "dwm_order_wide"))
+
+        q = (wide.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", self._p("ck", "order_wide"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    # ------------------------------------------------------------ DWS
+    def run_visitor_stats(self) -> None:
+        """VisitorStatsApp over the split page topic + DWM streams."""
+        from ..operators.gmall_dws import visitor_stats
+
+        page = self.spark.read.parquet(self._p("dwd", "log_page"))
+        uv = self.spark.read.parquet(self._p("dwd", "dwm_unique_visit"))
+        uj = (self.spark.read.parquet(self._p("dwd", "dwm_user_jump"))
+              .withColumnRenamed("ts", "ts"))
+        stats = visitor_stats(page, uv.select("mid", "ts"),
+                              uj.select("mid", "ts"))
+        stats.write.mode("overwrite").parquet(
+            self._p("dws", "visitor_stats"))
+
+    def run_product_stats(self) -> None:
+        """ProductStatsApp: 7-source union windows → dws table."""
+        from ..operators.gmall_dws import enrich_product_stats, product_stats
+
+        page = self.spark.read.parquet(self._p("dwd", "log_page"))
+        display_raw = self.spark.read.parquet(
+            self._p("dwd", "log_display"))
+        order_wide = self.spark.read.parquet(
+            self._p("dwd", "dwm_order_wide"))
+        pay = self.typed_fact("payment_info")
+        pw = gmall_dwm.payment_wide_join(pay, order_wide)
+        stats = product_stats(
+            page=page, display=display_raw,
+            favor=self.typed_fact("favor_info"),
+            cart=self.typed_fact("cart_info"),
+            order_wide=order_wide, payment_wide=pw,
+            refund=self.typed_fact("order_refund_info"),
+            comment=self.typed_fact("comment_info"))
+        dims = self.dims()
+        enrich_product_stats(stats, dims).write.mode("overwrite") \
+            .parquet(self._p("dws", "product_stats"))
+
+    # ------------------------------------------------------------ serving
+    def gmv(self, date: str):
+        from ..operators.gmall_dws import gmv
+
+        return gmv(self.spark.read.parquet(
+            self._p("dws", "product_stats")), date)
+
+    def trademark_top(self, date: str, limit: int = 5):
+        from ..operators.gmall_dws import trademark_top
+
+        return trademark_top(self.spark.read.parquet(
+            self._p("dws", "product_stats")), date, limit)
+
+    # ------------------------------------------------------------ one shot
+    def run_all(self) -> None:
+        self.run_base_db()
+        self.run_base_log()
+        self.run_unique_visitors()
+        self.run_user_jumps()
+        self.run_order_wide()
+        self.run_visitor_stats()
+        self.run_product_stats()

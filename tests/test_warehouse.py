@@ -1,0 +1,53 @@
+"""The composed warehouse topology end-to-end: ODS files in, serving
+answers out, everything through the streaming jobs."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from gmall_flink_2021_spark.sources import cdc as cdc_src
+from gmall_flink_2021_spark.sources import gmall_fixtures as fx
+from gmall_flink_2021_spark.streaming.warehouse import Warehouse
+
+
+def test_warehouse_end_to_end(spark, tmp_path):
+    work = str(tmp_path / "wh")
+    wh = Warehouse(spark, work, fx.table_process_rows())
+    cdc_src.write_changelog_fixture(fx.cdc_rows(),
+                                    os.path.join(work, "ods_db"))
+    with open(os.path.join(work, "ods_log", "log-0.txt"), "w") as f:
+        f.write("\n".join(fx.page_log_lines()))
+
+    wh.run_all()
+
+    # dims materialized and merged
+    assert wh.dim("dim_sku_info").count() == 9
+    assert wh.dim("dim_base_trademark").count() == 3
+    # DWD topics exist with expected shapes
+    assert spark.read.parquet(
+        os.path.join(work, "dwd", "log_page")).count() > 0
+    assert spark.read.parquet(
+        os.path.join(work, "dwd", "dirty")).count() > 0
+    # DWM wide table enriched
+    ow = spark.read.parquet(os.path.join(work, "dwd", "dwm_order_wide"))
+    assert ow.count() == 15
+    assert ow.filter(F.col("tm_name").isNull()).count() == 0
+    # stateful outputs landed
+    assert spark.read.parquet(
+        os.path.join(work, "dwd", "dwm_unique_visit")).count() > 0
+    # DWS stats + serving answers
+    vs = spark.read.parquet(os.path.join(work, "dws", "visitor_stats"))
+    assert vs.agg(F.sum("pv_ct")).collect()[0][0] == spark.read.parquet(
+        os.path.join(work, "dwd", "log_page")).count()
+    g = wh.gmv("20200913").collect()[0].gmv
+    assert g is not None and float(g) > 0
+    top = wh.trademark_top("20200913").collect()
+    assert top and top[0].tm_name in {"tm-a", "tm-b", "tm-c"}
+
+    # idempotent re-run: same checkpoints, no new input → no duplicates
+    before = ow.count()
+    wh.run_base_db()
+    wh.run_order_wide()
+    after = spark.read.parquet(
+        os.path.join(work, "dwd", "dwm_order_wide")).count()
+    assert after == before
