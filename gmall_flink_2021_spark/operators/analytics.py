@@ -109,6 +109,34 @@ def customers_without_orders(customer: DataFrame,
             .select("c_custkey", "c_name", "c_mktsegment"))
 
 
+def funnel_conversion(events: DataFrame) -> DataFrame:
+    """Sequential funnel over the events stream: users who viewed,
+    then clicked strictly after their first view, then purchased
+    strictly after that first qualifying click — the batch analog of a
+    CEP sequence pattern (each stage anchored on the earliest
+    qualifying event). One summary row with stage counts and
+    conversion rates."""
+    v = (events.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("v_ts")))
+    c = (events.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter(F.col("ts") > F.col("v_ts"))
+         .groupBy("user_id").agg(F.min("ts").alias("c_ts")))
+    p = (events.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ts") > F.col("c_ts"))
+         .groupBy("user_id").agg(F.min("ts").alias("p_ts")))
+    counts = (v.agg(F.count(F.lit(1)).alias("viewers"))
+              .crossJoin(c.agg(F.count(F.lit(1)).alias("clickers")))
+              .crossJoin(p.agg(F.count(F.lit(1)).alias("purchasers"))))
+    return counts.select(
+        "viewers", "clickers", "purchasers",
+        (F.col("clickers").cast("double")
+         / F.col("viewers").cast("double")).alias("view_to_click"),
+        (F.col("purchasers").cast("double")
+         / F.col("clickers").cast("double")).alias("click_to_purchase"))
+
+
 def late_shipment_priority(orders: DataFrame,
                            lineitem: DataFrame) -> DataFrame:
     """TPC-H Q4-style semi-join: orders with at least one lineitem

@@ -88,3 +88,38 @@ def media_features(documents: DataFrame) -> DataFrame:
     rows (the registry query; oracle recomputes the deterministic
     fake's arithmetic from n_chars)."""
     return decode_features(documents_as_media(documents))
+
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame_offset", LongType()),
+])
+
+
+def sample_frames(media_df: DataFrame) -> DataFrame:
+    """Frame sampling: one output row per (stub-)decoded frame of each
+    video payload — a row fan-out through the same Arrow mapInPandas
+    path (each frame's byte offset = idx * (n_bytes div n_frames))."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_offset": []}
+            for doc_id, m, t in zip(pdf["doc_id"], pdf["media"],
+                                    pdf["media_type"]):
+                if t != "video":
+                    continue
+                n = len(m)
+                _, _, frames = _decode(m, t)
+                stride = n // frames
+                for i in range(frames):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(i * stride)
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(fn, FRAME_SCHEMA)
+
+
+def video_frame_samples(documents: DataFrame) -> DataFrame:
+    return sample_frames(documents_as_media(documents))

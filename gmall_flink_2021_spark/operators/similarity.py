@@ -13,23 +13,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine
+from ..functions.vectors import as_double, cosine, dot, norm
 
 
 def knn_bruteforce(embeddings: DataFrame, n_queries: int = 5,
                    k: int = 5) -> DataFrame:
     """Exact cosine top-k: queries = vec_id < n_queries vs the full
-    corpus. Returns (query_id, neighbor_id, rank, cosine score)."""
+    corpus. Returns (query_id, neighbor_id, rank, cosine score).
+
+    Norms are computed once per row before the join (bit-identical to
+    recomputing inside the pair — same sequential fold — but ~3x less
+    arithmetic per candidate pair)."""
     corpus = embeddings.select(
         F.col("vec_id").alias("neighbor_id"),
-        as_double("embedding").alias("vec_n"))
+        as_double("embedding").alias("vec_n")) \
+        .withColumn("norm_n", norm(F.col("vec_n")))
     queries = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
-        as_double("embedding").alias("vec_q"))
+        as_double("embedding").alias("vec_q")) \
+        .withColumn("norm_q", norm(F.col("vec_q")))
     scored = (corpus.join(F.broadcast(queries))
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .withColumn("cos_sim",
-                          cosine(F.col("vec_q"), F.col("vec_n"))))
+                          dot(F.col("vec_q"), F.col("vec_n"))
+                          / (F.col("norm_q") * F.col("norm_n"))))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -76,13 +83,17 @@ def embedding_dups(embeddings: DataFrame,
     near-dup detection out of O(n²) at corpus scale — at 100 TB the
     blocks come from LSH/IVF assignment, here from the given labels.
     """
-    a = embeddings.select("label", F.col("vec_id").alias("vec_a"),
-                          as_double("embedding").alias("va"))
-    b = embeddings.select("label", F.col("vec_id").alias("vec_b"),
-                          as_double("embedding").alias("vb"))
+    a = (embeddings.select("label", F.col("vec_id").alias("vec_a"),
+                           as_double("embedding").alias("va"))
+         .withColumn("na", norm(F.col("va"))))
+    b = (embeddings.select("label", F.col("vec_id").alias("vec_b"),
+                           as_double("embedding").alias("vb"))
+         .withColumn("nb", norm(F.col("vb"))))
     return (a.join(b, "label")
             .filter(F.col("vec_a") < F.col("vec_b"))
-            .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
+            .withColumn("cos_sim",
+                        dot(F.col("va"), F.col("vb"))
+                        / (F.col("na") * F.col("nb")))
             .filter(F.col("cos_sim") >= threshold)
             .select("label", "vec_a", "vec_b", "cos_sim"))
 

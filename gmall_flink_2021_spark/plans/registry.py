@@ -234,6 +234,16 @@ def q_late_shipment_priority(spark, sf):
     return analytics.late_shipment_priority(orders, lineitem)
 
 
+def q_funnel_conversion(spark, sf):
+    (events,) = _t(spark, sf, "events")
+    return analytics.funnel_conversion(events)
+
+
+def q_video_frame_samples(spark, sf):
+    (documents,) = _t(spark, sf, "documents")
+    return multimodal.video_frame_samples(documents)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -272,6 +282,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "embedding_dups": q_embedding_dups,
     "late_shipment_priority": q_late_shipment_priority,
+    "funnel_conversion": q_funnel_conversion,
+    "video_frame_samples": q_video_frame_samples,
 }
 
 
@@ -803,5 +815,37 @@ ORACLES: dict[str, str] = {
             WHERE l.l_orderkey = o.o_orderkey
               AND l.l_shipdate > o.o_orderdate + INTERVAL '90 days')
         GROUP BY o_orderpriority
+    """,
+    "funnel_conversion": """
+        WITH v AS (
+            SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS v_ts
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS c_ts
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.v_ts
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS p_ts
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.c_ts
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM v) AS viewers,
+               (SELECT count(*) FROM c) AS clickers,
+               (SELECT count(*) FROM p) AS purchasers,
+               CAST((SELECT count(*) FROM c) AS DOUBLE)
+                   / CAST((SELECT count(*) FROM v) AS DOUBLE) AS view_to_click,
+               CAST((SELECT count(*) FROM p) AS DOUBLE)
+                   / CAST((SELECT count(*) FROM c) AS DOUBLE) AS click_to_purchase
+    """,
+    "video_frame_samples": """
+        SELECT doc_id,
+               CAST(i AS INT) AS frame_idx,
+               CAST(i * (n_chars // (1 + n_chars % 5)) AS BIGINT) AS frame_offset
+        FROM documents, unnest(range(0, 1 + n_chars % 5)) AS t(i)
+        WHERE doc_id % 3 = 2
     """,
 }

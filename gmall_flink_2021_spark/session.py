@@ -25,6 +25,12 @@ _DEFAULTS = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.session.timeZone": "UTC",
+    # local rig: testdata tables are single ~1-10 MB parquet files, so
+    # the 128 MB default gives 1-task scans; 16 MB restores parallelism
+    # at row-group granularity. On a real cluster with many large files
+    # raise this back to 128m+ (see SCALE.md).
+    "spark.sql.files.maxPartitionBytes": os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
     # events.parquet stores TIMESTAMP(NANOS); Spark reads it as long.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
