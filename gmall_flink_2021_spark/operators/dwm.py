@@ -113,6 +113,19 @@ def unique_visitors_daily(events: DataFrame) -> DataFrame:
                  F.count(F.lit(1)).alias("pv_ct")))
 
 
+def unique_visitors_daily_approx(events: DataFrame,
+                                 rsd: float = 0.05) -> DataFrame:
+    """O6 at 100 TB: HyperLogLog distinct counts (approx_count_distinct)
+    — the constant-memory replacement for exact per-day UV when
+    cardinality outgrows set-based counting (SCALE.md). No SQL oracle:
+    HLL estimates are algorithm-specific, so the driver records the
+    weaker rows-only check for this one."""
+    day = F.date_trunc("DAY", F.col("ts")).alias("day")
+    return (events.groupBy(day)
+            .agg(F.approx_count_distinct("user_id", rsd).alias("uv_approx"),
+                 F.count(F.lit(1)).alias("pv_ct")))
+
+
 def first_visits(events: DataFrame) -> DataFrame:
     """O6 row-level form: the first event of each user on each day —
     the exact rows UniqueVisitApp would emit downstream."""

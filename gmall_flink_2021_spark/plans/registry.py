@@ -244,6 +244,11 @@ def q_video_frame_samples(spark, sf):
     return multimodal.video_frame_samples(documents)
 
 
+def q_unique_visitors_daily_approx(spark, sf):
+    (events,) = _t(spark, sf, "events")
+    return dwm.unique_visitors_daily_approx(events)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -284,6 +289,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "late_shipment_priority": q_late_shipment_priority,
     "funnel_conversion": q_funnel_conversion,
     "video_frame_samples": q_video_frame_samples,
+    # no oracle entry: HLL estimate is algorithm-specific (rows-only check)
+    "unique_visitors_daily_approx": q_unique_visitors_daily_approx,
 }
 
 

@@ -31,7 +31,11 @@ def main():
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
-            problems = compare(df, ORACLES[name], con)
+            if name not in ORACLES:
+                problems = ([] if len(df.collect()) > 0
+                            else ["rows-only check: empty result"])
+            else:
+                problems = compare(df, ORACLES[name], con)
         except Exception as e:
             problems = [f"EXCEPTION: {type(e).__name__}: {str(e)[:500]}"]
         dt = time.time() - t0

@@ -1,0 +1,131 @@
+"""Property-based tests (hypothesis): the window-function batch
+oracles for the stateful trio and sessionization are checked against
+straight-line Python reference implementations on random event
+sequences — the generative complement of the fixture tests."""
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+TIMEOUT_MS = 10_000
+GAP = datetime.timedelta(minutes=30)
+
+# (user 0..2, ts-offset seconds 0..3600, is_entry)
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 3600), st.booleans()),
+    min_size=1, max_size=40, unique_by=lambda e: (e[0], e[1]))
+
+_slow = settings(max_examples=12, deadline=None,
+                 suppress_health_check=[HealthCheck.too_slow])
+
+
+def _mk_page_events(spark, seq):
+    base = 1_600_000_000_000
+    rows = [(f"mid_{u}", base + s * 1000,
+             None if entry else "home", "page")
+            for u, s, entry in seq]
+    return spark.createDataFrame(
+        rows, "mid string, ts long, last_page_id string, page_id string")
+
+
+@given(seq=events_strategy)
+@_slow
+def test_user_jumps_oracle_matches_python(spark, seq):
+    from gmall_flink_2021_spark.operators.dwm import user_jumps_page_log
+
+    got = {(r.mid, r.ts) for r in
+           user_jumps_page_log(_mk_page_events(spark, seq)).collect()}
+
+    # straight-line reference: per mid ordered by ts, an entry bounces
+    # iff next event is absent, later than +10 s, or itself an entry
+    want = set()
+    by_mid: dict = {}
+    base = 1_600_000_000_000
+    for u, s, entry in seq:
+        by_mid.setdefault(f"mid_{u}", []).append((base + s * 1000, entry))
+    for mid, evs in by_mid.items():
+        evs.sort()
+        for i, (ts, entry) in enumerate(evs):
+            if not entry:
+                continue
+            if i + 1 >= len(evs):
+                want.add((mid, ts))
+            else:
+                nts, nentry = evs[i + 1]
+                if nts - ts > TIMEOUT_MS or nentry:
+                    want.add((mid, ts))
+    assert got == want
+
+
+@given(seq=events_strategy)
+@_slow
+def test_is_new_repair_oracle_matches_python(spark, seq):
+    from gmall_flink_2021_spark.operators.dwm import is_new_repair
+
+    base = 1_600_000_000_000
+    rows = [(i, u, base + s * 1000) for i, (u, s, _) in enumerate(seq)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts long") \
+        .withColumn("ts", F.timestamp_millis("ts"))
+    got = {(r.event_id): r.is_new for r in is_new_repair(df).collect()}
+
+    first_day: dict = {}
+    days = {}
+    for i, (u, s, _) in enumerate(seq):
+        d = datetime.datetime.utcfromtimestamp(
+            (base + s * 1000) / 1000).date()
+        days[i] = (u, d)
+        first_day[u] = min(first_day.get(u, d), d)
+    for i, (u, d) in days.items():
+        assert got[i] == (1 if d == first_day[u] else 0)
+
+
+@given(seq=events_strategy)
+@_slow
+def test_sessionize_matches_python(spark, seq):
+    from gmall_flink_2021_spark.operators.analytics import sessionize
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, u, base + datetime.timedelta(seconds=s * 120))
+            for i, (u, s, _) in enumerate(seq)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {(r.user_id, r.session_seq): (r.n_events, r.session_start,
+                                        r.session_end)
+           for r in sessionize(df).collect()}
+
+    by_user: dict = {}
+    for i, (u, s, _) in enumerate(seq):
+        by_user.setdefault(u, []).append(
+            base + datetime.timedelta(seconds=s * 120))
+    want = {}
+    for u, tss in by_user.items():
+        tss.sort()
+        sess, start = 0, None
+        cur: list = []
+        for ts in tss:
+            if cur and ts - cur[-1] > GAP:
+                want[(u, sess)] = (len(cur), cur[0], cur[-1])
+                cur = []
+            if not cur:
+                sess += 1
+            cur.append(ts)
+        if cur:
+            want[(u, sess)] = (len(cur), cur[0], cur[-1])
+    assert got == want
+
+
+def test_salted_join_equals_plain_join(spark):
+    from gmall_flink_2021_spark.operators.skew import salted_join
+
+    # heavily skewed: 90% of big rows share one key
+    big = spark.range(0, 5000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 50)
+        .alias("k"), F.col("id").alias("payload"))
+    small = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("v"))
+    plain = big.join(small, "k")
+    salted = salted_join(big, small, "k")
+    assert sorted(map(tuple, plain.select("k", "payload", "v").collect())) \
+        == sorted(map(tuple, salted.select("k", "payload", "v").collect()))
