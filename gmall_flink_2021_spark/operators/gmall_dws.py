@@ -137,15 +137,22 @@ def enrich_product_stats(stats: DataFrame,
             .drop("c3_join_id"))
 
 
-def visitor_stats(page: DataFrame, uv: DataFrame, jumps: DataFrame,
-                  window_duration: str = "10 seconds") -> DataFrame:
-    """VisitorStats: union of the pv/sv/dur stream, the UV stream and
-    the bounce stream on the 4-dim key (VisitorStatsApp.java:64-180).
+def mid_dimensions(page: DataFrame) -> DataFrame:
+    """Per-mid dimension tuple (first value wins); a static lookup
+    used to re-key the UV/bounce streams."""
+    return (page
+            .groupBy(F.col("common.mid").alias("mid"))
+            .agg(F.first("common.vc").alias("vc"),
+                 F.first("common.ch").alias("ch"),
+                 F.first("common.ar").alias("ar"),
+                 F.first("common.is_new").alias("is_new")))
 
-    ``uv``/``jumps`` carry (mid, ts) from the DWM operators; their
-    dimensions are re-attached from the page stream's per-mid common
-    fields (first value wins — the fixture keeps them stable per mid).
-    """
+
+def visitor_stats_union(page: DataFrame, uv: DataFrame, jumps: DataFrame,
+                        mid_dims: DataFrame) -> DataFrame:
+    """The sparse 3-stream union (T3/O7). Streaming-safe: ``mid_dims``
+    is a static broadcast lookup, the union carries one event-time
+    column ``et`` and only additive metrics."""
     dims4 = [F.col("common.vc").alias("vc"), F.col("common.ch").alias("ch"),
              F.col("common.ar").alias("ar"),
              F.col("common.is_new").alias("is_new")]
@@ -161,13 +168,6 @@ def visitor_stats(page: DataFrame, uv: DataFrame, jumps: DataFrame,
         zero.alias("uv_ct"), zero.alias("uj_ct"),
         F.col("page.during_time").cast("long").alias("dur_sum"))
 
-    mid_dims = (page
-                .groupBy(F.col("common.mid").alias("mid"))
-                .agg(F.first("common.vc").alias("vc"),
-                     F.first("common.ch").alias("ch"),
-                     F.first("common.ar").alias("ar"),
-                     F.first("common.is_new").alias("is_new")))
-
     def keyed(stream: DataFrame, metric: str) -> DataFrame:
         joined = stream.join(F.broadcast(mid_dims), "mid")
         return joined.select(
@@ -180,8 +180,14 @@ def visitor_stats(page: DataFrame, uv: DataFrame, jumps: DataFrame,
             .alias("uj_ct"),
             zero.alias("dur_sum"))
 
-    unioned = pv.unionByName(keyed(uv, "uv_ct")) \
-                .unionByName(keyed(jumps, "uj_ct"))
+    return pv.unionByName(keyed(uv, "uv_ct")) \
+             .unionByName(keyed(jumps, "uj_ct"))
+
+
+def visitor_stats_agg(unioned: DataFrame,
+                      window_duration: str = "10 seconds") -> DataFrame:
+    """The windowed reduce over the sparse union (A2) — additive sums
+    only, so it runs identically in batch and append-mode streaming."""
     return (unioned
             .groupBy(F.window("et", window_duration),
                      "vc", "ch", "ar", "is_new")
@@ -192,6 +198,19 @@ def visitor_stats(page: DataFrame, uv: DataFrame, jumps: DataFrame,
                  F.sum("dur_sum").alias("dur_sum"))
             .select(*window_stamps(), "vc", "ch", "ar", "is_new",
                     "pv_ct", "sv_ct", "uv_ct", "uj_ct", "dur_sum"))
+
+
+def visitor_stats(page: DataFrame, uv: DataFrame, jumps: DataFrame,
+                  window_duration: str = "10 seconds") -> DataFrame:
+    """VisitorStats: union of the pv/sv/dur stream, the UV stream and
+    the bounce stream on the 4-dim key (VisitorStatsApp.java:64-180).
+
+    ``uv``/``jumps`` carry (mid, ts) from the DWM operators; their
+    dimensions are re-attached from the page stream's per-mid common
+    fields (first value wins — the fixture keeps them stable per mid).
+    """
+    unioned = visitor_stats_union(page, uv, jumps, mid_dimensions(page))
+    return visitor_stats_agg(unioned, window_duration)
 
 
 def keyword_stats(page: DataFrame,

@@ -208,6 +208,39 @@ class Warehouse:
         stats.write.mode("overwrite").parquet(
             self._p("dws", "visitor_stats"))
 
+    def _parquet_stream(self, path: str) -> DataFrame:
+        schema = self.spark.read.parquet(path).schema
+        return (self.spark.readStream.schema(schema)
+                .option("basePath", path).parquet(path))
+
+    def run_visitor_stats_streaming(self) -> None:
+        """VisitorStatsApp as a true streaming job: 3-stream union
+        behind one watermark (O7 — Spark tracks the min watermark
+        across inputs), additive window reduce in append mode. Only
+        watermark-closed windows are emitted; the batch
+        run_visitor_stats covers the tail."""
+        from ..operators.gmall_dws import (
+            mid_dimensions, visitor_stats_agg, visitor_stats_union)
+
+        page_static = self.spark.read.parquet(self._p("dwd", "log_page"))
+        mid_dims = mid_dimensions(page_static)
+        unioned = visitor_stats_union(
+            self.page_stream(),
+            self._parquet_stream(self._p("dwd", "dwm_unique_visit"))
+                .select("mid", "ts"),
+            self._parquet_stream(self._p("dwd", "dwm_user_jump"))
+                .select("mid", "ts"),
+            mid_dims)
+        stats = visitor_stats_agg(
+            unioned.withColumn("et", F.col("et").cast("timestamp"))
+                   .withWatermark("et", "1 second"))
+        q = (stats.writeStream.foreachBatch(
+                lambda b, i: sinks.write_idempotent(
+                    b, i, self._p("dws", "visitor_stats_stream")))
+             .option("checkpointLocation", self._p("ck", "vs_stream"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
     def run_product_stats(self) -> None:
         """ProductStatsApp: 7-source union windows → dws table."""
         from ..operators.gmall_dws import enrich_product_stats, product_stats

@@ -44,6 +44,21 @@ def test_warehouse_end_to_end(spark, tmp_path):
     top = wh.trademark_top("20200913").collect()
     assert top and top[0].tm_name in {"tm-a", "tm-b", "tm-c"}
 
+    # streaming DWS: the true streaming visitor-stats job must agree
+    # with the batch job on every watermark-closed window
+    wh.run_visitor_stats_streaming()
+    stream_vs = spark.read.parquet(
+        os.path.join(work, "dws", "visitor_stats_stream")).drop("batch_id")
+    page = spark.read.parquet(os.path.join(work, "dwd", "log_page"))
+    import datetime
+
+    max_et = page.agg(F.max(F.timestamp_millis("ts"))).collect()[0][0]
+    horizon = max_et - datetime.timedelta(seconds=1)
+    want = {tuple(r) for r in vs.filter(F.col("edt") <= horizon).collect()}
+    got = {tuple(r) for r in
+           stream_vs.filter(F.col("edt") <= horizon).collect()}
+    assert want and got == want
+
     # idempotent re-run: same checkpoints, no new input → no duplicates
     before = ow.count()
     wh.run_base_db()
