@@ -36,6 +36,8 @@ _DEFAULTS = {
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
+    # managed tables (bucketing) land outside the repo
+    "spark.sql.warehouse.dir": "/tmp/gmall-spark-warehouse",
 }
 
 
