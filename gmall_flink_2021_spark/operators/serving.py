@@ -16,7 +16,7 @@ are deterministic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import money
@@ -124,6 +124,59 @@ def region_nation_revenue(region: DataFrame, nation: DataFrame,
             .agg(F.sum(revenue).cast("decimal(18,2)").alias("revenue"),
                  F.count(F.lit(1)).alias("item_ct"))
             .orderBy(F.desc("revenue"), F.asc("n_name")))
+
+
+def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14-style: monthly promo-type revenue share. Exact decimal
+    revenue sums; the share ratio is a double derived from them."""
+    disc = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                       - money("l_discount"))
+    month = F.date_trunc("MONTH", "l_shipdate").alias("ship_month")
+    promo = F.when(F.col("p_type") == "PROMO", disc) \
+             .otherwise(F.lit(0).cast("decimal(18,2)"))
+    agg = (lineitem
+           .join(F.broadcast(part.select("p_partkey", "p_type")),
+                 lineitem.l_partkey == F.col("p_partkey"))
+           .groupBy(month)
+           .agg(F.sum(promo).cast("decimal(18,2)").alias("promo_revenue"),
+                F.sum(disc).cast("decimal(18,2)").alias("total_revenue")))
+    return agg.select(
+        "ship_month", "promo_revenue", "total_revenue",
+        (F.col("promo_revenue").cast("double")
+         / F.col("total_revenue").cast("double")).alias("promo_share"))
+
+
+def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19-style disjunctive predicate: revenue from two
+    alternative brand/size/quantity clauses — exercises complex
+    predicate simplification and pushdown in one scan."""
+    disc = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                       - money("l_discount"))
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 10)
+         & (F.col("l_quantity") < 15))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 20)
+           & (F.col("l_quantity") < 30)))
+    return (lineitem
+            .join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+                  lineitem.l_partkey == F.col("p_partkey"))
+            .filter(cond)
+            .agg(F.sum(disc).cast("decimal(18,2)").alias("revenue"),
+                 F.count(F.lit(1)).alias("item_ct")))
+
+
+def top_supplier_per_nation(supplier: DataFrame,
+                            nation: DataFrame) -> DataFrame:
+    """TPC-H Q2-flavored correlated lookup: the supplier(s) holding
+    each nation's maximum account balance (all ties kept — equivalent
+    to a correlated scalar subquery, planned as a window max)."""
+    w = Window.partitionBy("s_nationkey")
+    return (supplier
+            .withColumn("max_bal", F.max("s_acctbal").over(w))
+            .filter(F.col("s_acctbal") == F.col("max_bal"))
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == nation.n_nationkey)
+            .select("n_name", "s_name", "s_acctbal"))
 
 
 def props_stats(events: DataFrame) -> DataFrame:

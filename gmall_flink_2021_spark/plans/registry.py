@@ -249,6 +249,21 @@ def q_unique_visitors_daily_approx(spark, sf):
     return dwm.unique_visitors_daily_approx(events)
 
 
+def q_promo_revenue_share(spark, sf):
+    lineitem, part = _t(spark, sf, "lineitem", "part")
+    return serving.promo_revenue_share(lineitem, part)
+
+
+def q_disjunctive_revenue(spark, sf):
+    lineitem, part = _t(spark, sf, "lineitem", "part")
+    return serving.disjunctive_revenue(lineitem, part)
+
+
+def q_top_supplier_per_nation(spark, sf):
+    supplier, nation = _t(spark, sf, "supplier", "nation")
+    return serving.top_supplier_per_nation(supplier, nation)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -291,6 +306,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_frame_samples": q_video_frame_samples,
     # no oracle entry: HLL estimate is algorithm-specific (rows-only check)
     "unique_visitors_daily_approx": q_unique_visitors_daily_approx,
+    "promo_revenue_share": q_promo_revenue_share,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "top_supplier_per_nation": q_top_supplier_per_nation,
 }
 
 
@@ -854,5 +872,34 @@ ORACLES: dict[str, str] = {
                CAST(i * (n_chars // (1 + n_chars % 5)) AS BIGINT) AS frame_offset
         FROM documents, unnest(range(0, 1 + n_chars % 5)) AS t(i)
         WHERE doc_id % 3 = 2
+    """,
+    "promo_revenue_share": f"""
+        WITH m AS (
+            SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+                   CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN {_DISC}
+                                       ELSE CAST(0 AS DECIMAL(18,2)) END), 2)
+                        AS DECIMAL(18,2)) AS promo_revenue,
+                   CAST(round(sum({_DISC}), 2) AS DECIMAL(18,2)) AS total_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
+        )
+        SELECT ship_month, promo_revenue, total_revenue,
+               CAST(promo_revenue AS DOUBLE) / CAST(total_revenue AS DOUBLE)
+                   AS promo_share
+        FROM m
+    """,
+    "disjunctive_revenue": f"""
+        SELECT CAST(round(sum({_DISC}), 2) AS DECIMAL(18,2)) AS revenue,
+               count(*) AS item_ct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size <= 10 AND l_quantity < 15)
+           OR (p_brand = 'Brand#23' AND p_size <= 20 AND l_quantity < 30)
+    """,
+    "top_supplier_per_nation": """
+        SELECT n_name, s_name, s_acctbal
+        FROM supplier s JOIN nation ON s.s_nationkey = n_nationkey
+        WHERE s_acctbal = (
+            SELECT max(s2.s_acctbal) FROM supplier s2
+            WHERE s2.s_nationkey = s.s_nationkey)
     """,
 }
