@@ -54,8 +54,16 @@ def product_stats(page: DataFrame, display: DataFrame,
                   favor: DataFrame, cart: DataFrame,
                   order_wide: DataFrame, payment_wide: DataFrame,
                   refund: DataFrame, comment: DataFrame,
-                  window_duration: str = "10 seconds") -> DataFrame:
-    """The 7-source union → tumbling window reduce, keyed by sku_id."""
+                  window_duration: str = "10 seconds",
+                  streaming_watermark: str | None = None) -> DataFrame:
+    """The 7-source union → tumbling window reduce, keyed by sku_id.
+
+    With ``streaming_watermark`` set, the union gets a watermark on its
+    event-time column before the window reduce, making the identical
+    aggregation run in append-mode streaming (the distinct order
+    counts are already set-based, which streaming aggregation allows —
+    A4's exact-within-window semantics).
+    """
     one = F.lit(1).cast("long")
     et_ms = F.timestamp_millis(F.col("ts"))
 
@@ -90,6 +98,10 @@ def product_stats(page: DataFrame, display: DataFrame,
     unioned = reduce(DataFrame.unionByName,
                      [clicks, displays, favors, carts, orders, payments,
                       refunds, comments])
+    if streaming_watermark is not None:
+        unioned = unioned.withColumn(
+            "et", F.col("et").cast("timestamp")) \
+            .withWatermark("et", streaming_watermark)
     agg = (unioned
            .groupBy(F.window("et", window_duration), "sku_id")
            .agg(F.sum("click_ct").alias("click_ct"),

@@ -194,6 +194,48 @@ class Warehouse:
              .trigger(availableNow=True).start())
         q.awaitTermination()
 
+    def run_payment_wide(self) -> None:
+        """PaymentWideApp: payment topic ⋈ the materialized order-wide
+        stream (topic-to-topic, as the reference chains jobs through
+        Kafka), watermarked stream-stream join, −0..+15 min bounds."""
+        pay = self.typed_fact_stream("payment_info")
+        ow_path = self._p("dwd", "dwm_order_wide")
+        ow = self._parquet_stream(ow_path).drop("batch_id")
+        wide = gmall_dwm.payment_wide_join(pay, ow, streaming=True)
+        q = (wide.writeStream.foreachBatch(
+                lambda b, i: sinks.write_idempotent(
+                    b, i, self._p("dwd", "dwm_payment_wide")))
+             .option("checkpointLocation", self._p("ck", "payment_wide"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    def run_product_stats_streaming(self) -> None:
+        """ProductStatsApp as a true streaming job: the 8 source
+        streams unioned behind one watermark, set-based distinct order
+        counts, append-mode window reduce → dws table."""
+        from ..operators.gmall_dws import product_stats
+
+        page = self.page_stream()
+        display = self._parquet_stream(self._p("dwd", "log_display")) \
+            .drop("batch_id")
+        stats = product_stats(
+            page=page, display=display,
+            favor=self.typed_fact_stream("favor_info"),
+            cart=self.typed_fact_stream("cart_info"),
+            order_wide=self._parquet_stream(
+                self._p("dwd", "dwm_order_wide")).drop("batch_id"),
+            payment_wide=self._parquet_stream(
+                self._p("dwd", "dwm_payment_wide")).drop("batch_id"),
+            refund=self.typed_fact_stream("order_refund_info"),
+            comment=self.typed_fact_stream("comment_info"),
+            streaming_watermark="1 second")
+        q = (stats.writeStream.foreachBatch(
+                lambda b, i: sinks.write_idempotent(
+                    b, i, self._p("dws", "product_stats_stream")))
+             .option("checkpointLocation", self._p("ck", "ps_stream"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
     # ------------------------------------------------------------ DWS
     def run_visitor_stats(self) -> None:
         """VisitorStatsApp over the split page topic + DWM streams."""

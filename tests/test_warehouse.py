@@ -59,6 +59,46 @@ def test_warehouse_end_to_end(spark, tmp_path):
            stream_vs.filter(F.col("edt") <= horizon).collect()}
     assert want and got == want
 
+    # streaming PaymentWide + ProductStats (topic-to-topic chaining):
+    # closed windows must agree with the batch ProductStats job
+    wh.run_payment_wide()
+    wh.run_product_stats_streaming()
+    pw = spark.read.parquet(os.path.join(work, "dwd", "dwm_payment_wide"))
+    assert pw.count() == spark.read.parquet(
+        os.path.join(work, "dws", "product_stats")).agg(
+        F.sum("paid_order_ct")).collect()[0][0]
+    from gmall_flink_2021_spark.operators import gmall_dwm, gmall_dws
+
+    batch_ps = gmall_dws.product_stats(
+        page=page, display=spark.read.parquet(
+            os.path.join(work, "dwd", "log_display")),
+        favor=wh.typed_fact("favor_info"),
+        cart=wh.typed_fact("cart_info"),
+        order_wide=ow.drop("batch_id"),
+        payment_wide=pw.drop("batch_id"),
+        refund=wh.typed_fact("order_refund_info"),
+        comment=wh.typed_fact("comment_info"))
+    stream_ps = spark.read.parquet(
+        os.path.join(work, "dws", "product_stats_stream")).drop("batch_id")
+    # the watermark tracks the max event time reaching the window
+    # operator (post-filter union of the 8 sources), not the page max
+    union_times = [
+        wh.typed_fact("comment_info").agg(
+            F.max(F.to_timestamp("create_time"))).collect()[0][0],
+        wh.typed_fact("order_refund_info").agg(
+            F.max(F.to_timestamp("create_time"))).collect()[0][0],
+        pw.agg(F.max("payment_et")).collect()[0][0],
+        page.filter(F.col("page.page_id") == "good_detail").agg(
+            F.max(F.timestamp_millis("ts"))).collect()[0][0],
+    ]
+    union_max = max(t for t in union_times if t is not None)
+    horizon2 = union_max - datetime.timedelta(seconds=1)
+    wantp = {tuple(r) for r in
+             batch_ps.filter(F.col("edt") <= horizon2).collect()}
+    gotp = {tuple(r) for r in
+            stream_ps.filter(F.col("edt") <= horizon2).collect()}
+    assert wantp and gotp == wantp
+
     # idempotent re-run: same checkpoints, no new input → no duplicates
     before = ow.count()
     wh.run_base_db()
