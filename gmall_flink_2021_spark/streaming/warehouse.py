@@ -305,6 +305,63 @@ class Warehouse:
         enrich_product_stats(stats, dims).write.mode("overwrite") \
             .parquet(self._p("dws", "product_stats"))
 
+    def run_keyword_stats_streaming(self) -> None:
+        """KeywordStatsApp as a streaming job: good_list search phrases
+        tokenized and window-counted behind a watermark (the U1
+        tokenizer explode feeding an A5 tumble window)."""
+        from ..functions.text import tokens
+        from ..functions.timeutil import window_stamps
+
+        page = (self.page_stream()
+                .withColumn("et", F.timestamp_millis("ts"))
+                .withWatermark("et", "1 second"))
+
+        searches = page.filter(
+            (F.col("page.page_id") == "good_list")
+            & (F.col("page.item_type") == "keyword")
+            & F.col("page.item").isNotNull())
+        words = searches.select(
+            "et", F.explode(tokens(F.lower(F.col("page.item"))))
+            .alias("keyword"))
+        stats = (words.groupBy(F.window("et", "10 seconds"), "keyword")
+                 .agg(F.count(F.lit(1)).alias("ct"))
+                 .select(*window_stamps(), "keyword", "ct"))
+        q = (stats.writeStream.foreachBatch(
+                lambda b, i: sinks.write_idempotent(
+                    b, i, self._p("dws", "keyword_stats_stream")))
+             .option("checkpointLocation", self._p("ck", "kw_stream"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    def run_province_stats_streaming(self) -> None:
+        """ProvinceStatsSqlApp as a streaming job over the enriched
+        order-wide topic; the exact distinct order count uses
+        collect_set (streaming-legal, A4 semantics)."""
+        ow = (self._parquet_stream(self._p("dwd", "dwm_order_wide"))
+              .drop("batch_id")
+              .withWatermark("order_et", "1 second"))
+        stats = (ow.groupBy(
+                    F.window("order_et", "10 seconds"),
+                    "province_id", "province_name", "province_area_code",
+                    "province_iso_code", "province_3166_2_code")
+                 .agg(F.sum(F.col("split_total_amount")
+                            .cast("decimal(18,2)"))
+                      .cast("decimal(18,2)").alias("order_amount"),
+                      F.size(F.collect_set("order_id")).cast("long")
+                      .alias("order_count"))
+                 .select(F.col("window.start").alias("stt"),
+                         F.col("window.end").alias("edt"),
+                         "province_id", "province_name",
+                         "province_area_code", "province_iso_code",
+                         "province_3166_2_code", "order_amount",
+                         "order_count"))
+        q = (stats.writeStream.foreachBatch(
+                lambda b, i: sinks.write_idempotent(
+                    b, i, self._p("dws", "province_stats_stream")))
+             .option("checkpointLocation", self._p("ck", "prov_stream"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
     # ------------------------------------------------------------ serving
     def gmv(self, date: str):
         from ..operators.gmall_dws import gmv

@@ -99,6 +99,29 @@ def test_warehouse_end_to_end(spark, tmp_path):
             stream_ps.filter(F.col("edt") <= horizon2).collect()}
     assert wantp and gotp == wantp
 
+    # streaming KeywordStats + ProvinceStats (the remaining DWS jobs)
+    wh.run_keyword_stats_streaming()
+    wh.run_province_stats_streaming()
+    kw = spark.read.parquet(
+        os.path.join(work, "dws", "keyword_stats_stream"))
+    batch_kw = gmall_dws.keyword_stats(page)
+    kmax = page.filter(F.col("page.page_id") == "good_list").agg(
+        F.max(F.timestamp_millis("ts"))).collect()[0][0]
+    kh = kmax - datetime.timedelta(seconds=1)
+    assert ({tuple(r) for r in kw.drop("batch_id")
+             .filter(F.col("edt") <= kh).collect()}
+            == {tuple(r) for r in batch_kw
+                .filter(F.col("edt") <= kh).collect()})
+    prov = spark.read.parquet(
+        os.path.join(work, "dws", "province_stats_stream"))
+    batch_prov = gmall_dws.province_stats_sql(spark, ow.drop("batch_id"))
+    omax = ow.agg(F.max("order_et")).collect()[0][0]
+    oh = omax - datetime.timedelta(seconds=1)
+    assert ({tuple(r) for r in prov.drop("batch_id")
+             .filter(F.col("edt") <= oh).collect()}
+            == {tuple(r) for r in batch_prov
+                .filter(F.col("edt") <= oh).collect()})
+
     # idempotent re-run: same checkpoints, no new input → no duplicates
     before = ow.count()
     wh.run_base_db()
