@@ -75,6 +75,42 @@ def lang_id(documents: DataFrame,
             .agg(F.count(F.lit(1)).alias("ct")))
 
 
+def corpus_filter(documents: DataFrame, min_tokens: int = 30,
+                  max_stop_ratio: float = 0.2,
+                  min_ttr: float = 0.3) -> DataFrame:
+    """The composed quality-filter pipeline of a pretraining corpus:
+    length + stopword-ratio + type-token-ratio thresholds in one scan;
+    emits the surviving docs with their signals plus a reject reason
+    breakdown for the dropped ones (kept/reason counts per source)."""
+    tok = tokens("text")
+    n = F.size(tok)
+    ttr = (F.size(F.array_distinct(tok)).cast("double")
+           / n.cast("double"))
+    sr = stopword_ratio(tok)
+    reason = (F.when(n < min_tokens, F.lit("too_short"))
+               .when(sr > max_stop_ratio, F.lit("stopword_heavy"))
+               .when(ttr < min_ttr, F.lit("repetitive"))
+               .otherwise(F.lit("kept")))
+    return (documents
+            .select("source", reason.alias("status"))
+            .groupBy("source", "status")
+            .agg(F.count(F.lit(1)).alias("doc_ct")))
+
+
+def train_val_split(documents: DataFrame) -> DataFrame:
+    """Deterministic content-hash split: a document lands in 'val' when
+    the first hex nibble of md5(doc_id) is 0 or 1 (≈12.5%), else
+    'train' — the reproducible, engine-portable way to split corpora
+    without a random() that can't be replayed. Counts per lang×split."""
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = F.when(nib.isin("0", "1"), F.lit("val")) \
+             .otherwise(F.lit("train"))
+    return (documents
+            .select("lang", split.alias("split"))
+            .groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).alias("doc_ct")))
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Per-document fingerprints: md5 of the normalized text plus an
     order-sensitive rolling token hash (both engine-portable)."""

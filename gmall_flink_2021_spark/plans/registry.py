@@ -264,6 +264,16 @@ def q_top_supplier_per_nation(spark, sf):
     return serving.top_supplier_per_nation(supplier, nation)
 
 
+def q_corpus_filter(spark, sf):
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.corpus_filter(documents)
+
+
+def q_train_val_split(spark, sf):
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.train_val_split(documents)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -309,6 +319,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promo_revenue_share": q_promo_revenue_share,
     "disjunctive_revenue": q_disjunctive_revenue,
     "top_supplier_per_nation": q_top_supplier_per_nation,
+    "corpus_filter": q_corpus_filter,
+    "train_val_split": q_train_val_split,
 }
 
 
@@ -901,5 +913,27 @@ ORACLES: dict[str, str] = {
         WHERE s_acctbal = (
             SELECT max(s2.s_acctbal) FROM supplier s2
             WHERE s2.s_nationkey = s.s_nationkey)
+    """,
+    "corpus_filter": f"""
+        WITH {_TOKS}
+        SELECT source, status, count(*) AS doc_ct FROM (
+            SELECT source,
+                   CASE WHEN len(tok) < 30 THEN 'too_short'
+                        WHEN CAST(len(list_filter(tok, t -> t IN ('the', 'a'))) AS DOUBLE)
+                             / CAST(len(tok) AS DOUBLE) > 0.2 THEN 'stopword_heavy'
+                        WHEN CAST(len(list_distinct(tok)) AS DOUBLE)
+                             / CAST(len(tok) AS DOUBLE) < 0.3 THEN 'repetitive'
+                        ELSE 'kept' END AS status
+            FROM toks
+        )
+        GROUP BY source, status
+    """,
+    "train_val_split": """
+        SELECT lang,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+                    THEN 'val' ELSE 'train' END AS split,
+               count(*) AS doc_ct
+        FROM documents
+        GROUP BY 1, 2
     """,
 }
