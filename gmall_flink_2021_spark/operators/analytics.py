@@ -137,6 +137,168 @@ def funnel_conversion(events: DataFrame) -> DataFrame:
          / F.col("clickers").cast("double")).alias("click_to_purchase"))
 
 
+def order_count_distribution(customer: DataFrame,
+                             orders: DataFrame) -> DataFrame:
+    """TPC-H Q13-style: distribution of customers by how many orders
+    they placed, including the zero-order bucket (left outer join +
+    two-level aggregation)."""
+    per_cust = (customer.select("c_custkey")
+                .join(orders.select("o_custkey", "o_orderkey"),
+                      F.col("c_custkey") == F.col("o_custkey"), "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("order_ct")))
+    return (per_cust.groupBy("order_ct")
+            .agg(F.count(F.lit(1)).alias("cust_ct")))
+
+
+def large_volume_customers(customer: DataFrame, orders: DataFrame,
+                           lineitem: DataFrame,
+                           min_qty: int = 300) -> DataFrame:
+    """TPC-H Q18-style: orders whose total lineitem quantity exceeds
+    ``min_qty``, joined back to orders and customers (HAVING over a
+    fact-side aggregate, then enrichment joins)."""
+    big = (lineitem
+           .groupBy("l_orderkey")
+           .agg(F.sum(money("l_quantity")).cast("decimal(18,2)")
+                .alias("total_qty"))
+           .filter(F.col("total_qty") > min_qty))
+    return (orders
+            .join(big, orders.o_orderkey == big.l_orderkey)
+            .join(F.broadcast(customer.select("c_custkey", "c_name")),
+                  orders.o_custkey == F.col("c_custkey"))
+            .select("c_name", "c_custkey", "o_orderkey",
+                    F.col("o_orderdate"),
+                    money("o_totalprice").alias("o_totalprice"),
+                    "total_qty"))
+
+
+def bilateral_trade(nation: DataFrame, customer: DataFrame,
+                    supplier: DataFrame, orders: DataFrame,
+                    lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q7-style: revenue flowing between each (customer nation,
+    supplier nation) pair per order year — a fact table enriched twice
+    against the same broadcast dimension chain under different roles."""
+    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                          - money("l_discount"))
+    cust_n = (customer.select("c_custkey", "c_nationkey")
+              .join(F.broadcast(nation), F.col("c_nationkey")
+                    == nation.n_nationkey)
+              .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    supp_n = (supplier.select("s_suppkey", "s_nationkey")
+              .join(F.broadcast(nation), F.col("s_nationkey")
+                    == nation.n_nationkey)
+              .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    return (lineitem
+            .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+                  lineitem.l_orderkey == F.col("o_orderkey"))
+            .join(F.broadcast(cust_n),
+                  F.col("o_custkey") == cust_n.c_custkey)
+            .join(F.broadcast(supp_n),
+                  lineitem.l_suppkey == supp_n.s_suppkey)
+            .filter(F.col("cust_nation") != F.col("supp_nation"))
+            .groupBy("cust_nation", "supp_nation",
+                     F.year("o_orderdate").alias("trade_year"))
+            .agg(F.sum(revenue).cast("decimal(18,2)").alias("revenue"),
+                 F.count(F.lit(1)).alias("item_ct")))
+
+
+def top_revenue_supplier(supplier: DataFrame, lineitem: DataFrame,
+                         start: str = "1997-01-01",
+                         end: str = "1998-01-01") -> DataFrame:
+    """TPC-H Q15-style: the supplier(s) with the maximum lineitem
+    revenue inside a shipping window (aggregate view + scalar-max
+    subquery; exact decimals make the equality join safe)."""
+    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                          - money("l_discount"))
+    rev = (lineitem
+           .filter((F.col("l_shipdate") >= F.lit(start)
+                    .cast("timestamp_ntz"))
+                   & (F.col("l_shipdate") < F.lit(end)
+                      .cast("timestamp_ntz")))
+           .groupBy("l_suppkey")
+           .agg(F.sum(revenue).cast("decimal(18,2)")
+                .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (rev
+            .join(F.broadcast(mx), rev.total_revenue == F.col("mx"))
+            .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+                  rev.l_suppkey == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+def small_qty_part_revenue(part: DataFrame, lineitem: DataFrame,
+                           brand: str = "Brand#1") -> DataFrame:
+    """TPC-H Q17-style: revenue from lineitems whose quantity is below
+    half the average quantity for their part.
+
+    The threshold is evaluated as ``2 * qty * cnt < total_qty`` in
+    exact decimals — algebraically identical to qty < avg/2 but free
+    of engine-dependent double averaging."""
+    per_part = (lineitem
+                .groupBy(F.col("l_partkey").alias("pk"))
+                .agg(F.sum(money("l_quantity")).cast("decimal(18,2)")
+                     .alias("part_total_qty"),
+                     F.count(F.lit(1)).alias("part_item_ct")))
+    return (lineitem
+            .join(F.broadcast(part.filter(F.col("p_brand") == brand)
+                              .select("p_partkey", "p_brand")),
+                  lineitem.l_partkey == F.col("p_partkey"))
+            .join(per_part, lineitem.l_partkey == F.col("pk"))
+            .filter(money("l_quantity") * 2 * F.col("part_item_ct")
+                    < F.col("part_total_qty"))
+            .agg(F.sum(money("l_extendedprice")).cast("decimal(18,2)")
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("item_ct")))
+
+
+def high_balance_inactive_customers(nation: DataFrame,
+                                    customer: DataFrame,
+                                    orders: DataFrame) -> DataFrame:
+    """TPC-H Q22-style: customers with above-average positive account
+    balance and no orders, counted per nation (anti-join + scalar-avg
+    subquery; the avg comparison is ``bal * cnt > total`` in exact
+    decimals so no double averaging crosses engines)."""
+    pos = customer.filter(F.col("c_acctbal") > 0)
+    stats = pos.agg(F.sum(money("c_acctbal")).cast("decimal(18,2)")
+                    .alias("pos_total"),
+                    F.count(F.lit(1)).alias("pos_ct"))
+    return (customer
+            .crossJoin(F.broadcast(stats))
+            .filter(money("c_acctbal") * F.col("pos_ct")
+                    > F.col("pos_total"))
+            .join(orders.select("o_custkey"),
+                  F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("cust_ct"),
+                 F.sum(money("c_acctbal")).cast("decimal(18,2)")
+                 .alias("total_acctbal")))
+
+
+def nation_year_revenue(nation: DataFrame, supplier: DataFrame,
+                        orders: DataFrame,
+                        lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q9-style: revenue by supplying nation and order year —
+    the fact stream enriched through the supplier→nation broadcast
+    chain plus the orders join for the time axis."""
+    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                          - money("l_discount"))
+    supp_n = (supplier.select("s_suppkey", "s_nationkey")
+              .join(F.broadcast(nation), F.col("s_nationkey")
+                    == nation.n_nationkey)
+              .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    return (lineitem
+            .join(orders.select("o_orderkey", "o_orderdate"),
+                  lineitem.l_orderkey == F.col("o_orderkey"))
+            .join(F.broadcast(supp_n),
+                  lineitem.l_suppkey == supp_n.s_suppkey)
+            .groupBy("supp_nation",
+                     F.year("o_orderdate").alias("order_year"))
+            .agg(F.sum(revenue).cast("decimal(18,2)").alias("revenue"),
+                 F.count(F.lit(1)).alias("item_ct")))
+
+
 def late_shipment_priority(orders: DataFrame,
                            lineitem: DataFrame) -> DataFrame:
     """TPC-H Q4-style semi-join: orders with at least one lineitem

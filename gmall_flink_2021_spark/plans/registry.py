@@ -264,6 +264,48 @@ def q_top_supplier_per_nation(spark, sf):
     return serving.top_supplier_per_nation(supplier, nation)
 
 
+def q_order_count_distribution(spark, sf):
+    customer, orders = _t(spark, sf, "customer", "orders")
+    return analytics.order_count_distribution(customer, orders)
+
+
+def q_large_volume_customers(spark, sf):
+    customer, orders, lineitem = _t(spark, sf, "customer", "orders",
+                                    "lineitem")
+    return analytics.large_volume_customers(customer, orders, lineitem)
+
+
+def q_bilateral_trade(spark, sf):
+    nation, customer, supplier, orders, lineitem = _t(
+        spark, sf, "nation", "customer", "supplier", "orders", "lineitem")
+    return analytics.bilateral_trade(nation, customer, supplier, orders,
+                                     lineitem)
+
+
+def q_top_revenue_supplier(spark, sf):
+    supplier, lineitem = _t(spark, sf, "supplier", "lineitem")
+    return analytics.top_revenue_supplier(supplier, lineitem)
+
+
+def q_small_qty_part_revenue(spark, sf):
+    part, lineitem = _t(spark, sf, "part", "lineitem")
+    return analytics.small_qty_part_revenue(part, lineitem)
+
+
+def q_high_balance_inactive_customers(spark, sf):
+    nation, customer, orders = _t(spark, sf, "nation", "customer",
+                                  "orders")
+    return analytics.high_balance_inactive_customers(nation, customer,
+                                                     orders)
+
+
+def q_nation_year_revenue(spark, sf):
+    nation, supplier, orders, lineitem = _t(
+        spark, sf, "nation", "supplier", "orders", "lineitem")
+    return analytics.nation_year_revenue(nation, supplier, orders,
+                                         lineitem)
+
+
 def q_corpus_filter(spark, sf):
     (documents,) = _t(spark, sf, "documents")
     return textstats.corpus_filter(documents)
@@ -321,6 +363,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_supplier_per_nation": q_top_supplier_per_nation,
     "corpus_filter": q_corpus_filter,
     "train_val_split": q_train_val_split,
+    "order_count_distribution": q_order_count_distribution,
+    "large_volume_customers": q_large_volume_customers,
+    "bilateral_trade": q_bilateral_trade,
+    "top_revenue_supplier": q_top_revenue_supplier,
+    "small_qty_part_revenue": q_small_qty_part_revenue,
+    "high_balance_inactive_customers": q_high_balance_inactive_customers,
+    "nation_year_revenue": q_nation_year_revenue,
 }
 
 
@@ -935,5 +984,95 @@ ORACLES: dict[str, str] = {
                count(*) AS doc_ct
         FROM documents
         GROUP BY 1, 2
+    """,
+    "order_count_distribution": """
+        SELECT order_ct, count(*) AS cust_ct FROM (
+            SELECT c_custkey, count(o_orderkey) AS order_ct
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey)
+        GROUP BY order_ct
+    """,
+    "large_volume_customers": """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+               total_qty
+        FROM orders
+        JOIN (SELECT l_orderkey,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                          AS DECIMAL(18,2)) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING total_qty > 300) big ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "bilateral_trade": f"""
+        SELECT cust_nation, supp_nation,
+               CAST(year(o_orderdate) AS INTEGER) AS trade_year,
+               CAST(round(sum({_DISC}), 2) AS DECIMAL(18,2)) AS revenue,
+               count(*) AS item_ct
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN (SELECT c_custkey, n_name AS cust_nation
+              FROM customer JOIN nation ON c_nationkey = n_nationkey) cn
+             ON o_custkey = cn.c_custkey
+        JOIN (SELECT s_suppkey, n_name AS supp_nation
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey) sn
+             ON l_suppkey = sn.s_suppkey
+        WHERE cust_nation <> supp_nation
+        GROUP BY cust_nation, supp_nation, trade_year
+    """,
+    "top_revenue_supplier": f"""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   CAST(round(sum({_DISC}), 2) AS DECIMAL(18,2))
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    "small_qty_part_revenue": """
+        WITH per_part AS (
+            SELECT l_partkey AS pk,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS part_total_qty,
+                   count(*) AS part_item_ct
+            FROM lineitem GROUP BY l_partkey)
+        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+                    AS DECIMAL(18,2)) AS revenue,
+               count(*) AS item_ct
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'
+        JOIN per_part ON l_partkey = pk
+        WHERE CAST(l_quantity AS DECIMAL(18,2)) * 2 * part_item_ct
+              < part_total_qty
+    """,
+    "high_balance_inactive_customers": """
+        WITH stats AS (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS pos_total,
+                   count(*) AS pos_ct
+            FROM customer WHERE c_acctbal > 0)
+        SELECT n_name, count(*) AS cust_ct,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2)
+                    AS DECIMAL(18,2)) AS total_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey, stats
+        WHERE CAST(c_acctbal AS DECIMAL(18,2)) * pos_ct > pos_total
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY n_name
+    """,
+    "nation_year_revenue": f"""
+        SELECT supp_nation,
+               CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               CAST(round(sum({_DISC}), 2) AS DECIMAL(18,2)) AS revenue,
+               count(*) AS item_ct
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN (SELECT s_suppkey, n_name AS supp_nation
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey) sn
+             ON l_suppkey = sn.s_suppkey
+        GROUP BY supp_nation, order_year
     """,
 }
