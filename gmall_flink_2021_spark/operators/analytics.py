@@ -137,6 +137,38 @@ def funnel_conversion(events: DataFrame) -> DataFrame:
          / F.col("clickers").cast("double")).alias("click_to_purchase"))
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def hourly_activity_pivot(events: DataFrame) -> DataFrame:
+    """Hour-of-day × event-type activity matrix via PIVOT (explicit
+    value list keeps the plan a single pass — no distinct-values
+    pre-scan — and fixes the output schema for the oracle)."""
+    return (events
+            .groupBy(F.hour("ts").alias("hour_of_day"))
+            .pivot("event_type", EVENT_TYPES)
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, EVENT_TYPES))
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention: users bucketed by first-active day, counted
+    per (cohort day, day offset) of later activity — the standard
+    training-corpus/product analytics triangle."""
+    day = F.date_trunc("DAY", F.col("ts"))
+    first = (events.groupBy("user_id")
+             .agg(F.min(day).alias("cohort_day")))
+    active = (events
+              .select("user_id", day.alias("active_day"))
+              .distinct())
+    return (active
+            .join(first, "user_id")
+            .groupBy("cohort_day",
+                     F.datediff("active_day", "cohort_day").cast("long")
+                     .alias("day_offset"))
+            .agg(F.countDistinct("user_id").alias("user_ct")))
+
+
 def order_count_distribution(customer: DataFrame,
                              orders: DataFrame) -> DataFrame:
     """TPC-H Q13-style: distribution of customers by how many orders

@@ -131,3 +131,17 @@ def ivf_ann(embeddings: DataFrame, n_queries: int = 5, k: int = 3,
             .withColumn("rank", F.row_number().over(rank_w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("query_id", "label", "neighbor_id", "rank", "cos_sim"))
+
+
+def norm_histogram(embeddings: DataFrame) -> DataFrame:
+    """Distribution of embedding L2 norms in quarter-unit buckets —
+    the standard sanity profile before similarity search (detects
+    unnormalized or degenerate vectors). The norm is a sequential
+    IEEE fold (bit-identical cross-engine), so bucket edges are exact.
+    """
+    nrm = norm(as_double("embedding"))
+    return (embeddings
+            .select(F.floor(nrm * 4).alias("norm_bucket"), "label")
+            .groupBy("norm_bucket")
+            .agg(F.count(F.lit(1)).alias("vec_ct"),
+                 F.countDistinct("label").alias("label_ct")))

@@ -120,3 +120,16 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         F.md5(F.concat_ws(" ", tok)).alias("md5_fp"),
         token_fingerprint(tok).alias("roll_fp"),
     )
+
+
+def term_df_stats(documents: DataFrame, limit: int = 50) -> DataFrame:
+    """Corpus vocabulary head: per-term document frequency and total
+    term frequency, top-``limit`` by df (the df side of TF-IDF; one
+    explode + one aggregation, map-side combined)."""
+    return (documents
+            .select("doc_id", F.explode(tokens("text")).alias("term"))
+            .groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df"),
+                 F.count(F.lit(1)).alias("tf"))
+            .orderBy(F.desc("df"), F.desc("tf"), F.asc("term"))
+            .limit(limit))

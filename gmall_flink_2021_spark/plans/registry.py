@@ -264,6 +264,26 @@ def q_top_supplier_per_nation(spark, sf):
     return serving.top_supplier_per_nation(supplier, nation)
 
 
+def q_hourly_activity_pivot(spark, sf):
+    (events,) = _t(spark, sf, "events")
+    return analytics.hourly_activity_pivot(events)
+
+
+def q_retention_cohorts(spark, sf):
+    (events,) = _t(spark, sf, "events")
+    return analytics.retention_cohorts(events)
+
+
+def q_norm_histogram(spark, sf):
+    (embeddings,) = _t(spark, sf, "embeddings")
+    return similarity.norm_histogram(embeddings)
+
+
+def q_term_df_stats(spark, sf):
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.term_df_stats(documents)
+
+
 def q_order_count_distribution(spark, sf):
     customer, orders = _t(spark, sf, "customer", "orders")
     return analytics.order_count_distribution(customer, orders)
@@ -370,6 +390,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "small_qty_part_revenue": q_small_qty_part_revenue,
     "high_balance_inactive_customers": q_high_balance_inactive_customers,
     "nation_year_revenue": q_nation_year_revenue,
+    "hourly_activity_pivot": q_hourly_activity_pivot,
+    "retention_cohorts": q_retention_cohorts,
+    "norm_histogram": q_norm_histogram,
+    "term_df_stats": q_term_df_stats,
 }
 
 
@@ -1074,5 +1098,54 @@ ORACLES: dict[str, str] = {
               FROM supplier JOIN nation ON s_nationkey = n_nationkey) sn
              ON l_suppkey = sn.s_suppkey
         GROUP BY supp_nation, order_year
+    """,
+    "hourly_activity_pivot": """
+        SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hour_of_day,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS view
+        FROM events
+        GROUP BY 1
+    """,
+    "retention_cohorts": """
+        WITH first AS (
+            SELECT user_id,
+                   CAST(min(date_trunc('day', CAST(ts AS TIMESTAMP)))
+                        AS TIMESTAMP) AS cohort_day
+            FROM events GROUP BY user_id),
+        active AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                        AS TIMESTAMP) AS active_day
+            FROM events)
+        SELECT cohort_day,
+               CAST(date_diff('day', cohort_day, active_day) AS BIGINT)
+                   AS day_offset,
+               count(DISTINCT active.user_id) AS user_ct
+        FROM active JOIN first ON active.user_id = first.user_id
+        GROUP BY 1, 2
+    """,
+    "norm_histogram": f"""
+        SELECT CAST(floor(sqrt({{dot}}) * 4) AS BIGINT) AS norm_bucket,
+               count(*) AS vec_ct,
+               count(DISTINCT label) AS label_ct
+        FROM (SELECT CAST(embedding AS DOUBLE[]) AS v, label
+              FROM embeddings)
+        GROUP BY 1
+    """.replace("{dot}", _DOT.format(a="v", b="v")),
+    "term_df_stats": f"""
+        WITH {_TOKS}
+        SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+        FROM (SELECT doc_id, unnest(tok) AS term FROM toks)
+        GROUP BY term
+        ORDER BY df DESC, tf DESC, term
+        LIMIT 50
     """,
 }
