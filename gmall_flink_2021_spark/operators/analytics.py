@@ -345,3 +345,28 @@ def late_shipment_priority(orders: DataFrame,
             .join(late, cond, "left_semi")
             .groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("order_ct")))
+
+
+def purchase_attribution(events: DataFrame) -> DataFrame:
+    """As-of join: each purchase attributed to the user's most recent
+    view at-or-before it (last-touch attribution).
+
+    Implemented as a union + carry-forward window rather than a range
+    join: one shuffle keyed by user, no per-pair blowup — the scalable
+    formulation of an as-of join when the right side is dense."""
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("kind"))
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("kind"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "kind")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    last_view = F.max(F.when(F.col("kind") == 0, F.col("ts"))).over(w)
+    return (views.unionByName(buys)
+            .withColumn("last_view_ts", last_view)
+            .filter(F.col("kind") == 1)
+            .select("event_id", "user_id", "ts", "last_view_ts",
+                    F.expr("timestampdiff(MICROSECOND, last_view_ts, ts)"
+                           " div 1000000").cast("long")
+                    .alias("gap_sec")))

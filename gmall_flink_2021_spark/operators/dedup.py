@@ -159,3 +159,83 @@ def ngram_jaccard_pairs(documents: DataFrame, top_n: int = 50) -> DataFrame:
     return (jac.select("doc_a", "doc_b", "common_sh", "jaccard")
             .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
             .limit(top_n))
+
+
+def dup_clusters(documents: DataFrame, max_iter: int = 20,
+                 driver_pair_limit: int = 2_000_000) -> DataFrame:
+    """Near-duplicate clusters: connected components of the LSH
+    candidate-pair graph. Emits one row per clustered doc:
+    (cluster_id = min doc_id in the component, doc_id, cluster_sz) —
+    the "keep one representative per cluster" primitive of a
+    pretraining dedup stage.
+
+    Scale design: candidate generation (the data-sized part) is fully
+    distributed LSH. The component step then works on a graph that is
+    orders of magnitude smaller than the corpus — that asymmetry is
+    the point of LSH. When the pair count is driver-sized (bounded
+    by an explicit count check) a local union-find finishes in one
+    pass; above the bound it falls back to distributed min-label
+    propagation (GraphX-style, converges in O(component diameter)
+    rounds with a single aggregated convergence flag per round).
+    """
+    pairs = minhash_band_pairs(documents).persist()
+    n_pairs = pairs.count()
+    spark = documents.sparkSession
+    if n_pairs <= driver_pair_limit:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in pairs.select("doc_a", "doc_b").collect():
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        members: dict[int, list[int]] = {}
+        for node in parent:
+            members.setdefault(find(node), []).append(node)
+        rows = [(root, doc, len(docs))
+                for root, docs in members.items() for doc in docs]
+        return spark.createDataFrame(
+            rows, "cluster_id long, doc_id long, cluster_sz long")
+    # distributed path: size the iterative stage to the graph, not
+    # the corpus, or each propagation round pays full corpus-width
+    # shuffle scheduling for a few thousand edges
+    nparts = max(1, min(64, n_pairs // 500_000 + 1))
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .union(pairs.select(F.col("doc_b").alias("src"),
+                                 F.col("doc_a").alias("dst")))
+             .repartition(nparts, "src")
+             .persist())
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("label", F.col("doc_id"))
+              .persist())
+    for _ in range(max_iter):
+        neigh = (edges.join(labels.withColumnRenamed("doc_id", "dst"),
+                            "dst")
+                 .groupBy(F.col("src").alias("doc_id"))
+                 .agg(F.min("label").alias("nlabel")))
+        # min-propagation is monotone decreasing, so "any nlabel <
+        # label" IS the convergence check — no second join needed
+        upd = labels.join(neigh, "doc_id").persist()
+        changed = upd.filter(F.col("nlabel") < F.col("label")).count()
+        labels.unpersist()
+        labels = upd.select(
+            "doc_id", F.least("label", "nlabel").alias("label"))
+        if changed == 0:
+            labels = upd.select("doc_id", "label")
+            break
+    sizes = (labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_sz")))
+    return (labels.join(F.broadcast(sizes), "label")
+            .select(F.col("label").alias("cluster_id"), "doc_id",
+                    "cluster_sz"))

@@ -264,6 +264,16 @@ def q_top_supplier_per_nation(spark, sf):
     return serving.top_supplier_per_nation(supplier, nation)
 
 
+def q_dup_clusters(spark, sf):
+    (documents,) = _t(spark, sf, "documents")
+    return dedup.dup_clusters(documents)
+
+
+def q_purchase_attribution(spark, sf):
+    (events,) = _t(spark, sf, "events")
+    return analytics.purchase_attribution(events)
+
+
 def q_hourly_activity_pivot(spark, sf):
     (events,) = _t(spark, sf, "events")
     return analytics.hourly_activity_pivot(events)
@@ -390,6 +400,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "small_qty_part_revenue": q_small_qty_part_revenue,
     "high_balance_inactive_customers": q_high_balance_inactive_customers,
     "nation_year_revenue": q_nation_year_revenue,
+    "dup_clusters": q_dup_clusters,
+    "purchase_attribution": q_purchase_attribution,
     "hourly_activity_pivot": q_hourly_activity_pivot,
     "retention_cohorts": q_retention_cohorts,
     "norm_histogram": q_norm_histogram,
@@ -1098,6 +1110,39 @@ ORACLES: dict[str, str] = {
               FROM supplier JOIN nation ON s_nationkey = n_nationkey) sn
              ON l_suppkey = sn.s_suppkey
         GROUP BY supp_nation, order_year
+    """,
+    "dup_clusters": f"""
+        WITH RECURSIVE {_BANDS},
+        pairs AS (
+            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+            FROM bands l
+            JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
+            WHERE l.doc_id < r.doc_id),
+        edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                  UNION ALL
+                  SELECT doc_b, doc_a FROM pairs),
+        walk(a, b) AS (
+            SELECT s, d FROM edges
+            UNION
+            SELECT w.a, e.d FROM walk w JOIN edges e ON w.b = e.s),
+        labels AS (
+            SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            FROM walk GROUP BY a)
+        SELECT cluster_id, doc_id, cluster_sz
+        FROM labels
+        JOIN (SELECT cluster_id, count(*) AS cluster_sz
+              FROM labels GROUP BY cluster_id) sz USING (cluster_id)
+    """,
+    "purchase_attribution": """
+        SELECT event_id, user_id, ts, last_view_ts,
+               CAST(date_diff('microsecond', last_view_ts, ts) // 1000000
+                    AS BIGINT) AS gap_sec
+        FROM (
+            SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+                   (SELECT max(CAST(v.ts AS TIMESTAMP)) FROM events v
+                    WHERE v.event_type = 'view' AND v.user_id = e.user_id
+                      AND v.ts <= e.ts) AS last_view_ts
+            FROM events e WHERE e.event_type = 'purchase')
     """,
     "hourly_activity_pivot": """
         SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hour_of_day,

@@ -129,3 +129,21 @@ def test_salted_join_equals_plain_join(spark):
     salted = salted_join(big, small, "k")
     assert sorted(map(tuple, plain.select("k", "payload", "v").collect())) \
         == sorted(map(tuple, salted.select("k", "payload", "v").collect()))
+
+def test_dup_clusters_local_and_distributed_paths_agree(spark):
+    from gmall_flink_2021_spark.operators.dedup import dup_clusters
+    from gmall_flink_2021_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    local = sorted(map(tuple, dup_clusters(docs).collect()))
+    dist = sorted(map(tuple,
+                      dup_clusters(docs, driver_pair_limit=0).collect()))
+    assert local == dist
+    # every cluster has >= 2 docs and carries its min id as cluster_id
+    by_cluster: dict = {}
+    for cid, doc, sz in local:
+        by_cluster.setdefault(cid, []).append((doc, sz))
+    for cid, docs_sz in by_cluster.items():
+        assert len(docs_sz) >= 2
+        assert all(sz == len(docs_sz) for _, sz in docs_sz)
+        assert cid == min(d for d, _ in docs_sz)
