@@ -370,3 +370,48 @@ def purchase_attribution(events: DataFrame) -> DataFrame:
                     F.expr("timestampdiff(MICROSECOND, last_view_ts, ts)"
                            " div 1000000").cast("long")
                     .alias("gap_sec")))
+
+
+PRICE_TIERS = [("budget", 0.0, 100_000.0),
+               ("mid", 100_000.0, 250_000.0),
+               ("premium", 250_000.0, 1e12)]
+
+
+def price_tier_stats(orders: DataFrame) -> DataFrame:
+    """Range join: orders banded into price tiers given as [lo, hi)
+    intervals. The tier table is literal/dimension-sized, so the
+    right plan is a broadcast nested-loop range join — the fact side
+    streams through once, no shuffle. (If the interval table were
+    large, the scalable rewrite is band-key decomposition: emit one
+    row per fixed-width band an interval overlaps, then equi-join on
+    the band key.)"""
+    tiers = orders.sparkSession.createDataFrame(
+        PRICE_TIERS, "tier string, lo double, hi double")
+    return (orders
+            .join(F.broadcast(tiers),
+                  (F.col("o_totalprice") >= F.col("lo"))
+                  & (F.col("o_totalprice") < F.col("hi")))
+            .groupBy("tier")
+            .agg(F.count(F.lit(1)).alias("order_ct"),
+                 F.sum(money("o_totalprice")).cast("decimal(18,2)")
+                 .alias("gmv")))
+
+
+def region_segment_cube(region: DataFrame, nation: DataFrame,
+                        customer: DataFrame,
+                        orders: DataFrame) -> DataFrame:
+    """CUBE(region, segment): all four aggregation granularities in
+    one pass, with grouping_id distinguishing the subtotal level."""
+    dims = (customer.select("c_custkey", "c_nationkey", "c_mktsegment")
+            .join(F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region.select("r_regionkey", "r_name")),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("c_custkey", "r_name", "c_mktsegment"))
+    return (orders
+            .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+            .cube("r_name", "c_mktsegment")
+            .agg(F.grouping_id().cast("long").alias("gid"),
+                 F.count(F.lit(1)).alias("order_ct"),
+                 F.sum(money("o_totalprice")).cast("decimal(18,2)")
+                 .alias("gmv")))

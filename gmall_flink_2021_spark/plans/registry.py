@@ -264,6 +264,17 @@ def q_top_supplier_per_nation(spark, sf):
     return serving.top_supplier_per_nation(supplier, nation)
 
 
+def q_price_tier_stats(spark, sf):
+    (orders,) = _t(spark, sf, "orders")
+    return analytics.price_tier_stats(orders)
+
+
+def q_region_segment_cube(spark, sf):
+    region, nation, customer, orders = _t(spark, sf, "region", "nation",
+                                          "customer", "orders")
+    return analytics.region_segment_cube(region, nation, customer, orders)
+
+
 def q_dup_clusters(spark, sf):
     (documents,) = _t(spark, sf, "documents")
     return dedup.dup_clusters(documents)
@@ -402,6 +413,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_year_revenue": q_nation_year_revenue,
     "dup_clusters": q_dup_clusters,
     "purchase_attribution": q_purchase_attribution,
+    "price_tier_stats": q_price_tier_stats,
+    "region_segment_cube": q_region_segment_cube,
     "hourly_activity_pivot": q_hourly_activity_pivot,
     "retention_cohorts": q_retention_cohorts,
     "norm_histogram": q_norm_histogram,
@@ -1110,6 +1123,29 @@ ORACLES: dict[str, str] = {
               FROM supplier JOIN nation ON s_nationkey = n_nationkey) sn
              ON l_suppkey = sn.s_suppkey
         GROUP BY supp_nation, order_year
+    """,
+    "price_tier_stats": """
+        SELECT tier, count(*) AS order_ct,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                    AS DECIMAL(18,2)) AS gmv
+        FROM orders
+        JOIN (VALUES ('budget', 0.0, 100000.0),
+                     ('mid', 100000.0, 250000.0),
+                     ('premium', 250000.0, 1e12)) tiers(tier, lo, hi)
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY tier
+    """,
+    "region_segment_cube": """
+        SELECT r_name, c_mktsegment,
+               CAST(GROUPING(r_name, c_mktsegment) AS BIGINT) AS gid,
+               count(*) AS order_ct,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                    AS DECIMAL(18,2)) AS gmv
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY CUBE (r_name, c_mktsegment)
     """,
     "dup_clusters": f"""
         WITH RECURSIVE {_BANDS},
