@@ -133,3 +133,33 @@ def term_df_stats(documents: DataFrame, limit: int = 50) -> DataFrame:
                  F.count(F.lit(1)).alias("tf"))
             .orderBy(F.desc("df"), F.desc("tf"), F.asc("term"))
             .limit(limit))
+
+
+def stratified_sample(documents: DataFrame) -> DataFrame:
+    """Deterministic stratified sampling audit: per-source keep
+    decisions from the doc_id content hash (sources src0-src9 at 50%,
+    src10-src19 at 12.5%), counted in ONE pass via conditional
+    aggregation — no second scan for the denominators. Hash-based
+    keep decisions replay identically across engines and runs, unlike
+    random() sampling."""
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    grp = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    keep = (F.when(grp < 10, nib.isin(*"01234567"))
+            .otherwise(nib.isin("0", "1")))
+    return (documents
+            .select("source", keep.cast("long").alias("keep"))
+            .groupBy("source")
+            .agg(F.sum("keep").alias("sampled_ct"),
+                 F.count(F.lit(1)).alias("doc_ct")))
+
+
+def doc_length_percentiles(documents: DataFrame) -> DataFrame:
+    """Per-language document-length profile: exact interpolated
+    p50/p90/p99 of n_chars (sort-based, deterministic; rounded to
+    6 dp so the interpolation arithmetic is engine-portable)."""
+    return (documents
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("doc_ct"),
+                 *[F.round(F.expr(f"percentile(n_chars, {q})"), 6)
+                   .alias(f"p{int(q * 100)}")
+                   for q in (0.5, 0.9, 0.99)]))

@@ -264,6 +264,16 @@ def q_top_supplier_per_nation(spark, sf):
     return serving.top_supplier_per_nation(supplier, nation)
 
 
+def q_stratified_sample(spark, sf):
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.stratified_sample(documents)
+
+
+def q_doc_length_percentiles(spark, sf):
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.doc_length_percentiles(documents)
+
+
 def q_price_tier_stats(spark, sf):
     (orders,) = _t(spark, sf, "orders")
     return analytics.price_tier_stats(orders)
@@ -415,6 +425,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "purchase_attribution": q_purchase_attribution,
     "price_tier_stats": q_price_tier_stats,
     "region_segment_cube": q_region_segment_cube,
+    "stratified_sample": q_stratified_sample,
+    "doc_length_percentiles": q_doc_length_percentiles,
     "hourly_activity_pivot": q_hourly_activity_pivot,
     "retention_cohorts": q_retention_cohorts,
     "norm_histogram": q_norm_histogram,
@@ -1123,6 +1135,30 @@ ORACLES: dict[str, str] = {
               FROM supplier JOIN nation ON s_nationkey = n_nationkey) sn
              ON l_suppkey = sn.s_suppkey
         GROUP BY supp_nation, order_year
+    """,
+    "stratified_sample": """
+        SELECT source,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS sampled_ct,
+               count(*) AS doc_ct
+        FROM (
+            SELECT source,
+                   CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1)
+                             AS INTEGER) < 10
+                        THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                             IN ('0','1','2','3','4','5','6','7')
+                        ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                             IN ('0','1') END AS keep
+            FROM documents)
+        GROUP BY source
+    """,
+    "doc_length_percentiles": """
+        SELECT lang, count(*) AS doc_ct,
+               round(quantile_cont(n_chars, 0.5), 6) AS p50,
+               round(quantile_cont(n_chars, 0.9), 6) AS p90,
+               round(quantile_cont(n_chars, 0.99), 6) AS p99
+        FROM documents
+        GROUP BY lang
     """,
     "price_tier_stats": """
         SELECT tier, count(*) AS order_ct,
