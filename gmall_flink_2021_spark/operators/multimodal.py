@@ -123,3 +123,50 @@ def sample_frames(media_df: DataFrame) -> DataFrame:
 
 def video_frame_samples(documents: DataFrame) -> DataFrame:
     return sample_frames(documents_as_media(documents))
+
+
+RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("media_type", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("new_width", IntegerType()),
+    StructField("new_height", IntegerType()),
+    StructField("out_bytes", LongType()),
+])
+
+
+def resize_media(media_df: DataFrame, max_dim: int = 64) -> DataFrame:
+    """mapInPandas resize: cap the longest side at ``max_dim`` with
+    integer aspect-preserving scaling; audio passes through. The pixel
+    transform is the stub (a real deployment calls PIL here); the
+    batch shape, integer-exact dim math and slim output row are the
+    real scale-relevant parts — RGB out_bytes = w*h*3*frames."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in RESIZE_SCHEMA.fields}
+            for doc, m, t in zip(pdf["doc_id"], pdf["media"],
+                                 pdf["media_type"]):
+                w, h, frames = _decode(m, t)
+                mx = max(w, h)
+                if t == "audio" or mx <= max_dim:
+                    nw, nh = w, h
+                else:
+                    nw = max(1, w * max_dim // mx)
+                    nh = max(1, h * max_dim // mx)
+                out["doc_id"].append(doc)
+                out["media_type"].append(t)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["new_width"].append(nw)
+                out["new_height"].append(nh)
+                out["out_bytes"].append(
+                    len(m) if t == "audio" else nw * nh * 3 * frames)
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(fn, RESIZE_SCHEMA)
+
+
+def media_resize(documents: DataFrame) -> DataFrame:
+    return resize_media(documents_as_media(documents))

@@ -264,6 +264,11 @@ def q_top_supplier_per_nation(spark, sf):
     return serving.top_supplier_per_nation(supplier, nation)
 
 
+def q_media_resize(spark, sf):
+    (documents,) = _t(spark, sf, "documents")
+    return multimodal.media_resize(documents)
+
+
 def q_stratified_sample(spark, sf):
     (documents,) = _t(spark, sf, "documents")
     return textstats.stratified_sample(documents)
@@ -427,6 +432,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "region_segment_cube": q_region_segment_cube,
     "stratified_sample": q_stratified_sample,
     "doc_length_percentiles": q_doc_length_percentiles,
+    "media_resize": q_media_resize,
     "hourly_activity_pivot": q_hourly_activity_pivot,
     "retention_cohorts": q_retention_cohorts,
     "norm_histogram": q_norm_histogram,
@@ -1135,6 +1141,44 @@ ORACLES: dict[str, str] = {
               FROM supplier JOIN nation ON s_nationkey = n_nationkey) sn
              ON l_suppkey = sn.s_suppkey
         GROUP BY supp_nation, order_year
+    """,
+    "media_resize": """
+        WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS media_type,
+                   n_chars AS n
+            FROM documents),
+        dims AS (
+            SELECT doc_id, media_type, n,
+                   CASE WHEN media_type = 'audio' THEN 0
+                        ELSE 16 + n % 64 END AS width,
+                   CASE WHEN media_type = 'audio' THEN 0
+                        ELSE 16 + n % 48 END AS height,
+                   CASE WHEN media_type = 'image' THEN 1
+                        WHEN media_type = 'audio' THEN 1 + n % 100
+                        ELSE 1 + n % 5 END AS frames
+            FROM base),
+        scaled AS (
+            SELECT *, greatest(width, height) AS mx FROM dims),
+        resized AS (
+            SELECT doc_id, media_type, width, height, frames, n,
+                   CASE WHEN media_type = 'audio' OR mx <= 64 THEN width
+                        ELSE greatest(width * 64 // mx, 1)
+                        END AS new_width,
+                   CASE WHEN media_type = 'audio' OR mx <= 64 THEN height
+                        ELSE greatest(height * 64 // mx, 1)
+                        END AS new_height
+            FROM scaled)
+        SELECT doc_id, media_type,
+               CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+               CAST(new_width AS INT) AS new_width,
+               CAST(new_height AS INT) AS new_height,
+               CAST(CASE WHEN media_type = 'audio' THEN n
+                         ELSE new_width * new_height * 3 * frames
+                    END AS BIGINT) AS out_bytes
+        FROM resized
     """,
     "stratified_sample": """
         SELECT source,
