@@ -205,6 +205,7 @@ def dup_clusters(documents: DataFrame, max_iter: int = 20,
             members.setdefault(find(node), []).append(node)
         rows = [(root, doc, len(docs))
                 for root, docs in members.items() for doc in docs]
+        pairs.unpersist()
         return spark.createDataFrame(
             rows, "cluster_id long, doc_id long, cluster_sz long")
     # distributed path: size the iterative stage to the graph, not

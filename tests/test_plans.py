@@ -49,3 +49,26 @@ def test_aggregates_are_partial_final(spark):
 def test_range_join_broadcasts_the_interval_table(spark):
     plan = _plan(spark, "price_tier_stats")
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """The curated-output write path: stats written partitioned by day
+    must let a day-filtered readback scan only that partition."""
+    from gmall_flink_2021_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    events = load_table(spark, SF_SMOKE, "events")
+    out = str(tmp_path / "events_by_day")
+    (events
+     .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+     .write.partitionBy("day").mode("overwrite").parquet(out))
+    back = spark.read.parquet(out)
+    one_day = back.select("day").distinct().limit(1).collect()[0][0]
+    q = back.filter(F.col("day") == one_day)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    plan = q._jdf.queryExecution().explainString(mode)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "day" in pf
+    # pruned scan reads strictly fewer rows than the full table
+    assert q.count() < back.count()
