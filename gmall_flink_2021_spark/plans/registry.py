@@ -21,6 +21,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import (
     analytics,
@@ -264,6 +265,25 @@ def q_top_supplier_per_nation(spark, sf):
     return serving.top_supplier_per_nation(supplier, nation)
 
 
+def q_salted_brand_revenue(spark, sf):
+    """Brand revenue via the explicit salted skew join — identical
+    semantics to a plain equi-join (the oracle is the plain join), so
+    the skew machinery itself sits behind the correctness gate."""
+    from ..operators.skew import salted_join
+
+    lineitem, part = _t(spark, sf, "lineitem", "part")
+    joined = salted_join(
+        lineitem.select("l_partkey", "l_extendedprice", "l_discount"),
+        part.select(F.col("p_partkey").alias("l_partkey"), "p_brand"),
+        "l_partkey")
+    revenue = (F.col("l_extendedprice").cast("decimal(18,2)")
+               * (F.lit(1).cast("decimal(18,2)")
+                  - F.col("l_discount").cast("decimal(18,2)")))
+    return (joined.groupBy("p_brand")
+            .agg(F.sum(revenue).cast("decimal(18,2)").alias("revenue"),
+                 F.count(F.lit(1)).alias("item_ct")))
+
+
 def q_media_resize(spark, sf):
     (documents,) = _t(spark, sf, "documents")
     return multimodal.media_resize(documents)
@@ -433,6 +453,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "doc_length_percentiles": q_doc_length_percentiles,
     "media_resize": q_media_resize,
+    "salted_brand_revenue": q_salted_brand_revenue,
     "hourly_activity_pivot": q_hourly_activity_pivot,
     "retention_cohorts": q_retention_cohorts,
     "norm_histogram": q_norm_histogram,
@@ -1141,6 +1162,13 @@ ORACLES: dict[str, str] = {
               FROM supplier JOIN nation ON s_nationkey = n_nationkey) sn
              ON l_suppkey = sn.s_suppkey
         GROUP BY supp_nation, order_year
+    """,
+    "salted_brand_revenue": f"""
+        SELECT p_brand,
+               CAST(round(sum({_DISC}), 2) AS DECIMAL(18,2)) AS revenue,
+               count(*) AS item_ct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
     """,
     "media_resize": """
         WITH base AS (
