@@ -199,3 +199,22 @@ def user_jump_stats(events: DataFrame,
     jumps = user_jumps(events, timeout)
     return (jumps.groupBy(F.date_trunc("DAY", F.col("ts")).alias("day"))
             .agg(F.count(F.lit(1)).alias("uj_ct")))
+
+
+def purchase_click_window_join(events: DataFrame,
+                               window: str = "15 minutes") -> DataFrame:
+    """J2 analog (PaymentWideApp.java:80-88's asymmetric −15 min..0
+    bound) on the events table: each purchase joined to the same
+    user's clicks in the 15 minutes at-or-before it."""
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").cast("decimal(18,2)").alias("amount"))
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"))
+    joined = interval_join(buys, clicks, "user_id",
+                           f"-{window}", "0 seconds",
+                           left_ts="p_ts", right_ts="c_ts")
+    return joined.select("l.user_id", "purchase_id", "click_id",
+                         "p_ts", "c_ts", "amount")

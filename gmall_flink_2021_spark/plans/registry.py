@@ -265,6 +265,11 @@ def q_top_supplier_per_nation(spark, sf):
     return serving.top_supplier_per_nation(supplier, nation)
 
 
+def q_purchase_click_window_join(spark, sf):
+    (events,) = _t(spark, sf, "events")
+    return dwm.purchase_click_window_join(events)
+
+
 def q_salted_brand_revenue(spark, sf):
     """Brand revenue via the explicit salted skew join — identical
     semantics to a plain equi-join (the oracle is the plain join), so
@@ -454,6 +459,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_length_percentiles": q_doc_length_percentiles,
     "media_resize": q_media_resize,
     "salted_brand_revenue": q_salted_brand_revenue,
+    "purchase_click_window_join": q_purchase_click_window_join,
     "hourly_activity_pivot": q_hourly_activity_pivot,
     "retention_cohorts": q_retention_cohorts,
     "norm_histogram": q_norm_histogram,
@@ -1162,6 +1168,20 @@ ORACLES: dict[str, str] = {
               FROM supplier JOIN nation ON s_nationkey = n_nationkey) sn
              ON l_suppkey = sn.s_suppkey
         GROUP BY supp_nation, order_year
+    """,
+    "purchase_click_window_join": """
+        SELECT p.user_id AS user_id,
+               p.event_id AS purchase_id,
+               c.event_id AS click_id,
+               CAST(p.ts AS TIMESTAMP) AS p_ts,
+               CAST(c.ts AS TIMESTAMP) AS c_ts,
+               CAST(p.value AS DECIMAL(18,2)) AS amount
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND CAST(c.ts AS TIMESTAMP)
+             >= CAST(p.ts AS TIMESTAMP) - INTERVAL '15 minutes'
+         AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
     """,
     "salted_brand_revenue": f"""
         SELECT p_brand,
