@@ -163,3 +163,20 @@ def doc_length_percentiles(documents: DataFrame) -> DataFrame:
                  *[F.round(F.expr(f"percentile(n_chars, {q})"), 6)
                    .alias(f"p{int(q * 100)}")
                    for q in (0.5, 0.9, 0.99)]))
+
+
+def doc_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k terms by in-document frequency (stopwords
+    excluded) — the TF side of TF-IDF with a fully integer ranking
+    (tf desc, then term), so no engine-dependent float scoring."""
+    from pyspark.sql import Window
+
+    tf = (documents
+          .select("doc_id", F.explode(tokens("text")).alias("term"))
+          .filter(~F.col("term").isin(*STOPWORDS))
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("term"))
+    return (tf.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "rank", "term", "tf"))

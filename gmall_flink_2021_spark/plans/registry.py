@@ -265,6 +265,11 @@ def q_top_supplier_per_nation(spark, sf):
     return serving.top_supplier_per_nation(supplier, nation)
 
 
+def q_doc_top_terms(spark, sf):
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.doc_top_terms(documents)
+
+
 def q_purchase_click_window_join(spark, sf):
     (events,) = _t(spark, sf, "events")
     return dwm.purchase_click_window_join(events)
@@ -464,6 +469,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_cohorts": q_retention_cohorts,
     "norm_histogram": q_norm_histogram,
     "term_df_stats": q_term_df_stats,
+    "doc_top_terms": q_doc_top_terms,
 }
 
 
@@ -1356,5 +1362,19 @@ ORACLES: dict[str, str] = {
         GROUP BY term
         ORDER BY df DESC, tf DESC, term
         LIMIT 50
+    """,
+    "doc_top_terms": f"""
+        WITH {_TOKS},
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest(tok) AS term FROM toks)
+            WHERE term NOT IN ('the', 'a')
+            GROUP BY doc_id, term)
+        SELECT doc_id, rank, term, tf FROM (
+            SELECT doc_id, term, tf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tf DESC, term) AS rank
+            FROM tf)
+        WHERE rank <= 3
     """,
 }
