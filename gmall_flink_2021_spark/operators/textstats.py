@@ -180,3 +180,21 @@ def doc_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     return (tf.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("doc_id", "rank", "term", "tf"))
+
+
+def bpe_token_stats(documents: DataFrame) -> DataFrame:
+    """Token counting with a BPE-ish regex (letter runs / digit runs /
+    single punctuation — the GPT-2-style pre-tokenization shape,
+    simplified to a dialect both regex engines treat identically)
+    alongside the whitespace count, per source."""
+    bpe = F.regexp_extract_all(
+        F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+    ws = tokens("text")
+    per_doc = documents.select(
+        "source",
+        F.size(bpe).alias("n_bpe"),
+        F.size(ws).alias("n_ws"))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("doc_ct"),
+                 F.sum("n_bpe").alias("bpe_token_ct"),
+                 F.sum("n_ws").alias("ws_token_ct")))

@@ -265,6 +265,11 @@ def q_top_supplier_per_nation(spark, sf):
     return serving.top_supplier_per_nation(supplier, nation)
 
 
+def q_bpe_token_stats(spark, sf):
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.bpe_token_stats(documents)
+
+
 def q_doc_top_terms(spark, sf):
     (documents,) = _t(spark, sf, "documents")
     return textstats.doc_top_terms(documents)
@@ -470,6 +475,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "norm_histogram": q_norm_histogram,
     "term_df_stats": q_term_df_stats,
     "doc_top_terms": q_doc_top_terms,
+    "bpe_token_stats": q_bpe_token_stats,
 }
 
 
@@ -1362,6 +1368,17 @@ ORACLES: dict[str, str] = {
         GROUP BY term
         ORDER BY df DESC, tf DESC, term
         LIMIT 50
+    """,
+    "bpe_token_stats": """
+        SELECT source, count(*) AS doc_ct,
+               CAST(sum(len(regexp_extract_all(
+                   text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+                   AS bpe_token_ct,
+               CAST(sum(len(list_filter(string_split(text, ' '),
+                                        t -> len(t) > 0))) AS BIGINT)
+                   AS ws_token_ct
+        FROM documents
+        GROUP BY source
     """,
     "doc_top_terms": f"""
         WITH {_TOKS},
