@@ -145,3 +145,63 @@ def norm_histogram(embeddings: DataFrame) -> DataFrame:
             .groupBy("norm_bucket")
             .agg(F.count(F.lit(1)).alias("vec_ct"),
                  F.countDistinct("label").alias("label_ct")))
+
+
+LSH_PLANES = 8
+EMB_DIM = 64
+
+
+def lsh_hyperplanes(n_planes: int = LSH_PLANES,
+                    dim: int = EMB_DIM) -> list[list[int]]:
+    """Deterministic integer hyperplanes from md5 — integer weights
+    make every dot product an exact sequential IEEE fold, so bucket
+    assignment (a sign test) is bit-identical across engines."""
+    import hashlib
+
+    planes = []
+    for b in range(n_planes):
+        digits = "".join(
+            hashlib.md5(f"hp{b}|{part}".encode()).hexdigest()
+            for part in range((dim + 31) // 32))
+        planes.append([int(digits[j], 16) - 8 for j in range(dim)])
+    return planes
+
+
+def lsh_bucket(vec: Column) -> Column:
+    """8-bit random-hyperplane (SimHash-style) bucket of a vector."""
+    out = F.lit(0)
+    for i, plane in enumerate(lsh_hyperplanes()):
+        arr = F.array(*[F.lit(float(w)) for w in plane])
+        out = out + F.when(dot(vec, arr) > 0,
+                           F.lit(2 ** i)).otherwise(F.lit(0))
+    return out.cast("long")
+
+
+def lsh_ann(embeddings: DataFrame, n_queries: int = 5,
+            k: int = 3) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors: vectors hash into
+    2^8 hyperplane-sign buckets; each query searches only its bucket.
+
+    The third point of the ANN cost spectrum alongside brute force
+    (full scan) and IVF (probed centroid partitions): candidate
+    generation is a bucket equi-join, scan volume ~1/2^planes, and
+    with the corpus written partitioned by bucket the probe becomes
+    partition pruning. Returns (query_id, bucket, neighbor_id, rank,
+    cos_sim)."""
+    base = embeddings.select(
+        "vec_id", as_double("embedding").alias("v"))
+    base = base.withColumn("bucket", lsh_bucket(F.col("v")))
+    queries = (base.filter(F.col("vec_id") < n_queries)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("v").alias("vq"), "bucket"))
+    cand = base.select(F.col("vec_id").alias("neighbor_id"),
+                       F.col("v").alias("vn"), "bucket")
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (cand.join(F.broadcast(queries), "bucket")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("cos_sim", cosine(F.col("vq"), F.col("vn")))
+            .withColumn("rank", F.row_number().over(rank_w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "bucket", "neighbor_id", "rank",
+                    "cos_sim"))

@@ -265,6 +265,11 @@ def q_top_supplier_per_nation(spark, sf):
     return serving.top_supplier_per_nation(supplier, nation)
 
 
+def q_lsh_ann(spark, sf):
+    (embeddings,) = _t(spark, sf, "embeddings")
+    return similarity.lsh_ann(embeddings)
+
+
 def q_bpe_token_stats(spark, sf):
     (documents,) = _t(spark, sf, "documents")
     return textstats.bpe_token_stats(documents)
@@ -476,6 +481,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_df_stats": q_term_df_stats,
     "doc_top_terms": q_doc_top_terms,
     "bpe_token_stats": q_bpe_token_stats,
+    "lsh_ann": q_lsh_ann,
 }
 
 
@@ -556,6 +562,20 @@ cent AS (
 _DOT = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         "list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), "
         "(acc, v) -> acc + v)")
+
+
+def _lsh_bucket_sql(vec: str) -> str:
+    """The oracle's bucket expression, generated from the SAME
+    hyperplanes as operators/similarity.lsh_bucket — integer weights
+    pasted as list literals, identical sequential fold."""
+    from ..operators.similarity import lsh_hyperplanes
+
+    terms = []
+    for i, plane in enumerate(lsh_hyperplanes()):
+        lits = ", ".join(f"CAST({w} AS DOUBLE)" for w in plane)
+        d = _DOT.format(a=vec, b=f"list_value({lits})")
+        terms.append(f"(CASE WHEN {d} > 0 THEN {2 ** i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
 
 
 def _cos(a: str, b: str) -> str:
@@ -1368,6 +1388,30 @@ ORACLES: dict[str, str] = {
         GROUP BY term
         ORDER BY df DESC, tf DESC, term
         LIMIT 50
+    """,
+    "lsh_ann": f"""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+        base AS (
+            SELECT vec_id, v,
+                   CAST({_lsh_bucket_sql('v')} AS BIGINT) AS bucket
+            FROM vecs),
+        q AS (SELECT vec_id AS query_id, v AS vq, bucket
+              FROM base WHERE vec_id < 5),
+        c AS (SELECT vec_id AS neighbor_id, v AS vn, bucket FROM base),
+        scored AS (
+            SELECT query_id, c.bucket AS bucket, neighbor_id,
+                   {_cos('vq', 'vn')} AS cos_sim
+            FROM c JOIN q ON c.bucket = q.bucket
+            WHERE neighbor_id <> query_id)
+        SELECT query_id, bucket, neighbor_id,
+               CAST(rank AS BIGINT) AS rank, cos_sim
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+              FROM scored)
+        WHERE rank <= 3
     """,
     "bpe_token_stats": """
         SELECT source, count(*) AS doc_ct,
