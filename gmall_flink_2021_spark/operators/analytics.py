@@ -415,3 +415,17 @@ def region_segment_cube(region: DataFrame, nation: DataFrame,
                  F.count(F.lit(1)).alias("order_ct"),
                  F.sum(money("o_totalprice")).cast("decimal(18,2)")
                  .alias("gmv")))
+
+
+def native_session_windows(events: DataFrame,
+                           gap: str = "30 minutes") -> DataFrame:
+    """Spark's native session_window gap aggregation (the built-in
+    form of ``sessionize``; O11 extension): one row per user session,
+    where the window end is last-event + gap by definition."""
+    return (events
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events"))

@@ -265,6 +265,11 @@ def q_top_supplier_per_nation(spark, sf):
     return serving.top_supplier_per_nation(supplier, nation)
 
 
+def q_native_session_windows(spark, sf):
+    (events,) = _t(spark, sf, "events")
+    return analytics.native_session_windows(events)
+
+
 def q_lsh_ann(spark, sf):
     (embeddings,) = _t(spark, sf, "embeddings")
     return similarity.lsh_ann(embeddings)
@@ -482,6 +487,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_top_terms": q_doc_top_terms,
     "bpe_token_stats": q_bpe_token_stats,
     "lsh_ann": q_lsh_ann,
+    "native_session_windows": q_native_session_windows,
 }
 
 
@@ -1388,6 +1394,32 @@ ORACLES: dict[str, str] = {
         GROUP BY term
         ORDER BY df DESC, tf DESC, term
         LIMIT 50
+    """,
+    "native_session_windows": """
+        WITH seq AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   /* Spark merges an event landing at exactly
+                      prev+gap (verified empirically, locked by
+                      test_native_session_window_exact_gap_merges) —
+                      a new session needs a STRICTLY larger gap */
+                   CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                          OR CAST(ts AS TIMESTAMP)
+                             > lag(CAST(ts AS TIMESTAMP)) OVER w
+                               + INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+            SELECT user_id, ts,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+            FROM seq)
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL '30 minutes' AS session_end,
+               count(*) AS n_events
+        FROM sess
+        GROUP BY user_id, sid
     """,
     "lsh_ann": f"""
         WITH vecs AS (

@@ -147,3 +147,21 @@ def test_dup_clusters_local_and_distributed_paths_agree(spark):
         assert len(docs_sz) >= 2
         assert all(sz == len(docs_sz) for _, sz in docs_sz)
         assert cid == min(d for d, _ in docs_sz)
+
+
+def test_native_session_window_exact_gap_merges(spark):
+    """Spark session_window MERGES an event landing at exactly
+    prev+gap (inclusive end, verified empirically) — the oracle's
+    new-session condition is strictly greater-than."""
+    import datetime as dt
+
+    from gmall_flink_2021_spark.operators.analytics import (
+        native_session_windows)
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(1, base, 1),
+            (1, base + dt.timedelta(minutes=30), 2),
+            (1, base + dt.timedelta(minutes=59, seconds=59), 3)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = native_session_windows(df).orderBy("session_start").collect()
+    assert [r.n_events for r in out] == [3]
