@@ -241,3 +241,21 @@ def dup_clusters(documents: DataFrame, max_iter: int = 20,
     return (labels.join(F.broadcast(sizes), "label")
             .select(F.col("label").alias("cluster_id"), "doc_id",
                     "cluster_sz"))
+
+
+def dedup_summary(documents: DataFrame) -> DataFrame:
+    """The dedup stage's end product: per source, how many docs
+    survive keep-one-per-cluster (canonical = min doc_id, exactly
+    `dup_clusters`' representative rule) and how many are dropped.
+    One broadcast anti-flag join + one aggregation over the corpus."""
+    drops = (dup_clusters(documents)
+             .filter(F.col("doc_id") != F.col("cluster_id"))
+             .select("doc_id", F.lit(1).alias("dropped")))
+    return (documents.select("source", "doc_id")
+            .join(F.broadcast(drops), "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("doc_ct"),
+                 F.sum(F.coalesce("dropped", F.lit(0))).alias("dropped_ct"),
+                 (F.count(F.lit(1))
+                  - F.sum(F.coalesce("dropped", F.lit(0))))
+                 .alias("kept_ct")))

@@ -265,6 +265,11 @@ def q_top_supplier_per_nation(spark, sf):
     return serving.top_supplier_per_nation(supplier, nation)
 
 
+def q_dedup_summary(spark, sf):
+    (documents,) = _t(spark, sf, "documents")
+    return dedup.dedup_summary(documents)
+
+
 def q_native_session_windows(spark, sf):
     (events,) = _t(spark, sf, "events")
     return analytics.native_session_windows(events)
@@ -488,6 +493,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_stats": q_bpe_token_stats,
     "lsh_ann": q_lsh_ann,
     "native_session_windows": q_native_session_windows,
+    "dedup_summary": q_dedup_summary,
 }
 
 
@@ -1394,6 +1400,33 @@ ORACLES: dict[str, str] = {
         GROUP BY term
         ORDER BY df DESC, tf DESC, term
         LIMIT 50
+    """,
+    "dedup_summary": f"""
+        WITH RECURSIVE {_BANDS},
+        pairs AS (
+            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+            FROM bands l
+            JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
+            WHERE l.doc_id < r.doc_id),
+        edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                  UNION ALL
+                  SELECT doc_b, doc_a FROM pairs),
+        walk(a, b) AS (
+            SELECT s, d FROM edges
+            UNION
+            SELECT w.a, e.d FROM walk w JOIN edges e ON w.b = e.s),
+        labels AS (
+            SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            FROM walk GROUP BY a),
+        drops AS (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
+        SELECT source, count(*) AS doc_ct,
+               CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS dropped_ct,
+               CAST(count(*)
+                    - sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS kept_ct
+        FROM documents LEFT JOIN drops dr USING (doc_id)
+        GROUP BY source
     """,
     "native_session_windows": """
         WITH seq AS (
