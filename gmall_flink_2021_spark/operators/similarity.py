@@ -205,3 +205,30 @@ def lsh_ann(embeddings: DataFrame, n_queries: int = 5,
             .filter(F.col("rank") <= k)
             .select("query_id", "bucket", "neighbor_id", "rank",
                     "cos_sim"))
+
+
+def quantization_error(embeddings: DataFrame) -> DataFrame:
+    """Int8 scalar-quantization audit: per label, the worst-case
+    reconstruction error of round-to-nearest symmetric quantization
+    (q = floor(x/max_abs*127 + 0.5), dequant = q/127*max_abs).
+
+    Every step is deterministic IEEE arithmetic and the aggregate is
+    max (order-independent), so the audit is exact across engines —
+    the check a pipeline runs before committing to a compressed
+    embedding store."""
+    v = as_double("embedding")
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    err = F.when(max_abs == 0.0, F.lit(0.0)).otherwise(
+        F.array_max(F.zip_with(
+            v,
+            F.transform(
+                v, lambda x: F.floor(x / max_abs * 127.0 + 0.5)
+                / 127.0 * max_abs),
+            lambda x, d: F.abs(x - d))))
+    return (embeddings
+            .select("label", err.alias("err"),
+                    max_abs.alias("max_abs"))
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("vec_ct"),
+                 F.max("err").alias("max_reconstruction_err"),
+                 F.max("max_abs").alias("max_abs_value")))

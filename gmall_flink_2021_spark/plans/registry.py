@@ -265,6 +265,11 @@ def q_top_supplier_per_nation(spark, sf):
     return serving.top_supplier_per_nation(supplier, nation)
 
 
+def q_quantization_error(spark, sf):
+    (embeddings,) = _t(spark, sf, "embeddings")
+    return similarity.quantization_error(embeddings)
+
+
 def q_dedup_summary(spark, sf):
     (documents,) = _t(spark, sf, "documents")
     return dedup.dedup_summary(documents)
@@ -494,6 +499,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_ann": q_lsh_ann,
     "native_session_windows": q_native_session_windows,
     "dedup_summary": q_dedup_summary,
+    "quantization_error": q_quantization_error,
 }
 
 
@@ -1400,6 +1406,28 @@ ORACLES: dict[str, str] = {
         GROUP BY term
         ORDER BY df DESC, tf DESC, term
         LIMIT 50
+    """,
+    "quantization_error": """
+        WITH v AS (
+            SELECT label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+        m AS (
+            SELECT label, e,
+                   list_max(list_transform(e, x -> abs(x))) AS max_abs
+            FROM v),
+        errs AS (
+            SELECT label, max_abs,
+                   CASE WHEN max_abs = 0.0 THEN 0.0
+                        ELSE list_max(list_transform(e,
+                             x -> abs(x - floor(x / max_abs * 127.0 + 0.5)
+                                          / 127.0 * max_abs)))
+                        END AS err
+            FROM m)
+        SELECT label, count(*) AS vec_ct,
+               max(err) AS max_reconstruction_err,
+               max(max_abs) AS max_abs_value
+        FROM errs
+        GROUP BY label
     """,
     "dedup_summary": f"""
         WITH RECURSIVE {_BANDS},
