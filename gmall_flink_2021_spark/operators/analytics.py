@@ -429,3 +429,114 @@ def native_session_windows(events: DataFrame,
                     F.col("w.start").alias("session_start"),
                     F.col("w.end").alias("session_end"),
                     "n_events"))
+
+
+def returnflag_priority_stats(orders: DataFrame,
+                              lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q12-style conditional aggregation: per return flag, how
+    many 1997-shipped lines belong to high- vs low-priority orders
+    (CASE-sum inside a fact⋈fact join; reference has no conditional
+    aggregate — added for SQL-surface completeness, cf. SURVEY §2.5
+    note)."""
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (lineitem
+            .filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                    & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+            .join(orders.select("o_orderkey", "o_orderpriority"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).cast("long")
+                 .alias("high_line_ct"),
+                 F.sum(F.when(high, 0).otherwise(1)).cast("long")
+                 .alias("low_line_ct")))
+
+
+def part_supplier_variety(part: DataFrame, supplier: DataFrame,
+                          lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q16-style: distinct suppliers able to ship each
+    (brand, size) bucket, excluding a NOT IN supplier blacklist.
+    Spark-first: the blacklist is a broadcast left_anti join (no
+    correlated NOT IN at runtime); supplier-part pairs come from the
+    lineitem fact (this schema has no partsupp table)."""
+    blacklist = supplier.filter(F.col("s_acctbal") < 1000).select("s_suppkey")
+    pairs = (lineitem.select("l_partkey", "l_suppkey").distinct()
+             .join(F.broadcast(blacklist),
+                   F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"))
+    return (pairs
+            .join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")
+                              .filter((F.col("p_brand") != "Brand#45")
+                                      & F.col("p_size").isin(
+                                          1, 4, 7, 10, 13, 16, 19, 22))),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_ct")))
+
+
+def sole_late_suppliers(supplier: DataFrame, orders: DataFrame,
+                        lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q21-style: suppliers who were the ONLY late shipper in a
+    finished multi-supplier order ("late" = shipped >60 days after
+    the order date). The classic EXISTS / NOT EXISTS double
+    correlation is re-expressed Spark-first as ONE per-order
+    aggregation (distinct-supplier count, distinct-late-supplier
+    count, late-line count) — a single shuffle instead of two
+    correlated re-scans of lineitem; the DuckDB oracle keeps the
+    textbook correlated form to pin equivalence."""
+    li = (lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(orders.filter(F.col("o_orderstatus") == "F")
+                .select("o_orderkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey")))
+    late = F.col("l_shipdate") > F.expr("o_orderdate + interval 60 days")
+    per_order = (li.groupBy("l_orderkey")
+                 .agg(F.countDistinct("l_suppkey").alias("supp_ct"),
+                      F.countDistinct(F.when(late, F.col("l_suppkey")))
+                      .alias("late_supp_ct"),
+                      F.max(F.when(late, F.col("l_suppkey")))
+                      .alias("late_supp"),
+                      F.sum(F.when(late, 1).otherwise(0))
+                      .alias("late_line_ct")))
+    return (per_order
+            .filter((F.col("supp_ct") >= 2) & (F.col("late_supp_ct") == 1))
+            .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+                  F.col("late_supp") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.sum("late_line_ct").cast("long").alias("numwait")))
+
+
+def grouping_sets_revenue(lineitem: DataFrame) -> DataFrame:
+    """GROUPING SETS ((flag, status), (flag), ()): three aggregation
+    granularities in one pass — the explicit-sets sibling of
+    region_segment_cube (SURVEY §2.5 note: absent in the reference,
+    free in Spark)."""
+    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                          - money("l_discount"))
+    return (lineitem
+            .groupingSets([["l_returnflag", "l_linestatus"],
+                           ["l_returnflag"], []],
+                          "l_returnflag", "l_linestatus")
+            .agg(F.grouping_id().cast("long").alias("gid"),
+                 F.count(F.lit(1)).alias("line_ct"),
+                 F.sum(revenue).cast("decimal(18,2)").alias("revenue")))
+
+
+def returnflag_part_overlap(lineitem: DataFrame) -> DataFrame:
+    """INTERSECT / EXCEPT set ops (SURVEY §2.7: none in the
+    reference; added): partition the part space by whether a part was
+    returned ('R') in the late period vs accepted ('N') in the early
+    period — the date windows keep all three buckets non-trivial."""
+    r = (lineitem.filter((F.col("l_returnflag") == "R")
+                         & (F.col("l_shipdate")
+                            >= F.lit("2000-01-01").cast("timestamp")))
+         .select("l_partkey"))
+    n = (lineitem.filter((F.col("l_returnflag") == "N")
+                         & (F.col("l_shipdate")
+                            < F.lit("1996-01-01").cast("timestamp")))
+         .select("l_partkey"))
+
+    def bucket(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.lit(name).alias("bucket"),
+                      F.count(F.lit(1)).alias("part_ct"))
+
+    return (bucket(r.intersect(n), "both")
+            .unionByName(bucket(r.subtract(n), "returned_only"))
+            .unionByName(bucket(n.subtract(r), "accepted_only")))

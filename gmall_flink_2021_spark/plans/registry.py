@@ -427,6 +427,33 @@ def q_train_val_split(spark, sf):
     return textstats.train_val_split(documents)
 
 
+def q_returnflag_priority_stats(spark, sf):
+    orders, lineitem = _t(spark, sf, "orders", "lineitem")
+    return analytics.returnflag_priority_stats(orders, lineitem)
+
+
+def q_part_supplier_variety(spark, sf):
+    part, supplier, lineitem = _t(spark, sf, "part", "supplier", "lineitem")
+    return analytics.part_supplier_variety(part, supplier, lineitem)
+
+
+def q_sole_late_suppliers(spark, sf):
+    supplier, orders, lineitem = _t(spark, sf, "supplier", "orders",
+                                    "lineitem")
+    return analytics.sole_late_suppliers(supplier, orders, lineitem)
+
+
+def q_grouping_sets_revenue(spark, sf):
+    (lineitem,) = _t(spark, sf, "lineitem")
+    return analytics.grouping_sets_revenue(lineitem)
+
+
+def q_returnflag_part_overlap(spark, sf):
+    (lineitem,) = _t(spark, sf, "lineitem")
+    return analytics.returnflag_part_overlap(lineitem)
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -500,6 +527,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "native_session_windows": q_native_session_windows,
     "dedup_summary": q_dedup_summary,
     "quantization_error": q_quantization_error,
+    "returnflag_priority_stats": q_returnflag_priority_stats,
+    "part_supplier_variety": q_part_supplier_variety,
+    "sole_late_suppliers": q_sole_late_suppliers,
+    "grouping_sets_revenue": q_grouping_sets_revenue,
+    "returnflag_part_overlap": q_returnflag_part_overlap,
 }
 
 
@@ -1530,5 +1562,68 @@ ORACLES: dict[str, str] = {
                                       ORDER BY tf DESC, term) AS rank
             FROM tf)
         WHERE rank <= 3
+    """,
+    "returnflag_priority_stats": """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_ct,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_ct
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_returnflag
+    """,
+    "part_supplier_variety": """
+        SELECT p_brand, p_size,
+               count(DISTINCT l_suppkey) AS supplier_ct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#45'
+          AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 1000)
+        GROUP BY p_brand, p_size
+    """,
+    "sole_late_suppliers": """
+        SELECT s_name, count(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL '60 days'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate
+                                > o_orderdate + INTERVAL '60 days')
+        GROUP BY s_name
+    """,
+    "grouping_sets_revenue": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               count(*) AS line_ct,
+               CAST(round(sum({_DISC}), 2) AS DECIMAL(18,2)) AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+    """,
+    "returnflag_part_overlap": """
+        WITH r AS (SELECT l_partkey FROM lineitem
+                   WHERE l_returnflag = 'R'
+                     AND l_shipdate >= TIMESTAMP '2000-01-01'),
+             n AS (SELECT l_partkey FROM lineitem
+                   WHERE l_returnflag = 'N'
+                     AND l_shipdate < TIMESTAMP '1996-01-01')
+        SELECT 'both' AS bucket, count(*) AS part_ct
+        FROM (SELECT * FROM r INTERSECT SELECT * FROM n)
+        UNION ALL
+        SELECT 'returned_only', count(*)
+        FROM (SELECT * FROM r EXCEPT SELECT * FROM n)
+        UNION ALL
+        SELECT 'accepted_only', count(*)
+        FROM (SELECT * FROM n EXCEPT SELECT * FROM r)
     """,
 }
