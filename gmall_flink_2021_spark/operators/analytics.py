@@ -540,3 +540,74 @@ def returnflag_part_overlap(lineitem: DataFrame) -> DataFrame:
     return (bucket(r.intersect(n), "both")
             .unionByName(bucket(r.subtract(n), "returned_only"))
             .unionByName(bucket(n.subtract(r), "accepted_only")))
+
+
+def returned_item_customers(nation: DataFrame, customer: DataFrame,
+                            orders: DataFrame,
+                            lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q10-style: customers ranked by revenue lost to returned
+    items in one quarter — fact⋈fact shuffle join, broadcast dim
+    chain, heap top-20 (TakeOrderedAndProject; c_custkey is the
+    unique tie-break the oracle hash-compare needs)."""
+    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                          - money("l_discount"))
+    return (lineitem
+            .filter(F.col("l_returnflag") == "R")
+            .join(orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+                .select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(customer
+                              .select("c_custkey", "c_name", "c_nationkey")),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(revenue).cast("decimal(18,2)").alias("revenue"))
+            .orderBy(F.desc("revenue"), "c_custkey")
+            .limit(20))
+
+
+def nation_market_share(region: DataFrame, nation: DataFrame,
+                        customer: DataFrame, supplier: DataFrame,
+                        orders: DataFrame, lineitem: DataFrame,
+                        target_nation: str = "NATION_3",
+                        target_region: str = "ASIA") -> DataFrame:
+    """TPC-H Q8-style market share: per order year, the fraction of
+    ASIA-customer revenue supplied by one nation. Numerator and
+    denominator stay DECIMAL (order-independent exact sums); only the
+    final ratio is a double — one IEEE division of identical operands
+    on both engines, rounded to 6 for belt-and-braces."""
+    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                          - money("l_discount"))
+    cust_in_region = (customer.select("c_custkey", "c_nationkey")
+                      .join(F.broadcast(nation
+                                        .select("n_nationkey", "n_regionkey")),
+                            F.col("c_nationkey") == F.col("n_nationkey"))
+                      .join(F.broadcast(region.filter(
+                          F.col("r_name") == target_region)),
+                          F.col("n_regionkey") == F.col("r_regionkey"))
+                      .select("c_custkey"))
+    supp_nation = (supplier.select("s_suppkey", "s_nationkey")
+                   .join(F.broadcast(nation.select(
+                       "n_nationkey", F.col("n_name").alias("supp_nation"))),
+                       F.col("s_nationkey") == F.col("n_nationkey"))
+                   .select("s_suppkey", "supp_nation"))
+    target = F.col("supp_nation") == target_nation
+    return (lineitem
+            .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust_in_region),
+                  F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+            .join(F.broadcast(supp_nation),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+            .agg(F.sum(F.when(target, revenue)
+                       .otherwise(F.lit(0).cast("decimal(18,2)")))
+                 .cast("decimal(18,2)").alias("nation_revenue"),
+                 F.sum(revenue).cast("decimal(18,2)").alias("total_revenue"))
+            .select("order_year", "nation_revenue", "total_revenue",
+                    F.round(F.col("nation_revenue").cast("double")
+                            / F.col("total_revenue").cast("double"), 6)
+                    .alias("mkt_share")))

@@ -454,6 +454,22 @@ def q_returnflag_part_overlap(spark, sf):
 
 
 
+def q_returned_item_customers(spark, sf):
+    nation, customer, orders, lineitem = _t(spark, sf, "nation", "customer",
+                                            "orders", "lineitem")
+    return analytics.returned_item_customers(nation, customer, orders,
+                                             lineitem)
+
+
+def q_nation_market_share(spark, sf):
+    region, nation, customer, supplier, orders, lineitem = _t(
+        spark, sf, "region", "nation", "customer", "supplier", "orders",
+        "lineitem")
+    return analytics.nation_market_share(region, nation, customer, supplier,
+                                         orders, lineitem)
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -532,6 +548,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sole_late_suppliers": q_sole_late_suppliers,
     "grouping_sets_revenue": q_grouping_sets_revenue,
     "returnflag_part_overlap": q_returnflag_part_overlap,
+    "returned_item_customers": q_returned_item_customers,
+    "nation_market_share": q_nation_market_share,
 }
 
 
@@ -1625,5 +1643,42 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT 'accepted_only', count(*)
         FROM (SELECT * FROM n EXCEPT SELECT * FROM r)
+    """,
+    "returned_item_customers": f"""
+        SELECT c_custkey, c_name, n_name,
+               CAST(round(sum({_DISC}), 2) AS DECIMAL(18,2)) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "nation_market_share": f"""
+        SELECT order_year, nation_revenue, total_revenue,
+               round(CAST(nation_revenue AS DOUBLE)
+                     / CAST(total_revenue AS DOUBLE), 6) AS mkt_share
+        FROM (
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+                   CAST(round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                                       THEN {_DISC}
+                                       ELSE CAST(0 AS DECIMAL(18,2)) END), 2)
+                        AS DECIMAL(18,2)) AS nation_revenue,
+                   CAST(round(sum({_DISC}), 2) AS DECIMAL(18,2))
+                        AS total_revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE o_custkey IN (
+                SELECT c_custkey FROM customer
+                JOIN nation cn ON c_nationkey = cn.n_nationkey
+                JOIN region ON cn.n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA')
+            GROUP BY year(o_orderdate))
     """,
 }
