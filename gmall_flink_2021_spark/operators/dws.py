@@ -145,3 +145,25 @@ def province_stats_sql(spark, orders: DataFrame, customer: DataFrame,
         JOIN _ps_nation  n ON c.c_nationkey = n.n_nationkey
         GROUP BY 1, 2
     """)
+
+
+def visitor_stats_sliding(events: DataFrame,
+                          size: str = "10 minutes",
+                          slide: str = "5 minutes") -> DataFrame:
+    """Hopping/sliding-window stats keyed by event_type — the sliding
+    sibling of ``visitor_stats_window`` (SURVEY §2.9 O11 notes the
+    reference is tumbling-only; Spark gives hopping windows in the
+    same ``window()`` call). With size = 2×slide every event lands in
+    exactly two overlapping windows; Spark plans this as one Expand
+    (×2) feeding the same partial/final hash aggregate as the
+    tumbling form — no extra shuffle versus tumbling.
+    """
+    from ..functions.timeutil import window_stamps
+    return (events
+            .groupBy(F.window("ts", size, slide), "event_type")
+            .agg(F.count(F.lit(1)).alias("pv_ct"),
+                 F.countDistinct("user_id").alias("uv_ct"),
+                 F.sum(money("value")).alias("value_sum"))
+            .select(*window_stamps(), "event_type", "pv_ct", "uv_ct",
+                    F.col("value_sum").cast("decimal(18,2)")
+                    .alias("value_sum")))

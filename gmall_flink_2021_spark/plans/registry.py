@@ -470,6 +470,12 @@ def q_nation_market_share(spark, sf):
 
 
 
+def q_visitor_stats_sliding(spark, sf):
+    (events,) = _t(spark, sf, "events")
+    return dws.visitor_stats_sliding(events)
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -550,6 +556,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "returnflag_part_overlap": q_returnflag_part_overlap,
     "returned_item_customers": q_returned_item_customers,
     "nation_market_share": q_nation_market_share,
+    "visitor_stats_sliding": q_visitor_stats_sliding,
 }
 
 
@@ -1680,5 +1687,18 @@ ORACLES: dict[str, str] = {
                 JOIN region ON cn.n_regionkey = r_regionkey
                 WHERE r_name = 'ASIA')
             GROUP BY year(o_orderdate))
+    """,
+    "visitor_stats_sliding": """
+        SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+                   - k * INTERVAL '5 minutes' AS stt,
+               time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+                   - k * INTERVAL '5 minutes' + INTERVAL '10 minutes' AS edt,
+               event_type,
+               count(*) AS pv_ct,
+               count(DISTINCT user_id) AS uv_ct,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                   AS value_sum
+        FROM events CROSS JOIN (VALUES (0), (1)) offsets(k)
+        GROUP BY 1, 2, 3
     """,
 }
