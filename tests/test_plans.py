@@ -72,3 +72,14 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "day" in pf
     # pruned scan reads strictly fewer rows than the full table
     assert q.count() < back.count()
+
+
+def test_sliding_window_is_one_expand_no_extra_shuffle(spark):
+    """The hopping window (size=2×slide) must plan as a single Expand
+    (×2 row multiplier) feeding the same partial/final aggregate pair
+    as the tumbling form — overlap must not introduce extra
+    shuffles."""
+    sliding = _plan(spark, "visitor_stats_sliding")
+    tumbling = _plan(spark, "visitor_stats_window")
+    assert sliding.count("Expand") >= 1
+    assert sliding.count("Exchange") == tumbling.count("Exchange")
