@@ -17,7 +17,9 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import warnings
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import LSH_BANDS, MINHASH_SEEDS, shingles, tokens
@@ -90,6 +92,10 @@ def minhash_band_pairs(documents: DataFrame,
              .select(F.col("l.doc_id").alias("doc_a"),
                      F.col("r.doc_id").alias("doc_b"))
              .distinct())
+    # handle for callers that materialize `pairs` and can then release
+    # the banded projection (persist() is lazy, so it cannot be
+    # released here without recomputing the signatures twice)
+    pairs._banded_cache = banded
     return pairs
 
 
@@ -123,14 +129,24 @@ def simhash_signatures(documents: DataFrame, bits: int = 32) -> DataFrame:
     return votes.select("doc_id", sig.alias("simhash"))
 
 
-def ngram_jaccard_pairs(documents: DataFrame, top_n: int = 50) -> DataFrame:
+def ngram_jaccard_pairs(documents: DataFrame, top_n: int = 50,
+                        max_df: int = 1000) -> DataFrame:
     """Top near-duplicate pairs by word-3-gram Jaccard similarity,
     computed via an inverted shingle index (explode → self-join →
     count), never all-pairs. Join keys are 64-bit xxhash64 of the
     shingles — the key only needs to group equal shingles, so the
     cheapest fixed-width hash wins (measured 2.4× over 16-hex-char
     md5 keys at sf0.1; the oracle side may use any 64-bit key, since
-    only the grouping must agree). Ties broken on (doc_a, doc_b)."""
+    only the grouping must agree). Ties broken on (doc_a, doc_b).
+
+    Scale guard: the self-join is O(df²) per shingle, so one
+    stop-phrase shingle shared by 1M docs would alone produce ~10¹²
+    candidate rows. Shingles with document frequency > max_df are
+    dropped from the index before the join — a (near-)universal
+    shingle carries no near-dup signal, and the jaccard denominator
+    still uses the full per-doc shingle counts, so scores only ever
+    shrink for pairs whose overlap was carried by stop-shingles.
+    The DuckDB oracle applies the identical cap."""
     tok = tokens("text")
     sh = F.array_distinct(shingles(tok))
     # one materialization of the shingle arrays feeds the inverted
@@ -141,6 +157,10 @@ def ngram_jaccard_pairs(documents: DataFrame, top_n: int = 50) -> DataFrame:
     sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
     inv = (docs.select("doc_id", F.explode("sh").alias("s"))
            .select("doc_id", F.xxhash64(F.col("s")).alias("shingle")))
+    df_w = Window.partitionBy("shingle")
+    inv = (inv.withColumn("df", F.count(F.lit(1)).over(df_w))
+           .filter(F.col("df") <= max_df)
+           .drop("df"))
     l = inv.alias("l")
     r = inv.alias("r")
     common = (l.join(r, "shingle")
@@ -181,6 +201,9 @@ def dup_clusters(documents: DataFrame, max_iter: int = 20,
     """
     pairs = minhash_band_pairs(documents).persist()
     n_pairs = pairs.count()
+    banded = getattr(pairs, "_banded_cache", None)
+    if banded is not None:
+        banded.unpersist()
     spark = documents.sparkSession
     if n_pairs <= driver_pair_limit:
         parent: dict[int, int] = {}
@@ -221,6 +244,8 @@ def dup_clusters(documents: DataFrame, max_iter: int = 20,
     labels = (edges.select(F.col("src").alias("doc_id")).distinct()
               .withColumn("label", F.col("doc_id"))
               .persist())
+    prev_upd = None
+    changed = 0
     for _ in range(max_iter):
         neigh = (edges.join(labels.withColumnRenamed("doc_id", "dst"),
                             "dst")
@@ -231,28 +256,49 @@ def dup_clusters(documents: DataFrame, max_iter: int = 20,
         upd = labels.join(neigh, "doc_id").persist()
         changed = upd.filter(F.col("nlabel") < F.col("label")).count()
         labels.unpersist()
+        # the count above materialized `upd`, so the previous round's
+        # frame is no longer reachable lazily — release it
+        if prev_upd is not None:
+            prev_upd.unpersist()
+        prev_upd = upd
         labels = upd.select(
             "doc_id", F.least("label", "nlabel").alias("label"))
         if changed == 0:
             labels = upd.select("doc_id", "label")
             break
+    if changed > 0:
+        warnings.warn(
+            f"dup_clusters: min-label propagation did not converge in "
+            f"{max_iter} rounds (a component's diameter exceeds it); "
+            f"cluster ids may be unmerged — raise max_iter",
+            RuntimeWarning, stacklevel=2)
     sizes = (labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("cluster_sz")))
-    return (labels.join(F.broadcast(sizes), "label")
-            .select(F.col("label").alias("cluster_id"), "doc_id",
-                    "cluster_sz"))
+    # plain join: `sizes` is one row per cluster (corpus-proportional
+    # in the worst case) — AQE broadcasts it when it actually fits
+    out = (labels.join(sizes, "label")
+           .select(F.col("label").alias("cluster_id"), "doc_id",
+                   "cluster_sz"))
+    edges.unpersist()
+    pairs.unpersist()
+    return out
 
 
 def dedup_summary(documents: DataFrame) -> DataFrame:
     """The dedup stage's end product: per source, how many docs
     survive keep-one-per-cluster (canonical = min doc_id, exactly
     `dup_clusters`' representative rule) and how many are dropped.
-    One broadcast anti-flag join + one aggregation over the corpus."""
+    One left flag-join + one aggregation over the corpus.
+
+    `drops` is one row per duplicate document — corpus-proportional
+    at a realistic 20-50% dup rate, so it must NOT be force-broadcast
+    (billions of rows through the driver at 100 TB). A plain left
+    join lets AQE broadcast only when it actually fits."""
     drops = (dup_clusters(documents)
              .filter(F.col("doc_id") != F.col("cluster_id"))
              .select("doc_id", F.lit(1).alias("dropped")))
     return (documents.select("source", "doc_id")
-            .join(F.broadcast(drops), "doc_id", "left")
+            .join(drops, "doc_id", "left")
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("doc_ct"),
                  F.sum(F.coalesce("dropped", F.lit(0))).alias("dropped_ct"),

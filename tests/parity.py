@@ -1,12 +1,18 @@
 """Shared Spark-vs-DuckDB comparison harness, mimicking the driver's
-correctness gate: row count + column names + order-insensitive value
-comparison (columns sorted by name, rows sorted)."""
+correctness gate bit-for-bit.
+
+The driver canonicalizes BOTH result sets through pandas
+(``spark_df.toPandas()`` / ``duckdb_result.df()``), sorts columns by
+name, sorts rows, and hashes the stringified cells.  Reproducing that
+exact path locally matters: under pandas a DuckDB DECIMAL becomes
+float64 (``'34607792.2'``) while a Spark DECIMAL stays
+``Decimal('34607792.20')`` — equal values, different strings.  This
+simulation reproduced the full 13-fail/36-pass hash split of
+CORRECTNESS_r01 exactly (49/49), so a local pass here predicts a
+driver-green hash.
+"""
 
 from __future__ import annotations
-
-import datetime
-import math
-from decimal import Decimal
 
 import duckdb
 
@@ -22,42 +28,30 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _canon(v):
-    if isinstance(v, Decimal):
-        return ("dec", str(v))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return ("f", "nan")
-        return ("f", repr(v))
-    if isinstance(v, datetime.datetime):
-        return ("t", v.isoformat())
-    if v is None:
-        return ("null",)
-    return (type(v).__name__, str(v))
-
-
-def rows_key(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+def canon_pandas(df) -> list[tuple[str, ...]]:
+    """Driver-equivalent canonical form of a pandas frame: columns
+    sorted by name, every cell stringified, rows sorted."""
+    df = df[sorted(df.columns)]
+    return sorted(tuple(str(v) for v in row)
+                  for row in df.itertuples(index=False))
 
 
 def compare(spark_df, oracle_sql: str, con) -> list[str]:
     """Returns a list of mismatch descriptions (empty == pass)."""
     problems = []
-    s_cols = list(spark_df.columns)
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    res = con.execute(oracle_sql)
-    d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
-    if sorted(s_cols) != sorted(d_cols):
-        problems.append(f"columns: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+    spd = spark_df.toPandas()
+    dpd = con.execute(oracle_sql).df()
+    if sorted(spd.columns) != sorted(dpd.columns):
+        problems.append(
+            f"columns: spark={sorted(spd.columns)} duck={sorted(dpd.columns)}")
         return problems
-    if len(s_rows) != len(d_rows):
-        problems.append(f"rowcount: spark={len(s_rows)} duck={len(d_rows)}")
-    sk = rows_key(s_cols, s_rows)
-    dk = rows_key(d_cols, d_rows)
+    if len(spd) != len(dpd):
+        problems.append(f"rowcount: spark={len(spd)} duck={len(dpd)}")
+    sk = canon_pandas(spd)
+    dk = canon_pandas(dpd)
     if sk != dk:
-        diff_s = [r for r in sk if r not in dk][:3]
-        diff_d = [r for r in dk if r not in sk][:3]
+        sset, dset = set(sk), set(dk)
+        diff_s = [r for r in sk if r not in dset][:3]
+        diff_d = [r for r in dk if r not in sset][:3]
         problems.append(f"values: spark-only={diff_s} duck-only={diff_d}")
     return problems

@@ -83,3 +83,26 @@ def test_sliding_window_is_one_expand_no_extra_shuffle(spark):
     tumbling = _plan(spark, "visitor_stats_window")
     assert sliding.count("Expand") >= 1
     assert sliding.count("Exchange") == tumbling.count("Exchange")
+
+
+def test_dedup_summary_does_not_force_broadcast(spark):
+    """`drops` is corpus-proportional (one row per duplicate doc), so
+    the summary join must not hint a broadcast — AQE may still choose
+    one at runtime when the side actually fits, but the *logical* plan
+    must leave it free.  Checked on the analyzed plan: no
+    ResolvedHint/broadcast annotation on the drops side."""
+    from gmall_flink_2021_spark.sources.tables import load_table
+    from gmall_flink_2021_spark.operators import dedup
+
+    documents = load_table(spark, SF_SMOKE, "documents")
+    df = dedup.dedup_summary(documents)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "UnresolvedHint" not in analyzed
+    assert "ResolvedHint (strategy=broadcast)" not in analyzed
+
+
+def test_ngram_inverted_index_caps_document_frequency(spark):
+    """The O(df²) self-join guard: the inverted-index plan must filter
+    on the window-computed document frequency before the join."""
+    plan = _plan(spark, "ngram_jaccard_pairs")
+    assert "df#" in plan or "(df" in plan, "df filter missing from plan"
