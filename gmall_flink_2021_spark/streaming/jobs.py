@@ -43,9 +43,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.types import LongType, StructField, StructType
 
+    src_stat = os.stat(os.path.join(sf_dir, "events.parquet"))
+    # key the spool by file identity, not just path: the source parquet
+    # can be regenerated in place between runs, and a stale staged copy
+    # would silently diverge from the batch loader
+    ident = f"{sf_dir}:{src_stat.st_mtime_ns}:{src_stat.st_size}"
     spool = os.path.join(
         "/tmp", "gmall_stream_spool",
-        hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+        hashlib.md5(ident.encode()).hexdigest()[:12])
     os.makedirs(spool, exist_ok=True)
     dst = os.path.join(spool, "events.parquet")
     if not os.path.exists(dst):
@@ -54,8 +59,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.link(src, dst)
         except OSError:
             shutil.copy(src, dst)
-    # the file physically stores ts as INT64 nanos: stream with the raw
-    # schema, then apply the shared nanos→NTZ conversion
+    # the physical ts encoding varies between generator versions:
+    # TIMESTAMP(NANOS) surfaces as bigint (needs the shared nanos→NTZ
+    # conversion), TIMESTAMP(MICROS) reads natively — mirror whatever
+    # the batch loader saw so streaming==batch holds for both
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    raw_read = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(raw_read.dtypes)["ts"] != "bigint":
+        return (spark.readStream.schema(raw_read.schema)
+                .format("parquet").load(spool))
     batch = load_table(spark, sf_dir, "events")
     raw_schema = StructType([
         StructField("ts", LongType(), f.nullable) if f.name == "ts" else f
