@@ -32,18 +32,6 @@ from ..schemas import TABLE_PROCESS_SCHEMA
 from ..sources import cdc as cdc_src
 from . import sinks, stateful
 
-DIM_TABLES = {
-    "dim_sku_info": ["id", "sku_name", "price", "spu_id", "category3_id",
-                     "tm_id"],
-    "dim_base_trademark": ["id", "tm_name"],
-    "dim_user_info": ["id", "birthday", "gender"],
-    "dim_base_province": ["id", "name", "area_code", "iso_code",
-                          "iso_3166_2"],
-    "dim_spu_info": ["id", "spu_name"],
-    "dim_base_category3": ["id", "name"],
-}
-
-
 class Warehouse:
     """Paths + SparkSession for one warehouse instance."""
 
@@ -70,14 +58,33 @@ class Warehouse:
             batch = batch.persist()
             facts = batch.filter(F.col("sink_type") == "kafka")
             sinks.write_routed(facts, bid, self._p("dwd_facts"))
-            for table, cols in DIM_TABLES.items():
-                rows = dwd.project_sink_columns(
-                    batch.filter(F.col("sink_type") == "hbase"),
-                    table, cols)
-                if rows.take(1):
-                    sinks.upsert_dim(
-                        rows.withColumn("id", F.col("id").cast("long")),
-                        self._p("dim", table))
+            # K4, config-driven end-to-end: ONE partitioned write stages
+            # every dim row (a single Spark job per micro-batch), then
+            # each staged table merges under its configured pk. Table
+            # set, column list and pk all travel on the routed rows —
+            # i.e. straight from the table_process config — so a config
+            # row arriving mid-stream materializes a brand-new dim table
+            # on its first batch, mirroring the reference's runtime DDL
+            # (TableProcessFunction.java:62-121).
+            sinks.write_routed(batch.filter(F.col("sink_type") == "hbase"),
+                               bid, self._p("dim_staging"))
+            stage = self._p("dim_staging", f"batch_id={bid}")
+            parts = (sorted(os.listdir(stage))
+                     if os.path.isdir(stage) else [])
+            for entry in parts:
+                if not entry.startswith("sink_table="):
+                    continue
+                table = entry.split("=", 1)[1]
+                rows = self.spark.read.parquet(os.path.join(stage, entry))
+                spec = rows.select("sink_columns", "sink_pk").first()
+                cols = [c.strip() for c in spec["sink_columns"].split(",")]
+                pk = spec["sink_pk"] or "id"
+                projected = rows.select(*[
+                    F.get_json_object(F.col("data"), f"$.{c}").alias(c)
+                    for c in cols])
+                sinks.upsert_dim(
+                    projected.withColumn(pk, F.col(pk).cast("long")),
+                    self._p("dim", table), pk=pk)
             batch.unpersist()
 
         q = (routed.writeStream.foreachBatch(sink)
@@ -114,7 +121,13 @@ class Warehouse:
         return self.spark.read.parquet(self._p("dim", name))
 
     def dims(self) -> dict[str, DataFrame]:
-        return {k.removeprefix("dim_"): self.dim(k) for k in DIM_TABLES}
+        """Every dim table materialized so far, discovered from the dim
+        store itself (the table set is config-driven, not a constant)."""
+        base = self._p("dim")
+        names = sorted(d for d in os.listdir(base)
+                       if d.startswith("dim_")
+                       and not d.endswith("._staging"))
+        return {n.removeprefix("dim_"): self.dim(n) for n in names}
 
     def fact(self, sink_table: str):
         df = (self.spark.read
