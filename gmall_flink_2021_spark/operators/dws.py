@@ -149,7 +149,8 @@ def province_stats_sql(spark, orders: DataFrame, customer: DataFrame,
 
 def visitor_stats_sliding(events: DataFrame,
                           size: str = "10 minutes",
-                          slide: str = "5 minutes") -> DataFrame:
+                          slide: str = "5 minutes",
+                          streaming: bool = False) -> DataFrame:
     """Hopping/sliding-window stats keyed by event_type — the sliding
     sibling of ``visitor_stats_window`` (SURVEY §2.9 O11 notes the
     reference is tumbling-only; Spark gives hopping windows in the
@@ -159,10 +160,12 @@ def visitor_stats_sliding(events: DataFrame,
     tumbling form — no extra shuffle versus tumbling.
     """
     from ..functions.timeutil import window_stamps
+    uv = (F.size(F.collect_set("user_id")).cast("long") if streaming
+          else F.countDistinct("user_id"))
     return (events
             .groupBy(F.window("ts", size, slide), "event_type")
             .agg(F.count(F.lit(1)).alias("pv_ct"),
-                 F.countDistinct("user_id").alias("uv_ct"),
+                 uv.alias("uv_ct"),
                  F.sum(money("value")).alias("value_sum"))
             .select(*window_stamps(), "event_type", "pv_ct", "uv_ct",
                     F.col("value_sum").cast("decimal(18,2)")

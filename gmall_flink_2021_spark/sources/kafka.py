@@ -4,7 +4,10 @@ No broker exists in the test environment, so these builders return
 the configured reader/writer without starting it; the file-backed
 sources in streaming/jobs.py present the identical
 ``value: string`` surface to every operator, which is what makes the
-operator layer transport-agnostic. Reference parity:
+operator layer transport-agnostic. The option sets and the dynamic
+topic routing are plain-Python/DataFrame constructions so the
+contract is pinned by test (tests/test_sources_and_sql.py) even
+without a broker. Reference parity:
  - consumer: MyKafkaUtil.getKafkaConsumer (MyKafkaUtil.java:29-37)
  - producer: getKafkaProducer / getKafkaProducerWithSchema with
    exactly-once + dynamic topic from the record (MyKafkaUtil.java:15-27)
@@ -19,16 +22,26 @@ from pyspark.sql import functions as F
 DEFAULT_STARTING_OFFSETS = "latest"   # scan.startup.mode latest-offset
 
 
+def consumer_options(brokers: str, topic: str, group_id: str,
+                     starting_offsets: str | None = None) -> dict[str, str]:
+    """The consumer contract (MyKafkaUtil.java:29-37): subscribe by
+    topic + group id, start at the latest offset unless asked to
+    replay, and never fail the job on an expired/compacted offset."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "kafka.group.id": group_id,
+        "startingOffsets": starting_offsets or DEFAULT_STARTING_OFFSETS,
+        "failOnDataLoss": "false",
+    }
+
+
 def kafka_source(spark: SparkSession, brokers: str, topic: str,
                  group_id: str, starting_offsets: str | None = None):
     """S1: subscribe and surface value as string (SimpleStringSchema)."""
     return (spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", brokers)
-            .option("subscribe", topic)
-            .option("kafka.group.id", group_id)
-            .option("startingOffsets",
-                    starting_offsets or DEFAULT_STARTING_OFFSETS)
-            .option("failOnDataLoss", "false"))
+            .options(**consumer_options(brokers, topic, group_id,
+                                        starting_offsets)))
 
 
 def decode_value(df: DataFrame) -> DataFrame:
@@ -36,21 +49,34 @@ def decode_value(df: DataFrame) -> DataFrame:
     return df.select(F.col("value").cast("string").alias("value"))
 
 
+def route_topic(df: DataFrame, topic_col: str | None = None) -> DataFrame:
+    """K2's dynamic routing as a pure projection: the Spark kafka sink
+    honors a ``topic`` column per record, replacing the reference's
+    KafkaSerializationSchema (MyKafkaUtil.java:15-27). With no
+    ``topic_col`` the frame carries only ``value`` and the writer's
+    fixed-topic option applies (K1)."""
+    if topic_col is not None:
+        return df.select(F.col(topic_col).cast("string").alias("topic"),
+                         F.col("value").cast("string").alias("value"))
+    return df.select(F.col("value").cast("string").alias("value"))
+
+
+def producer_options(brokers: str, checkpoint: str) -> dict[str, str]:
+    """The producer contract: exactly-once comes from the checkpointed
+    offsets + idempotent re-writes (the analog of the reference's
+    Semantic.EXACTLY_ONCE transactional producer)."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "checkpointLocation": checkpoint,
+    }
+
+
 def kafka_sink(df: DataFrame, brokers: str, topic: str | None,
                checkpoint: str, topic_col: str | None = None):
-    """K1 (fixed topic) / K2 (dynamic topic from a record column —
-    the Spark kafka sink honors a ``topic`` column, which replaces the
-    reference's KafkaSerializationSchema routing). Exactly-once comes
-    from the checkpoint + the sink's idempotent producer semantics."""
-    out = df
-    if topic_col is not None:
-        out = df.select(F.col(topic_col).alias("topic"),
-                        F.col("value").cast("string").alias("value"))
-    else:
-        out = df.select(F.col("value").cast("string").alias("value"))
+    """K1 (fixed topic) / K2 (dynamic topic from a record column)."""
+    out = route_topic(df, topic_col)
     writer = (out.writeStream.format("kafka")
-              .option("kafka.bootstrap.servers", brokers)
-              .option("checkpointLocation", checkpoint))
+              .options(**producer_options(brokers, checkpoint)))
     if topic_col is None:
         writer = writer.option("topic", topic)
     return writer

@@ -122,3 +122,35 @@ def test_sql_stream_joins(spark, tmp_path, how, expect):
     got = {(r.lid, r.rid) for r in out.collect()
            if r.lid not in (98, 99) and r.rid not in (98, 99)}
     assert got == expect
+
+def test_kafka_builder_contracts(spark):
+    """K1/K2/S1 pinned without a broker: exact option sets and the
+    dynamic-topic projection shape (MyKafkaUtil.java:15-37)."""
+    from gmall_flink_2021_spark.sources import kafka as k
+
+    assert k.consumer_options("b:9092", "ods_base_log", "g1") == {
+        "kafka.bootstrap.servers": "b:9092",
+        "subscribe": "ods_base_log",
+        "kafka.group.id": "g1",
+        "startingOffsets": "latest",
+        "failOnDataLoss": "false",
+    }
+    # replay mode (startup mode earliest) is caller-selectable
+    assert k.consumer_options("b:9092", "t", "g",
+                              "earliest")["startingOffsets"] == "earliest"
+
+    assert k.producer_options("b:9092", "/ck/x") == {
+        "kafka.bootstrap.servers": "b:9092",
+        "checkpointLocation": "/ck/x",
+    }
+
+    df = spark.createDataFrame(
+        [("dwd_order_info", '{"id":1}', 9)],
+        "sink_table string, value string, extra int")
+    # K2: dynamic routing keeps exactly (topic, value), both strings
+    routed = k.route_topic(df, topic_col="sink_table")
+    assert routed.columns == ["topic", "value"]
+    assert dict(routed.dtypes) == {"topic": "string", "value": "string"}
+    assert routed.collect()[0]["topic"] == "dwd_order_info"
+    # K1: fixed topic -> value-only frame, topic set on the writer
+    assert k.route_topic(df).columns == ["value"]

@@ -62,3 +62,52 @@ def test_streaming_sinks(spark, tmp_path):
         d)
     got = {(r.id, r.name) for r in spark.read.parquet(d).collect()}
     assert got == {(1, "x"), (2, "y2"), (3, "z")}
+
+
+def test_sliding_window_streaming_matches_batch(spark, tmp_path):
+    """O11 sliding form behind a watermark: every closed hopping
+    window must equal the batch answer (collect_set distinct in
+    streaming == countDistinct in batch)."""
+    import datetime
+
+    from gmall_flink_2021_spark.operators.dws import visitor_stats_sliding
+
+    stream = (read_events_stream(spark, SF_SMOKE)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withWatermark("ts", "1 second"))
+    out = run_to_completion(visitor_stats_sliding(stream, streaming=True),
+                            str(tmp_path / "ckpt_slide"))
+    got = {tuple(r) for r in out.collect()}
+
+    events = load_table(spark, SF_SMOKE, "events")
+    batch = visitor_stats_sliding(events)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(seconds=1)
+    want = {tuple(r)
+            for r in batch.filter(F.col("edt") <= horizon).collect()}
+    assert want and got == want
+
+
+def test_session_window_streaming_matches_batch(spark, tmp_path):
+    """Native session_window behind a watermark: sessions whose merged
+    end closed under the final watermark equal the batch sessions."""
+    import datetime
+
+    from gmall_flink_2021_spark.operators.analytics import (
+        native_session_windows,
+    )
+
+    stream = (read_events_stream(spark, SF_SMOKE)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withWatermark("ts", "1 second"))
+    out = run_to_completion(native_session_windows(stream),
+                            str(tmp_path / "ckpt_sess"))
+    got = {tuple(r) for r in out.collect()}
+
+    events = load_table(spark, SF_SMOKE, "events")
+    batch = native_session_windows(events)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(seconds=1)
+    want = {tuple(r) for r in
+            batch.filter(F.col("session_end") <= horizon).collect()}
+    assert want and got == want
