@@ -305,3 +305,38 @@ def dedup_summary(documents: DataFrame) -> DataFrame:
                  (F.count(F.lit(1))
                   - F.sum(F.coalesce("dropped", F.lit(0))))
                  .alias("kept_ct")))
+
+
+def simhash_band_pairs(documents: DataFrame,
+                       max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: documents whose 32-bit signatures are
+    within ``max_hamming`` bits, found without an all-pairs scan.
+
+    The signature is split into 4 byte-bands; by pigeonhole any pair
+    with hamming distance ≤ 3 agrees on at least one whole band, so a
+    per-band equi-join generates a complete candidate set and the
+    exact hamming check (bit_count of xor) filters it — the same
+    bucketed join shape as the MinHash LSH path, recall 100% by
+    construction. Scale: candidates are O(Σ bucket²) not O(n²); a
+    degenerate bucket (mass-duplicated boilerplate) is the same
+    pathology exact-dedup removes first.
+    """
+    sig = simhash_signatures(documents)
+    banded = sig.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            (F.col("simhash").bitwiseAND(F.lit(255 << (8 * b))))
+            for b in range(4)])).alias("band", "band_key"))
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (l.join(r, ["band", "band_key"])
+             .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+             .select(F.col("l.doc_id").alias("doc_a"),
+                     F.col("r.doc_id").alias("doc_b"),
+                     F.col("l.simhash").alias("sig_a"),
+                     F.col("r.simhash").alias("sig_b"))
+             .distinct())
+    hamming = F.bit_count(
+        F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
+    return (pairs
+            .select("doc_a", "doc_b", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))

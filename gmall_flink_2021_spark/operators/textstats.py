@@ -198,3 +198,89 @@ def bpe_token_stats(documents: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("doc_ct"),
                  F.sum("n_bpe").alias("bpe_token_ct"),
                  F.sum("n_ws").alias("ws_token_ct")))
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    tokens taken by the single most frequent token, and the fraction
+    of duplicate word 2-grams (Rae et al. 2021's repetition filters,
+    count-based variant). High values mark boilerplate / degenerate
+    text a pretraining pipeline drops.
+
+    One explode + two-level aggregation for the top-token side (both
+    map-side combined), pure array ops for the 2-gram side — no
+    Python, one shuffle keyed by doc_id.
+    """
+    from ..functions.text import shingles
+
+    top = (documents
+           .select("doc_id", F.explode(tokens("text")).alias("t"))
+           .groupBy("doc_id", "t")
+           .agg(F.count(F.lit(1)).alias("c"))
+           .groupBy("doc_id")
+           .agg(F.max("c").alias("top_token_ct")))
+    tok = tokens("text")
+    g2 = shingles(tok, 2)
+    grams = documents.select(
+        "doc_id",
+        F.size(tok).alias("n_tokens"),
+        F.size(g2).alias("n_2grams"),
+        F.size(F.array_distinct(g2)).alias("distinct_2grams"))
+    return (grams.join(top, "doc_id", "left")
+            .select(
+                "doc_id", "n_tokens",
+                F.coalesce("top_token_ct", F.lit(0)).alias("top_token_ct"),
+                F.when(F.col("n_tokens") > 0,
+                       F.coalesce("top_token_ct", F.lit(0)).cast("double")
+                       / F.col("n_tokens").cast("double"))
+                .otherwise(F.lit(0.0)).alias("top_token_frac"),
+                "n_2grams",
+                F.when(F.col("n_2grams") > 0,
+                       1.0 - F.col("distinct_2grams").cast("double")
+                       / F.col("n_2grams").cast("double"))
+                .otherwise(F.lit(0.0)).alias("dup_2gram_frac")))
+
+
+def tfidf_search(documents: DataFrame,
+                 query_terms: tuple[str, ...] = ("spark", "join", "window"),
+                 k: int = 10) -> DataFrame:
+    """TF-IDF ranked search for a fixed term set: score(d) = Σ_t
+    tf(t,d) · ln(N/df(t)), summed in fixed term order so the double
+    arithmetic is reproducible; rounded to 6 dp to absorb any ulp
+    difference in the engines' ln. Top-k with doc_id tie-break.
+
+    Spark-first shape: per-doc tf terms are array filters (no
+    explode), the three df counts are ONE corpus aggregation
+    broadcast back via a 1-row cross join — the whole query is two
+    narrow scans and a TakeOrderedAndProject, no wide shuffle.
+    """
+    tok = tokens("text")
+
+    def _eq(term: str):
+        # NB: a `lambda t, term=term:` default-arg closure would look
+        # 2-ary to F.filter, which then passes the element INDEX as the
+        # second argument
+        return lambda t: t == F.lit(term)
+
+    tfs = documents.select(
+        "doc_id", F.size(tok).alias("n_tokens"),
+        *[F.size(F.filter(tok, _eq(term))).alias(f"tf_{i}")
+          for i, term in enumerate(query_terms)])
+    idf_row = tfs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+          for i in range(len(query_terms))])
+    scored = tfs.crossJoin(F.broadcast(idf_row))
+    score = None
+    for i in range(len(query_terms)):
+        part = F.when(
+            F.col(f"df_{i}") > 0,
+            F.col(f"tf_{i}").cast("double")
+            * F.log(F.col("n_docs").cast("double")
+                    / F.col(f"df_{i}").cast("double"))).otherwise(F.lit(0.0))
+        score = part if score is None else score + part
+    return (scored
+            .select("doc_id", F.round(score, 6).alias("score"))
+            .filter(F.col("score") > 0)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k))

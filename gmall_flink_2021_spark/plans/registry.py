@@ -475,6 +475,21 @@ def q_visitor_stats_sliding(spark, sf):
     return dws.visitor_stats_sliding(events)
 
 
+def q_repetition_stats(spark, sf):
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.repetition_stats(documents)
+
+
+def q_tfidf_search(spark, sf):
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.tfidf_search(documents)
+
+
+def q_simhash_band_pairs(spark, sf):
+    (documents,) = _t(spark, sf, "documents")
+    return dedup.simhash_band_pairs(documents)
+
+
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
@@ -557,6 +572,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "returned_item_customers": q_returned_item_customers,
     "nation_market_share": q_nation_market_share,
     "visitor_stats_sliding": q_visitor_stats_sliding,
+    "repetition_stats": q_repetition_stats,
+    "tfidf_search": q_tfidf_search,
+    "simhash_band_pairs": q_simhash_band_pairs,
 }
 
 
@@ -1709,6 +1727,99 @@ ORACLES: dict[str, str] = {
                    AS value_sum
         FROM events CROSS JOIN (VALUES (0), (1)) offsets(k)
         GROUP BY 1, 2, 3
+    """,
+    "repetition_stats": f"""
+        WITH {_TOKS},
+        tk AS (SELECT doc_id, unnest(tok) AS t FROM toks),
+        tc AS (SELECT doc_id, t, count(*) AS c FROM tk GROUP BY doc_id, t),
+        top AS (SELECT doc_id, max(c) AS top_token_ct FROM tc
+                GROUP BY doc_id),
+        g AS (
+            SELECT doc_id, len(tok) AS n_tokens,
+                   CASE WHEN len(tok) >= 2
+                        THEN list_transform(range(1, len(tok)),
+                             i -> tok[i] || ' ' || tok[i+1])
+                        ELSE [] END AS g2
+            FROM toks
+        )
+        SELECT g.doc_id,
+               CAST(n_tokens AS INT) AS n_tokens,
+               CAST(coalesce(top_token_ct, 0) AS BIGINT) AS top_token_ct,
+               CASE WHEN n_tokens > 0
+                    THEN CAST(coalesce(top_token_ct, 0) AS DOUBLE)
+                         / CAST(n_tokens AS DOUBLE)
+                    ELSE 0.0 END AS top_token_frac,
+               CAST(len(g2) AS INT) AS n_2grams,
+               CASE WHEN len(g2) > 0
+                    THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                               / CAST(len(g2) AS DOUBLE)
+                    ELSE 0.0 END AS dup_2gram_frac
+        FROM g LEFT JOIN top ON g.doc_id = top.doc_id
+    """,
+    "tfidf_search": f"""
+        WITH {_TOKS},
+        tf AS (
+            SELECT doc_id,
+                   len(list_filter(tok, t -> t = 'spark'))  AS tf_0,
+                   len(list_filter(tok, t -> t = 'join'))   AS tf_1,
+                   len(list_filter(tok, t -> t = 'window')) AS tf_2
+            FROM toks
+        ),
+        idf AS (
+            SELECT count(*) AS n_docs,
+                   sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+                   sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+                   sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+            FROM tf
+        )
+        SELECT doc_id, score FROM (
+            SELECT doc_id,
+                   round(
+                       (CASE WHEN df_0 > 0 THEN CAST(tf_0 AS DOUBLE)
+                            * ln(CAST(n_docs AS DOUBLE)
+                                 / CAST(df_0 AS DOUBLE)) ELSE 0.0 END)
+                     + (CASE WHEN df_1 > 0 THEN CAST(tf_1 AS DOUBLE)
+                            * ln(CAST(n_docs AS DOUBLE)
+                                 / CAST(df_1 AS DOUBLE)) ELSE 0.0 END)
+                     + (CASE WHEN df_2 > 0 THEN CAST(tf_2 AS DOUBLE)
+                            * ln(CAST(n_docs AS DOUBLE)
+                                 / CAST(df_2 AS DOUBLE)) ELSE 0.0 END),
+                       6) AS score
+            FROM tf CROSS JOIN idf
+        )
+        WHERE score > 0
+        ORDER BY score DESC, doc_id
+        LIMIT 10
+    """,
+    "simhash_band_pairs": f"""
+        WITH {_TOKS},
+        tk AS (SELECT doc_id, unnest(tok) AS t FROM toks),
+        h AS (SELECT doc_id, substr(md5(t), 1, 8) AS h FROM tk),
+        v AS (
+            SELECT doc_id,
+{_SIMHASH_SUMS}
+            FROM h GROUP BY doc_id
+        ),
+        s AS (SELECT doc_id,
+                     CAST({_SIMHASH_COMBINE} AS BIGINT) AS simhash FROM v),
+        b AS (
+            SELECT doc_id, simhash,
+                   unnest([0, 1, 2, 3]) AS band,
+                   unnest([simhash & 255, simhash & 65280,
+                           simhash & 16711680,
+                           simhash & 4278190080]) AS band_key
+            FROM s
+        ),
+        p AS (
+            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                   l.simhash AS sa, r.simhash AS sb
+            FROM b l JOIN b r USING (band, band_key)
+            WHERE l.doc_id < r.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        FROM p
+        WHERE bit_count(xor(sa, sb)) <= 3
     """,
 }
 

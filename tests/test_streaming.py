@@ -111,3 +111,20 @@ def test_session_window_streaming_matches_batch(spark, tmp_path):
     want = {tuple(r) for r in
             batch.filter(F.col("session_end") <= horizon).collect()}
     assert want and got == want
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """Streaming exact dedup (the O6 primitive generalized to an
+    arbitrary key set): dropDuplicates over a stream must equal batch
+    distinct once drained."""
+    stream = read_events_stream(spark, SF_SMOKE)
+    out = run_to_completion(
+        stream.select("user_id", "event_type")
+              .dropDuplicates(["user_id", "event_type"]),
+        str(tmp_path / "ckpt_dd"))
+    got = {tuple(r) for r in out.collect()}
+
+    events = load_table(spark, SF_SMOKE, "events")
+    want = {tuple(r) for r in
+            events.select("user_id", "event_type").distinct().collect()}
+    assert want and got == want
