@@ -106,3 +106,42 @@ def test_ngram_inverted_index_caps_document_frequency(spark):
     on the window-computed document frequency before the join."""
     plan = _plan(spark, "ngram_jaccard_pairs")
     assert "df#" in plan or "(df" in plan, "df filter missing from plan"
+
+
+def test_quantization_error_materializes_max_abs_once(spark):
+    """Regression guard for the O(d^2) expression-inlining trap:
+    max_abs must be computed as a column (once per row), not re-inlined
+    into the per-element dequantization lambda — inlining makes the
+    plan carry one array_max subtree per consumer (21.6s -> 0.7s at
+    sf0.1 when fixed)."""
+    plan = _plan(spark, "quantization_error")
+    assert plan.count("array_max") <= 3
+
+
+def test_embedding_dups_keeps_fold_count_bounded(spark):
+    """The dot/norm folds must not multiply through CollapseProject:
+    the projected-before-filter shape holds the aggregate() lambda
+    count at 6 (2 norms + dot, each visible at most twice)."""
+    plan = _plan(spark, "embedding_dups")
+    assert plan.count("aggregate(") <= 6
+
+
+def test_simhash_band_pairs_is_bucketed_equi_join(spark):
+    """Candidate generation must be an equi-join on (band, band_key) —
+    never a nested-loop/cartesian all-pairs scan."""
+    plan = _plan(spark, "simhash_band_pairs")
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_search_shape(spark):
+    """Top-k by heap (TakeOrderedAndProject), the 1-row idf frame
+    broadcast (nested-loop on a single row is the right physical
+    choice), and no shuffle of the documents scan beyond the final
+    aggregation."""
+    plan = _plan(spark, "tfidf_search")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
