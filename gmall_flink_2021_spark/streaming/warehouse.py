@@ -39,23 +39,63 @@ class Warehouse:
                  config_rows: list[dict]):
         self.spark = spark
         self.work = workdir
-        self.config = spark.createDataFrame(config_rows,
-                                            TABLE_PROCESS_SCHEMA)
-        for d in ("ods_log", "ods_db", "dwd", "dwd_facts", "dim", "dws", "ck"):
+        for d in ("ods_log", "ods_db", "ods_config", "dwd", "dwd_facts",
+                  "dim", "dws", "ck"):
             os.makedirs(os.path.join(workdir, d), exist_ok=True)
+        self._config_seq = len(os.listdir(self._p("ods_config")))
+        if config_rows:
+            self.add_config_rows(config_rows)
 
     def _p(self, *parts: str) -> str:
         return os.path.join(self.work, *parts)
 
+    # --------------------------------------------------------- config feed
+    def add_config_rows(self, rows: list[dict]) -> None:
+        """The table_process config is itself a change stream (the
+        reference broadcasts the MySQL-CDC of that table into keyed
+        broadcast state — BaseDBApp.java:78-88). Appending a changelog
+        file here is the transport analog: rows take effect from the
+        NEXT micro-batch, exactly like a broadcast-state update racing
+        the data stream."""
+        import json
+
+        path = self._p("ods_config", f"config-{self._config_seq:06d}.jsonl")
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(json.dumps({**r, "_seq": self._config_seq}) + "\n")
+        self._config_seq += 1
+
+    @property
+    def config(self) -> DataFrame:
+        """Latest config state: per (source_table, operate_type) key,
+        the highest-_seq row wins (the ValueState upsert analog)."""
+        from pyspark.sql import Window
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        # NB: StructType.add mutates in place — build a fresh copy
+        schema = StructType(list(TABLE_PROCESS_SCHEMA.fields)
+                            + [StructField("_seq", LongType())])
+        raw = self.spark.read.schema(schema).json(self._p("ods_config"))
+        w = Window.partitionBy("source_table", "operate_type") \
+                  .orderBy(F.desc("_seq"))
+        return (raw.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn", "_seq"))
+
     # ------------------------------------------------------------ ODS→DWD
     def run_base_db(self) -> None:
-        """BaseDBApp: changelog → route → dim merge + fact topics."""
+        """BaseDBApp: changelog → route → dim merge + fact topics.
+
+        Routing happens INSIDE foreachBatch against the config state
+        as of that batch, so a table_process row arriving mid-stream
+        re-routes every later batch — the reference's
+        BroadcastProcessFunction semantics (BaseDBApp.java:78-88)
+        without restarting the query."""
         stream = cdc_src.read_changelog_stream(self.spark,
                                                self._p("ods_db"))
-        routed = dwd.route_cdc(dwd.filter_deletes(stream), self.config)
+        stream = dwd.filter_deletes(stream)
 
-        def sink(batch: DataFrame, bid: int) -> None:
-            batch = batch.persist()
+        def sink(cdc_batch: DataFrame, bid: int) -> None:
+            batch = dwd.route_cdc(cdc_batch, self.config).persist()
             facts = batch.filter(F.col("sink_type") == "kafka")
             sinks.write_routed(facts, bid, self._p("dwd_facts"))
             # K4, config-driven end-to-end: ONE partitioned write stages
@@ -87,7 +127,7 @@ class Warehouse:
                     self._p("dim", table), pk=pk)
             batch.unpersist()
 
-        q = (routed.writeStream.foreachBatch(sink)
+        q = (stream.writeStream.foreachBatch(sink)
              .option("checkpointLocation", self._p("ck", "base_db"))
              .trigger(availableNow=True).start())
         q.awaitTermination()

@@ -145,3 +145,39 @@ def test_tfidf_search_shape(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime row-level filtering (the 100 TB join-pruning path): when
+    a selective dim-side filter feeds a non-broadcast join, Spark
+    injects a bloom filter that prunes the fact scan before the
+    shuffle. The size thresholds exist precisely because this only
+    pays off at large scans (applicationSideScanSizeThreshold defaults
+    to 10GB), so the test relaxes them to local sizes and asserts the
+    might_contain predicate reaches the fact side."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_2021_spark.sources.tables import load_table
+
+    saved = {k: spark.conf.get(k) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    )}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold", "0")
+        o = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT")
+        lineitem = load_table(spark, SF_SMOKE, "lineitem")
+        j = (lineitem.join(o, lineitem.l_orderkey == o.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+        assert "might_contain" in plan.lower()
+        assert "bloom_filter_agg" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

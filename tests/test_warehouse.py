@@ -131,37 +131,45 @@ def test_warehouse_end_to_end(spark, tmp_path):
     assert after == before
 
 def test_dim_tables_are_config_driven(spark, tmp_path):
-    """K4 runtime DDL analog: an unseen dim table added via a
-    table_process config row alone materializes on its first batch —
-    name, column list, and pk all come from the config, nothing is
-    hardcoded (TableProcessFunction.java:62-121)."""
+    """K4 runtime DDL + broadcast-state semantics: a table_process row
+    arriving MID-STREAM materializes an unseen dim table for every
+    later batch — name, column list, and pk all come from the config,
+    nothing is hardcoded (TableProcessFunction.java:62-121,
+    BaseDBApp.java:78-88). Records that arrive before their config row
+    are dropped, exactly as the reference's unmatched-key path."""
     import json
 
+    def color_row(cid, name):
+        return {"database": "gmall2021", "table": "base_color",
+                "type": "insert",
+                "data": json.dumps({"color_id": cid, "color_name": name,
+                                    "stray_field": "dropped"}),
+                "before_data": "{}"}
+
     work = str(tmp_path / "wh_cfg")
-    rows = fx.table_process_rows() + [{
+    wh = Warehouse(spark, work, fx.table_process_rows())
+    # batch 1: base_color has NO config yet -> its rows are dropped
+    cdc_src.write_changelog_fixture(
+        fx.cdc_rows() + [color_row(1, "pre-config-dropped")],
+        os.path.join(work, "ods_db"))
+    wh.run_base_db()
+    assert not os.path.isdir(os.path.join(work, "dim", "dim_base_color"))
+
+    # config row arrives mid-stream; later batches route the new table
+    wh.add_config_rows([{
         "source_table": "base_color", "operate_type": "insert",
         "sink_type": "hbase", "sink_table": "dim_base_color",
         "sink_columns": "color_id,color_name", "sink_pk": "color_id",
-        "sink_extend": None}]
-    wh = Warehouse(spark, work, rows)
-    cdc = fx.cdc_rows() + [
-        {"database": "gmall2021", "table": "base_color", "type": "insert",
-         "data": json.dumps({"color_id": 7, "color_name": "red",
-                             "stray_field": "dropped-by-projection"}),
-         "before_data": "{}"},
-        {"database": "gmall2021", "table": "base_color", "type": "update",
-         "data": json.dumps({"color_id": 7, "color_name": "crimson"}),
-         "before_data": json.dumps({"color_id": 7, "color_name": "red"})},
-    ]
-    cdc_src.write_changelog_fixture(cdc, os.path.join(work, "ods_db"))
-
+        "sink_extend": None}])
+    with open(os.path.join(work, "ods_db", "changelog-1.jsonl"), "w") as f:
+        f.write(json.dumps(color_row(7, "crimson")) + "\n")
     wh.run_base_db()
 
     got = wh.dim("dim_base_color")
-    # configured projection applied; configured (non-"id") pk respected
+    # configured projection applied; configured (non-"id") pk respected;
+    # only the post-config record landed
     assert got.columns == ["color_id", "color_name"]
-    assert got.count() == 1
-    assert got.collect()[0]["color_name"] in {"red", "crimson"}
+    assert [tuple(r) for r in got.collect()] == [(7, "crimson")]
     # discovered by the dims() helper alongside the standard tables
     d = wh.dims()
     assert "base_color" in d and "sku_info" in d
