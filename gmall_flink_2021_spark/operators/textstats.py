@@ -284,3 +284,87 @@ def tfidf_search(documents: DataFrame,
             .filter(F.col("score") > 0)
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k))
+
+
+def contamination_check(documents: DataFrame,
+                        benchmark_mod: int = 100) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, the
+    fraction of its distinct word 3-grams that also appear in a
+    held-out benchmark set (here: doc_id % ``benchmark_mod`` == 0,
+    the deterministic stand-in for an eval suite). Pretraining
+    pipelines drop or flag high-overlap docs before training.
+
+    Spark-first shape: both sides explode to (doc, shingle-hash) and
+    meet in ONE equi-join on the 64-bit shingle key (an inverted
+    index, never doc×doc pairs); overlap counts aggregate map-side.
+    At 100 TB the benchmark side is tiny — AQE broadcasts it.
+    """
+    from ..functions.text import shingles
+
+    sh = F.array_distinct(shingles(tokens("text")))
+    corpus = (documents
+              .filter(F.col("doc_id") % benchmark_mod != 0)
+              .select("doc_id", sh.alias("sh"))
+              .filter(F.size("sh") > 0))
+    bench_sh = (documents
+                .filter(F.col("doc_id") % benchmark_mod == 0)
+                .select(F.explode(sh).alias("s"))
+                .select(F.xxhash64("s").alias("shingle"))
+                .distinct())
+    hits = (corpus.select("doc_id", F.explode("sh").alias("s"))
+            .select("doc_id", F.xxhash64("s").alias("shingle"))
+            .join(bench_sh, "shingle")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("contaminated_sh")))
+    sizes = corpus.select("doc_id", F.size("sh").alias("n_sh"))
+    return (sizes.join(hits, "doc_id")
+            .select("doc_id", "n_sh", "contaminated_sh",
+                    (F.col("contaminated_sh").cast("double")
+                     / F.col("n_sh").cast("double"))
+                    .alias("contaminated_frac")))
+
+
+def domain_quota_sample(documents: DataFrame, quota: int = 10) -> DataFrame:
+    """Per-domain quota sampling: keep at most ``quota`` documents per
+    source, preferring longer documents (n_chars desc, doc_id
+    tie-break) — the dataset-mixing primitive that stops one domain
+    from swamping the blend. Integer-only ranking, one shuffle keyed
+    by source."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id"))
+    return (documents
+            .select("source", "doc_id", "n_chars")
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= quota))
+
+
+def sequence_packing(documents: DataFrame,
+                     seq_tokens: int = 2048) -> DataFrame:
+    """Greedy sequence packing audit: documents are laid out in
+    doc_id order within each source and cut into fixed-size training
+    sequences of ``seq_tokens`` tokens; a document belongs to the
+    chunk containing its start offset. Emits per (source, chunk):
+    document count, token sum, and fill ratio.
+
+    The prefix sum is a window over (source ORDER BY doc_id) — range
+    partitioning keeps it parallel per source at corpus scale (a
+    single global ordering would serialize; packing per shard is what
+    real pipelines do)."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    toks = documents.select(
+        "source", "doc_id", F.size(tokens("text")).alias("n_tokens"))
+    placed = toks.withColumn(
+        "chunk_id",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens"))
+         / F.lit(seq_tokens)).cast("long"))
+    return (placed.groupBy("source", "chunk_id")
+            .agg(F.count(F.lit(1)).alias("doc_ct"),
+                 F.sum("n_tokens").alias("token_ct"))
+            .withColumn("fill_ratio",
+                        F.least(F.col("token_ct").cast("double")
+                                / F.lit(float(seq_tokens)), F.lit(1.0))))

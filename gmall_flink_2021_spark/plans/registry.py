@@ -490,6 +490,21 @@ def q_simhash_band_pairs(spark, sf):
     return dedup.simhash_band_pairs(documents)
 
 
+def q_contamination_check(spark, sf):
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.contamination_check(documents)
+
+
+def q_domain_quota_sample(spark, sf):
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.domain_quota_sample(documents)
+
+
+def q_sequence_packing(spark, sf):
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.sequence_packing(documents)
+
+
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
@@ -575,6 +590,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "tfidf_search": q_tfidf_search,
     "simhash_band_pairs": q_simhash_band_pairs,
+    "contamination_check": q_contamination_check,
+    "domain_quota_sample": q_domain_quota_sample,
+    "sequence_packing": q_sequence_packing,
 }
 
 
@@ -1820,6 +1838,53 @@ ORACLES: dict[str, str] = {
                CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
         FROM p
         WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+    "contamination_check": f"""
+        WITH {_SHINGLES},
+        c AS (SELECT doc_id, list_distinct(sh) AS sh FROM shing
+              WHERE doc_id % 100 <> 0 AND len(sh) > 0),
+        b AS (SELECT DISTINCT s FROM (
+                  SELECT unnest(list_distinct(sh)) AS s FROM shing
+                  WHERE doc_id % 100 = 0)),
+        hits AS (
+            SELECT doc_id, count(*) AS contaminated_sh
+            FROM (SELECT doc_id, unnest(sh) AS s FROM c) cs
+            JOIN b USING (s)
+            GROUP BY doc_id
+        )
+        SELECT c.doc_id,
+               CAST(len(sh) AS INT) AS n_sh,
+               contaminated_sh,
+               CAST(contaminated_sh AS DOUBLE) / CAST(len(sh) AS DOUBLE)
+                   AS contaminated_frac
+        FROM c JOIN hits ON c.doc_id = hits.doc_id
+    """,
+    "domain_quota_sample": """
+        SELECT source, doc_id, n_chars, rank FROM (
+            SELECT source, doc_id, n_chars,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+            FROM documents)
+        WHERE rank <= 10
+    """,
+    "sequence_packing": f"""
+        WITH {_TOKS},
+        t AS (SELECT source, doc_id, len(tok) AS n_tokens FROM toks),
+        p AS (
+            SELECT source, n_tokens,
+                   CAST((sum(n_tokens) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048
+                        AS BIGINT) AS chunk_id
+            FROM t
+        )
+        SELECT source, chunk_id,
+               count(*) AS doc_ct,
+               CAST(sum(n_tokens) AS BIGINT) AS token_ct,
+               least(CAST(sum(n_tokens) AS DOUBLE) / 2048.0, 1.0)
+                   AS fill_ratio
+        FROM p GROUP BY source, chunk_id
     """,
 }
 
