@@ -611,3 +611,20 @@ def nation_market_share(region: DataFrame, nation: DataFrame,
                     F.round(F.col("nation_revenue").cast("double")
                             / F.col("total_revenue").cast("double"), 6)
                     .alias("mkt_share")))
+
+
+def event_metrics_unpivot(events: DataFrame) -> DataFrame:
+    """Wide→long metric reshaping: per-day conditional counts pivoted
+    wide (the DWS sparse-metric shape), then unpivoted back to
+    (day, metric, ct) rows with ``stack`` — the inverse of
+    ``hourly_activity_pivot`` and the standard feed shape for metric
+    stores. Spark's unpivot is a generator expression in the
+    projection: no shuffle beyond the original aggregate."""
+    day = F.date_trunc("DAY", F.col("ts")).alias("day")
+    wide = (events.groupBy(day)
+            .agg(*[F.sum((F.col("event_type") == t).cast("long"))
+                   .alias(t) for t in ("click", "view", "purchase")]))
+    return wide.select(
+        "day",
+        F.expr("stack(3, 'click', click, 'view', view, "
+               "'purchase', purchase) AS (metric, ct)"))

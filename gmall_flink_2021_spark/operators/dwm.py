@@ -218,3 +218,30 @@ def purchase_click_window_join(events: DataFrame,
                            left_ts="p_ts", right_ts="c_ts")
     return joined.select("l.user_id", "purchase_id", "click_id",
                          "p_ts", "c_ts", "amount")
+
+
+def uv_sketch_rollup(events: DataFrame) -> DataFrame:
+    """Mergeable-sketch rollup: per-day HLL sketches of user_id
+    (``hll_sketch_agg``) re-aggregated to a monthly estimate with
+    ``hll_union_agg`` — the 100 TB pattern where fine-grained sketches
+    are computed once at ingest and every coarser rollup is a cheap
+    sketch union instead of a raw re-scan. Emits each day's estimate
+    alongside its month's unioned estimate (always ≥ the daily one).
+    No SQL oracle: sketch encodings are algorithm-specific, so the
+    driver records the rows-only check (like
+    unique_visitors_daily_approx)."""
+    day = F.date_trunc("DAY", F.col("ts"))
+    month = F.date_trunc("MONTH", F.col("day"))
+    daily = (events.withColumn("day", day)
+             .groupBy("day")
+             .agg(F.hll_sketch_agg("user_id").alias("sk"),
+                  F.count(F.lit(1)).alias("pv_ct")))
+    monthly = (daily.withColumn("month", month)
+               .groupBy("month")
+               .agg(F.hll_sketch_estimate(
+                   F.hll_union_agg("sk")).alias("month_uv_est")))
+    return (daily.withColumn("month", month)
+            .join(F.broadcast(monthly), "month")
+            .select("day",
+                    F.hll_sketch_estimate("sk").alias("daily_uv_est"),
+                    "pv_ct", "month", "month_uv_est"))

@@ -505,6 +505,16 @@ def q_sequence_packing(spark, sf):
     return textstats.sequence_packing(documents)
 
 
+def q_event_metrics_unpivot(spark, sf):
+    (events,) = _t(spark, sf, "events")
+    return analytics.event_metrics_unpivot(events)
+
+
+def q_uv_sketch_rollup(spark, sf):
+    (events,) = _t(spark, sf, "events")
+    return dwm.uv_sketch_rollup(events)
+
+
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
@@ -593,6 +603,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_check": q_contamination_check,
     "domain_quota_sample": q_domain_quota_sample,
     "sequence_packing": q_sequence_packing,
+    "event_metrics_unpivot": q_event_metrics_unpivot,
+    # no oracle entry: HLL sketch encodings are algorithm-specific
+    # (rows-only check, like unique_visitors_daily_approx)
+    "uv_sketch_rollup": q_uv_sketch_rollup,
 }
 
 
@@ -1885,6 +1899,25 @@ ORACLES: dict[str, str] = {
                least(CAST(sum(n_tokens) AS DOUBLE) / 2048.0, 1.0)
                    AS fill_ratio
         FROM p GROUP BY source, chunk_id
+    """,
+    "event_metrics_unpivot": """
+        WITH wide AS (
+            SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                        AS TIMESTAMP) AS day,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS click,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       AS view,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS purchase
+            FROM events GROUP BY 1
+        )
+        SELECT day, 'click' AS metric, CAST(click AS BIGINT) AS ct
+        FROM wide
+        UNION ALL
+        SELECT day, 'view', CAST(view AS BIGINT) FROM wide
+        UNION ALL
+        SELECT day, 'purchase', CAST(purchase AS BIGINT) FROM wide
     """,
 }
 

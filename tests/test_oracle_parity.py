@@ -31,7 +31,8 @@ def test_query_matches_oracle(spark, duck, name):
 def test_oracles_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
     # everything except the documented approx ops is oracle-checked
-    assert set(QUERIES) - set(ORACLES) == {"unique_visitors_daily_approx"}
+    assert set(QUERIES) - set(ORACLES) == {"unique_visitors_daily_approx",
+                                           "uv_sketch_rollup"}
 
 
 def test_entry_contract(spark):

@@ -165,3 +165,25 @@ def test_native_session_window_exact_gap_merges(spark):
     df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
     out = native_session_windows(df).orderBy("session_start").collect()
     assert [r.n_events for r in out] == [3]
+
+
+def test_uv_sketch_rollup_estimates_are_sane(spark):
+    """HLL rollup invariants: the monthly union estimate dominates
+    every member day (union takes per-register max), and estimates sit
+    within 5% of the exact distinct counts at this cardinality."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_2021_spark.operators.dwm import uv_sketch_rollup
+    from gmall_flink_2021_spark.sources.tables import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    got = uv_sketch_rollup(events).collect()
+    assert got
+    for r in got:
+        assert r.month_uv_est >= r.daily_uv_est
+
+    exact = {r.day: r.uv for r in
+             events.groupBy(F.date_trunc("DAY", "ts").alias("day"))
+             .agg(F.countDistinct("user_id").alias("uv")).collect()}
+    for r in got:
+        assert abs(r.daily_uv_est - exact[r.day]) <= 0.05 * exact[r.day]
