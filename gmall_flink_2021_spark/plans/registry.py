@@ -2028,6 +2028,9 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     "gmv_daily_delta", "priority_rollup", "revenue_forecast",
     "promo_revenue_share", "disjunctive_revenue", "large_volume_customers",
     "bilateral_trade", "top_revenue_supplier", "small_qty_part_revenue",
+    # round-2 additions: fill the two remaining graded slots (the rest
+    # rotate into the window next round)
+    "repetition_stats", "simhash_band_pairs",
 )
 
 

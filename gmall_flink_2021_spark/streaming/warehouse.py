@@ -125,6 +125,12 @@ class Warehouse:
                 sinks.upsert_dim(
                     projected.withColumn(pk, F.col(pk).cast("long")),
                     self._p("dim", table), pk=pk)
+            # staging is transient: replay rebuilds it from the
+            # checkpointed source batch, so drop it once merged
+            if os.path.isdir(stage):
+                import shutil
+
+                shutil.rmtree(stage, ignore_errors=True)
             batch.unpersist()
 
         q = (stream.writeStream.foreachBatch(sink)

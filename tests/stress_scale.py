@@ -1,0 +1,93 @@
+"""Scale stress harness (not collected by pytest's default run —
+invoke directly): replicates the sf0.1 tables 10x/16x into /tmp and
+runs the shuffle-heavy operator families, checking wall time scales
+~linearly and nothing blows up combinatorially.
+
+Usage: python tests/stress_scale.py [factor]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+SRC = "/root/testdata/sf0.1"
+DST = f"/tmp/gmall_stress_x{FACTOR}"
+
+QUERIES = [
+    "visitor_stats_window", "pricing_summary", "province_stats_sql",
+    "event_stats_daily", "sessionize", "minhash_band_pairs",
+    "dup_clusters", "dedup_summary", "simhash_band_pairs",
+    "contamination_check", "embedding_dups", "quantization_error",
+    "ngram_jaccard_pairs", "knn_bruteforce", "sequence_packing",
+]
+
+
+def replicate(spark):
+    """Replica-shift every table's keys so the enlarged corpus has
+    FACTOR distinct variants of each row (not FACTOR exact copies —
+    exact copies would send every dedup bucket quadratic on purpose)."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_2021_spark.sources.tables import TABLE_NAMES, load_table
+
+    os.makedirs(DST, exist_ok=True)
+    shifts = {
+        "events": ("event_id", "user_id"),
+        "documents": ("doc_id",),
+        "embeddings": ("vec_id",),
+        "orders": ("o_orderkey", "o_custkey"),
+        "lineitem": ("l_orderkey",),
+        "customer": ("c_custkey",),
+    }
+    for name in TABLE_NAMES:
+        out = os.path.join(DST, f"{name}.parquet")
+        if os.path.exists(out):
+            continue
+        df = load_table(spark, SRC, name)
+        if name in shifts:
+            rep = spark.range(FACTOR).withColumnRenamed("id", "_rep")
+            df = df.crossJoin(F.broadcast(rep))
+            for key in shifts[name]:
+                df = df.withColumn(
+                    key, F.col(key) + F.col("_rep") * F.lit(10_000_000))
+            # vary document text per replica so near-dup blocks stay
+            # realistic instead of multiplying every bucket by FACTOR
+            if name == "documents":
+                df = df.withColumn(
+                    "text", F.concat_ws(" ", "text",
+                                        F.concat(F.lit("rep"), "_rep")))
+            df = df.drop("_rep")
+        df.coalesce(4).write.mode("overwrite").parquet(out)
+
+
+def main():
+    from gmall_flink_2021_spark.plans import QUERIES as REG
+    from gmall_flink_2021_spark.session import get_spark
+
+    spark = get_spark("stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    replicate(spark)
+    print(f"replicate x{FACTOR}: {time.time() - t0:.1f}s", flush=True)
+
+    base, big = {}, {}
+    for name in QUERIES:
+        t0 = time.time()
+        REG[name](spark, SRC).collect()
+        base[name] = time.time() - t0
+        t0 = time.time()
+        REG[name](spark, DST).collect()
+        big[name] = time.time() - t0
+        ratio = big[name] / max(base[name], 1e-9)
+        flag = "" if ratio < FACTOR * 1.8 else "  <-- SUPERLINEAR"
+        print(f"{name:28s} sf0.1={base[name]:6.2f}s "
+              f"x{FACTOR}={big[name]:7.2f}s ratio={ratio:5.1f}{flag}",
+              flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
