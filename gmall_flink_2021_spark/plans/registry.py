@@ -510,6 +510,11 @@ def q_event_metrics_unpivot(spark, sf):
     return analytics.event_metrics_unpivot(events)
 
 
+def q_embedding_dups_lsh(spark, sf):
+    (embeddings,) = _t(spark, sf, "embeddings")
+    return similarity.embedding_dups_lsh(embeddings)
+
+
 def q_uv_sketch_rollup(spark, sf):
     (events,) = _t(spark, sf, "events")
     return dwm.uv_sketch_rollup(events)
@@ -604,6 +609,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_quota_sample": q_domain_quota_sample,
     "sequence_packing": q_sequence_packing,
     "event_metrics_unpivot": q_event_metrics_unpivot,
+    "embedding_dups_lsh": q_embedding_dups_lsh,
     # no oracle entry: HLL sketch encodings are algorithm-specific
     # (rows-only check, like unique_visitors_daily_approx)
     "uv_sketch_rollup": q_uv_sketch_rollup,
@@ -658,14 +664,19 @@ bands AS (
 _DISC = ("(CAST(l_extendedprice AS DECIMAL(18,2)) * "
          "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))")
 
-# SimHash: 32 per-bit ±1 vote sums from the first 8 md5 nibbles,
-# mirroring operators/dedup.simhash_signatures.
+# SimHash: 60 per-bit ±1 vote sums from the first 15 md5 nibbles,
+# mirroring operators/dedup.simhash_signatures (60-bit: 15-bit band
+# keyspace for the pairing step, int64-safe combine).
+_SIMHASH_BITS = 60
 _SIMHASH_SUMS = ",\n".join(
     f"           sum((((strpos('0123456789abcdef', substr(h, {b // 4 + 1}, 1))"
     f" - 1) // {2 ** (b % 4)}) % 2) * 2 - 1) AS s{b}"
-    for b in range(32))
+    for b in range(_SIMHASH_BITS))
 _SIMHASH_COMBINE = " + ".join(
-    f"CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(32))
+    f"CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END"
+    for b in range(_SIMHASH_BITS))
+_SIMHASH_BAND_MASKS = ", ".join(
+    f"simhash & {0x7FFF << (15 * b)}" for b in range(4))
 
 # Per-label centroids rounded to 6 dp (portable across engines).
 _CENTROIDS = """
@@ -1004,7 +1015,7 @@ ORACLES: dict[str, str] = {
     "simhash_signatures": f"""
         WITH {_TOKS},
         tk AS (SELECT doc_id, unnest(tok) AS t FROM toks),
-        h AS (SELECT doc_id, substr(md5(t), 1, 8) AS h FROM tk),
+        h AS (SELECT doc_id, substr(md5(t), 1, 15) AS h FROM tk),
         v AS (
             SELECT doc_id,
 {_SIMHASH_SUMS}
@@ -1826,7 +1837,7 @@ ORACLES: dict[str, str] = {
     "simhash_band_pairs": f"""
         WITH {_TOKS},
         tk AS (SELECT doc_id, unnest(tok) AS t FROM toks),
-        h AS (SELECT doc_id, substr(md5(t), 1, 8) AS h FROM tk),
+        h AS (SELECT doc_id, substr(md5(t), 1, 15) AS h FROM tk),
         v AS (
             SELECT doc_id,
 {_SIMHASH_SUMS}
@@ -1837,9 +1848,7 @@ ORACLES: dict[str, str] = {
         b AS (
             SELECT doc_id, simhash,
                    unnest([0, 1, 2, 3]) AS band,
-                   unnest([simhash & 255, simhash & 65280,
-                           simhash & 16711680,
-                           simhash & 4278190080]) AS band_key
+                   unnest([{_SIMHASH_BAND_MASKS}]) AS band_key
             FROM s
         ),
         p AS (
@@ -1918,6 +1927,22 @@ ORACLES: dict[str, str] = {
         SELECT day, 'view', CAST(view AS BIGINT) FROM wide
         UNION ALL
         SELECT day, 'purchase', CAST(purchase AS BIGINT) FROM wide
+    """,
+    "embedding_dups_lsh": f"""
+        WITH vecs AS (
+            SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+        base AS (
+            SELECT label, vec_id, v,
+                   CAST({_lsh_bucket_sql('v')} AS BIGINT) AS bucket
+            FROM vecs)
+        SELECT a.label AS label, a.bucket AS bucket,
+               a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_cos('a.v', 'b.v')} AS cos_sim
+        FROM base a
+        JOIN base b ON a.label = b.label AND a.bucket = b.bucket
+                   AND a.vec_id < b.vec_id
+        WHERE {_cos('a.v', 'b.v')} >= 0.35
     """,
 }
 
