@@ -628,3 +628,27 @@ def event_metrics_unpivot(events: DataFrame) -> DataFrame:
         "day",
         F.expr("stack(3, 'click', click, 'view', view, "
                "'purchase', purchase) AS (metric, ct)"))
+
+
+def customer_value_quartiles(customer: DataFrame,
+                             orders: DataFrame) -> DataFrame:
+    """NTILE quartiles over customer lifetime value: customers ranked
+    by total order spend, cut into 4 equal-frequency buckets, one
+    summary row per bucket (count, spend bounds, bucket total). The
+    remaining OVER-window family member alongside row_number/lag/
+    running sums (§2.6 extension) — one shuffle for the per-customer
+    aggregate, one global-order window over the (much smaller)
+    customer aggregate."""
+    spend = (orders.groupBy("o_custkey")
+             .agg(F.sum(money("o_totalprice")).cast("decimal(18,2)")
+                  .alias("spend")))
+    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    tiled = (customer.select("c_custkey")
+             .join(spend, F.col("c_custkey") == F.col("o_custkey"))
+             .withColumn("quartile", F.ntile(4).over(w).cast("long")))
+    return (tiled.groupBy("quartile")
+            .agg(F.count(F.lit(1)).alias("cust_ct"),
+                 F.min("spend").alias("min_spend"),
+                 F.max("spend").alias("max_spend"),
+                 F.sum("spend").cast("decimal(18,2)").alias("total_spend"))
+            .orderBy("quartile"))

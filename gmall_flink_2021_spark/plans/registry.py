@@ -515,6 +515,11 @@ def q_embedding_dups_lsh(spark, sf):
     return similarity.embedding_dups_lsh(embeddings)
 
 
+def q_customer_value_quartiles(spark, sf):
+    customer, orders = _t(spark, sf, "customer", "orders")
+    return analytics.customer_value_quartiles(customer, orders)
+
+
 def q_uv_sketch_rollup(spark, sf):
     (events,) = _t(spark, sf, "events")
     return dwm.uv_sketch_rollup(events)
@@ -610,6 +615,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_packing": q_sequence_packing,
     "event_metrics_unpivot": q_event_metrics_unpivot,
     "embedding_dups_lsh": q_embedding_dups_lsh,
+    "customer_value_quartiles": q_customer_value_quartiles,
     # no oracle entry: HLL sketch encodings are algorithm-specific
     # (rows-only check, like unique_visitors_daily_approx)
     "uv_sketch_rollup": q_uv_sketch_rollup,
@@ -1944,6 +1950,24 @@ ORACLES: dict[str, str] = {
                    AND a.vec_id < b.vec_id
         WHERE {_cos('a.v', 'b.v')} >= 0.35
     """,
+    "customer_value_quartiles": """
+        WITH spend AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS spend
+            FROM orders GROUP BY o_custkey
+        ),
+        tiled AS (
+            SELECT c_custkey, spend,
+                   CAST(ntile(4) OVER (ORDER BY spend DESC, o_custkey)
+                        AS BIGINT) AS quartile
+            FROM customer JOIN spend ON c_custkey = o_custkey
+        )
+        SELECT quartile, count(*) AS cust_ct,
+               min(spend) AS min_spend, max(spend) AS max_spend,
+               CAST(sum(spend) AS DECIMAL(18,2)) AS total_spend
+        FROM tiled GROUP BY quartile
+    """,
 }
 
 
@@ -1995,6 +2019,7 @@ _DECIMAL_OUT: dict[str, tuple[str, ...]] = {
     "returned_item_customers": ("revenue",),
     "nation_market_share": ("nation_revenue", "total_revenue"),
     "visitor_stats_sliding": ("value_sum",),
+    "customer_value_quartiles": ("min_spend", "max_spend", "total_spend"),
 }
 
 
