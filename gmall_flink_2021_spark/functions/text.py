@@ -34,9 +34,15 @@ FP_MOD = 10 ** 12
 
 
 def tokens(text_col: Column | str) -> Column:
-    """Whitespace tokenizer; drops empty tokens (U1 analog)."""
+    """Whitespace tokenizer; drops empty tokens (U1 analog).
+
+    Null text tokenizes to an empty array rather than null: every
+    downstream ``F.size`` would otherwise return -1 for null input and
+    silently corrupt token counts/ratios on a real (dirtier) corpus.
+    """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.filter(F.split(c, " "), lambda t: F.length(t) > 0)
+    return F.filter(F.split(F.coalesce(c, F.lit("")), " "),
+                    lambda t: F.length(t) > 0)
 
 
 def shingles(tok: Column, n: int = SHINGLE_N) -> Column:

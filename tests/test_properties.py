@@ -187,3 +187,24 @@ def test_uv_sketch_rollup_estimates_are_sane(spark):
              .agg(F.countDistinct("user_id").alias("uv")).collect()}
     for r in got:
         assert abs(r.daily_uv_est - exact[r.day]) <= 0.05 * exact[r.day]
+
+
+def test_text_operators_tolerate_null_and_empty_text(spark):
+    """Dirty-corpus hardening: null/empty text must yield zero counts,
+    never F.size(null) = -1 artifacts."""
+    from gmall_flink_2021_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, None, "en", "src0", 0), (2, "", "en", "src0", 0),
+         (3, "a b c a", "en", "src0", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    tok = textstats.token_stats(docs).collect()[0]
+    assert tok.token_ct == 4 and tok.doc_ct == 3
+
+    rep = {r.doc_id: r for r in textstats.repetition_stats(docs).collect()}
+    assert rep[1].n_tokens == 0 and rep[1].top_token_frac == 0.0
+    assert rep[2].n_tokens == 0 and rep[2].dup_2gram_frac == 0.0
+    assert rep[3].top_token_ct == 2
+
+    packed = textstats.sequence_packing(docs).collect()
+    assert sum(r.doc_ct for r in packed) == 3
