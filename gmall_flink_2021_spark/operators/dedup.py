@@ -168,7 +168,10 @@ def ngram_jaccard_pairs(documents: DataFrame, top_n: int = 50,
     df_w = Window.partitionBy("shingle")
     inv = (inv.withColumn("df", F.count(F.lit(1)).over(df_w))
            .filter(F.col("df") <= max_df)
-           .drop("df"))
+           .drop("df")
+           # both self-join sides read the capped index: persist so
+           # the df-window shuffle (the dominant cost) runs once
+           .persist())
     l = inv.alias("l")
     r = inv.alias("r")
     common = (l.join(r, "shingle")
@@ -289,6 +292,10 @@ def dup_clusters(documents: DataFrame, max_iter: int = 20,
                    "cluster_sz"))
     edges.unpersist()
     pairs.unpersist()
+    # the last round's persisted frame outlives the loop — release it
+    # too (lazy unpersist: recompute-on-reuse, same policy as above)
+    if prev_upd is not None:
+        prev_upd.unpersist()
     return out
 
 
@@ -331,6 +338,9 @@ def simhash_band_pairs(documents: DataFrame,
     21x at a 10x corpus). A degenerate bucket (mass-duplicated
     boilerplate) is the same pathology exact-dedup removes first.
     """
+    # 4 bands guarantee recall only up to 3 flips (pigeonhole); a
+    # larger radius silently misses pairs, so refuse it
+    assert max_hamming <= 3, "4-band pigeonhole only covers hamming<=3"
     sig = simhash_signatures(documents)
     banded = sig.select(
         "doc_id", "simhash",

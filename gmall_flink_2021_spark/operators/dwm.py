@@ -231,17 +231,19 @@ def uv_sketch_rollup(events: DataFrame) -> DataFrame:
     driver records the rows-only check (like
     unique_visitors_daily_approx)."""
     day = F.date_trunc("DAY", F.col("ts"))
-    month = F.date_trunc("MONTH", F.col("day"))
     daily = (events.withColumn("day", day)
              .groupBy("day")
              .agg(F.hll_sketch_agg("user_id").alias("sk"),
                   F.count(F.lit(1)).alias("pv_ct")))
-    monthly = (daily.withColumn("month", month)
-               .groupBy("month")
-               .agg(F.hll_sketch_estimate(
-                   F.hll_union_agg("sk")).alias("month_uv_est")))
-    return (daily.withColumn("month", month)
-            .join(F.broadcast(monthly), "month")
+    # the monthly union is a WINDOW aggregate over the daily sketches,
+    # not a join back — one events scan, one partial/final sketch
+    # aggregation, then a month-keyed exchange of O(days) sketch rows
+    # (the join formulation aggregated the raw events twice)
+    w = Window.partitionBy("month")
+    return (daily.withColumn("month", F.date_trunc("MONTH", F.col("day")))
             .select("day",
                     F.hll_sketch_estimate("sk").alias("daily_uv_est"),
-                    "pv_ct", "month", "month_uv_est"))
+                    "pv_ct", "month",
+                    F.hll_sketch_estimate(
+                        F.hll_union_agg("sk").over(w))
+                    .alias("month_uv_est")))

@@ -317,7 +317,12 @@ def contamination_check(documents: DataFrame,
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("contaminated_sh")))
     sizes = corpus.select("doc_id", F.size("sh").alias("n_sh"))
-    return (sizes.join(hits, "doc_id")
+    # left join: clean documents appear with 0 overlap — a consumer
+    # must be able to tell "checked, clean" from "absent"
+    return (sizes.join(hits, "doc_id", "left")
+            .select("doc_id", "n_sh",
+                    F.coalesce("contaminated_sh", F.lit(0))
+                    .alias("contaminated_sh"))
             .select("doc_id", "n_sh", "contaminated_sh",
                     (F.col("contaminated_sh").cast("double")
                      / F.col("n_sh").cast("double"))

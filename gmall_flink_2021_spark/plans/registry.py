@@ -630,7 +630,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _TOKS = """
 toks AS (
     SELECT doc_id, lang, source, n_chars,
-           list_filter(string_split(text, ' '), t -> len(t) > 0) AS tok
+           list_filter(string_split(coalesce(text, ''), ' '), t -> len(t) > 0) AS tok
     FROM documents
 )"""
 
@@ -1644,7 +1644,7 @@ ORACLES: dict[str, str] = {
                CAST(sum(len(regexp_extract_all(
                    text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
                    AS bpe_token_ct,
-               CAST(sum(len(list_filter(string_split(text, ' '),
+               CAST(sum(len(list_filter(string_split(coalesce(text, ''), ' '),
                                         t -> len(t) > 0))) AS BIGINT)
                    AS ws_token_ct
         FROM documents
@@ -1883,10 +1883,11 @@ ORACLES: dict[str, str] = {
         )
         SELECT c.doc_id,
                CAST(len(sh) AS INT) AS n_sh,
-               contaminated_sh,
-               CAST(contaminated_sh AS DOUBLE) / CAST(len(sh) AS DOUBLE)
-                   AS contaminated_frac
-        FROM c JOIN hits ON c.doc_id = hits.doc_id
+               CAST(coalesce(contaminated_sh, 0) AS BIGINT)
+                   AS contaminated_sh,
+               CAST(coalesce(contaminated_sh, 0) AS DOUBLE)
+                   / CAST(len(sh) AS DOUBLE) AS contaminated_frac
+        FROM c LEFT JOIN hits ON c.doc_id = hits.doc_id
     """,
     "domain_quota_sample": """
         SELECT source, doc_id, n_chars, rank FROM (

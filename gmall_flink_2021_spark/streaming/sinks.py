@@ -57,8 +57,12 @@ def upsert_dim(batch: DataFrame, dim_path: str, pk: str = "id",
     except Exception:
         existing = None
     if existing is not None:
+        # allowMissingColumns: a mid-stream config change can evolve
+        # the dim's column set (the runtime-DDL path) — new columns
+        # arrive as nulls on old rows, removed ones stay null on new
+        # rows, mirroring Phoenix's additive ALTER behavior
         merged = existing.join(latest.select(pk), pk, "left_anti") \
-                         .unionByName(latest)
+                         .unionByName(latest, allowMissingColumns=True)
     else:
         merged = latest
     # two-phase swap: materialize to a staging dir, then republish —

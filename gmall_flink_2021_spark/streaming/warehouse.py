@@ -116,15 +116,33 @@ class Warehouse:
                     continue
                 table = entry.split("=", 1)[1]
                 rows = self.spark.read.parquet(os.path.join(stage, entry))
-                spec = rows.select("sink_columns", "sink_pk").first()
-                cols = [c.strip() for c in spec["sink_columns"].split(",")]
-                pk = spec["sink_pk"] or "id"
-                projected = rows.select(*[
-                    F.get_json_object(F.col("data"), f"$.{c}").alias(c)
-                    for c in cols])
-                sinks.upsert_dim(
-                    projected.withColumn(pk, F.col(pk).cast("long")),
-                    self._p("dim", table), pk=pk)
+                # one table can carry several specs (e.g. different
+                # sink_columns per operate_type): project each spec's
+                # rows with ITS column list, as the reference does per
+                # record (TableProcessFunction.java:155-172). A null/
+                # empty sink_columns keeps the record unfiltered
+                # (ibid:62-68): columns come from the JSON payload.
+                specs = rows.select("sink_columns", "sink_pk") \
+                            .distinct().collect()
+                for spec in specs:
+                    srows = rows.filter(
+                        F.col("sink_columns").eqNullSafe(
+                            spec["sink_columns"])
+                        & F.col("sink_pk").eqNullSafe(spec["sink_pk"]))
+                    if spec["sink_columns"]:
+                        cols = [c.strip()
+                                for c in spec["sink_columns"].split(",")]
+                    else:
+                        inferred = self.spark.read.json(
+                            srows.select("data").rdd.map(lambda r: r[0]))
+                        cols = sorted(inferred.columns)
+                    pk = spec["sink_pk"] or "id"
+                    projected = srows.select(*[
+                        F.get_json_object(F.col("data"), f"$.{c}").alias(c)
+                        for c in cols])
+                    sinks.upsert_dim(
+                        projected.withColumn(pk, F.col(pk).cast("long")),
+                        self._p("dim", table), pk=pk)
             # staging is transient: replay rebuilds it from the
             # checkpointed source batch, so drop it once merged
             if os.path.isdir(stage):

@@ -173,3 +173,24 @@ def test_dim_tables_are_config_driven(spark, tmp_path):
     # discovered by the dims() helper alongside the standard tables
     d = wh.dims()
     assert "base_color" in d and "sku_info" in d
+
+    # schema evolution mid-stream: a config update widens the column
+    # list; existing rows keep nulls in the new column (additive DDL)
+    wh.add_config_rows([{
+        "source_table": "base_color", "operate_type": "insert",
+        "sink_type": "hbase", "sink_table": "dim_base_color",
+        "sink_columns": "color_id,color_name,hex", "sink_pk": "color_id",
+        "sink_extend": None}])
+    with open(os.path.join(work, "ods_db", "changelog-2.jsonl"), "w") as f:
+        f.write(json.dumps({
+            "database": "gmall2021", "table": "base_color",
+            "type": "insert",
+            "data": json.dumps({"color_id": 8, "color_name": "navy",
+                                "hex": "#001f3f"}),
+            "before_data": "{}"}) + "\n")
+    wh.run_base_db()
+    evolved = {r["color_id"]: r for r in
+               wh.dim("dim_base_color").collect()}
+    assert set(evolved) == {7, 8}
+    assert evolved[8]["hex"] == "#001f3f"
+    assert evolved[7]["hex"] is None
