@@ -181,3 +181,14 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_uv_sketch_rollup_scans_events_once(spark):
+    """The monthly sketch union is a window over the daily aggregate —
+    regression guard against the join formulation that scanned and
+    sketch-aggregated the raw events twice."""
+    df = QUERIES["uv_sketch_rollup"](spark, SF_SMOKE)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("simple")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert plan.count("FileScan") == 1
