@@ -138,7 +138,8 @@ def simhash_signatures(documents: DataFrame, bits: int = 60) -> DataFrame:
 
 
 def ngram_jaccard_pairs(documents: DataFrame, top_n: int = 50,
-                        max_df: int = 1000) -> DataFrame:
+                        max_df: int = 1000,
+                        max_sh_per_doc: int = 64) -> DataFrame:
     """Top near-duplicate pairs by word-3-gram Jaccard similarity,
     computed via an inverted shingle index (explode → self-join →
     count), never all-pairs. Join keys are 64-bit xxhash64 of the
@@ -147,14 +148,28 @@ def ngram_jaccard_pairs(documents: DataFrame, top_n: int = 50,
     md5 keys at sf0.1; the oracle side may use any 64-bit key, since
     only the grouping must agree). Ties broken on (doc_a, doc_b).
 
-    Scale guard: the self-join is O(df²) per shingle, so one
-    stop-phrase shingle shared by 1M docs would alone produce ~10¹²
-    candidate rows. Shingles with document frequency > max_df are
-    dropped from the index before the join — a (near-)universal
-    shingle carries no near-dup signal, and the jaccard denominator
-    still uses the full per-doc shingle counts, so scores only ever
-    shrink for pairs whose overlap was carried by stop-shingles.
-    The DuckDB oracle applies the identical cap."""
+    Two scale guards bound the O(df²)-per-shingle self-join:
+     - document-frequency cap: shingles with df > ``max_df`` are
+       dropped — a (near-)universal shingle carries no near-dup
+       signal;
+     - per-doc index budget: each document contributes only its
+       ``max_sh_per_doc`` RAREST shingles (deterministic global
+       order: df asc, shingle asc), i.e. the discriminative ones.
+       Near-identical documents sample near-identical subsets under
+       the shared ordering, so candidate recall for true near-dups
+       stays high while join volume is hard-bounded by
+       max_df · max_sh_per_doc · n_docs — linear in corpus size.
+    ``common_sh`` therefore counts common *indexed* shingles and the
+    jaccard uses full per-doc sizes, so scores only ever shrink
+    (candidate-ranking semantics, exact for pairs whose overlap fits
+    the budget). The DuckDB oracle applies the identical caps.
+    This remains the audit/demo form — `minhash_band_pairs` is the
+    production near-dup route at 100 TB (see SCALE.md).
+
+    The returned frame exposes ``_ngram_caches`` (the persisted
+    shingle arrays + capped index); callers that materialize the
+    result can unpersist both to release executor storage — bench.py
+    uses clearCache(), long-lived sessions should use the handle."""
     tok = tokens("text")
     sh = F.array_distinct(shingles(tok))
     # one materialization of the shingle arrays feeds the inverted
@@ -163,14 +178,18 @@ def ngram_jaccard_pairs(documents: DataFrame, top_n: int = 50,
             .filter(F.size("sh") > 0)
             .persist())
     sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
-    inv = (docs.select("doc_id", F.explode("sh").alias("s"))
-           .select("doc_id", F.xxhash64(F.col("s")).alias("shingle")))
-    df_w = Window.partitionBy("shingle")
-    inv = (inv.withColumn("df", F.count(F.lit(1)).over(df_w))
+    raw = docs.select("doc_id", F.explode("sh").alias("s"))
+    # df over the raw shingle string (same grouping as the hash key,
+    # and the string is what both engines order identically)
+    df_w = Window.partitionBy("s")
+    rank_w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))
+    inv = (raw.withColumn("df", F.count(F.lit(1)).over(df_w))
            .filter(F.col("df") <= max_df)
-           .drop("df")
+           .withColumn("rk", F.row_number().over(rank_w))
+           .filter(F.col("rk") <= max_sh_per_doc)
+           .select("doc_id", F.xxhash64(F.col("s")).alias("shingle"))
            # both self-join sides read the capped index: persist so
-           # the df-window shuffle (the dominant cost) runs once
+           # the df-window + rank shuffles (the dominant cost) run once
            .persist())
     l = inv.alias("l")
     r = inv.alias("r")
@@ -188,9 +207,11 @@ def ngram_jaccard_pairs(documents: DataFrame, top_n: int = 50,
                        F.col("common_sh").cast("double")
                        / (F.col("n_a") + F.col("n_b")
                           - F.col("common_sh")).cast("double")))
-    return (jac.select("doc_a", "doc_b", "common_sh", "jaccard")
-            .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
-            .limit(top_n))
+    out = (jac.select("doc_a", "doc_b", "common_sh", "jaccard")
+           .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+           .limit(top_n))
+    out._ngram_caches = (docs, inv)
+    return out
 
 
 def dup_clusters(documents: DataFrame, max_iter: int = 20,

@@ -246,8 +246,13 @@ def tfidf_search(documents: DataFrame,
                  k: int = 10) -> DataFrame:
     """TF-IDF ranked search for a fixed term set: score(d) = Σ_t
     tf(t,d) · ln(N/df(t)), summed in fixed term order so the double
-    arithmetic is reproducible; rounded to 6 dp to absorb any ulp
-    difference in the engines' ln. Top-k with doc_id tie-break.
+    arithmetic is reproducible. Ranking, filtering and the top-k
+    cutoff all operate on the INTEGER-scaled score
+    round(score·10⁶)::long — an exact total order, so an ulp
+    difference in the engines' ln can at most flip the last scaled
+    digit, never the comparison semantics of equal integers; the
+    output `score` is derived back as score_i/10⁶ (one identical
+    IEEE division on both engines). Top-k with doc_id tie-break.
 
     Spark-first shape: per-doc tf terms are array filters (no
     explode), the three df counts are ONE corpus aggregation
@@ -279,11 +284,15 @@ def tfidf_search(documents: DataFrame,
             * F.log(F.col("n_docs").cast("double")
                     / F.col(f"df_{i}").cast("double"))).otherwise(F.lit(0.0))
         score = part if score is None else score + part
+    score_i = F.round(score * F.lit(1_000_000.0)).cast("long")
     return (scored
-            .select("doc_id", F.round(score, 6).alias("score"))
-            .filter(F.col("score") > 0)
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k))
+            .select("doc_id", score_i.alias("score_i"))
+            .filter(F.col("score_i") > 0)
+            .orderBy(F.desc("score_i"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id",
+                    (F.col("score_i").cast("double") / 1_000_000.0)
+                    .alias("score")))
 
 
 def contamination_check(documents: DataFrame,

@@ -225,9 +225,11 @@ def q_media_features(spark, sf):
     return multimodal.media_features(documents)
 
 
-def q_embedding_dups(spark, sf):
+def q_embedding_dups_exhaustive(spark, sf):
+    """Label-only-blocked exhaustive audit form; the default near-dup
+    path is `embedding_dups_lsh` (label × hyperplane bucket)."""
     (embeddings,) = _t(spark, sf, "embeddings")
-    return similarity.embedding_dups(embeddings)
+    return similarity.embedding_dups_exhaustive(embeddings)
 
 
 def q_late_shipment_priority(spark, sf):
@@ -511,8 +513,10 @@ def q_event_metrics_unpivot(spark, sf):
 
 
 def q_embedding_dups_lsh(spark, sf):
+    """THE default near-dup path (similarity.embedding_dups): label ×
+    hyperplane-bucket two-level blocking, ~linear at 10x stress."""
     (embeddings,) = _t(spark, sf, "embeddings")
-    return similarity.embedding_dups_lsh(embeddings)
+    return similarity.embedding_dups(embeddings)
 
 
 def q_customer_value_quartiles(spark, sf):
@@ -562,7 +566,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_forecast": q_revenue_forecast,
     "customers_without_orders": q_customers_without_orders,
     "media_features": q_media_features,
-    "embedding_dups": q_embedding_dups,
+    "embedding_dups_exhaustive": q_embedding_dups_exhaustive,
     "late_shipment_priority": q_late_shipment_priority,
     "funnel_conversion": q_funnel_conversion,
     "video_frame_samples": q_video_frame_samples,
@@ -924,17 +928,24 @@ ORACLES: dict[str, str] = {
         ),
         sizes AS (SELECT doc_id, len(sh) AS n_sh FROM docs),
         inv0 AS (
-            SELECT doc_id, substr(md5(s.shingle), 1, 16) AS shingle
+            SELECT doc_id, s.shingle AS s
             FROM docs, unnest(sh) AS s(shingle)
         ),
-        -- scale guard mirrored from the Spark side: shingles with
-        -- document frequency > 1000 are dropped before the self-join
+        -- scale guards mirrored from the Spark side: df > 1000
+        -- shingles dropped, then each doc keeps only its 64 rarest
+        -- shingles (df asc, shingle asc — the same total order both
+        -- engines compute on the raw string)
+        invd AS (
+            SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df
+            FROM inv0
+        ),
         inv AS (
-            SELECT doc_id, shingle FROM (
-                SELECT doc_id, shingle,
-                       count(*) OVER (PARTITION BY shingle) AS df
-                FROM inv0
-            ) WHERE df <= 1000
+            SELECT doc_id, substr(md5(s), 1, 16) AS shingle FROM (
+                SELECT doc_id, s,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY df, s) AS rk
+                FROM invd WHERE df <= 1000
+            ) WHERE rk <= 64
         ),
         common AS (
             SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
@@ -1160,7 +1171,7 @@ ORACLES: dict[str, str] = {
                          ELSE 1 + n_chars % 5 END AS INT) AS n_frames
         FROM documents
     """,
-    "embedding_dups": f"""
+    "embedding_dups_exhaustive": f"""
         WITH e AS (
             SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
             FROM embeddings
@@ -1821,9 +1832,10 @@ ORACLES: dict[str, str] = {
                    sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
             FROM tf
         )
-        SELECT doc_id, score FROM (
+        SELECT doc_id, CAST(score_i AS DOUBLE) / 1000000.0 AS score
+        FROM (
             SELECT doc_id,
-                   round(
+                   CAST(round((
                        (CASE WHEN df_0 > 0 THEN CAST(tf_0 AS DOUBLE)
                             * ln(CAST(n_docs AS DOUBLE)
                                  / CAST(df_0 AS DOUBLE)) ELSE 0.0 END)
@@ -1832,12 +1844,12 @@ ORACLES: dict[str, str] = {
                                  / CAST(df_1 AS DOUBLE)) ELSE 0.0 END)
                      + (CASE WHEN df_2 > 0 THEN CAST(tf_2 AS DOUBLE)
                             * ln(CAST(n_docs AS DOUBLE)
-                                 / CAST(df_2 AS DOUBLE)) ELSE 0.0 END),
-                       6) AS score
+                                 / CAST(df_2 AS DOUBLE)) ELSE 0.0 END)
+                       ) * 1000000.0) AS BIGINT) AS score_i
             FROM tf CROSS JOIN idf
         )
-        WHERE score > 0
-        ORDER BY score DESC, doc_id
+        WHERE score_i > 0
+        ORDER BY score_i DESC, doc_id
         LIMIT 10
     """,
     "simhash_band_pairs": f"""
@@ -2060,28 +2072,32 @@ def _doubled_sql(sql: str, cols: tuple[str, ...]) -> str:
 # ---------------------------------------------------------------------------
 
 _GRADE_PRIORITY: tuple[str, ...] = (
-    # never graded (rounds ≤1)
-    "high_balance_inactive_customers", "nation_year_revenue",
-    "dup_clusters", "purchase_attribution", "price_tier_stats",
-    "region_segment_cube", "stratified_sample", "doc_length_percentiles",
-    "media_resize", "salted_brand_revenue", "purchase_click_window_join",
-    "hourly_activity_pivot", "retention_cohorts", "norm_histogram",
-    "term_df_stats", "doc_top_terms", "bpe_token_stats", "lsh_ann",
-    "native_session_windows", "dedup_summary", "quantization_error",
-    "returnflag_priority_stats", "part_supplier_variety",
-    "sole_late_suppliers", "grouping_sets_revenue",
-    "returnflag_part_overlap", "returned_item_customers",
-    "nation_market_share", "visitor_stats_sliding",
-    # graded r1 but output contract changed (decimal -> double)
-    "pricing_summary", "segment_revenue", "region_revenue", "top_brands",
-    "gmv_daily", "order_wide_stats", "visitor_stats_window",
-    "event_stats_daily", "province_stats_sql", "click_purchase_join",
-    "gmv_daily_delta", "priority_rollup", "revenue_forecast",
-    "promo_revenue_share", "disjunctive_revenue", "large_volume_customers",
-    "bilateral_trade", "top_revenue_supplier", "small_qty_part_revenue",
-    # round-2 additions: fill the two remaining graded slots (the rest
-    # rotate into the window next round)
-    "repetition_stats", "simhash_band_pairs",
+    # round 3 must-grade: the 8 round-2 additions that have never had
+    # a CORRECTNESS row (outside both prior 50-query windows) ...
+    "tfidf_search", "contamination_check", "domain_quota_sample",
+    "sequence_packing", "event_metrics_unpivot", "embedding_dups_lsh",
+    "customer_value_quartiles", "uv_sketch_rollup",
+    # ... and the two whose output contract changed this round
+    # (ngram: per-doc index budget added; exhaustive: renamed from
+    # embedding_dups when the LSH-blocked form became the default)
+    "ngram_jaccard_pairs", "embedding_dups_exhaustive",
+    # graded green in round 1 only — re-confirm on this round's
+    # regenerated testdata (rounds regenerate /root/testdata)
+    "props_stats", "keyword_stats", "unique_visitors_daily",
+    "first_visits", "is_new_repair", "user_jump_stats", "exact_dups",
+    "minhash_signatures", "minhash_band_pairs", "token_stats",
+    "quality_scores", "lang_id", "fingerprints", "knn_bruteforce",
+    "simhash_signatures", "label_centroid_similarity", "ivf_ann",
+    "top_orders_per_segment", "sessionize", "customers_without_orders",
+    "media_features", "late_shipment_priority", "funnel_conversion",
+    "video_frame_samples", "unique_visitors_daily_approx",
+    "top_supplier_per_nation", "corpus_filter", "train_val_split",
+    "order_count_distribution",
+    # round-2 greens re-confirmed: the scale-critical dedup/text chain
+    "dup_clusters", "dedup_summary", "simhash_band_pairs",
+    "repetition_stats", "doc_top_terms", "term_df_stats",
+    "bpe_token_stats", "lsh_ann", "norm_histogram",
+    "doc_length_percentiles", "stratified_sample",
 )
 
 

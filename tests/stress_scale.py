@@ -20,7 +20,7 @@ QUERIES = [
     "visitor_stats_window", "pricing_summary", "province_stats_sql",
     "event_stats_daily", "sessionize", "minhash_band_pairs",
     "dup_clusters", "dedup_summary", "simhash_band_pairs",
-    "contamination_check", "embedding_dups", "embedding_dups_lsh",
+    "contamination_check", "embedding_dups_exhaustive", "embedding_dups_lsh",
     "quantization_error", "ngram_jaccard_pairs", "knn_bruteforce",
     "sequence_packing",
 ]

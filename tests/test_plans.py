@@ -122,8 +122,18 @@ def test_embedding_dups_keeps_fold_count_bounded(spark):
     """The dot/norm folds must not multiply through CollapseProject:
     the projected-before-filter shape holds the aggregate() lambda
     count at 6 (2 norms + dot, each visible at most twice)."""
-    plan = _plan(spark, "embedding_dups")
+    plan = _plan(spark, "embedding_dups_exhaustive")
     assert plan.count("aggregate(") <= 6
+
+
+def test_default_embedding_dups_is_bucket_blocked(spark):
+    """The default near-dup path (embedding_dups_lsh) must join on the
+    two-level (label, bucket) key — an equi-join carrying the bucket
+    column, never label-only or a nested loop."""
+    plan = _plan(spark, "embedding_dups_lsh")
+    assert "bucket" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_simhash_band_pairs_is_bucketed_equi_join(spark):
