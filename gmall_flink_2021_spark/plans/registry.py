@@ -1985,6 +1985,60 @@ ORACLES: dict[str, str] = {
 
 
 # ---------------------------------------------------------------------------
+# Quantitative accuracy gates for the sketch queries
+# ---------------------------------------------------------------------------
+# The two HLL queries have no value-level oracle (sketch encodings are
+# algorithm-specific), so the driver records a rows-only check. These
+# gates restore a quantitative criterion locally: each estimate column
+# must sit within ~3 standard errors of the EXACT distinct count the
+# DuckDB oracle computes on the same keys.
+#  - approx_count_distinct(rsd=0.05): σ = rsd ⇒ bound 3·0.05 = 0.15
+#  - hll_sketch_agg (datasketches, lgConfigK=12): σ ≈ 1.04/√2¹² ≈
+#    0.016 ⇒ bound ~3σ = 0.05
+# tests/test_sketch_accuracy.py asserts these per key at sf0.01.
+
+SKETCH_GATES: dict[str, tuple[dict, ...]] = {
+    "unique_visitors_daily_approx": (
+        {
+            "keys": ("day",),
+            "estimate": "uv_approx",
+            "max_rel_err": 0.15,
+            "exact_sql": """
+                SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                            AS TIMESTAMP) AS day,
+                       count(DISTINCT user_id) AS exact_ct
+                FROM events GROUP BY 1
+            """,
+        },
+    ),
+    "uv_sketch_rollup": (
+        {
+            "keys": ("day",),
+            "estimate": "daily_uv_est",
+            "max_rel_err": 0.05,
+            "exact_sql": """
+                SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                            AS TIMESTAMP) AS day,
+                       count(DISTINCT user_id) AS exact_ct
+                FROM events GROUP BY 1
+            """,
+        },
+        {
+            "keys": ("month",),
+            "estimate": "month_uv_est",
+            "max_rel_err": 0.05,
+            "exact_sql": """
+                SELECT CAST(date_trunc('month', CAST(ts AS TIMESTAMP))
+                            AS TIMESTAMP) AS month,
+                       count(DISTINCT user_id) AS exact_ct
+                FROM events GROUP BY 1
+            """,
+        },
+    ),
+}
+
+
+# ---------------------------------------------------------------------------
 # Output normalization (the driver-hash contract)
 # ---------------------------------------------------------------------------
 # The driver's value-hash canonicalizes both result sets through pandas,

@@ -37,14 +37,33 @@ def convert_events_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     )
 
 
+def events_ts_is_nanos(path: str) -> bool:
+    """True when the parquet footer stores ``ts`` as TIMESTAMP(NANOS).
+
+    Probed from the file metadata (pyarrow) rather than by flipping
+    ``spark.sql.legacy.parquet.nanosAsLong`` session-wide: the legacy
+    flag changes how EVERY later parquet read in the session surfaces
+    nanos timestamps, so it must only be set when this file actually
+    needs it (the generator has emitted both encodings across rounds).
+    """
+    import pyarrow.parquet as pq
+
+    try:
+        return str(pq.read_schema(path).field("ts").type) == "timestamp[ns]"
+    except Exception:
+        return False
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
         return spark.read.parquet(path)
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
+    if not events_ts_is_nanos(path):
+        return spark.read.parquet(path)
+    # NANOS encoding: the legacy flag is required at scan time (Spark
+    # refuses TIMESTAMP(NANOS) without it), so it intentionally stays
+    # set for the session — the session genuinely contains nanos data.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if dict(df.dtypes)["ts"] == "bigint":
         df = convert_events_ts(df)

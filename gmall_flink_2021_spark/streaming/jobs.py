@@ -61,16 +61,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.copy(src, dst)
     # the physical ts encoding varies between generator versions:
     # TIMESTAMP(NANOS) surfaces as bigint (needs the shared nanos→NTZ
-    # conversion), TIMESTAMP(MICROS) reads natively — mirror whatever
-    # the batch loader saw so streaming==batch holds for both
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
-    raw_read = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if dict(raw_read.dtypes)["ts"] != "bigint":
-        return (spark.readStream.schema(raw_read.schema)
+    # conversion), TIMESTAMP(MICROS) reads natively — probe the footer
+    # metadata so the session-global nanosAsLong flag is only touched
+    # when the file actually needs it (and then it must stay set: the
+    # streaming scan consults it at execution time)
+    from ..sources.tables import events_ts_is_nanos
+
+    src_path = os.path.join(sf_dir, "events.parquet")
+    if not events_ts_is_nanos(src_path):
+        return (spark.readStream
+                .schema(spark.read.parquet(src_path).schema)
                 .format("parquet").load(spool))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = load_table(spark, sf_dir, "events")
     raw_schema = StructType([
         StructField("ts", LongType(), f.nullable) if f.name == "ts" else f

@@ -36,13 +36,51 @@ def write_routed(df: DataFrame, batch_id: int, path: str,
        .parquet(os.path.join(path, f"batch_id={batch_id}")))
 
 
+# Pk-hash bucket count for the dim tables. Local tests use a handful
+# of buckets; at 100 TB this is the knob that bounds the per-batch
+# rewrite to (touched buckets / n_buckets) of the table instead of a
+# full rewrite.
+N_DIM_BUCKETS = 16
+
+# The bucket partition column. Deliberately NOT underscore-prefixed:
+# Hadoop file listing hides `_*` paths, so `_bucket=N` directories
+# would be invisible to readers. `read_dim` strips it back off.
+DIM_BUCKET_COL = "pkbucket"
+
+
+def dim_bucket(pk_col, n_buckets: int = N_DIM_BUCKETS):
+    """Deterministic pk → bucket assignment (hash of the stringified
+    pk, stable across batches and sessions)."""
+    return F.pmod(F.xxhash64(pk_col.cast("string")),
+                  F.lit(n_buckets)).cast("int")
+
+
+def read_dim(spark, dim_path: str) -> DataFrame:
+    """Read a bucketed dim table: mergeSchema covers buckets whose
+    files predate a mid-stream column evolution (only touched buckets
+    are rewritten with the new columns), and the bucket partition
+    column is an implementation detail the consumer never sees."""
+    df = spark.read.option("mergeSchema", "true").parquet(dim_path)
+    return df.drop(DIM_BUCKET_COL)
+
+
 def upsert_dim(batch: DataFrame, dim_path: str, pk: str = "id",
-               order_col: str | None = None) -> None:
+               order_col: str | None = None,
+               n_buckets: int = N_DIM_BUCKETS) -> None:
     """K4 analog: merge a micro-batch into the dim table keyed on the
     sink_pk (default 'id', TableProcessFunction.java:71-73). Within a
     batch the row with the highest ``order_col`` per key wins (falls
     back to dropDuplicates when no ordering column exists); against
-    the existing table new rows replace old rows with the same pk."""
+    the existing table new rows replace old rows with the same pk
+    (DimSinkFunction.java:56-69 upsert semantics).
+
+    Incremental copy-on-write: the table is laid out as
+    ``pkbucket=N`` hash-bucket partitions and a batch rewrites ONLY
+    the buckets containing its keys — untouched buckets' files are
+    left byte-identical. A full-table rewrite per micro-batch (the
+    previous form, SCALE.md's top known limit) is O(table) per batch;
+    this is O(table · touched/n_buckets), which at 100 TB with
+    thousands of buckets approaches O(batch)."""
     import shutil
 
     spark = batch.sparkSession
@@ -52,22 +90,34 @@ def upsert_dim(batch: DataFrame, dim_path: str, pk: str = "id",
                   .filter(F.col("_rn") == 1).drop("_rn"))
     else:
         latest = batch.dropDuplicates([pk])
-    try:
-        existing = spark.read.parquet(dim_path)
-    except Exception:
-        existing = None
-    if existing is not None:
-        # allowMissingColumns: a mid-stream config change can evolve
-        # the dim's column set (the runtime-DDL path) — new columns
-        # arrive as nulls on old rows, removed ones stay null on new
-        # rows, mirroring Phoenix's additive ALTER behavior
-        merged = existing.join(latest.select(pk), pk, "left_anti") \
-                         .unionByName(latest, allowMissingColumns=True)
-    else:
-        merged = latest
-    # two-phase swap: materialize to a staging dir, then republish —
-    # we cannot overwrite dim_path while lazily reading from it
-    tmp = dim_path + "._staging"
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(dim_path)
-    shutil.rmtree(tmp, ignore_errors=True)
+    latest = latest.withColumn(DIM_BUCKET_COL,
+                               dim_bucket(F.col(pk), n_buckets)).persist()
+    # bounded collect: at most n_buckets rows
+    touched = sorted(
+        r[0] for r in latest.select(DIM_BUCKET_COL).distinct().collect())
+    for b in touched:
+        bpath = os.path.join(dim_path, f"{DIM_BUCKET_COL}={b}")
+        try:
+            existing = spark.read.parquet(bpath)
+        except Exception:
+            existing = None
+        brows = latest.filter(F.col(DIM_BUCKET_COL) == b) \
+                      .drop(DIM_BUCKET_COL)
+        if existing is not None:
+            # allowMissingColumns: a mid-stream config change can
+            # evolve the dim's column set (the runtime-DDL path) —
+            # new columns arrive as nulls on old rows, removed ones
+            # stay null on new rows, mirroring Phoenix's additive
+            # ALTER behavior
+            merged = existing.join(brows.select(pk), pk, "left_anti") \
+                             .unionByName(brows, allowMissingColumns=True)
+        else:
+            merged = brows
+        # two-phase swap per bucket: materialize to a staging dir,
+        # then republish — we cannot overwrite bpath while lazily
+        # reading from it
+        tmp = bpath + "._staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(bpath)
+        shutil.rmtree(tmp, ignore_errors=True)
+    latest.unpersist()

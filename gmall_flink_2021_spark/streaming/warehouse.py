@@ -23,6 +23,7 @@ determinism the whole topology runs with availableNow triggers.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -129,14 +130,34 @@ class Warehouse:
                         F.col("sink_columns").eqNullSafe(
                             spec["sink_columns"])
                         & F.col("sink_pk").eqNullSafe(spec["sink_pk"]))
+                    pk = spec["sink_pk"] or "id"
                     if spec["sink_columns"]:
                         cols = [c.strip()
                                 for c in spec["sink_columns"].split(",")]
+                        # defensive (the reference tolerates malformed
+                        # table_process rows): a config whose column
+                        # list omits its own pk must not fail the whole
+                        # micro-batch with an AnalysisException — the
+                        # merge needs the pk projected, so append it
+                        if pk not in cols:
+                            warnings.warn(
+                                f"dim spec for {table}: sink_pk '{pk}' "
+                                f"missing from sink_columns; appending it",
+                                RuntimeWarning, stacklevel=2)
+                            cols.append(pk)
                     else:
                         inferred = self.spark.read.json(
                             srows.select("data").rdd.map(lambda r: r[0]))
                         cols = sorted(inferred.columns)
-                    pk = spec["sink_pk"] or "id"
+                        if pk not in cols:
+                            # payload genuinely lacks the pk: skip this
+                            # spec (merging on an all-null key would
+                            # collapse the table) and keep the batch
+                            warnings.warn(
+                                f"skipping dim spec for {table}: sink_pk "
+                                f"'{pk}' absent from the JSON payload",
+                                RuntimeWarning, stacklevel=2)
+                            continue
                     projected = srows.select(*[
                         F.get_json_object(F.col("data"), f"$.{c}").alias(c)
                         for c in cols])
@@ -182,7 +203,7 @@ class Warehouse:
 
     # ------------------------------------------------------------ helpers
     def dim(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self._p("dim", name))
+        return sinks.read_dim(self.spark, self._p("dim", name))
 
     def dims(self) -> dict[str, DataFrame]:
         """Every dim table materialized so far, discovered from the dim

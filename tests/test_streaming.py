@@ -64,6 +64,47 @@ def test_streaming_sinks(spark, tmp_path):
     assert got == {(1, "x"), (2, "y2"), (3, "z")}
 
 
+def test_upsert_dim_rewrites_only_touched_buckets(spark, tmp_path):
+    """Incremental copy-on-write: a micro-batch whose keys hash to one
+    bucket must leave every other bucket's files byte-identical (the
+    100 TB requirement — a batch upsert must not rewrite the table)."""
+    import hashlib
+    import os
+
+    from gmall_flink_2021_spark.streaming import sinks
+
+    d = str(tmp_path / "dim_cow")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "id long, name string")
+    sinks.upsert_dim(base, d)
+
+    def snap():
+        out = {}
+        for root, _, files in os.walk(d):
+            for fn in files:
+                p = os.path.join(root, fn)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, d)] = hashlib.md5(
+                        fh.read()).hexdigest()
+        return out
+
+    before = snap()
+    new_key = 1000
+    bucket = spark.range(1).select(
+        sinks.dim_bucket(F.lit(new_key).cast("long"))).collect()[0][0]
+    sinks.upsert_dim(
+        spark.createDataFrame([(new_key, "new")], "id long, name string"), d)
+    after = snap()
+    touched = f"{sinks.DIM_BUCKET_COL}={bucket}"
+    untouched_before = {p: h for p, h in before.items()
+                        if not p.startswith(touched)}
+    assert untouched_before, "test needs at least one untouched bucket"
+    for path, digest in untouched_before.items():
+        assert after.get(path) == digest, f"untouched bucket changed: {path}"
+    got = {r.id for r in sinks.read_dim(spark, d).collect()}
+    assert got == set(range(40)) | {new_key}
+
+
 def test_sliding_window_streaming_matches_batch(spark, tmp_path):
     """O11 sliding form behind a watermark: every closed hopping
     window must equal the batch answer (collect_set distinct in
