@@ -220,6 +220,33 @@ def purchase_click_window_join(events: DataFrame,
                          "p_ts", "c_ts", "amount")
 
 
+def uv_daily_sketches(events: DataFrame) -> DataFrame:
+    """Per-day HLL sketches of user_id + page-view counts — the
+    ingest-time aggregate of the sketch-rollup pattern. HLL register
+    state is a per-item max, so sketches built incrementally (per
+    micro-batch, merged with ``hll_union_agg``) equal the single-pass
+    sketch — which is what lets the streaming form below union into
+    the same rollup."""
+    day = F.date_trunc("DAY", F.col("ts"))
+    return (events.withColumn("day", day)
+            .groupBy("day")
+            .agg(F.hll_sketch_agg("user_id").alias("sk"),
+                 F.count(F.lit(1)).alias("pv_ct")))
+
+
+def uv_rollup_from_daily(daily: DataFrame) -> DataFrame:
+    """Month rollup over the daily sketch table: a window union over
+    O(days) sketch rows, never a raw re-scan."""
+    w = Window.partitionBy("month")
+    return (daily.withColumn("month", F.date_trunc("MONTH", F.col("day")))
+            .select("day",
+                    F.hll_sketch_estimate("sk").alias("daily_uv_est"),
+                    "pv_ct", "month",
+                    F.hll_sketch_estimate(
+                        F.hll_union_agg("sk").over(w))
+                    .alias("month_uv_est")))
+
+
 def uv_sketch_rollup(events: DataFrame) -> DataFrame:
     """Mergeable-sketch rollup: per-day HLL sketches of user_id
     (``hll_sketch_agg``) re-aggregated to a monthly estimate with
@@ -229,21 +256,13 @@ def uv_sketch_rollup(events: DataFrame) -> DataFrame:
     alongside its month's unioned estimate (always ≥ the daily one).
     No SQL oracle: sketch encodings are algorithm-specific, so the
     driver records the rows-only check (like
-    unique_visitors_daily_approx)."""
-    day = F.date_trunc("DAY", F.col("ts"))
-    daily = (events.withColumn("day", day)
-             .groupBy("day")
-             .agg(F.hll_sketch_agg("user_id").alias("sk"),
-                  F.count(F.lit(1)).alias("pv_ct")))
-    # the monthly union is a WINDOW aggregate over the daily sketches,
-    # not a join back — one events scan, one partial/final sketch
-    # aggregation, then a month-keyed exchange of O(days) sketch rows
-    # (the join formulation aggregated the raw events twice)
-    w = Window.partitionBy("month")
-    return (daily.withColumn("month", F.date_trunc("MONTH", F.col("day")))
-            .select("day",
-                    F.hll_sketch_estimate("sk").alias("daily_uv_est"),
-                    "pv_ct", "month",
-                    F.hll_sketch_estimate(
-                        F.hll_union_agg("sk").over(w))
-                    .alias("month_uv_est")))
+    unique_visitors_daily_approx); tests/test_sketch_accuracy.py
+    gates both estimates against the exact counts at ~3σ.
+
+    The monthly union is a WINDOW aggregate over the daily sketches,
+    not a join back — one events scan, one partial/final sketch
+    aggregation, then a month-keyed exchange of O(days) sketch rows
+    (the join formulation aggregated the raw events twice). Streaming
+    form: streaming/jobs.uv_sketch_stream maintains the daily-sketch
+    store via foreachBatch union-merge; this same rollup reads it."""
+    return uv_rollup_from_daily(uv_daily_sketches(events))

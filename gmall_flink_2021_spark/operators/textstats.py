@@ -295,31 +295,34 @@ def tfidf_search(documents: DataFrame,
                     .alias("score")))
 
 
-def contamination_check(documents: DataFrame,
-                        benchmark_mod: int = 100) -> DataFrame:
-    """Benchmark decontamination: for every corpus document, the
-    fraction of its distinct word 3-grams that also appear in a
-    held-out benchmark set (here: doc_id % ``benchmark_mod`` == 0,
-    the deterministic stand-in for an eval suite). Pretraining
-    pipelines drop or flag high-overlap docs before training.
-
-    Spark-first shape: both sides explode to (doc, shingle-hash) and
-    meet in ONE equi-join on the 64-bit shingle key (an inverted
-    index, never doc×doc pairs); overlap counts aggregate map-side.
-    At 100 TB the benchmark side is tiny — AQE broadcasts it.
-    """
+def benchmark_shingle_index(documents: DataFrame,
+                            benchmark_mod: int = 100) -> DataFrame:
+    """The static side of decontamination: the distinct 64-bit shingle
+    hashes of the held-out benchmark set (doc_id % ``benchmark_mod``
+    == 0, the deterministic stand-in for an eval suite). Built once;
+    at 100 TB it is tiny relative to the corpus — AQE broadcasts it
+    into every scoring join, batch or per-micro-batch."""
     from ..functions.text import shingles
 
     sh = F.array_distinct(shingles(tokens("text")))
-    corpus = (documents
-              .filter(F.col("doc_id") % benchmark_mod != 0)
+    return (documents
+            .filter(F.col("doc_id") % benchmark_mod == 0)
+            .select(F.explode(sh).alias("s"))
+            .select(F.xxhash64("s").alias("shingle"))
+            .distinct())
+
+
+def contamination_against(corpus_docs: DataFrame,
+                          bench_sh: DataFrame) -> DataFrame:
+    """Score a corpus (any subset — a batch table or one micro-batch;
+    each document's score depends only on itself and the static
+    index) against a prebuilt benchmark shingle index."""
+    from ..functions.text import shingles
+
+    sh = F.array_distinct(shingles(tokens("text")))
+    corpus = (corpus_docs
               .select("doc_id", sh.alias("sh"))
               .filter(F.size("sh") > 0))
-    bench_sh = (documents
-                .filter(F.col("doc_id") % benchmark_mod == 0)
-                .select(F.explode(sh).alias("s"))
-                .select(F.xxhash64("s").alias("shingle"))
-                .distinct())
     hits = (corpus.select("doc_id", F.explode("sh").alias("s"))
             .select("doc_id", F.xxhash64("s").alias("shingle"))
             .join(bench_sh, "shingle")
@@ -336,6 +339,26 @@ def contamination_check(documents: DataFrame,
                     (F.col("contaminated_sh").cast("double")
                      / F.col("n_sh").cast("double"))
                     .alias("contaminated_frac")))
+
+
+def contamination_check(documents: DataFrame,
+                        benchmark_mod: int = 100) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, the
+    fraction of its distinct word 3-grams that also appear in a
+    held-out benchmark set. Pretraining pipelines drop or flag
+    high-overlap docs before training.
+
+    Spark-first shape: both sides explode to (doc, shingle-hash) and
+    meet in ONE equi-join on the 64-bit shingle key (an inverted
+    index, never doc×doc pairs); overlap counts aggregate map-side.
+    Streaming form: the same ``contamination_against`` scoring runs
+    per micro-batch against the static index
+    (streaming/jobs.contamination_stream) — per-doc scores are
+    independent, so streaming == batch row-for-row.
+    """
+    corpus = documents.filter(F.col("doc_id") % benchmark_mod != 0)
+    return contamination_against(
+        corpus, benchmark_shingle_index(documents, benchmark_mod))
 
 
 def domain_quota_sample(documents: DataFrame, quota: int = 10) -> DataFrame:

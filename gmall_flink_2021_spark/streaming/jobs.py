@@ -101,6 +101,82 @@ def visitor_stats_stream(events: DataFrame,
         streaming=True)
 
 
+def uv_sketch_stream(events_stream: DataFrame, store_path: str,
+                     checkpoint: str) -> None:
+    """Streaming form of operators/dwm.uv_sketch_rollup's ingest half:
+    each micro-batch's per-day HLL sketches are union-merged into the
+    daily sketch store (``hll_union_agg``), so any later rollup (the
+    monthly window in ``uv_rollup_from_daily``) reads O(days) sketch
+    rows and never re-scans raw events. HLL registers are per-item
+    maxes, so incremental union == single-pass sketch and streaming
+    == batch holds exactly, not approximately.
+
+    Idempotence: replaying a micro-batch after a failure must not
+    double-merge (sketch union is idempotent but the pv_ct sum is
+    not), so each merged batch id leaves a marker; a replay with an
+    existing marker is a no-op — the same overwrite-by-batch
+    discipline as sinks.write_idempotent."""
+    import os
+    import shutil
+
+    from ..operators.dwm import uv_daily_sketches
+
+    spark = events_stream.sparkSession
+    done_dir = store_path + "._done"
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        marker = os.path.join(done_dir, str(bid))
+        if os.path.exists(marker):
+            return
+        daily = uv_daily_sketches(batch)
+        try:
+            existing = spark.read.parquet(store_path)
+        except Exception:
+            existing = None
+        if existing is not None:
+            merged = (existing.unionByName(daily)
+                      .groupBy("day")
+                      .agg(F.hll_union_agg("sk").alias("sk"),
+                           F.sum("pv_ct").alias("pv_ct")))
+        else:
+            merged = daily
+        # two-phase swap: we cannot overwrite the store while lazily
+        # reading from it
+        tmp = store_path + "._staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(store_path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(done_dir, exist_ok=True)
+        with open(marker, "w"):
+            pass
+
+    q = (events_stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def contamination_stream(corpus_stream: DataFrame, bench_index: DataFrame,
+                         out_path: str, checkpoint: str) -> None:
+    """Streaming decontamination: a STATIC benchmark shingle index
+    (operators/textstats.benchmark_shingle_index — built once,
+    broadcast-sized) scores a streaming corpus micro-batch by
+    micro-batch. Per-doc scores depend only on the doc and the index,
+    so the union of emitted batches equals the batch operator
+    row-for-row; writes are overwrite-by-batch-id (exactly-once)."""
+    from ..operators.textstats import contamination_against
+    from . import sinks
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        sinks.write_idempotent(
+            contamination_against(batch, bench_index), bid, out_path)
+
+    q = (corpus_stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
 def run_to_completion(stream_df: DataFrame, checkpoint: str) -> DataFrame:
     """Drain a file-backed stream with availableNow into a memory sink
     and return it as a DataFrame. Used by the streaming==batch tests."""

@@ -105,6 +105,57 @@ def test_upsert_dim_rewrites_only_touched_buckets(spark, tmp_path):
     assert got == set(range(40)) | {new_key}
 
 
+def test_uv_sketch_rollup_streaming_matches_batch(spark, tmp_path):
+    """Sketch-rollup ingest as a stream: per-micro-batch daily HLL
+    sketches union-merged into the store must yield EXACTLY the batch
+    rollup (HLL registers are per-item maxes, so incremental union ==
+    single-pass sketch — asserted equal, not approximately equal)."""
+    from gmall_flink_2021_spark.operators import dwm
+    from gmall_flink_2021_spark.streaming.jobs import uv_sketch_stream
+
+    events = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "events_multi")
+    # several files + maxFilesPerTrigger=1 → a genuinely multi-batch
+    # stream, so the union-merge path actually merges
+    events.repartition(4).write.parquet(src)
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    store = str(tmp_path / "uv_daily")
+    uv_sketch_stream(stream, store, str(tmp_path / "ck_uv_sketch"))
+
+    got = {tuple(map(str, r)) for r in
+           dwm.uv_rollup_from_daily(spark.read.parquet(store)).collect()}
+    want = {tuple(map(str, r)) for r in dwm.uv_sketch_rollup(events).collect()}
+    assert want and got == want
+
+
+def test_contamination_streaming_matches_batch(spark, tmp_path):
+    """Decontamination as a stream: the static benchmark index scoring
+    a multi-batch corpus stream must reproduce the batch operator
+    row-for-row (per-doc scores are independent of batching)."""
+    from gmall_flink_2021_spark.operators import textstats
+    from gmall_flink_2021_spark.streaming.jobs import contamination_stream
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = str(tmp_path / "docs_multi")
+    docs.repartition(3).write.parquet(src)
+    corpus_stream = (spark.readStream
+                     .schema(spark.read.parquet(src).schema)
+                     .option("maxFilesPerTrigger", 1).parquet(src)
+                     .filter(F.col("doc_id") % 100 != 0))
+    bench = textstats.benchmark_shingle_index(docs).persist()
+    out = str(tmp_path / "contam_out")
+    contamination_stream(corpus_stream, bench, out,
+                         str(tmp_path / "ck_contam"))
+    bench.unpersist()
+
+    got = {tuple(map(str, r)) for r in
+           spark.read.parquet(out).drop("batch_id").collect()}
+    want = {tuple(map(str, r))
+            for r in textstats.contamination_check(docs).collect()}
+    assert want and got == want
+
+
 def test_sliding_window_streaming_matches_batch(spark, tmp_path):
     """O11 sliding form behind a watermark: every closed hopping
     window must equal the batch answer (collect_set distinct in
