@@ -49,14 +49,23 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    payload = json.dumps({
         "metric": "registry_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }, separators=(",", ":"))
+    # the consumer captures only the tail of the output, so the JSON
+    # line must be the LAST thing emitted: stop Spark first (its
+    # shutdown chatter would otherwise land after the line and push
+    # the line's head out of a bounded tail window), persist a copy,
+    # then print.
     spark.stop()
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_results.json"), "w") as f:
+        f.write(payload + "\n")
+    print(payload, flush=True)
 
 
 if __name__ == "__main__":
