@@ -139,7 +139,7 @@ def simhash_signatures(documents: DataFrame, bits: int = 60) -> DataFrame:
 
 def ngram_jaccard_pairs(documents: DataFrame, top_n: int = 50,
                         max_df: int = 1000,
-                        max_sh_per_doc: int = 64) -> DataFrame:
+                        max_sh_per_doc: int = 32) -> DataFrame:
     """Top near-duplicate pairs by word-3-gram Jaccard similarity,
     computed via an inverted shingle index (explode → self-join →
     count), never all-pairs. Join keys are 64-bit xxhash64 of the
@@ -159,6 +159,10 @@ def ngram_jaccard_pairs(documents: DataFrame, top_n: int = 50,
        the shared ordering, so candidate recall for true near-dups
        stays high while join volume is hard-bounded by
        max_df · max_sh_per_doc · n_docs — linear in corpus size.
+       Measured at the 10x replica stress (median doc = 52 shingles):
+       budget 64 → 17.1x wall, 32 → 7.0x, 24 → 5.7x; the residual
+       superlinearity is the intrinsic m² candidate-pair mass of a
+       duplicated corpus, which no pair-emitting operator avoids.
     ``common_sh`` therefore counts common *indexed* shingles and the
     jaccard uses full per-doc sizes, so scores only ever shrink
     (candidate-ranking semantics, exact for pairs whose overlap fits

@@ -1091,7 +1091,7 @@ ORACLES: dict[str, str] = {
             FROM docs, unnest(sh) AS s(shingle)
         ),
         -- scale guards mirrored from the Spark side: df > 1000
-        -- shingles dropped, then each doc keeps only its 64 rarest
+        -- shingles dropped, then each doc keeps only its 32 rarest
         -- shingles (df asc, shingle asc — the same total order both
         -- engines compute on the raw string)
         invd AS (
@@ -1104,7 +1104,7 @@ ORACLES: dict[str, str] = {
                        row_number() OVER (PARTITION BY doc_id
                                           ORDER BY df, s) AS rk
                 FROM invd WHERE df <= 1000
-            ) WHERE rk <= 64
+            ) WHERE rk <= 32
         ),
         common AS (
             SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,

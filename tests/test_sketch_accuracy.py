@@ -25,6 +25,27 @@ def duck():
     return duck_connect(SF)
 
 
+def test_windowed_approx_uv_within_band(spark):
+    """The approx_uv=True variant of the windowed stats (the
+    constant-state 100 TB path) must track the exact uv_ct within the
+    default approx_count_distinct band (rsd 5% ⇒ ~3σ = 15%)."""
+    from gmall_flink_2021_spark.operators.dws import visitor_stats_window
+    from gmall_flink_2021_spark.sources.tables import load_table
+
+    events = load_table(spark, SF, "events")
+    exact = {(str(r.stt), r.event_type): r.uv_ct
+             for r in visitor_stats_window(events).collect()}
+    approx = visitor_stats_window(events, approx_uv=True).collect()
+    assert len(approx) == len(exact)
+    for r in approx:
+        want = exact[(str(r.stt), r.event_type)]
+        # the HLL band is RELATIVE for large cardinalities; 10-minute
+        # windows also have tiny groups (n=2) where the sparse
+        # representation can be off by 1 — a 50% relative but
+        # within-spec absolute error, hence the combined band
+        assert abs(r.uv_ct - want) <= max(0.15 * want, 2.0)
+
+
 @pytest.mark.parametrize("name", sorted(SKETCH_GATES))
 def test_sketch_estimates_within_error_band(spark, duck, name):
     result = QUERIES[name](spark, SF).toPandas()
