@@ -65,7 +65,8 @@ def minhash_signatures(documents: DataFrame,
 
 def minhash_band_pairs(documents: DataFrame,
                        n_hashes: int = MINHASH_SEEDS,
-                       bands: int = LSH_BANDS) -> DataFrame:
+                       bands: int = LSH_BANDS,
+                       sig: DataFrame | None = None) -> DataFrame:
     """LSH candidate pairs: docs whose signatures collide in ≥1 band.
 
     Band hash = md5 of the band's concatenated minhashes; candidates
@@ -73,11 +74,14 @@ def minhash_band_pairs(documents: DataFrame,
     and deduplicated across bands — the scalable alternative to an
     all-pairs comparison. The banded projection is persisted so the
     self-join reads it once instead of recomputing the signature
-    pipeline on both sides.
+    pipeline on both sides. Pass a prebuilt (ideally persisted)
+    ``sig`` frame to share one signature pass with a downstream
+    scorer (`minhash_jaccard_pairs` does).
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(documents, n_hashes).filter(
-        F.col("h0").isNotNull())
+    if sig is None:
+        sig = minhash_signatures(documents, n_hashes).filter(
+            F.col("h0").isNotNull())
     band_hashes = F.array(*[
         F.md5(F.concat_ws(
             "|", *[f"h{b * rows_per_band + r}" for r in range(rows_per_band)]))
@@ -215,6 +219,41 @@ def ngram_jaccard_pairs(documents: DataFrame, top_n: int = 50,
            .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
            .limit(top_n))
     out._ngram_caches = (docs, inv)
+    return out
+
+
+def minhash_jaccard_pairs(documents: DataFrame,
+                          n_hashes: int = MINHASH_SEEDS) -> DataFrame:
+    """Signature-estimated Jaccard for every LSH candidate pair: the
+    fraction of agreeing MinHash components — the PRODUCTION near-dup
+    scorer at 100 TB. Candidates come from `minhash_band_pairs`
+    (bucketed equi-join, never all-pairs) and are scored from the
+    8-component signatures alone, so after the one signature pass the
+    raw text is never re-read — this is what replaces the demoted
+    `ngram_jaccard_pairs` exact counting at corpus scale (SCALE.md).
+
+    The estimate is exact integer arithmetic (component equality
+    count) over engine-portable md5 slices, then one IEEE division by
+    the component count — bit-identical in the DuckDB oracle. Joining
+    candidates back to the signature table costs two doc_id-keyed
+    shuffles of the candidate set; candidates are LSH-bounded (orders
+    of magnitude smaller than the corpus), which is why the join-back
+    beats carrying 8 hashes through the banded explode."""
+    sig = minhash_signatures(documents, n_hashes).filter(
+        F.col("h0").isNotNull()).persist()
+    pairs = minhash_band_pairs(documents, n_hashes, sig=sig)
+    matching = sum(
+        (F.when(F.col(f"a.h{j}") == F.col(f"b.h{j}"), F.lit(1))
+         .otherwise(F.lit(0)) for j in range(n_hashes)),
+        F.lit(0)).cast("long")
+    out = (pairs
+           .join(sig.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+           .join(sig.alias("b"), F.col("doc_b") == F.col("b.doc_id"))
+           .select("doc_a", "doc_b", matching.alias("matching_components"),
+                   (matching.cast("double") / F.lit(float(n_hashes)))
+                   .alias("est_jaccard")))
+    out._sig_cache = sig
+    out._banded_cache = getattr(pairs, "_banded_cache", None)
     return out
 
 

@@ -316,25 +316,29 @@ def contamination_against(corpus_docs: DataFrame,
                           bench_sh: DataFrame) -> DataFrame:
     """Score a corpus (any subset — a batch table or one micro-batch;
     each document's score depends only on itself and the static
-    index) against a prebuilt benchmark shingle index."""
+    index) against a prebuilt benchmark shingle index.
+
+    ONE corpus scan: n_sh rides along the exploded rows, the index is
+    LEFT-joined (broadcast-sized, so no shuffle for the join), and a
+    single doc_id aggregation recovers both the size and the hit
+    count — clean documents keep their rows (hit = 0), so "checked,
+    clean" stays distinguishable from "absent" without a second scan
+    and sizes join (the previous shape scanned the corpus twice)."""
     from ..functions.text import shingles
 
     sh = F.array_distinct(shingles(tokens("text")))
-    corpus = (corpus_docs
-              .select("doc_id", sh.alias("sh"))
-              .filter(F.size("sh") > 0))
-    hits = (corpus.select("doc_id", F.explode("sh").alias("s"))
-            .select("doc_id", F.xxhash64("s").alias("shingle"))
-            .join(bench_sh, "shingle")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("contaminated_sh")))
-    sizes = corpus.select("doc_id", F.size("sh").alias("n_sh"))
-    # left join: clean documents appear with 0 overlap — a consumer
-    # must be able to tell "checked, clean" from "absent"
-    return (sizes.join(hits, "doc_id", "left")
-            .select("doc_id", "n_sh",
-                    F.coalesce("contaminated_sh", F.lit(0))
-                    .alias("contaminated_sh"))
+    expl = (corpus_docs
+            .select("doc_id", sh.alias("sh"))
+            .filter(F.size("sh") > 0)
+            .select("doc_id", F.size("sh").alias("n_sh"),
+                    F.explode("sh").alias("s"))
+            .select("doc_id", "n_sh", F.xxhash64("s").alias("shingle")))
+    marked = expl.join(
+        bench_sh.withColumn("hit", F.lit(1)), "shingle", "left")
+    return (marked.groupBy("doc_id")
+            .agg(F.first("n_sh").alias("n_sh"),
+                 F.sum(F.coalesce("hit", F.lit(0)))
+                 .alias("contaminated_sh"))
             .select("doc_id", "n_sh", "contaminated_sh",
                     (F.col("contaminated_sh").cast("double")
                      / F.col("n_sh").cast("double"))

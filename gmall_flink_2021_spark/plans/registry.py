@@ -191,6 +191,14 @@ def q_minhash_band_pairs(spark, sf):
     return dedup.minhash_band_pairs(documents)
 
 
+def q_minhash_jaccard_pairs(spark, sf):
+    """Gates: signature-estimated Jaccard scoring joined back onto LSH
+    candidates — near-dup scoring with NO re-read of the raw text (the
+    production scorer that replaces exact n-gram counting at scale)."""
+    (documents,) = _t(spark, sf, "documents")
+    return dedup.minhash_jaccard_pairs(documents)
+
+
 def q_ngram_jaccard_pairs(spark, sf):
     """Gates: df-capped + per-doc-budgeted inverted-index self-join (join
     volume linear in corpus; plan-pinned df filter)."""
@@ -669,10 +677,14 @@ def q_event_metrics_unpivot(spark, sf):
 
 
 def q_embedding_dups_lsh(spark, sf):
-    """THE default near-dup path (similarity.embedding_dups): label ×
-    hyperplane-bucket two-level blocking, ~linear at 10x stress."""
+    """Gates: THE default near-dup path (similarity.embedding_dups) —
+    banded hyperplane LSH inside label blocks, candidates deduped
+    across bands then scored once. Graded at threshold 0.35 so the
+    result is non-empty on the test corpus (no cos≥0.9 pairs exist in
+    it); the operator's default is the 0.9 near-dup regime, whose
+    recall the synthetic audit test pins."""
     (embeddings,) = _t(spark, sf, "embeddings")
-    return similarity.embedding_dups(embeddings)
+    return similarity.embedding_dups(embeddings, threshold=0.35)
 
 
 def q_customer_value_quartiles(spark, sf):
@@ -709,6 +721,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dups": q_exact_dups,
     "minhash_signatures": q_minhash_signatures,
     "minhash_band_pairs": q_minhash_band_pairs,
+    "minhash_jaccard_pairs": q_minhash_jaccard_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
@@ -830,6 +843,9 @@ bands AS (
 ) + """
 )"""
 
+_MINHASH_MATCH = " + ".join(
+    f"CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END" for j in range(8))
+
 _DISC = ("(CAST(l_extendedprice AS DECIMAL(18,2)) * "
          "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))")
 
@@ -881,6 +897,34 @@ def _lsh_bucket_sql(vec: str) -> str:
         d = _DOT.format(a=vec, b=f"list_value({lits})")
         terms.append(f"(CASE WHEN {d} > 0 THEN {2 ** i} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
+
+
+def _emb_band_key_sql(vec: str, band: int) -> str:
+    """Oracle band key b: planes [8b, 8b+8) of the 64 shared
+    hyperplanes, local weights 2^j — mirrors
+    operators/similarity.emb_band_keys exactly."""
+    from ..operators.similarity import (
+        EMB_BAND_PLANES, EMB_BANDS, lsh_hyperplanes)
+
+    planes = lsh_hyperplanes(EMB_BANDS * EMB_BAND_PLANES)
+    terms = []
+    for j in range(EMB_BAND_PLANES):
+        plane = planes[band * EMB_BAND_PLANES + j]
+        lits = ", ".join(f"CAST({w} AS DOUBLE)" for w in plane)
+        d = _DOT.format(a=vec, b=f"list_value({lits})")
+        terms.append(f"(CASE WHEN {d} > 0 THEN {2 ** j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _emb_bands_sql() -> str:
+    """UNION ALL of the 8 per-band key projections."""
+    from ..operators.similarity import EMB_BANDS
+
+    return "\n            UNION ALL\n".join(
+        f"            SELECT label, vec_id, {b} AS band,"
+        f" CAST({_emb_band_key_sql('v', b)} AS BIGINT) AS bkey"
+        f" FROM vecs"
+        for b in range(EMB_BANDS))
 
 
 def _cos(a: str, b: str) -> str:
@@ -1078,6 +1122,21 @@ ORACLES: dict[str, str] = {
         FROM bands l
         JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
         WHERE l.doc_id < r.doc_id
+    """,
+    "minhash_jaccard_pairs": f"""
+        WITH {_BANDS},
+        pairs AS (
+            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+            FROM bands l
+            JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
+            WHERE l.doc_id < r.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST({_MINHASH_MATCH} AS BIGINT) AS matching_components,
+               CAST({_MINHASH_MATCH} AS DOUBLE) / 8.0 AS est_jaccard
+        FROM pairs
+        JOIN sig a ON pairs.doc_a = a.doc_id
+        JOIN sig b ON pairs.doc_b = b.doc_id
     """,
     "ngram_jaccard_pairs": f"""
         WITH {_SHINGLES},
@@ -2110,16 +2169,22 @@ ORACLES: dict[str, str] = {
         WITH vecs AS (
             SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
             FROM embeddings),
-        base AS (
-            SELECT label, vec_id, v,
-                   CAST({_lsh_bucket_sql('v')} AS BIGINT) AS bucket
-            FROM vecs)
-        SELECT a.label AS label, a.bucket AS bucket,
-               a.vec_id AS vec_a, b.vec_id AS vec_b,
+        bands AS (
+{_emb_bands_sql()}
+        ),
+        cand AS (
+            SELECT DISTINCT l.label AS label,
+                   l.vec_id AS vec_a, r.vec_id AS vec_b
+            FROM bands l
+            JOIN bands r ON l.label = r.label AND l.band = r.band
+                        AND l.bkey = r.bkey
+            WHERE l.vec_id < r.vec_id
+        )
+        SELECT c.label AS label, c.vec_a AS vec_a, c.vec_b AS vec_b,
                {_cos('a.v', 'b.v')} AS cos_sim
-        FROM base a
-        JOIN base b ON a.label = b.label AND a.bucket = b.bucket
-                   AND a.vec_id < b.vec_id
+        FROM cand c
+        JOIN vecs a ON c.label = a.label AND c.vec_a = a.vec_id
+        JOIN vecs b ON c.label = b.label AND c.vec_b = b.vec_id
         WHERE {_cos('a.v', 'b.v')} >= 0.35
     """,
     "customer_value_quartiles": """
@@ -2294,6 +2359,8 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     # (ngram: per-doc index budget added; exhaustive: renamed from
     # embedding_dups when the LSH-blocked form became the default)
     "ngram_jaccard_pairs", "embedding_dups_exhaustive",
+    # new in round 3: the signature-estimated scorer
+    "minhash_jaccard_pairs",
     # graded green in round 1 only — re-confirm on this round's
     # regenerated testdata (rounds regenerate /root/testdata)
     "props_stats", "keyword_stats", "unique_visitors_daily",
@@ -2310,7 +2377,7 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     "dup_clusters", "dedup_summary", "simhash_band_pairs",
     "repetition_stats", "doc_top_terms", "term_df_stats",
     "bpe_token_stats", "lsh_ann", "norm_histogram",
-    "doc_length_percentiles", "stratified_sample",
+    "doc_length_percentiles",
 )
 
 

@@ -21,8 +21,8 @@ QUERIES = [
     "event_stats_daily", "sessionize", "minhash_band_pairs",
     "dup_clusters", "dedup_summary", "simhash_band_pairs",
     "contamination_check", "embedding_dups_exhaustive", "embedding_dups_lsh",
-    "quantization_error", "ngram_jaccard_pairs", "knn_bruteforce",
-    "sequence_packing",
+    "quantization_error", "ngram_jaccard_pairs", "minhash_jaccard_pairs",
+    "knn_bruteforce", "sequence_packing",
 ]
 
 

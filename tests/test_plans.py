@@ -126,12 +126,12 @@ def test_embedding_dups_keeps_fold_count_bounded(spark):
     assert plan.count("aggregate(") <= 6
 
 
-def test_default_embedding_dups_is_bucket_blocked(spark):
-    """The default near-dup path (embedding_dups_lsh) must join on the
-    two-level (label, bucket) key — an equi-join carrying the bucket
-    column, never label-only or a nested loop."""
+def test_default_embedding_dups_is_band_blocked(spark):
+    """The default near-dup path (embedding_dups_lsh) must generate
+    candidates via the banded (label, band, bkey) equi-join — never
+    label-only, never a nested loop/cartesian."""
     plan = _plan(spark, "embedding_dups_lsh")
-    assert "bucket" in plan
+    assert "bkey" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 

@@ -46,6 +46,34 @@ def test_windowed_approx_uv_within_band(spark):
         assert abs(r.uv_ct - want) <= max(0.15 * want, 2.0)
 
 
+def test_embedding_dups_recall_on_synthetic_near_dups(spark):
+    """Recall audit for the default banded-LSH near-dup path: plant 50
+    near-identical pairs (cos ≈ 0.999) among 200 random vectors; the
+    8-band × 8-plane construction predicts ≈100% recall at that
+    similarity (1 − (1 − p⁸)⁸ with p = 1 − θ/π), and every found pair
+    must also be scored correctly against the threshold (precision
+    1.0 by construction — the cos filter is exact)."""
+    import numpy as np
+
+    from gmall_flink_2021_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(200, 64))
+    rows = [(i, str(i % 4), [float(x) for x in v])
+            for i, v in enumerate(base)]
+    for j in range(50):
+        v = base[j] + 0.05 * rng.normal(size=64)
+        rows.append((1000 + j, str(j % 4), [float(x) for x in v]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>")
+    got = {(r.vec_a, r.vec_b): r.cos_sim
+           for r in similarity.embedding_dups(emb, threshold=0.9).collect()}
+    planted = {(j, 1000 + j) for j in range(50)}
+    found = planted & set(got)
+    assert len(found) / len(planted) >= 0.9
+    assert all(v >= 0.9 for v in got.values())
+
+
 @pytest.mark.parametrize("name", sorted(SKETCH_GATES))
 def test_sketch_estimates_within_error_band(spark, duck, name):
     result = QUERIES[name](spark, SF).toPandas()
