@@ -296,10 +296,14 @@ def embedding_dups(embeddings: DataFrame,
                               as_double("embedding").alias("v"))
             .withColumn("n", norm(F.col("v")))
             .persist())
+    # persist the NARROW banded projection: the self-join reads both
+    # sides, and without the persist the 64 hyperplane folds (the
+    # dominant per-row cost — higher-order functions evaluate outside
+    # codegen) would run twice
     bands = base.select(
         "label", "vec_id",
         F.posexplode(F.array(*emb_band_keys(F.col("v"))))
-        .alias("band", "bkey"))
+        .alias("band", "bkey")).persist()
     l, r = bands.alias("l"), bands.alias("r")
     cand = (l.join(r, ["label", "band", "bkey"])
             .filter(F.col("l.vec_id") < F.col("r.vec_id"))
@@ -316,7 +320,7 @@ def embedding_dups(embeddings: DataFrame,
                        / (F.col("na") * F.col("nb")))
            .select("label", "vec_a", "vec_b", "cos_sim")
            .filter(F.col("cos_sim") >= threshold))
-    out._emb_cache = base
+    out._emb_cache = (base, bands)
     return out
 
 

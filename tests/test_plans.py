@@ -136,6 +136,17 @@ def test_default_embedding_dups_is_band_blocked(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_minhash_jaccard_scorer_shape(spark):
+    """The signature-estimated scorer must stay candidate-bounded:
+    banded equi-join candidate generation plus two equi-joins back to
+    the signature table — never a cartesian/nested-loop, and no text
+    tokenization downstream of the signature aggregation (the whole
+    point is scoring without re-reading text)."""
+    plan = _plan(spark, "minhash_jaccard_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_simhash_band_pairs_is_bucketed_equi_join(spark):
     """Candidate generation must be an equi-join on (band, band_key) —
     never a nested-loop/cartesian all-pairs scan."""
