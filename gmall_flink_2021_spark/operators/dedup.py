@@ -363,6 +363,31 @@ def dup_clusters(documents: DataFrame, max_iter: int = 20,
     return out
 
 
+def dedup_keep_best(documents: DataFrame) -> DataFrame:
+    """The production cluster-keep rule: within each near-dup cluster
+    keep the HIGHEST-QUALITY document, not the arbitrary min-id
+    representative — quality here is token count (longer documents
+    carry more training signal; ties break on doc_id asc so the
+    choice is deterministic). Emits one row per clustered doc:
+    (cluster_id, doc_id, n_tokens, keep ∈ {0,1}) — the actionable
+    form of `dup_clusters` for a pretraining pipeline, and the rule a
+    real dedup stage would swap in for any learned quality score by
+    changing one ORDER BY.
+
+    Scale shape: clusters come from the fully-distributed LSH chain;
+    the quality join touches one narrow projection of the corpus and
+    the argmax is a window over cluster-sized groups."""
+    clusters = dup_clusters(documents)
+    quality = documents.select(
+        "doc_id", F.size(tokens("text")).alias("n_tokens"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id"))
+    return (clusters.join(quality, "doc_id")
+            .withColumn("rnk", F.row_number().over(w))
+            .select("cluster_id", "doc_id", "n_tokens",
+                    (F.col("rnk") == 1).cast("int").alias("keep")))
+
+
 def dedup_summary(documents: DataFrame) -> DataFrame:
     """The dedup stage's end product: per source, how many docs
     survive keep-one-per-cluster (canonical = min doc_id, exactly

@@ -467,6 +467,14 @@ def q_dup_clusters(spark, sf):
     return dedup.dup_clusters(documents)
 
 
+def q_dedup_keep_best(spark, sf):
+    """Gates: argmax-per-group spanning a composed pipeline — window
+    top-1 by quality over the connected-components output joined to a
+    corpus projection (the actionable keep/drop form of dup_clusters)."""
+    (documents,) = _t(spark, sf, "documents")
+    return dedup.dedup_keep_best(documents)
+
+
 def q_purchase_attribution(spark, sf):
     """Gates: as-of attribution join via union + carry-forward last-value
     window (no range join)."""
@@ -757,6 +765,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "high_balance_inactive_customers": q_high_balance_inactive_customers,
     "nation_year_revenue": q_nation_year_revenue,
     "dup_clusters": q_dup_clusters,
+    "dedup_keep_best": q_dedup_keep_best,
     "purchase_attribution": q_purchase_attribution,
     "price_tier_stats": q_price_tier_stats,
     "region_segment_cube": q_region_segment_cube,
@@ -1709,6 +1718,31 @@ ORACLES: dict[str, str] = {
         JOIN (SELECT cluster_id, count(*) AS cluster_sz
               FROM labels GROUP BY cluster_id) sz USING (cluster_id)
     """,
+    "dedup_keep_best": f"""
+        WITH RECURSIVE {_BANDS},
+        pairs AS (
+            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+            FROM bands l
+            JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
+            WHERE l.doc_id < r.doc_id),
+        edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                  UNION ALL
+                  SELECT doc_b, doc_a FROM pairs),
+        walk(a, b) AS (
+            SELECT s, d FROM edges
+            UNION
+            SELECT w.a, e.d FROM walk w JOIN edges e ON w.b = e.s),
+        labels AS (
+            SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            FROM walk GROUP BY a)
+        SELECT cluster_id, l.doc_id AS doc_id,
+               CAST(len(tok) AS INT) AS n_tokens,
+               CAST(CASE WHEN row_number() OVER (
+                        PARTITION BY cluster_id
+                        ORDER BY len(tok) DESC, l.doc_id) = 1
+                    THEN 1 ELSE 0 END AS INT) AS keep
+        FROM labels l JOIN toks t ON l.doc_id = t.doc_id
+    """,
     "purchase_attribution": """
         SELECT event_id, user_id, ts, last_view_ts,
                CAST(date_diff('microsecond', last_view_ts, ts) // 1000000
@@ -2359,8 +2393,9 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     # (ngram: per-doc index budget added; exhaustive: renamed from
     # embedding_dups when the LSH-blocked form became the default)
     "ngram_jaccard_pairs", "embedding_dups_exhaustive",
-    # new in round 3: the signature-estimated scorer
-    "minhash_jaccard_pairs",
+    # new in round 3: the signature-estimated scorer + the
+    # keep-best-quality cluster rule
+    "minhash_jaccard_pairs", "dedup_keep_best",
     # graded green in round 1 only — re-confirm on this round's
     # regenerated testdata (rounds regenerate /root/testdata)
     "props_stats", "keyword_stats", "unique_visitors_daily",
@@ -2377,7 +2412,6 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     "dup_clusters", "dedup_summary", "simhash_band_pairs",
     "repetition_stats", "doc_top_terms", "term_df_stats",
     "bpe_token_stats", "lsh_ann", "norm_histogram",
-    "doc_length_percentiles",
 )
 
 
