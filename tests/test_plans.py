@@ -102,10 +102,14 @@ def test_dedup_summary_does_not_force_broadcast(spark):
 
 
 def test_ngram_inverted_index_caps_document_frequency(spark):
-    """The O(df²) self-join guard: the inverted-index plan must filter
-    on the window-computed document frequency before the join."""
+    """The O(df²) self-join guards: the inverted-index plan must filter
+    on the window-computed document frequency AND rank-cap each doc's
+    index entries (the per-doc rarest-shingle budget) before the
+    join."""
     plan = _plan(spark, "ngram_jaccard_pairs")
     assert "df#" in plan or "(df" in plan, "df filter missing from plan"
+    assert "rk#" in plan or "(rk" in plan, "per-doc budget missing"
+    assert "row_number" in plan
 
 
 def test_quantization_error_materializes_max_abs_once(spark):
