@@ -449,3 +449,53 @@ def simhash_band_pairs(documents: DataFrame,
     return (pairs
             .select("doc_a", "doc_b", hamming.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
+
+
+def segment_dedup(documents: DataFrame,
+                  seg_tokens: int = 25) -> DataFrame:
+    """Paragraph-level exact dedup with document reconstruction (the
+    C4/RefinedWeb recipe: drop every repeated paragraph corpus-wide,
+    keeping its first occurrence in (doc_id, position) order, then
+    stitch the survivors back together).
+
+    The synthetic testdata has no newlines, so "paragraphs" are fixed
+    ``seg_tokens``-token spans; a real corpus swaps the segmenter for
+    a newline split — the plan is identical.
+
+    Plan shape: sequence+posexplode segmentation in the scan (no
+    shuffle), ONE shuffle keyed by segment hash for the
+    first-occurrence ranking (row_number over tiny per-hash groups),
+    then a doc_id-keyed re-aggregation that rebuilds each document
+    from its surviving segments in position order. Documents whose
+    every segment already appeared earlier vanish — the dedup
+    actually deletes. At 100 TB both shuffles are keyed by
+    high-cardinality columns (segment hash / doc_id); per-group state
+    is O(duplicates-of-one-segment) and O(segments-of-one-doc).
+    """
+    tok = tokens("text")
+    starts = F.sequence(F.lit(0),
+                        F.greatest(F.size(tok) - 1, F.lit(0)),
+                        F.lit(seg_tokens))
+    segs = (documents
+            .select("doc_id", tok.alias("tok"), starts.alias("starts"))
+            .select("doc_id",
+                    F.size("starts").cast("long").alias("n_segs"),
+                    "tok",
+                    F.posexplode("starts").alias("seg_idx", "start"))
+            .select("doc_id", "n_segs",
+                    F.col("seg_idx").cast("long").alias("seg_idx"),
+                    F.concat_ws(
+                        " ", F.slice("tok", F.col("start") + 1,
+                                     seg_tokens)).alias("seg")))
+    w = Window.partitionBy(F.md5(F.col("seg"))) \
+              .orderBy("doc_id", "seg_idx")
+    kept = (segs
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    ordered = F.array_sort(F.collect_list(F.struct("seg_idx", "seg")))
+    return (kept.groupBy("doc_id")
+            .agg(F.max("n_segs").alias("n_segs"),
+                 F.count(F.lit(1)).alias("n_kept"),
+                 F.md5(F.array_join(
+                     F.transform(ordered, lambda s: s["seg"]),
+                     " ")).alias("dedup_fp")))

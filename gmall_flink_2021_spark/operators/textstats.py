@@ -409,3 +409,94 @@ def sequence_packing(documents: DataFrame,
             .withColumn("fill_ratio",
                         F.least(F.col("token_ct").cast("double")
                                 / F.lit(float(seq_tokens)), F.lit(1.0))))
+
+
+def pii_redaction(documents: DataFrame) -> DataFrame:
+    """PII detection/redaction audit: count and strip emails, IPv4
+    addresses, and phone-like digit runs per source — the scrubbing
+    pass every training corpus gets before tokenization.
+
+    The synthetic testdata contains no PII, so the query PLANTS
+    deterministic PII by doc_id residue (email / IP / phone for
+    residues 0/1/2 mod 5; identically in the oracle) — the regex
+    match + replace path is therefore genuinely exercised with
+    nonzero counts, and ``redacted_chars`` pins the regexp_replace
+    semantics, not just the match counts. Patterns are restricted to
+    the common subset of Java regex (Spark) and RE2 (DuckDB):
+    character classes, bounded repetition, no lookaround.
+
+    Plan shape: pure scan projection (regexp_extract_all / chained
+    regexp_replace inside whole-stage codegen) + one map-side-combined
+    aggregation keyed by source; no joins, no Python. At 100 TB the
+    scan is embarrassingly parallel.
+    """
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(did % 5 == 0,
+               F.concat(F.lit(" contact user"), did.cast("string"),
+                        F.lit("@mail.example.com now")))
+         .when(did % 5 == 1,
+               F.concat(F.lit(" host 10."), (did % 200).cast("string"),
+                        F.lit(".0."), (did % 250).cast("string"),
+                        F.lit(" up")))
+         .when(did % 5 == 2,
+               F.concat(F.lit(" call +1 555 0"), (did % 100).cast("string"),
+                        F.lit(" 42 now")))
+         .otherwise(F.lit("")))
+    redacted = planted
+    counts = []
+    for name, pat, tag in (
+            ("email", PII_EMAIL, "<EMAIL>"),
+            ("ip", PII_IPV4, "<IP>"),
+            ("phone", PII_PHONE, "<PHONE>")):
+        counts.append(
+            F.size(F.regexp_extract_all(redacted, F.lit(pat), 0))
+             .cast("long").alias(f"{name}_ct"))
+        redacted = F.regexp_replace(redacted, pat, tag)
+    per_doc = documents.select("source", *counts,
+                               F.length(redacted).alias("red_len"),
+                               F.length(planted).alias("raw_len"))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("doc_ct"),
+                 F.sum("email_ct").alias("email_ct"),
+                 F.sum("ip_ct").alias("ip_ct"),
+                 F.sum("phone_ct").alias("phone_ct"),
+                 F.sum(F.col("raw_len") - F.col("red_len"))
+                  .alias("redacted_chars")))
+
+
+# Regex dialect note: each pattern parses identically under Java
+# regex and RE2 (no lookaround/backrefs), so Spark and DuckDB agree
+# match-for-match.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+PII_PHONE = r"\+[0-9][0-9 ]{6,}[0-9]"
+
+
+def doc_chunks(documents: DataFrame, chunk_tokens: int = 16,
+               stride: int = 12) -> DataFrame:
+    """Overlapping training-window chunking: cut every document into
+    ``chunk_tokens``-token windows every ``stride`` tokens (the
+    context-window materialization step of a pretraining pipeline;
+    overlap = chunk_tokens - stride).
+
+    Plan shape: sequence() of chunk starts + posexplode + slice — a
+    lateral fan-out computed entirely in the scan projection with ZERO
+    shuffles; output rows ≈ n_tokens/stride per doc. At 100 TB each
+    executor chunks its own partitions independently.
+    """
+    tok = tokens("text")
+    starts = F.sequence(F.lit(0),
+                        F.greatest(F.size(tok) - 1, F.lit(0)),
+                        F.lit(stride))
+    exploded = (documents
+                .select("doc_id", tok.alias("tok"), starts.alias("starts"))
+                .select("doc_id", "tok",
+                        F.posexplode("starts").alias("chunk_idx", "start")))
+    chunk = F.slice("tok", F.col("start") + 1, chunk_tokens)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"))

@@ -709,6 +709,31 @@ def q_uv_sketch_rollup(spark, sf):
 
 
 
+def q_pii_redaction(spark, sf):
+    """Gates: regexp_extract_all / chained regexp_replace in the scan
+    projection (the PII-scrubbing pass; Java-regex/RE2-common dialect,
+    deterministically planted PII so counts are nonzero)."""
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.pii_redaction(documents)
+
+
+def q_doc_chunks(spark, sf):
+    """Gates: lateral sequence()+posexplode+slice fan-out computed
+    entirely in the scan (overlapping training-window chunking, zero
+    shuffles)."""
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.doc_chunks(documents)
+
+
+def q_segment_dedup(spark, sf):
+    """Gates: corpus-wide first-occurrence ranking (row_number over
+    segment-hash groups) + position-ordered document reconstruction
+    via array_sort(collect_list(struct)) — the C4-style paragraph
+    dedup that actually rewrites documents."""
+    (documents,) = _t(spark, sf, "documents")
+    return dedup.segment_dedup(documents)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -804,6 +829,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # no oracle entry: HLL sketch encodings are algorithm-specific
     # (rows-only check, like unique_visitors_daily_approx)
     "uv_sketch_rollup": q_uv_sketch_rollup,
+    "pii_redaction": q_pii_redaction,
+    "doc_chunks": q_doc_chunks,
+    "segment_dedup": q_segment_dedup,
 }
 
 
@@ -2239,6 +2267,87 @@ ORACLES: dict[str, str] = {
                CAST(sum(spend) AS DECIMAL(18,2)) AS total_spend
         FROM tiled GROUP BY quartile
     """,
+    # Plain string (no f-prefix): the regex bounded-repetition braces
+    # would collide with f-string interpolation.
+    "pii_redaction": r"""
+        WITH planted AS (
+            SELECT source,
+                   text || CASE doc_id % 5
+                       WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                   || '@mail.example.com now'
+                       WHEN 1 THEN ' host 10.' || CAST(doc_id % 200 AS VARCHAR)
+                                   || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+                                   || ' up'
+                       WHEN 2 THEN ' call +1 555 0' || CAST(doc_id % 100 AS VARCHAR)
+                                   || ' 42 now'
+                       ELSE '' END AS t0
+            FROM documents),
+        s1 AS (
+            SELECT source, t0,
+                   regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                                  '<EMAIL>', 'g') AS t1
+            FROM planted),
+        s2 AS (
+            SELECT source, t0, t1,
+                   regexp_replace(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}',
+                                  '<IP>', 'g') AS t2
+            FROM s1),
+        s3 AS (
+            SELECT source, t0, t1, t2,
+                   regexp_replace(t2, '\+[0-9][0-9 ]{6,}[0-9]',
+                                  '<PHONE>', 'g') AS t3
+            FROM s2)
+        SELECT source,
+               count(*) AS doc_ct,
+               CAST(sum(len(regexp_extract_all(t0,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT)
+                   AS email_ct,
+               CAST(sum(len(regexp_extract_all(t1,
+                   '([0-9]{1,3}\.){3}[0-9]{1,3}'))) AS BIGINT) AS ip_ct,
+               CAST(sum(len(regexp_extract_all(t2,
+                   '\+[0-9][0-9 ]{6,}[0-9]'))) AS BIGINT) AS phone_ct,
+               CAST(sum(len(t0) - len(t3)) AS BIGINT) AS redacted_chars
+        FROM s3 GROUP BY source
+    """,
+    "doc_chunks": "WITH " + _TOKS.lstrip() + """,
+        starts AS (
+            SELECT doc_id, tok,
+                   unnest(range(0, greatest(len(tok) - 1, 0) + 1, 12)) AS i
+            FROM toks),
+        chunks AS (
+            SELECT doc_id,
+                   i // 12 AS chunk_idx,
+                   tok[i + 1 : i + 16] AS chunk
+            FROM starts)
+        SELECT doc_id,
+               CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(len(chunk) AS BIGINT) AS chunk_len,
+               md5(array_to_string(chunk, ' ')) AS chunk_fp
+        FROM chunks
+    """,
+    "segment_dedup": "WITH " + _TOKS.lstrip() + """,
+        starts AS (
+            SELECT doc_id, tok,
+                   unnest(range(0, greatest(len(tok) - 1, 0) + 1, 25)) AS i
+            FROM toks),
+        segs AS (
+            SELECT doc_id,
+                   CAST(1 + greatest(len(tok) - 1, 0) // 25 AS BIGINT)
+                       AS n_segs,
+                   CAST(i // 25 AS BIGINT) AS seg_idx,
+                   array_to_string(tok[i + 1 : i + 25], ' ') AS seg
+            FROM starts),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY md5(seg)
+                                         ORDER BY doc_id, seg_idx) AS rn
+            FROM segs)
+        SELECT doc_id,
+               max(n_segs) AS n_segs,
+               count(*) AS n_kept,
+               md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS dedup_fp
+        FROM ranked WHERE rn = 1
+        GROUP BY doc_id
+    """,
 }
 
 
@@ -2396,6 +2505,9 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     # new in round 3: the signature-estimated scorer + the
     # keep-best-quality cluster rule
     "minhash_jaccard_pairs", "dedup_keep_best",
+    # new in round 3 (continuation): PII scrubbing, training-window
+    # chunking, paragraph-level dedup-with-reconstruction
+    "pii_redaction", "doc_chunks", "segment_dedup",
     # graded green in round 1 only — re-confirm on this round's
     # regenerated testdata (rounds regenerate /root/testdata)
     "props_stats", "keyword_stats", "unique_visitors_daily",
