@@ -444,19 +444,28 @@ def pii_redaction(documents: DataFrame) -> DataFrame:
                F.concat(F.lit(" call +1 555 0"), (did % 100).cast("string"),
                         F.lit(" 42 now")))
          .otherwise(F.lit("")))
-    redacted = planted
-    counts = []
-    for name, pat, tag in (
-            ("email", PII_EMAIL, "<EMAIL>"),
-            ("ip", PII_IPV4, "<IP>"),
-            ("phone", PII_PHONE, "<PHONE>")):
-        counts.append(
-            F.size(F.regexp_extract_all(redacted, F.lit(pat), 0))
-             .cast("long").alias(f"{name}_ct"))
-        redacted = F.regexp_replace(redacted, pat, tag)
-    per_doc = documents.select("source", *counts,
-                               F.length(redacted).alias("red_len"),
-                               F.length(planted).alias("raw_len"))
+    # Staged projections, one per redaction pass: each tN alias is
+    # consumed twice (the next replace + its match count), so
+    # CollapseProject keeps the stages separate and Catalyst cannot
+    # re-inline the planted CASE / earlier regexes into every later
+    # expression (the SCALE.md aliasing hazard — plan-pinned).
+    staged = documents.select("source", planted.alias("t0"))
+    prev = "t0"
+    for i, (pat, tag) in enumerate(
+            ((PII_EMAIL, "<EMAIL>"), (PII_IPV4, "<IP>"),
+             (PII_PHONE, "<PHONE>")), start=1):
+        staged = staged.select(
+            "*", F.regexp_replace(F.col(prev), pat, tag).alias(f"t{i}"))
+        prev = f"t{i}"
+    count = [
+        F.size(F.regexp_extract_all(f"t{i}", F.lit(pat), 0))
+         .cast("long").alias(f"{name}_ct")
+        for i, (name, pat) in enumerate(
+            (("email", PII_EMAIL), ("ip", PII_IPV4),
+             ("phone", PII_PHONE)))]
+    per_doc = staged.select("source", *count,
+                            F.length("t3").alias("red_len"),
+                            F.length("t0").alias("raw_len"))
     return (per_doc.groupBy("source")
             .agg(F.count(F.lit(1)).alias("doc_ct"),
                  F.sum("email_ct").alias("email_ct"),

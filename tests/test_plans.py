@@ -217,3 +217,37 @@ def test_uv_sketch_rollup_scans_events_once(spark):
         .fromString("simple")
     plan = df._jdf.queryExecution().explainString(mode)
     assert plan.count("FileScan") == 1
+
+
+def test_doc_chunks_has_zero_shuffles(spark):
+    """Chunking is a pure scan-side fan-out: sequence+posexplode+slice
+    must produce a plan with no Exchange at all."""
+    plan = _plan(spark, "doc_chunks")
+    assert "Generate" in plan          # the posexplode
+    assert "Exchange" not in plan
+
+
+def test_pii_redaction_is_scan_plus_one_agg(spark):
+    """PII scrubbing is a scan projection + one map-side-combined
+    aggregation: exactly one shuffle, no joins."""
+    plan = _plan(spark, "pii_redaction")
+    # "Exchange (" counts tree nodes once (formatted mode prints each
+    # operator again in the detail section)
+    assert plan.count("Exchange (") == 1
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2   # partial + final
+    # the planted-text CASE must be materialized once, not re-inlined
+    # into every regex stage (the SCALE.md aliasing hazard): the
+    # staged projection leaves exactly one CASE WHEN in the whole
+    # physical plan
+    assert plan.count("CASE WHEN") == 1, plan.count("CASE WHEN")
+
+
+def test_segment_dedup_shuffles_by_hash_then_doc(spark):
+    """Paragraph dedup needs exactly two shuffles: segment-hash for
+    first-occurrence ranking, doc_id for reconstruction — and the
+    ranking must be a window, not a self-join."""
+    plan = _plan(spark, "segment_dedup")
+    assert plan.count("Exchange (") == 2
+    assert "Window" in plan
+    assert "Join" not in plan
