@@ -13,6 +13,8 @@ import re
 import sys
 import time
 
+import pandas as pd
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -31,6 +33,19 @@ def main() -> None:
     from gmall_flink_2021_spark.sources.tables import load_all
     for df in load_all(spark, sf_dir).values():
         df.count()
+    # ... and the lazily-initialized execution subsystems the first
+    # timed query would otherwise absorb (measured ~1-2 s each): the
+    # shuffle/broadcast machinery and the Arrow Python-worker pool.
+    from pyspark.sql import functions as F
+
+    spark.range(1000).groupBy((F.col("id") % 10).alias("k")) \
+        .count().collect()
+
+    @F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(1000).select(_warm("id")).collect()
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():

@@ -472,11 +472,25 @@ def segment_dedup(documents: DataFrame,
     high-cardinality columns (segment hash / doc_id); per-group state
     is O(duplicates-of-one-segment) and O(segments-of-one-doc).
     """
+    segs = doc_segments(documents, seg_tokens)
+    w = Window.partitionBy("seg_hash").orderBy("doc_id", "seg_idx")
+    kept = (segs
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    return segment_rebuild(kept)
+
+
+def doc_segments(documents: DataFrame,
+                 seg_tokens: int = 25) -> DataFrame:
+    """The segment projection behind segment_dedup (shared with the
+    streaming form): (doc_id, n_segs, seg_idx, seg, seg_hash), one
+    row per ``seg_tokens``-token span, computed entirely in the scan
+    (sequence + posexplode + slice, no shuffle)."""
     tok = tokens("text")
     starts = F.sequence(F.lit(0),
                         F.greatest(F.size(tok) - 1, F.lit(0)),
                         F.lit(seg_tokens))
-    segs = (documents
+    return (documents
             .select("doc_id", tok.alias("tok"), starts.alias("starts"))
             .select("doc_id",
                     F.size("starts").cast("long").alias("n_segs"),
@@ -486,12 +500,14 @@ def segment_dedup(documents: DataFrame,
                     F.col("seg_idx").cast("long").alias("seg_idx"),
                     F.concat_ws(
                         " ", F.slice("tok", F.col("start") + 1,
-                                     seg_tokens)).alias("seg")))
-    w = Window.partitionBy(F.md5(F.col("seg"))) \
-              .orderBy("doc_id", "seg_idx")
-    kept = (segs
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1))
+                                     seg_tokens)).alias("seg"))
+            .withColumn("seg_hash", F.md5("seg")))
+
+
+def segment_rebuild(kept: DataFrame) -> DataFrame:
+    """Stitch surviving segments back into per-document summaries
+    (position-ordered fingerprint; docs with no surviving segment
+    disappear)."""
     ordered = F.array_sort(F.collect_list(F.struct("seg_idx", "seg")))
     return (kept.groupBy("doc_id")
             .agg(F.max("n_segs").alias("n_segs"),

@@ -922,24 +922,33 @@ _DOT = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         "(acc, v) -> acc + v)")
 
 
-def _lsh_bucket_sql(vec: str) -> str:
+def _lsh_bucket_sql(qvec: str) -> str:
     """The oracle's bucket expression, generated from the SAME
     hyperplanes as operators/similarity.lsh_bucket — integer weights
-    pasted as list literals, identical sequential fold."""
+    against the QUANT_SCALE fixed-point vector, pure int64 arithmetic
+    (matches both the JVM fold and the Arrow matmul path exactly)."""
     from ..operators.similarity import lsh_hyperplanes
 
     terms = []
     for i, plane in enumerate(lsh_hyperplanes()):
-        lits = ", ".join(f"CAST({w} AS DOUBLE)" for w in plane)
-        d = _DOT.format(a=vec, b=f"list_value({lits})")
+        lits = ", ".join(f"CAST({w} AS BIGINT)" for w in plane)
+        d = _IDOT.format(a=qvec, b=f"list_value({lits})")
         terms.append(f"(CASE WHEN {d} > 0 THEN {2 ** i} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
 
 
-def _emb_band_key_sql(vec: str, band: int) -> str:
+_IDOT = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+         "list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), "
+         "(acc, v) -> acc + v)")
+
+
+def _emb_band_key_sql(qvec: str, band: int) -> str:
     """Oracle band key b: planes [8b, 8b+8) of the 64 shared
-    hyperplanes, local weights 2^j — mirrors
-    operators/similarity.emb_band_keys exactly."""
+    hyperplanes, local weights 2^j, computed on the QUANT_SCALE
+    fixed-point vector ``qvec`` in pure int64 arithmetic — mirrors
+    operators/similarity.emb_band_keys / emb_band_keys_arrow exactly
+    (order-independent integers, so Spark's numpy matmul and this
+    sequential fold cannot disagree)."""
     from ..operators.similarity import (
         EMB_BAND_PLANES, EMB_BANDS, lsh_hyperplanes)
 
@@ -947,8 +956,8 @@ def _emb_band_key_sql(vec: str, band: int) -> str:
     terms = []
     for j in range(EMB_BAND_PLANES):
         plane = planes[band * EMB_BAND_PLANES + j]
-        lits = ", ".join(f"CAST({w} AS DOUBLE)" for w in plane)
-        d = _DOT.format(a=vec, b=f"list_value({lits})")
+        lits = ", ".join(f"CAST({w} AS BIGINT)" for w in plane)
+        d = _IDOT.format(a=qvec, b=f"list_value({lits})")
         terms.append(f"(CASE WHEN {d} > 0 THEN {2 ** j} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
 
@@ -959,7 +968,7 @@ def _emb_bands_sql() -> str:
 
     return "\n            UNION ALL\n".join(
         f"            SELECT label, vec_id, {b} AS band,"
-        f" CAST({_emb_band_key_sql('v', b)} AS BIGINT) AS bkey"
+        f" CAST({_emb_band_key_sql('q', b)} AS BIGINT) AS bkey"
         f" FROM vecs"
         for b in range(EMB_BANDS))
 
@@ -1908,11 +1917,13 @@ ORACLES: dict[str, str] = {
     """,
     "lsh_ann": f"""
         WITH vecs AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS qv
             FROM embeddings),
         base AS (
             SELECT vec_id, v,
-                   CAST({_lsh_bucket_sql('v')} AS BIGINT) AS bucket
+                   CAST({_lsh_bucket_sql('qv')} AS BIGINT) AS bucket
             FROM vecs),
         q AS (SELECT vec_id AS query_id, v AS vq, bucket
               FROM base WHERE vec_id < 5),
@@ -2229,7 +2240,9 @@ ORACLES: dict[str, str] = {
     """,
     "embedding_dups_lsh": f"""
         WITH vecs AS (
-            SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+            SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS q
             FROM embeddings),
         bands AS (
 {_emb_bands_sql()}

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from ..sources.tables import load_table
 
@@ -172,6 +173,52 @@ def contamination_stream(corpus_stream: DataFrame, bench_index: DataFrame,
             contamination_against(batch, bench_index), bid, out_path)
 
     q = (corpus_stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def segment_dedup_stream(doc_stream: DataFrame, out_path: str,
+                         state_path: str, checkpoint: str) -> None:
+    """Incremental paragraph-level dedup for a document stream: each
+    micro-batch keeps its own first occurrence of every segment, then
+    anti-joins the grow-only seen-segment state built by earlier
+    batches — the arrival-order generalization of segment_dedup for
+    continuous corpus ingestion (first SEEN wins; equal to the batch
+    operator whenever arrival order is doc_id order, which the
+    streaming==batch test pins).
+
+    Exactly-once: both the per-batch state append and the output are
+    overwrite-by-batchId, and the state read excludes rows written by
+    the current batch id, so a replayed batch neither double-drops
+    against its own partial write nor double-emits. State is
+    (seg_hash) — 16 bytes a segment — so at corpus scale it lives as
+    a partitioned parquet table that each batch anti-joins
+    (broadcast-eligible while small, shuffle-join beyond)."""
+    from ..operators.dedup import doc_segments, segment_rebuild
+    from . import sinks
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch.sparkSession
+        segs = doc_segments(batch)
+        w = Window.partitionBy("seg_hash").orderBy("doc_id", "seg_idx")
+        kept = (segs.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1).drop("rn"))
+        try:
+            seen = (spark.read.parquet(state_path)
+                    .filter(F.col("batch_id") < bid)
+                    .select("seg_hash"))
+            kept = kept.join(seen, "seg_hash", "left_anti")
+        except AnalysisException:
+            pass  # first batch: no state yet
+        kept = kept.persist()
+        sinks.write_idempotent(kept.select("seg_hash"), bid, state_path)
+        sinks.write_idempotent(segment_rebuild(kept), bid, out_path)
+        kept.unpersist()
+
+    q = (doc_stream.writeStream.foreachBatch(sink)
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True).start())
     q.awaitTermination()

@@ -23,6 +23,7 @@ QUERIES = [
     "contamination_check", "embedding_dups_exhaustive", "embedding_dups_lsh",
     "quantization_error", "ngram_jaccard_pairs", "minhash_jaccard_pairs",
     "knn_bruteforce", "sequence_packing",
+    "segment_dedup", "doc_chunks", "pii_redaction", "lsh_ann",
 ]
 
 

@@ -96,3 +96,30 @@ def test_sketch_estimates_within_error_band(spark, duck, name):
                 f"> {gate['max_rel_err']}")
             checked += 1
         assert checked == len(result)
+
+
+def test_arrow_band_keys_match_jvm_fold(spark):
+    """The Arrow matmul band-key path (the default) and the JVM
+    reference fold must agree bit-for-bit on real embeddings — the
+    fixed-point quantization is what guarantees it (integer dot
+    products are order-independent)."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_2021_spark.operators import similarity
+    from gmall_flink_2021_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    jvm = {r.vec_id: list(r.k) for r in base.select(
+        "vec_id", F.array(*similarity.emb_band_keys(F.col("v")))
+        .alias("k")).collect()}
+    arrow = {r.vec_id: list(r.k) for r in base.select(
+        "vec_id", similarity.emb_band_keys_arrow().alias("k")).collect()}
+    assert jvm and jvm == arrow
+    # same pin for the single-bucket (lsh_ann) form
+    jvm_b = {r.vec_id: r.b for r in base.select(
+        "vec_id", similarity.lsh_bucket(F.col("v")).alias("b")).collect()}
+    arrow_b = {r.vec_id: r.b for r in base.select(
+        "vec_id", similarity.lsh_bucket_arrow().alias("b")).collect()}
+    assert jvm_b and jvm_b == arrow_b

@@ -220,3 +220,47 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
     want = {tuple(r) for r in
             events.select("user_id", "event_type").distinct().collect()}
     assert want and got == want
+
+
+def test_segment_dedup_streaming_matches_batch(spark, tmp_path):
+    """Incremental paragraph dedup over a multi-batch corpus stream
+    (first-seen-wins against the grow-only segment state) must equal
+    the batch operator when arrival order is doc_id order — pinned by
+    feeding three doc_id-range files with staggered mtimes, one per
+    micro-batch."""
+    import os
+    import time as _time
+
+    from gmall_flink_2021_spark.operators import dedup
+    from gmall_flink_2021_spark.streaming.jobs import segment_dedup_stream
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    cuts = [hi // 3, 2 * hi // 3]
+    src = str(tmp_path / "docs_ordered")
+    os.makedirs(src)
+    parts = [docs.filter(F.col("doc_id") <= cuts[0]),
+             docs.filter((F.col("doc_id") > cuts[0])
+                         & (F.col("doc_id") <= cuts[1])),
+             docs.filter(F.col("doc_id") > cuts[1])]
+    now = _time.time()
+    for i, part in enumerate(parts):
+        tmp_dir = str(tmp_path / f"stage_{i}")
+        part.coalesce(1).write.parquet(tmp_dir)
+        f = next(p for p in os.listdir(tmp_dir) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"part_{i}.parquet")
+        os.rename(os.path.join(tmp_dir, f), dst)
+        os.utime(dst, (now + i * 10, now + i * 10))  # arrival order
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false").parquet(src))
+    out = str(tmp_path / "segdedup_out")
+    segment_dedup_stream(stream, out, str(tmp_path / "seg_state"),
+                         str(tmp_path / "ck_segdedup"))
+
+    got = {tuple(map(str, r)) for r in
+           spark.read.parquet(out).drop("batch_id").collect()}
+    want = {tuple(map(str, r))
+            for r in dedup.segment_dedup(docs).collect()}
+    assert want and got == want
