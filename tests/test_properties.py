@@ -208,3 +208,61 @@ def test_text_operators_tolerate_null_and_empty_text(spark):
 
     packed = textstats.sequence_packing(docs).collect()
     assert sum(r.doc_ct for r in packed) == 3
+
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=80)
+      .map(lambda ws: " ".join(ws)),
+    min_size=1, max_size=12)
+
+
+@given(texts=docs_strategy)
+@_slow
+def test_segment_dedup_matches_python_reference(spark, texts):
+    """segment_dedup against a straight-line Python first-occurrence
+    reference on random word-soup corpora (including empty docs and
+    heavy cross-doc repetition — single-letter words make segment
+    collisions common)."""
+    from gmall_flink_2021_spark.operators.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {(r.doc_id, r.n_segs, r.n_kept) for r in
+           segment_dedup(docs, seg_tokens=5).collect()}
+
+    seen, want = set(), set()
+    for i, t in enumerate(texts):
+        toks = [w for w in t.split(" ") if w]
+        segs = [" ".join(toks[s:s + 5])
+                for s in range(0, max(len(toks) - 1, 0) + 1, 5)]
+        kept = [s for s in segs if s not in seen]
+        seen.update(segs)
+        if kept:
+            want.add((i, len(segs), len(kept)))
+    assert got == want
+
+
+@given(texts=docs_strategy)
+@_slow
+def test_doc_chunks_cover_every_token_exactly(spark, texts):
+    """Chunk windows must tile each document: chunk starts every
+    stride tokens, each chunk ≤ chunk_tokens long, the union covers
+    all tokens, and adjacent chunks overlap by chunk-stride."""
+    from gmall_flink_2021_spark.operators.textstats import doc_chunks
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    rows = doc_chunks(docs, chunk_tokens=16, stride=12).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_len))
+    for i, t in enumerate(texts):
+        n = len([w for w in t.split(" ") if w])
+        chunks = sorted(by_doc[i])
+        want_ct = len(range(0, max(n - 1, 0) + 1, 12))
+        assert len(chunks) == want_ct
+        assert [c[0] for c in chunks] == list(range(want_ct))
+        covered = sum(c[1] for c in chunks)
+        overlap = sum(max(0, min(j * 12 + 16, n) - (j + 1) * 12)
+                      for j in range(want_ct - 1))
+        assert covered == n + overlap
