@@ -405,3 +405,113 @@ def embedding_dups(embeddings: DataFrame,
 # Back-compat name for the pre-round-3 callers: the LSH-blocked form
 # IS the default now.
 embedding_dups_lsh = embedding_dups
+
+
+# --------------------------------------------------------------------------
+# k-means (SemDedup-style curation clustering)
+# --------------------------------------------------------------------------
+
+KMEANS_K = 4
+KMEANS_ITERS = 3
+
+
+def _sqdist(v: Column, c: Column) -> Column:
+    """Sequential-fold squared distance — identical IEEE op order on
+    both engines, so distances are bit-identical given identical
+    inputs."""
+    return F.aggregate(
+        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, d: acc + d)
+
+
+def _kmeans_assign(vecs: DataFrame,
+                   centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """Nearest-centroid assignment as a PURE PROJECTION: the k
+    centroids are inlined as literal arrays (k·d doubles — the same
+    per-iteration broadcast every distributed k-means ships), so
+    assignment needs no join and no shuffle; argmin by (distance,
+    cluster) via array_min over k structs. Distances are sequential
+    IEEE folds on identical inputs (see _sqdist), so ties and
+    near-ties resolve identically on every engine."""
+    best = F.array_min(F.array(*[
+        F.struct(
+            _sqdist(F.col("v"),
+                    F.array(*[F.lit(float(x)) for x in cvec])).alias("d"),
+            F.lit(int(c)).alias("cluster"))
+        for c, cvec in centroids]))
+    return vecs.select("vec_id", "q", "v",
+                       best["cluster"].alias("cluster"))
+
+
+def _kmeans_recompute(assigned: DataFrame) -> DataFrame:
+    """EXACT centroid recomputation: per-dimension int64 sums of the
+    QUANT_SCALE fixed-point vectors (order-independent — no float
+    summation, no rounding tolerance), divided back to double once.
+    One shuffle keyed by (cluster, dim)."""
+    expl = assigned.select(
+        "cluster", F.posexplode("q").alias("dim", "qx"))
+    return (expl.groupBy("cluster", "dim")
+            .agg((F.sum("qx").cast("double")
+                  / (F.count(F.lit(1)) * F.lit(float(QUANT_SCALE))))
+                 .alias("cx"))
+            .groupBy("cluster")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("dim", "cx"))).alias("pairs"))
+            .select("cluster",
+                    F.transform("pairs", lambda p: p.cx).alias("centroid")))
+
+
+def kmeans_clusters(embeddings: DataFrame, k: int = KMEANS_K,
+                    iters: int = KMEANS_ITERS) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus, the clustering stage
+    of SemDedup-style curation (cluster, then dedup/select within
+    clusters). Deterministic AND bit-identical across engines, runs,
+    and partitionings:
+
+     - seeds are the ``k`` lowest vec_ids (no RNG — replayable);
+     - every centroid recomputation sums QUANT_SCALE fixed-point
+       int64 vectors (exact, order-independent) and divides back to
+       double once, so no float-summation-order tolerance is needed
+       anywhere — unlike avg-of-double, this is reproducible on any
+       cluster size;
+     - assignment distances are sequential IEEE folds on identical
+       inputs; ties break on cluster id.
+
+    Emits one row per cluster: vec_ct, exemplar_id (min vec_id — the
+    SemDedup representative), and centroid_fp (md5 over the
+    10⁶-scaled integer centroid elements, an engine-portable
+    fingerprint of the actual centroid values).
+
+    Scale shape per iteration: assignment is a ZERO-shuffle scan
+    projection (the k·d centroid doubles ride along as literals —
+    the same per-iteration broadcast every distributed k-means
+    ships, driver-coordinated exactly like MLlib's); recomputation
+    is one (cluster × dim)-keyed map-side-combined aggregation whose
+    k·d result is all the driver ever collects. Iterations are a
+    fixed small constant, as in real curation pipelines."""
+    vecs = embeddings.select(
+        "vec_id", as_double("embedding").alias("v")) \
+        .withColumn("q", quantized(F.col("v"))).persist()
+    centroids = [(c, list(r.v)) for c, r in enumerate(
+        vecs.orderBy("vec_id").limit(k).collect())]
+    assigned = None
+    for it in range(iters):
+        assigned = _kmeans_assign(vecs, centroids)
+        if it < iters - 1:
+            centroids = [(r.cluster, list(r.centroid)) for r in
+                         _kmeans_recompute(assigned).collect()]
+    # floor(x·10⁶ + ½), not round(): round-half behavior on exact .5
+    # boundaries is engine-specific, floor is not
+    final = _kmeans_recompute(assigned).withColumn(
+        "cfp", F.md5(F.concat_ws(",", F.transform(
+            "centroid",
+            lambda x: F.floor(x * 1_000_000 + F.lit(0.5))
+                       .cast("bigint")))))
+    out = (assigned.groupBy("cluster")
+           .agg(F.count(F.lit(1)).alias("vec_ct"),
+                F.min("vec_id").alias("exemplar_id"))
+           .join(final.select("cluster", "cfp"), "cluster")
+           .select("cluster", "vec_ct", "exemplar_id",
+                   F.col("cfp").alias("centroid_fp")))
+    out._kmeans_cache = vecs
+    return out

@@ -24,6 +24,7 @@ QUERIES = [
     "quantization_error", "ngram_jaccard_pairs", "minhash_jaccard_pairs",
     "knn_bruteforce", "sequence_packing",
     "segment_dedup", "doc_chunks", "pii_redaction", "lsh_ann",
+    "kmeans_clusters",
 ]
 
 
