@@ -489,17 +489,7 @@ def kmeans_clusters(embeddings: DataFrame, k: int = KMEANS_K,
     is one (cluster × dim)-keyed map-side-combined aggregation whose
     k·d result is all the driver ever collects. Iterations are a
     fixed small constant, as in real curation pipelines."""
-    vecs = embeddings.select(
-        "vec_id", as_double("embedding").alias("v")) \
-        .withColumn("q", quantized(F.col("v"))).persist()
-    centroids = [(c, list(r.v)) for c, r in enumerate(
-        vecs.orderBy("vec_id").limit(k).collect())]
-    assigned = None
-    for it in range(iters):
-        assigned = _kmeans_assign(vecs, centroids)
-        if it < iters - 1:
-            centroids = [(r.cluster, list(r.centroid)) for r in
-                         _kmeans_recompute(assigned).collect()]
+    assigned = kmeans_assignments(embeddings, k, iters)
     # floor(x·10⁶ + ½), not round(): round-half behavior on exact .5
     # boundaries is engine-specific, floor is not
     final = _kmeans_recompute(assigned).withColumn(
@@ -513,5 +503,49 @@ def kmeans_clusters(embeddings: DataFrame, k: int = KMEANS_K,
            .join(final.select("cluster", "cfp"), "cluster")
            .select("cluster", "vec_ct", "exemplar_id",
                    F.col("cfp").alias("centroid_fp")))
-    out._kmeans_cache = vecs
+    out._kmeans_cache = assigned._kmeans_cache
+    return out
+
+
+def kmeans_assignments(embeddings: DataFrame, k: int = KMEANS_K,
+                       iters: int = KMEANS_ITERS) -> DataFrame:
+    """The per-vector side of kmeans_clusters: (vec_id, cluster, q, v)
+    after ``iters`` Lloyd iterations (same determinism guarantees).
+    Exposes ``_kmeans_cache`` (the persisted vector projection) for
+    callers to release."""
+    vecs = embeddings.select(
+        "vec_id", as_double("embedding").alias("v")) \
+        .withColumn("q", quantized(F.col("v"))).persist()
+    centroids = [(c, list(r.v)) for c, r in enumerate(
+        vecs.orderBy("vec_id").limit(k).collect())]
+    assigned = None
+    for it in range(iters):
+        assigned = _kmeans_assign(vecs, centroids)
+        if it < iters - 1:
+            centroids = [(r.cluster, list(r.centroid)) for r in
+                         _kmeans_recompute(assigned).collect()]
+    assigned._kmeans_cache = vecs
+    return assigned
+
+
+def semdedup_prune(embeddings: DataFrame,
+                   threshold: float = 0.35) -> DataFrame:
+    """SemDedup end-to-end: cluster the corpus with k-means (LEARNED
+    blocks — no label column needed), then find near-duplicate pairs
+    inside each cluster with the banded hyperplane LSH and score the
+    deduplicated candidates exactly once with the exact cosine. This
+    is the published SemDedup recipe (cluster → intra-cluster
+    semantic dedup) with the same two scale properties as
+    embedding_dups: candidate mass is Σ bucket², and the corpus-sized
+    frame joins back only onto candidates.
+
+    Returns (cluster, vec_a, vec_b, cos_sim ≥ threshold)."""
+    assigned = kmeans_assignments(embeddings)
+    blocks = assigned.select(F.col("cluster").alias("label"),
+                             "vec_id", F.col("v").alias("embedding"))
+    dups = embedding_dups(blocks, threshold)
+    out = dups.select(F.col("label").alias("cluster"),
+                      "vec_a", "vec_b", "cos_sim")
+    out._emb_cache = dups._emb_cache
+    out._kmeans_cache = assigned._kmeans_cache
     return out

@@ -737,6 +737,20 @@ def q_kmeans_clusters(spark, sf):
     return out
 
 
+def q_semdedup_prune(spark, sf):
+    """Gates: the SemDedup end product — banded LSH near-dup pairs
+    inside LEARNED k-means blocks (no label column), the composition
+    of the iterative clustering and the banded candidate generation
+    under one exact oracle. Threshold 0.35 so the test corpus yields
+    pairs (no cos≥0.9 pairs exist in it)."""
+    (embeddings,) = _t(spark, sf, "embeddings")
+    out = similarity.semdedup_prune(embeddings, threshold=0.35)
+    out._kmeans_cache.unpersist()
+    for c in out._emb_cache:
+        c.unpersist()  # lazy: recompute-on-reuse
+    return out
+
+
 def q_segment_dedup(spark, sf):
     """Gates: corpus-wide first-occurrence ranking (row_number over
     segment-hash groups) + position-ordered document reconstruction
@@ -845,6 +859,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "segment_dedup": q_segment_dedup,
     "kmeans_clusters": q_kmeans_clusters,
+    "semdedup_prune": q_semdedup_prune,
 }
 
 
@@ -975,14 +990,15 @@ def _emb_band_key_sql(qvec: str, band: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _emb_bands_sql() -> str:
-    """UNION ALL of the 8 per-band key projections."""
+def _emb_bands_sql(src: str = "vecs") -> str:
+    """UNION ALL of the 8 per-band key projections over ``src``
+    (any CTE exposing label, vec_id, q)."""
     from ..operators.similarity import EMB_BANDS
 
     return "\n            UNION ALL\n".join(
         f"            SELECT label, vec_id, {b} AS band,"
         f" CAST({_emb_band_key_sql('q', b)} AS BIGINT) AS bkey"
-        f" FROM vecs"
+        f" FROM {src}"
         for b in range(EMB_BANDS))
 
 
@@ -992,13 +1008,13 @@ _SQD = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         "(acc, v) -> acc + v)")
 
 
-def _kmeans_oracle_sql() -> str:
-    """Unrolled Lloyd iterations mirroring similarity.kmeans_clusters:
-    seeds = k lowest vec_ids; per iteration, argmin-(distance,
-    cluster) assignment with the SAME sequential-fold distance, then
-    EXACT fixed-point centroid recomputation (int sums — order-
-    independent, so the two engines cannot diverge); fingerprint over
-    floor(x·10⁶+½)-scaled centroid elements."""
+def _kmeans_ctes() -> str:
+    """Unrolled Lloyd iterations mirroring similarity.kmeans_clusters
+    (shared by the kmeans and semdedup oracles): seeds = k lowest
+    vec_ids; per iteration, argmin-(distance, cluster) assignment
+    with the SAME sequential-fold distance, then EXACT fixed-point
+    centroid recomputation (int sums — order-independent, so the two
+    engines cannot diverge)."""
     from ..operators.similarity import KMEANS_ITERS, KMEANS_K
 
     sqd = _SQD.format(a="v", b="centroid")
@@ -1033,7 +1049,15 @@ def _kmeans_oracle_sql() -> str:
                       FROM a{n})
                 GROUP BY cluster, dim
             ) GROUP BY cluster)""")
-    parts.append(f"""
+    return "".join(parts)
+
+
+def _kmeans_oracle_sql() -> str:
+    """_kmeans_ctes + the cluster summary (fingerprint over
+    floor(x·10⁶+½)-scaled centroid elements)."""
+    from ..operators.similarity import KMEANS_ITERS
+
+    return _kmeans_ctes() + f"""
         SELECT f.cluster AS cluster, f.vec_ct AS vec_ct,
                f.exemplar_id AS exemplar_id,
                md5(array_to_string(list_transform(c.centroid,
@@ -1042,8 +1066,34 @@ def _kmeans_oracle_sql() -> str:
         FROM (SELECT cluster, count(*) AS vec_ct,
                      min(vec_id) AS exemplar_id
               FROM a{KMEANS_ITERS} GROUP BY cluster) f
-        JOIN c{KMEANS_ITERS} c ON f.cluster = c.cluster""")
-    return "".join(parts)
+        JOIN c{KMEANS_ITERS} c ON f.cluster = c.cluster"""
+
+
+def _semdedup_oracle_sql(threshold: float) -> str:
+    """_kmeans_ctes + banded LSH + exact cosine inside the learned
+    clusters — mirrors similarity.semdedup_prune."""
+    from ..operators.similarity import KMEANS_ITERS
+
+    return _kmeans_ctes() + f""",
+        av AS (
+            SELECT a.cluster AS label, a.vec_id, v.v AS v, v.q AS q
+            FROM a{KMEANS_ITERS} a JOIN vecs v USING (vec_id)),
+        bands AS (
+{_emb_bands_sql('av')}
+        ),
+        cand AS (
+            SELECT DISTINCT l.label AS label,
+                   l.vec_id AS vec_a, r.vec_id AS vec_b
+            FROM bands l
+            JOIN bands r ON l.label = r.label AND l.band = r.band
+                        AND l.bkey = r.bkey
+            WHERE l.vec_id < r.vec_id)
+        SELECT c.label AS cluster, c.vec_a AS vec_a, c.vec_b AS vec_b,
+               {_cos('a.v', 'b.v')} AS cos_sim
+        FROM cand c
+        JOIN av a ON c.label = a.label AND c.vec_a = a.vec_id
+        JOIN av b ON c.label = b.label AND c.vec_b = b.vec_id
+        WHERE {_cos('a.v', 'b.v')} >= {threshold}"""
 
 
 def _cos(a: str, b: str) -> str:
@@ -2435,6 +2485,7 @@ ORACLES: dict[str, str] = {
         GROUP BY doc_id
     """,
     "kmeans_clusters": _kmeans_oracle_sql(),
+    "semdedup_prune": _semdedup_oracle_sql(0.35),
 }
 
 
@@ -2596,6 +2647,7 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     # chunking, paragraph-level dedup-with-reconstruction, SemDedup
     # k-means
     "pii_redaction", "doc_chunks", "segment_dedup", "kmeans_clusters",
+    "semdedup_prune",
     # graded green in round 1 only — re-confirm on this round's
     # regenerated testdata (rounds regenerate /root/testdata)
     "props_stats", "keyword_stats", "unique_visitors_daily",
