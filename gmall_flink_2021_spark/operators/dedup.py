@@ -515,3 +515,34 @@ def segment_rebuild(kept: DataFrame) -> DataFrame:
                  F.md5(F.array_join(
                      F.transform(ordered, lambda s: s["seg"]),
                      " ")).alias("dedup_fp")))
+
+
+def editdist_verified_pairs(documents: DataFrame,
+                            max_rel: float = 0.4) -> DataFrame:
+    """The exact-verify pass of a near-dup pipeline: MinHash-LSH
+    candidates re-checked with TRUE edit distance on the normalized
+    text — the final arbiter real dedup stages run on the (small)
+    candidate set, never on all pairs. Levenshtein is integer-exact
+    on both engines, and the relative distance
+    lev / max(len_a, len_b) is a single identical IEEE division, so
+    the filter threshold behaves identically everywhere.
+
+    Scale shape: candidate generation is the banded equi-join
+    (Σ bucket², never n²); the O(len²)-per-pair Levenshtein runs only
+    on candidates, joined against a narrow (doc_id, text) projection.
+    """
+    pairs = minhash_band_pairs(documents)
+    norm = documents.select(
+        "doc_id", F.concat_ws(" ", tokens("text")).alias("t"))
+    a = norm.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
+    b = norm.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))
+    lev = F.levenshtein("ta", "tb")
+    denom = F.greatest(F.length("ta"), F.length("tb"), F.lit(1))
+    out = (pairs.join(a, "doc_a").join(b, "doc_b")
+           .select("doc_a", "doc_b",
+                   lev.cast("long").alias("lev"),
+                   (lev.cast("double") / denom.cast("double"))
+                   .alias("rel_dist"))
+           .filter(F.col("rel_dist") <= max_rel))
+    out._banded_cache = pairs._banded_cache
+    return out

@@ -751,6 +751,14 @@ def q_semdedup_prune(spark, sf):
     return out
 
 
+def q_editdist_verified_pairs(spark, sf):
+    """Gates: exact Levenshtein verification of LSH candidates (the
+    verify pass of a near-dup pipeline) — candidate-bounded O(len²)
+    scoring, integer-exact across engines."""
+    (documents,) = _t(spark, sf, "documents")
+    return dedup.editdist_verified_pairs(documents)
+
+
 def q_segment_dedup(spark, sf):
     """Gates: corpus-wide first-occurrence ranking (row_number over
     segment-hash groups) + position-ordered document reconstruction
@@ -860,6 +868,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_dedup": q_segment_dedup,
     "kmeans_clusters": q_kmeans_clusters,
     "semdedup_prune": q_semdedup_prune,
+    "editdist_verified_pairs": q_editdist_verified_pairs,
 }
 
 
@@ -2486,6 +2495,25 @@ ORACLES: dict[str, str] = {
     """,
     "kmeans_clusters": _kmeans_oracle_sql(),
     "semdedup_prune": _semdedup_oracle_sql(0.35),
+    "editdist_verified_pairs": f"""
+        WITH {_BANDS},
+        pairs AS (
+            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+            FROM bands l
+            JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
+            WHERE l.doc_id < r.doc_id
+        ),
+        norm AS (SELECT doc_id, array_to_string(tok, ' ') AS t FROM toks)
+        SELECT doc_a, doc_b,
+               CAST(levenshtein(a.t, b.t) AS BIGINT) AS lev,
+               CAST(levenshtein(a.t, b.t) AS DOUBLE)
+                   / greatest(len(a.t), len(b.t), 1) AS rel_dist
+        FROM pairs
+        JOIN norm a ON pairs.doc_a = a.doc_id
+        JOIN norm b ON pairs.doc_b = b.doc_id
+        WHERE CAST(levenshtein(a.t, b.t) AS DOUBLE)
+                  / greatest(len(a.t), len(b.t), 1) <= 0.4
+    """,
 }
 
 
@@ -2647,7 +2675,7 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     # chunking, paragraph-level dedup-with-reconstruction, SemDedup
     # k-means
     "pii_redaction", "doc_chunks", "segment_dedup", "kmeans_clusters",
-    "semdedup_prune",
+    "semdedup_prune", "editdist_verified_pairs",
     # graded green in round 1 only — re-confirm on this round's
     # regenerated testdata (rounds regenerate /root/testdata)
     "props_stats", "keyword_stats", "unique_visitors_daily",
