@@ -509,3 +509,21 @@ def doc_chunks(documents: DataFrame, chunk_tokens: int = 16,
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         F.size(chunk).cast("long").alias("chunk_len"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"))
+
+
+def doc_length_percentiles_approx(documents: DataFrame,
+                                  accuracy: int = 10_000) -> DataFrame:
+    """The 100 TB form of doc_length_percentiles: percentile_approx
+    (Greenwald-Khanna sketch, rank error ≤ 1/accuracy) instead of the
+    exact sort-based percentile — mergeable partial sketches, no
+    global sort. Not oracle-expressible (sketch internals); the
+    accuracy gate in tests/test_sketch_accuracy.py bounds each
+    estimate against DuckDB's exact quantile instead."""
+    pcts = F.percentile_approx("n_chars", [0.5, 0.9, 0.99], accuracy)
+    return (documents
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("doc_ct"), pcts.alias("p"))
+            .select("lang", "doc_ct",
+                    F.col("p")[0].cast("double").alias("p50"),
+                    F.col("p")[1].cast("double").alias("p90"),
+                    F.col("p")[2].cast("double").alias("p99")))

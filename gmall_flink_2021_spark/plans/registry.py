@@ -751,6 +751,14 @@ def q_semdedup_prune(spark, sf):
     return out
 
 
+def q_doc_length_percentiles_approx(spark, sf):
+    """Gates: mergeable quantile sketch (percentile_approx / GK) — the
+    no-global-sort scale path of the length profile; accuracy-gated
+    against exact quantiles (SKETCH_GATES), rows-only at the driver."""
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.doc_length_percentiles_approx(documents)
+
+
 def q_editdist_verified_pairs(spark, sf):
     """Gates: exact Levenshtein verification of LSH candidates (the
     verify pass of a near-dup pipeline) — candidate-bounded O(len²)
@@ -869,6 +877,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_clusters": q_kmeans_clusters,
     "semdedup_prune": q_semdedup_prune,
     "editdist_verified_pairs": q_editdist_verified_pairs,
+    "doc_length_percentiles_approx": q_doc_length_percentiles_approx,
 }
 
 
@@ -2531,6 +2540,23 @@ ORACLES: dict[str, str] = {
 # tests/test_sketch_accuracy.py asserts these per key at sf0.01.
 
 SKETCH_GATES: dict[str, tuple[dict, ...]] = {
+    # percentile_approx(accuracy=10000): rank error ≤ 1e-4 of the
+    # group; the VALUE-relative band below is loose enough for any
+    # non-degenerate length distribution (quantile_disc exact ref)
+    "doc_length_percentiles_approx": tuple(
+        {
+            "keys": ("lang",),
+            "estimate": f"p{p}",
+            "max_rel_err": 0.10,
+            "exact_sql": f"""
+                SELECT lang,
+                       CAST(quantile_disc(n_chars, 0.{p}) AS BIGINT)
+                           AS exact_ct
+                FROM documents GROUP BY lang
+            """,
+        }
+        for p in (50, 90, 99)
+    ),
     "unique_visitors_daily_approx": (
         {
             "keys": ("day",),
@@ -2676,6 +2702,7 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     # k-means
     "pii_redaction", "doc_chunks", "segment_dedup", "kmeans_clusters",
     "semdedup_prune", "editdist_verified_pairs",
+    "doc_length_percentiles_approx",
     # graded green in round 1 only — re-confirm on this round's
     # regenerated testdata (rounds regenerate /root/testdata)
     "props_stats", "keyword_stats", "unique_visitors_daily",

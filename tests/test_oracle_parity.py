@@ -32,7 +32,8 @@ def test_oracles_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
     # everything except the documented approx ops is oracle-checked
     assert set(QUERIES) - set(ORACLES) == {"unique_visitors_daily_approx",
-                                           "uv_sketch_rollup"}
+                                           "uv_sketch_rollup",
+                                           "doc_length_percentiles_approx"}
 
 
 def test_entry_contract(spark):
