@@ -224,6 +224,26 @@ def segment_dedup_stream(doc_stream: DataFrame, out_path: str,
     q.awaitTermination()
 
 
+def kmeans_score_stream(emb_stream: DataFrame,
+                        centroids: list[tuple[int, list[float]]]
+                        ) -> DataFrame:
+    """Static-model × stream scoring: assign every arriving embedding
+    to its nearest centroid from a batch k-means pass — the standard
+    train-offline / score-online split. The centroid literals ride in
+    the projection (same as the batch assignment), so this is a
+    stateless per-row transform: streaming == batch row-for-row, any
+    trigger, no state store. Returns (vec_id, cluster)."""
+    from pyspark.sql import functions as FF
+
+    from ..functions.vectors import as_double
+    from ..operators.similarity import _kmeans_assign, quantized
+
+    vecs = emb_stream.select(
+        "vec_id", as_double("embedding").alias("v")) \
+        .withColumn("q", quantized(FF.col("v")))
+    return _kmeans_assign(vecs, centroids).select("vec_id", "cluster")
+
+
 def run_to_completion(stream_df: DataFrame, checkpoint: str) -> DataFrame:
     """Drain a file-backed stream with availableNow into a memory sink
     and return it as a DataFrame. Used by the streaming==batch tests."""

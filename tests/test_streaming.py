@@ -264,3 +264,36 @@ def test_segment_dedup_streaming_matches_batch(spark, tmp_path):
     want = {tuple(map(str, r))
             for r in dedup.segment_dedup(docs).collect()}
     assert want and got == want
+
+
+def test_kmeans_scoring_streaming_matches_batch(spark, tmp_path):
+    """Static k-means model scoring a stream (train offline / score
+    online): assignments over a multi-batch embedding stream must
+    equal the batch assignment for the same centroids — stateless
+    projection, so no arrival-order caveat."""
+    from gmall_flink_2021_spark.operators import similarity
+    from gmall_flink_2021_spark.streaming.jobs import (
+        kmeans_score_stream, run_to_completion)
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    assigned = similarity.kmeans_assignments(emb)
+    want = {(r.vec_id, r.cluster) for r in assigned.collect()}
+    cents = [(r.cluster, list(r.centroid)) for r in
+             similarity._kmeans_recompute(assigned).collect()]
+    assigned._kmeans_cache.unpersist()
+    # the model the stream scores with: the final trained centroids —
+    # batch reference is one more assignment pass with those centroids
+    want = {(r.vec_id, r.cluster) for r in similarity._kmeans_assign(
+        emb.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("v"))
+           .withColumn("q", similarity.quantized(F.col("v"))),
+        cents).select("vec_id", "cluster").collect()}
+
+    src = str(tmp_path / "emb_stream")
+    emb.repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = run_to_completion(kmeans_score_stream(stream, cents),
+                            str(tmp_path / "ck_kmscore"))
+    got = {(r.vec_id, r.cluster) for r in out.collect()}
+    assert want and got == want
