@@ -251,3 +251,22 @@ def test_segment_dedup_shuffles_by_hash_then_doc(spark):
     assert plan.count("Exchange (") == 2
     assert "Window" in plan
     assert "Join" not in plan
+
+
+def test_editdist_verify_is_candidate_bounded(spark):
+    """The Levenshtein verify pass must run on LSH candidates via
+    equi-joins only — never a cartesian/nested-loop all-pairs."""
+    plan = _plan(spark, "editdist_verified_pairs")
+    assert "levenshtein" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_candidates_are_band_blocked(spark):
+    """SemDedup pruning must generate candidates via the banded
+    (cluster, band, bkey) equi-join inside learned blocks — same
+    bucketed shape as the default embedding_dups path."""
+    plan = _plan(spark, "semdedup_prune")
+    assert "bkey" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
