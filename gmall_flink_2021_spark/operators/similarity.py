@@ -415,32 +415,69 @@ KMEANS_K = 4
 KMEANS_ITERS = 3
 
 
-def _sqdist(v: Column, c: Column) -> Column:
-    """Sequential-fold squared distance — identical IEEE op order on
-    both engines, so distances are bit-identical given identical
-    inputs."""
+def _quant_py(x: float) -> int:
+    """Python-side QUANT_SCALE quantization — IEEE double arithmetic,
+    identical to the column/numpy/SQL forms."""
+    import math
+
+    return int(math.floor(x * QUANT_SCALE + 0.5))
+
+
+def _isqdist(q: Column, qc: list[int]) -> Column:
+    """Integer squared distance on the fixed-point grid — pure int64
+    (|q−qc| ≤ 2²⁴, 64 dims ⇒ Σ ≤ 2⁵⁴), order-independent, so the JVM
+    fold, the numpy kernel, and the DuckDB fold agree exactly."""
+    arr = F.array(*[F.lit(int(x)).cast("bigint") for x in qc])
     return F.aggregate(
-        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0), lambda acc, d: acc + d)
+        F.zip_with(q, arr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"), lambda acc, d: acc + d)
 
 
 def _kmeans_assign(vecs: DataFrame,
-                   centroids: list[tuple[int, list[float]]]) -> DataFrame:
-    """Nearest-centroid assignment as a PURE PROJECTION: the k
-    centroids are inlined as literal arrays (k·d doubles — the same
-    per-iteration broadcast every distributed k-means ships), so
-    assignment needs no join and no shuffle; argmin by (distance,
-    cluster) via array_min over k structs. Distances are sequential
-    IEEE folds on identical inputs (see _sqdist), so ties and
-    near-ties resolve identically on every engine."""
-    best = F.array_min(F.array(*[
-        F.struct(
-            _sqdist(F.col("v"),
-                    F.array(*[F.lit(float(x)) for x in cvec])).alias("d"),
-            F.lit(int(c)).alias("cluster"))
-        for c, cvec in centroids]))
+                   centroids: list[tuple[int, list[float]]],
+                   arrow: bool = True) -> DataFrame:
+    """Nearest-centroid assignment as a PURE PROJECTION — no join, no
+    shuffle; the k·d centroid values ride along (the same
+    per-iteration broadcast every distributed k-means ships).
+    Distances are integer squared distances on the QUANT_SCALE grid,
+    so argmin (ties → lowest cluster id) is exact on every engine —
+    no float-comparison ulp risk at all.
+
+    Default path: one numpy int64 kernel per Arrow batch
+    (‖q‖² − 2q·QCᵀ + ‖qc‖² with an exact integer matmul) — the
+    interpreted k·d fold costs ~0.5 ms/row at k=4 and grows linearly
+    in k, which is unusable at SemDedup-realistic k (10³–10⁴). The
+    JVM fold (arrow=False) is the bit-equal reference, pinned by
+    test_kmeans_arrow_assignment_matches_jvm_fold."""
+    order = sorted(centroids)
+    if not arrow:
+        best = F.array_min(F.array(*[
+            F.struct(
+                _isqdist(F.col("q"),
+                         [_quant_py(x) for x in cvec]).alias("d"),
+                F.lit(int(c)).alias("cluster"))
+            for c, cvec in order]))
+        return vecs.select("vec_id", "q", "v",
+                           best["cluster"].alias("cluster"))
+
+    from pyspark.sql.functions import pandas_udf
+
+    qc = np.array([[_quant_py(x) for x in cvec] for _, cvec in order],
+                  dtype=np.int64)
+    ids = np.array([int(c) for c, _ in order], dtype=np.int64)
+    qc_norms = (qc * qc).sum(axis=1)
+
+    @pandas_udf("int")
+    def nearest(qs: pd.Series) -> pd.Series:
+        if len(qs) == 0:
+            return pd.Series([], dtype="int32")
+        qm = np.stack([np.asarray(x, dtype=np.int64) for x in qs])
+        d = ((qm * qm).sum(axis=1, keepdims=True)
+             - 2 * (qm @ qc.T) + qc_norms)        # n × k, exact int64
+        return pd.Series(ids[np.argmin(d, axis=1)].astype("int32"))
+
     return vecs.select("vec_id", "q", "v",
-                       best["cluster"].alias("cluster"))
+                       nearest("q").cast("int").alias("cluster"))
 
 
 def _kmeans_recompute(assigned: DataFrame) -> DataFrame:

@@ -1020,22 +1020,22 @@ def _emb_bands_sql(src: str = "vecs") -> str:
         for b in range(EMB_BANDS))
 
 
-_SQD = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        "list_transform(range(1, len({a}) + 1), "
-        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
-        "(acc, v) -> acc + v)")
+_ISQD = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+         "list_transform(range(1, len({a}) + 1), "
+         "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+         "(acc, v) -> acc + v)")
 
 
 def _kmeans_ctes() -> str:
     """Unrolled Lloyd iterations mirroring similarity.kmeans_clusters
     (shared by the kmeans and semdedup oracles): seeds = k lowest
-    vec_ids; per iteration, argmin-(distance, cluster) assignment
-    with the SAME sequential-fold distance, then EXACT fixed-point
-    centroid recomputation (int sums — order-independent, so the two
-    engines cannot diverge)."""
+    vec_ids; per iteration, argmin-(distance, cluster) assignment on
+    INTEGER fixed-point squared distances and EXACT fixed-point
+    centroid recomputation — everything that could diverge between
+    engines is int64 arithmetic, which cannot."""
     from ..operators.similarity import KMEANS_ITERS, KMEANS_K
 
-    sqd = _SQD.format(a="v", b="centroid")
+    sqd = _ISQD.format(a="q", b="qc")
     parts = [f"""
         WITH vecs AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -1048,12 +1048,18 @@ def _kmeans_ctes() -> str:
             FROM vecs ORDER BY vec_id LIMIT {KMEANS_K})"""]
     for n in range(1, KMEANS_ITERS + 1):
         parts.append(f""",
+        cq{n - 1} AS (
+            SELECT cluster,
+                   list_transform(centroid,
+                       x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT))
+                       AS qc
+            FROM c{n - 1}),
         a{n} AS (
             SELECT vec_id, q, cluster FROM (
                 SELECT vec_id, q, cluster,
                        row_number() OVER (PARTITION BY vec_id
                                           ORDER BY {sqd}, cluster) AS rn
-                FROM vecs, c{n - 1}
+                FROM vecs, cq{n - 1}
             ) WHERE rn = 1),
         c{n} AS (
             SELECT cluster, list(cx ORDER BY dim) AS centroid

@@ -123,3 +123,23 @@ def test_arrow_band_keys_match_jvm_fold(spark):
     arrow_b = {r.vec_id: r.b for r in base.select(
         "vec_id", similarity.lsh_bucket_arrow().alias("b")).collect()}
     assert jvm_b and jvm_b == arrow_b
+
+
+def test_kmeans_arrow_assignment_matches_jvm_fold(spark):
+    """The Arrow integer-distance assignment kernel (default) and the
+    JVM reference fold must agree exactly on real embeddings for the
+    trained centroids."""
+    from gmall_flink_2021_spark.operators import similarity
+    from gmall_flink_2021_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    assigned = similarity.kmeans_assignments(emb)
+    cents = [(r.cluster, list(r.centroid)) for r in
+             similarity._kmeans_recompute(assigned).collect()]
+    vecs = assigned._kmeans_cache
+    arrow = {r.vec_id: r.cluster for r in
+             similarity._kmeans_assign(vecs, cents, arrow=True).collect()}
+    jvm = {r.vec_id: r.cluster for r in
+           similarity._kmeans_assign(vecs, cents, arrow=False).collect()}
+    vecs.unpersist()
+    assert arrow and arrow == jvm
