@@ -297,3 +297,40 @@ def test_kmeans_scoring_streaming_matches_batch(spark, tmp_path):
                             str(tmp_path / "ck_kmscore"))
     got = {(r.vec_id, r.cluster) for r in out.collect()}
     assert want and got == want
+
+
+def test_segment_dedup_stream_replay_is_exactly_once(spark, tmp_path):
+    """Failure-replay semantics: re-running a micro-batch (same
+    batch_id) against state that already contains its own write must
+    neither double-drop (the batch's own hashes must not suppress its
+    replay) nor double-emit (overwrite-by-batchId), leaving output
+    and state byte-identical in content."""
+    import glob
+
+    from gmall_flink_2021_spark.operators import dedup
+    from gmall_flink_2021_spark.streaming.jobs import segment_dedup_stream
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = str(tmp_path / "docs_one")
+    docs.coalesce(1).write.parquet(src)
+    stream = (spark.readStream.schema(docs.schema).parquet(src))
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    segment_dedup_stream(stream, out, state, str(tmp_path / "ck1"))
+    first = sorted(tuple(map(str, r)) for r in
+                   spark.read.parquet(out).collect())
+
+    # replay batch 0: fresh checkpoint, same source, same state dir —
+    # foreachBatch reruns with bid=0 against the existing state
+    segment_dedup_stream(
+        (spark.readStream.schema(docs.schema).parquet(src)),
+        out, state, str(tmp_path / "ck2"))
+    replayed = sorted(tuple(map(str, r)) for r in
+                      spark.read.parquet(out).collect())
+    assert replayed == first
+    # the batch dir was overwritten, not appended
+    assert len(glob.glob(f"{out}/batch_id=*")) == 1
+    want = sorted(tuple(map(str, r))
+                  for r in dedup.segment_dedup(docs).collect())
+    got = sorted(tuple(map(str, r)) for r in
+                 spark.read.parquet(out).drop("batch_id").collect())
+    assert got == want
