@@ -472,12 +472,31 @@ def segment_dedup(documents: DataFrame,
     high-cardinality columns (segment hash / doc_id); per-group state
     is O(duplicates-of-one-segment) and O(segments-of-one-doc).
     """
-    segs = doc_segments(documents, seg_tokens)
-    w = Window.partitionBy("seg_hash").orderBy("doc_id", "seg_idx")
-    kept = (segs
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1))
+    kept = first_occurrence(doc_segments(documents, seg_tokens))
     return segment_rebuild(kept)
+
+
+def token_windows(documents: DataFrame, width: int,
+                  stride: int) -> DataFrame:
+    """Shared lateral token-window fan-out (sequence + posexplode +
+    slice — entirely in the scan, no shuffle): one row per window of
+    ``width`` tokens starting every ``stride`` tokens. Backs both
+    doc_segments (width == stride) and textstats.doc_chunks
+    (overlapping windows). Emits (doc_id, n_windows, idx, win)."""
+    tok = tokens("text")
+    starts = F.sequence(F.lit(0),
+                        F.greatest(F.size(tok) - 1, F.lit(0)),
+                        F.lit(stride))
+    return (documents
+            .select("doc_id", tok.alias("tok"), starts.alias("starts"))
+            .select("doc_id",
+                    F.size("starts").cast("long").alias("n_windows"),
+                    "tok",
+                    F.posexplode("starts").alias("idx", "start"))
+            .select("doc_id", "n_windows",
+                    F.col("idx").cast("long").alias("idx"),
+                    F.slice("tok", F.col("start") + 1, width)
+                    .alias("win")))
 
 
 def doc_segments(documents: DataFrame,
@@ -486,22 +505,22 @@ def doc_segments(documents: DataFrame,
     streaming form): (doc_id, n_segs, seg_idx, seg, seg_hash), one
     row per ``seg_tokens``-token span, computed entirely in the scan
     (sequence + posexplode + slice, no shuffle)."""
-    tok = tokens("text")
-    starts = F.sequence(F.lit(0),
-                        F.greatest(F.size(tok) - 1, F.lit(0)),
-                        F.lit(seg_tokens))
-    return (documents
-            .select("doc_id", tok.alias("tok"), starts.alias("starts"))
+    return (token_windows(documents, seg_tokens, seg_tokens)
             .select("doc_id",
-                    F.size("starts").cast("long").alias("n_segs"),
-                    "tok",
-                    F.posexplode("starts").alias("seg_idx", "start"))
-            .select("doc_id", "n_segs",
-                    F.col("seg_idx").cast("long").alias("seg_idx"),
-                    F.concat_ws(
-                        " ", F.slice("tok", F.col("start") + 1,
-                                     seg_tokens)).alias("seg"))
+                    F.col("n_windows").alias("n_segs"),
+                    F.col("idx").alias("seg_idx"),
+                    F.concat_ws(" ", "win").alias("seg"))
             .withColumn("seg_hash", F.md5("seg")))
+
+
+def first_occurrence(segs: DataFrame) -> DataFrame:
+    """Corpus-wide first-occurrence ranking of segments: keep each
+    seg_hash's earliest (doc_id, seg_idx). The single ranking rule
+    shared by segment_dedup and the streaming form (so the tie-break
+    cannot silently diverge between them)."""
+    w = Window.partitionBy("seg_hash").orderBy("doc_id", "seg_idx")
+    return (segs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn"))
 
 
 def segment_rebuild(kept: DataFrame) -> DataFrame:
@@ -532,8 +551,11 @@ def editdist_verified_pairs(documents: DataFrame,
     on candidates, joined against a narrow (doc_id, text) projection.
     """
     pairs = minhash_band_pairs(documents)
+    # both join sides read this narrow projection: persist so the
+    # corpus is tokenized once, not once per side (same policy as the
+    # banded projection above); released via _norm_cache
     norm = documents.select(
-        "doc_id", F.concat_ws(" ", tokens("text")).alias("t"))
+        "doc_id", F.concat_ws(" ", tokens("text")).alias("t")).persist()
     a = norm.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
     b = norm.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))
     lev = F.levenshtein("ta", "tb")
@@ -545,4 +567,5 @@ def editdist_verified_pairs(documents: DataFrame,
                    .alias("rel_dist"))
            .filter(F.col("rel_dist") <= max_rel))
     out._banded_cache = pairs._banded_cache
+    out._norm_cache = norm
     return out

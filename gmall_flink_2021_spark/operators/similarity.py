@@ -326,11 +326,26 @@ def hyperplane_keys_arrow(planes_list: list[list[int]], bands: int,
     planes = np.array(planes_list, dtype=np.int64)
     weights = (np.int64(1) << np.arange(band_planes, dtype=np.int64))
 
+    dim = planes.shape[1]
+
     @pandas_udf("array<bigint>")
     def keys_udf(vec: pd.Series) -> pd.Series:
         if len(vec) == 0:
             return pd.Series([], dtype=object)
-        v = np.stack([np.asarray(x, dtype=np.float64) for x in vec])
+        # null / wrong-dim / non-numeric rows quantize to the zero
+        # vector: dot 0 → sign False → key 0, exactly what the JVM
+        # reference fold yields for a null embedding (null dot →
+        # otherwise(0)) — a dirty row degrades to bucket 0 instead of
+        # aborting the whole task
+        def safe(x):
+            try:
+                a = np.asarray(x, dtype=np.float64)
+            except (TypeError, ValueError):
+                return np.zeros(dim)
+            return a if a.shape == (dim,) and not np.isnan(a).any() \
+                else np.zeros(dim)
+
+        v = np.stack([safe(x) for x in vec])
         q = np.floor(v * QUANT_SCALE + 0.5).astype(np.int64)
         signs = (q @ planes.T) > 0                    # n × n_planes
         keys = (signs.reshape(len(v), bands, band_planes)
@@ -467,11 +482,24 @@ def _kmeans_assign(vecs: DataFrame,
     ids = np.array([int(c) for c, _ in order], dtype=np.int64)
     qc_norms = (qc * qc).sum(axis=1)
 
+    dim = qc.shape[1]
+
     @pandas_udf("int")
     def nearest(qs: pd.Series) -> pd.Series:
         if len(qs) == 0:
             return pd.Series([], dtype="int32")
-        qm = np.stack([np.asarray(x, dtype=np.int64) for x in qs])
+
+        # dirty rows (null / ragged) fall back to the zero vector —
+        # deterministic nearest-to-origin assignment, no task abort
+        def safe(x):
+            try:
+                a = np.asarray(x, dtype=np.int64)
+            except (TypeError, ValueError, OverflowError):
+                return np.zeros(dim, dtype=np.int64)
+            return a if a.shape == (dim,) else np.zeros(dim,
+                                                        dtype=np.int64)
+
+        qm = np.stack([safe(x) for x in qs])
         d = ((qm * qm).sum(axis=1, keepdims=True)
              - 2 * (qm @ qc.T) + qc_norms)        # n × k, exact int64
         return pd.Series(ids[np.argmin(d, axis=1)].astype("int32"))

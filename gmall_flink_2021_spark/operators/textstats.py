@@ -495,20 +495,13 @@ def doc_chunks(documents: DataFrame, chunk_tokens: int = 16,
     shuffles; output rows ≈ n_tokens/stride per doc. At 100 TB each
     executor chunks its own partitions independently.
     """
-    tok = tokens("text")
-    starts = F.sequence(F.lit(0),
-                        F.greatest(F.size(tok) - 1, F.lit(0)),
-                        F.lit(stride))
-    exploded = (documents
-                .select("doc_id", tok.alias("tok"), starts.alias("starts"))
-                .select("doc_id", "tok",
-                        F.posexplode("starts").alias("chunk_idx", "start")))
-    chunk = F.slice("tok", F.col("start") + 1, chunk_tokens)
-    return exploded.select(
+    from .dedup import token_windows
+
+    return token_windows(documents, chunk_tokens, stride).select(
         "doc_id",
-        F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        F.size(chunk).cast("long").alias("chunk_len"),
-        F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"))
+        F.col("idx").alias("chunk_idx"),
+        F.size("win").cast("long").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", "win")).alias("chunk_fp"))
 
 
 def doc_length_percentiles_approx(documents: DataFrame,

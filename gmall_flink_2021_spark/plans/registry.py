@@ -764,7 +764,10 @@ def q_editdist_verified_pairs(spark, sf):
     verify pass of a near-dup pipeline) — candidate-bounded O(len²)
     scoring, integer-exact across engines."""
     (documents,) = _t(spark, sf, "documents")
-    return dedup.editdist_verified_pairs(documents)
+    out = dedup.editdist_verified_pairs(documents)
+    out._banded_cache.unpersist()  # lazy: recompute-on-reuse
+    out._norm_cache.unpersist()
+    return out
 
 
 def q_segment_dedup(spark, sf):

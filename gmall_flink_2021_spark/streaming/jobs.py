@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
 from ..sources.tables import load_table
 
@@ -195,24 +194,24 @@ def segment_dedup_stream(doc_stream: DataFrame, out_path: str,
     (seg_hash) — 16 bytes a segment — so at corpus scale it lives as
     a partitioned parquet table that each batch anti-joins
     (broadcast-eligible while small, shuffle-join beyond)."""
-    from ..operators.dedup import doc_segments, segment_rebuild
+    import os
+
+    from ..operators.dedup import (doc_segments, first_occurrence,
+                                   segment_rebuild)
     from . import sinks
 
     def sink(batch: DataFrame, bid: int) -> None:
-        from pyspark.sql import Window
-
         spark = batch.sparkSession
-        segs = doc_segments(batch)
-        w = Window.partitionBy("seg_hash").orderBy("doc_id", "seg_idx")
-        kept = (segs.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1).drop("rn"))
-        try:
+        kept = first_occurrence(doc_segments(batch))
+        # only a genuinely-absent state dir means "first batch"; any
+        # OTHER read failure (corrupt files, schema drift) must fail
+        # the batch loudly — swallowing it would silently disable
+        # cross-batch dedup
+        if os.path.isdir(state_path):
             seen = (spark.read.parquet(state_path)
                     .filter(F.col("batch_id") < bid)
                     .select("seg_hash"))
             kept = kept.join(seen, "seg_hash", "left_anti")
-        except AnalysisException:
-            pass  # first batch: no state yet
         kept = kept.persist()
         sinks.write_idempotent(kept.select("seg_hash"), bid, state_path)
         sinks.write_idempotent(segment_rebuild(kept), bid, out_path)
@@ -233,14 +232,12 @@ def kmeans_score_stream(emb_stream: DataFrame,
     the projection (same as the batch assignment), so this is a
     stateless per-row transform: streaming == batch row-for-row, any
     trigger, no state store. Returns (vec_id, cluster)."""
-    from pyspark.sql import functions as FF
-
     from ..functions.vectors import as_double
     from ..operators.similarity import _kmeans_assign, quantized
 
     vecs = emb_stream.select(
         "vec_id", as_double("embedding").alias("v")) \
-        .withColumn("q", quantized(FF.col("v")))
+        .withColumn("q", quantized(F.col("v")))
     return _kmeans_assign(vecs, centroids).select("vec_id", "cluster")
 
 

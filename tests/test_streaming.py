@@ -277,7 +277,6 @@ def test_kmeans_scoring_streaming_matches_batch(spark, tmp_path):
 
     emb = load_table(spark, SF_SMOKE, "embeddings")
     assigned = similarity.kmeans_assignments(emb)
-    want = {(r.vec_id, r.cluster) for r in assigned.collect()}
     cents = [(r.cluster, list(r.centroid)) for r in
              similarity._kmeans_recompute(assigned).collect()]
     assigned._kmeans_cache.unpersist()
