@@ -114,3 +114,25 @@ def token_fingerprint(tok: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, v: (acc * 1000003 + v) % FP_MOD,
     )
+
+
+def token_windows(documents, width: int, stride: int):
+    """Shared lateral token-window fan-out (sequence + posexplode +
+    slice — entirely in the scan, no shuffle): one row per window of
+    ``width`` tokens starting every ``stride`` tokens. Backs both
+    dedup.doc_segments (width == stride) and textstats.doc_chunks
+    (overlapping windows). Emits (doc_id, n_windows, idx, win)."""
+    tok = tokens("text")
+    starts = F.sequence(F.lit(0),
+                        F.greatest(F.size(tok) - 1, F.lit(0)),
+                        F.lit(stride))
+    return (documents
+            .select("doc_id", tok.alias("tok"), starts.alias("starts"))
+            .select("doc_id",
+                    F.size("starts").cast("long").alias("n_windows"),
+                    "tok",
+                    F.posexplode("starts").alias("idx", "start"))
+            .select("doc_id", "n_windows",
+                    F.col("idx").cast("long").alias("idx"),
+                    F.slice("tok", F.col("start") + 1, width)
+                    .alias("win")))

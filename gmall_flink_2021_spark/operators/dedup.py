@@ -22,7 +22,8 @@ import warnings
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import LSH_BANDS, MINHASH_SEEDS, shingles, tokens
+from ..functions.text import (LSH_BANDS, MINHASH_SEEDS, shingles,
+                              token_windows, tokens)
 
 
 def exact_dups(documents: DataFrame) -> DataFrame:
@@ -474,29 +475,6 @@ def segment_dedup(documents: DataFrame,
     """
     kept = first_occurrence(doc_segments(documents, seg_tokens))
     return segment_rebuild(kept)
-
-
-def token_windows(documents: DataFrame, width: int,
-                  stride: int) -> DataFrame:
-    """Shared lateral token-window fan-out (sequence + posexplode +
-    slice — entirely in the scan, no shuffle): one row per window of
-    ``width`` tokens starting every ``stride`` tokens. Backs both
-    doc_segments (width == stride) and textstats.doc_chunks
-    (overlapping windows). Emits (doc_id, n_windows, idx, win)."""
-    tok = tokens("text")
-    starts = F.sequence(F.lit(0),
-                        F.greatest(F.size(tok) - 1, F.lit(0)),
-                        F.lit(stride))
-    return (documents
-            .select("doc_id", tok.alias("tok"), starts.alias("starts"))
-            .select("doc_id",
-                    F.size("starts").cast("long").alias("n_windows"),
-                    "tok",
-                    F.posexplode("starts").alias("idx", "start"))
-            .select("doc_id", "n_windows",
-                    F.col("idx").cast("long").alias("idx"),
-                    F.slice("tok", F.col("start") + 1, width)
-                    .alias("win")))
 
 
 def doc_segments(documents: DataFrame,

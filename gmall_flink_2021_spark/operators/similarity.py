@@ -275,9 +275,17 @@ QUANT_SCALE = 1 << 20
 
 
 def quantized(vec: Column) -> Column:
-    """array<bigint> fixed-point form of a double vector."""
-    return F.transform(vec, lambda x: F.floor(x * QUANT_SCALE + F.lit(0.5))
-                       .cast("bigint"))
+    """array<bigint> fixed-point form of a double vector.
+
+    Non-finite elements (NaN/±inf) quantize to 0 — explicitly, so the
+    JVM fold, the numpy kernels (np.nan_to_num with the same policy),
+    and ANSI-mode casts all agree on dirty elements instead of
+    diverging (or erroring) at the double→bigint cast."""
+    return F.transform(
+        vec,
+        lambda x: F.floor(
+            F.when(F.isnan(x) | (F.abs(x) == float("inf")), F.lit(0.0))
+             .otherwise(x) * QUANT_SCALE + F.lit(0.5)).cast("bigint"))
 
 
 def emb_band_keys(vec: Column) -> list[Column]:
@@ -332,20 +340,22 @@ def hyperplane_keys_arrow(planes_list: list[list[int]], bands: int,
     def keys_udf(vec: pd.Series) -> pd.Series:
         if len(vec) == 0:
             return pd.Series([], dtype=object)
-        # null / wrong-dim / non-numeric rows quantize to the zero
-        # vector: dot 0 → sign False → key 0, exactly what the JVM
-        # reference fold yields for a null embedding (null dot →
-        # otherwise(0)) — a dirty row degrades to bucket 0 instead of
-        # aborting the whole task
+        # Dirty-data policy, identical to the JVM fold by
+        # construction: a null/ragged ROW quantizes to the zero
+        # vector (null dot → otherwise(0) → key 0 there), and a
+        # non-finite ELEMENT quantizes to 0 (quantized() zeroes
+        # NaN/±inf before the cast) — valid elements of a partly-
+        # dirty vector keep contributing, so LSH recall survives one
+        # corrupt dimension.
         def safe(x):
             try:
                 a = np.asarray(x, dtype=np.float64)
             except (TypeError, ValueError):
                 return np.zeros(dim)
-            return a if a.shape == (dim,) and not np.isnan(a).any() \
-                else np.zeros(dim)
+            return a if a.shape == (dim,) else np.zeros(dim)
 
-        v = np.stack([safe(x) for x in vec])
+        v = np.nan_to_num(np.stack([safe(x) for x in vec]),
+                          nan=0.0, posinf=0.0, neginf=0.0)
         q = np.floor(v * QUANT_SCALE + 0.5).astype(np.int64)
         signs = (q @ planes.T) > 0                    # n × n_planes
         keys = (signs.reshape(len(v), bands, band_planes)
@@ -466,12 +476,19 @@ def _kmeans_assign(vecs: DataFrame,
     test_kmeans_arrow_assignment_matches_jvm_fold."""
     order = sorted(centroids)
     if not arrow:
+        # null/ragged rows: the fold yields a null distance; coalesce
+        # to ‖qc‖² (= the zero-vector's distance) so the dirty-row
+        # rule — nearest-to-origin, ties to lowest cluster — is the
+        # SAME as the Arrow kernel's zero-vector fallback
         best = F.array_min(F.array(*[
             F.struct(
-                _isqdist(F.col("q"),
-                         [_quant_py(x) for x in cvec]).alias("d"),
+                F.coalesce(
+                    _isqdist(F.col("q"), qc),
+                    F.lit(int(sum(x * x for x in qc))).cast("bigint"))
+                .alias("d"),
                 F.lit(int(c)).alias("cluster"))
-            for c, cvec in order]))
+            for c, cvec in order
+            for qc in [[_quant_py(x) for x in cvec]]]))
         return vecs.select("vec_id", "q", "v",
                            best["cluster"].alias("cluster"))
 

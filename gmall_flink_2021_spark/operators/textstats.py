@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     STOPWORDS,
     token_fingerprint,
+    token_windows,
     tokens,
     stopword_ratio,
 )
@@ -495,8 +496,6 @@ def doc_chunks(documents: DataFrame, chunk_tokens: int = 16,
     shuffles; output rows ≈ n_tokens/stride per doc. At 100 TB each
     executor chunks its own partitions independently.
     """
-    from .dedup import token_windows
-
     return token_windows(documents, chunk_tokens, stride).select(
         "doc_id",
         F.col("idx").alias("chunk_idx"),

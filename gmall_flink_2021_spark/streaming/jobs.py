@@ -194,8 +194,6 @@ def segment_dedup_stream(doc_stream: DataFrame, out_path: str,
     (seg_hash) — 16 bytes a segment — so at corpus scale it lives as
     a partitioned parquet table that each batch anti-joins
     (broadcast-eligible while small, shuffle-join beyond)."""
-    import os
-
     from ..operators.dedup import (doc_segments, first_occurrence,
                                    segment_rebuild)
     from . import sinks
@@ -206,8 +204,12 @@ def segment_dedup_stream(doc_stream: DataFrame, out_path: str,
         # only a genuinely-absent state dir means "first batch"; any
         # OTHER read failure (corrupt files, schema drift) must fail
         # the batch loudly — swallowing it would silently disable
-        # cross-batch dedup
-        if os.path.isdir(state_path):
+        # cross-batch dedup. Existence is probed via the Hadoop
+        # FileSystem API so hdfs:// and s3a:// state paths work, not
+        # just the driver's local POSIX filesystem.
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(state_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
             seen = (spark.read.parquet(state_path)
                     .filter(F.col("batch_id") < bid)
                     .select("seg_hash"))

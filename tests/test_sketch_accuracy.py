@@ -143,3 +143,43 @@ def test_kmeans_arrow_assignment_matches_jvm_fold(spark):
            similarity._kmeans_assign(vecs, cents, arrow=False).collect()}
     vecs.unpersist()
     assert arrow and arrow == jvm
+
+
+def test_arrow_kernels_dirty_row_policy_matches_jvm(spark):
+    """Dirty-data contract: null rows, ragged rows, and non-finite
+    ELEMENTS must produce the same band keys / cluster assignments on
+    the Arrow kernels and the JVM reference folds (null/ragged row →
+    zero vector; NaN/±inf element → 0, valid elements still count)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from gmall_flink_2021_spark.operators import similarity
+
+    good = [float(i % 7) - 3.0 for i in range(64)]
+    nan_one = list(good)
+    nan_one[3] = float("nan")
+    inf_one = list(good)
+    inf_one[5] = math.inf
+    rows = [(0, good), (1, None), (2, good[:32]),
+            (3, nan_one), (4, inf_one)]
+    base = spark.createDataFrame(
+        rows, "vec_id long, v array<double>")
+    jvm = {r.vec_id: list(r.k) for r in base.select(
+        "vec_id", F.array(*similarity.emb_band_keys(F.col("v")))
+        .alias("k")).collect()}
+    arrow = {r.vec_id: list(r.k) for r in base.select(
+        "vec_id", similarity.emb_band_keys_arrow().alias("k")).collect()}
+    assert jvm == arrow
+    # NaN element must NOT zero the whole vector: keys still informative
+    assert jvm[3] != jvm[1]
+
+    cents = [(0, [5.0] * 64), (7, [0.5] * 64)]
+    vecs = base.withColumn("q", similarity.quantized(F.col("v")))
+    a = {r.vec_id: r.cluster for r in
+         similarity._kmeans_assign(vecs, cents, arrow=True).collect()}
+    j = {r.vec_id: r.cluster for r in
+         similarity._kmeans_assign(vecs, cents, arrow=False).collect()}
+    assert a == j
+    # dirty rows go to the nearest-to-origin cluster deterministically
+    assert a[1] == 7 and a[2] == 7
