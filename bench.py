@@ -47,6 +47,21 @@ def main() -> None:
 
     spark.range(1000).select(_warm("id")).collect()
 
+    # ... and the md5/explode/shuffle codegen path the LSH family
+    # compiles on first use (measured ~4-7 s of JIT absorbed by
+    # whichever dedup query happens to run first): one tiny banded
+    # pass warms the same generated-code shapes.
+    from gmall_flink_2021_spark.operators.dedup import minhash_band_pairs
+    from gmall_flink_2021_spark.sources.tables import load_table
+
+    warm_docs = load_table(spark, sf_dir, "documents").limit(500)
+    warm_pairs = minhash_band_pairs(warm_docs)
+    warm_pairs.count()
+    banded = getattr(warm_pairs, "_banded_cache", None)
+    if banded is not None:
+        banded.unpersist()
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         t0 = time.time()

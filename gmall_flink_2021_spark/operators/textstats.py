@@ -519,3 +519,70 @@ def doc_length_percentiles_approx(documents: DataFrame,
                     F.col("p")[0].cast("double").alias("p50"),
                     F.col("p")[1].cast("double").alias("p90"),
                     F.col("p")[2].cast("double").alias("p99")))
+
+
+def mixture_plan(documents: DataFrame,
+                 budget_tokens: int = 1_000_000) -> DataFrame:
+    """Temperature-based data-mixture planning (T=2, i.e. weight
+    proportional to sqrt(source size) — the multilingual/multi-source
+    rebalancing rule of XLM-R/mT5-style pretraining): given per-source
+    token counts and a total training-token budget, allocate the
+    budget across sources and report the implied epochs per source.
+    Up-weights small sources, caps dominant ones.
+
+    Every output is INTEGER (floor(sqrt) on a correctly-rounded IEEE
+    sqrt, then integer DIV) so the plan is bit-identical across
+    engines — no float accumulation order anywhere.
+
+    Scale shape: one map-side-combined aggregation over the corpus
+    (the only pass that touches data), then arithmetic on a
+    #sources-row frame with a broadcast 1-row total. At 100 TB the
+    planning overhead is the corpus scan, nothing else.
+    """
+    per_src = (documents
+               .select("source", F.size(tokens("text")).alias("n_tokens"))
+               .groupBy("source")
+               .agg(F.sum("n_tokens").alias("token_ct")))
+    weighted = per_src.withColumn(
+        "weight", F.floor(F.sqrt(F.col("token_ct").cast("double"))))
+    tot = weighted.agg(F.sum("weight").alias("wtot"))
+    return (weighted.crossJoin(F.broadcast(tot))
+            .select(
+                "source", "token_ct", "weight",
+                F.expr("weight * 1000 DIV wtot").alias("share_permille"),
+                F.expr(f"{budget_tokens}L * weight DIV wtot")
+                 .alias("alloc_tokens"),
+                F.expr(f"({budget_tokens}L * weight DIV wtot) * 1000 "
+                       "DIV token_ct").alias("epochs_permille")))
+
+
+def quality_weighted_sample(documents: DataFrame) -> DataFrame:
+    """Deterministic quality-WEIGHTED sampling: each document is kept
+    with probability proportional to a quality signal (here distinct-
+    token richness), not a fixed rate — the soft quality-pruning rule
+    of DCLM/FineWeb-style pipelines, where borderline documents are
+    down-sampled rather than hard-dropped (`corpus_filter` is the
+    hard-threshold form).
+
+    The coin flip is a pure function of doc_id: the first two md5 hex
+    chars decoded to an integer u in [0, 256) via ascii arithmetic
+    (portable to any engine with md5 + ascii — no hex-to-int builtin
+    needed), kept iff u < keep_p256 = min(256, 32 + n_distinct).
+    Deterministic => replayable and shard-local at any scale; the
+    plan is a pure scan projection + filter, zero shuffles.
+    """
+    def nib(i: int) -> F.Column:
+        a = F.ascii(F.substring(
+            F.md5(F.col("doc_id").cast("string")), i, 1))
+        return F.when(a >= 97, a - 87).otherwise(a - 48)
+
+    tok = tokens("text")
+    n_distinct = F.size(F.array_distinct(tok))
+    keep = F.least(F.lit(256), F.lit(32) + n_distinct)
+    return (documents
+            .select("doc_id", "source",
+                    F.size(tok).cast("long").alias("n_tokens"),
+                    keep.cast("long").alias("keep_p256"),
+                    (nib(1) * 16 + nib(2)).alias("u"))
+            .filter(F.col("u") < F.col("keep_p256"))
+            .drop("u"))

@@ -779,6 +779,31 @@ def q_segment_dedup(spark, sf):
     return dedup.segment_dedup(documents)
 
 
+def q_duplicate_spans(spark, sf):
+    """Gates: substring-level dedup (strided char-window fan-out in
+    the scan projection + distinct-doc df filter + linear mark-join) —
+    the suffix-array-style shared-text audit MinHash can't see."""
+    (documents,) = _t(spark, sf, "documents")
+    return dedup.duplicate_spans(documents)
+
+
+def q_mixture_plan(spark, sf):
+    """Gates: temperature-based source mixture allocation — integer
+    DIV arithmetic on a broadcast 1-row total over per-source
+    aggregates; the data-mixing planner of a pretraining run."""
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.mixture_plan(documents)
+
+
+def q_quality_weighted_sample(spark, sf):
+    """Gates: deterministic score-proportional sampling via portable
+    md5+ascii uniform decode — zero-shuffle scan projection + filter
+    (vs corpus_filter's hard threshold / stratified_sample's fixed
+    rate)."""
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.quality_weighted_sample(documents)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -881,6 +906,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup_prune": q_semdedup_prune,
     "editdist_verified_pairs": q_editdist_verified_pairs,
     "doc_length_percentiles_approx": q_doc_length_percentiles_approx,
+    "duplicate_spans": q_duplicate_spans,
+    "mixture_plan": q_mixture_plan,
+    "quality_weighted_sample": q_quality_weighted_sample,
 }
 
 
@@ -2532,6 +2560,80 @@ ORACLES: dict[str, str] = {
         WHERE CAST(levenshtein(a.t, b.t) AS DOUBLE)
                   / greatest(len(a.t), len(b.t), 1) <= 0.4
     """,
+
+    # substring-level dedup: strided 64-char windows every 16 chars;
+    # md5 is bit-identical across engines, substr/substring are both
+    # 1-based character-addressed
+    "duplicate_spans": """
+        WITH spans AS (
+            SELECT doc_id,
+                   md5(substr(text, CAST(p AS INT), 64)) AS h
+            FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(1, CAST(n_chars AS INT) - 63,
+                                              16)) AS p
+                FROM documents WHERE n_chars >= 64
+            )
+        ),
+        duph AS (
+            SELECT h FROM spans GROUP BY h
+            HAVING count(DISTINCT doc_id) >= 2
+        )
+        SELECT s.doc_id,
+               count(*) AS total_spans,
+               CAST(sum(CASE WHEN d.h IS NULL THEN 0 ELSE 1 END)
+                    AS BIGINT) AS dup_spans
+        FROM spans s LEFT JOIN duph d USING (h)
+        GROUP BY s.doc_id
+        HAVING CAST(sum(CASE WHEN d.h IS NULL THEN 0 ELSE 1 END)
+                    AS BIGINT) > 0
+    """,
+
+    # integer-only mixture plan: floor(sqrt) of a correctly-rounded
+    # IEEE sqrt then integer division — bit-identical across engines
+    "mixture_plan": f"""
+        WITH {_TOKS},
+        per AS (
+            SELECT source, CAST(sum(len(tok)) AS BIGINT) AS token_ct
+            FROM toks GROUP BY source
+        ),
+        w AS (
+            SELECT source, token_ct,
+                   CAST(floor(sqrt(CAST(token_ct AS DOUBLE))) AS BIGINT)
+                       AS weight
+            FROM per
+        ),
+        tot AS (SELECT CAST(sum(weight) AS BIGINT) AS wtot FROM w)
+        SELECT source, token_ct, weight,
+               weight * 1000 // wtot AS share_permille,
+               1000000 * weight // wtot AS alloc_tokens,
+               (1000000 * weight // wtot) * 1000 // token_ct
+                   AS epochs_permille
+        FROM w, tot
+    """,
+
+    # md5 hex chars decoded to an integer via ascii arithmetic — the
+    # portable uniform both engines compute identically
+    "quality_weighted_sample": f"""
+        WITH {_TOKS},
+        q AS (
+            SELECT doc_id, source,
+                   CAST(len(tok) AS BIGINT) AS n_tokens,
+                   least(256, 32 + len(list_distinct(tok))) AS keep,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hh
+            FROM toks
+        )
+        SELECT doc_id, source, n_tokens,
+               CAST(keep AS BIGINT) AS keep_p256
+        FROM q
+        WHERE (CASE WHEN ascii(substr(hh, 1, 1)) >= 97
+                    THEN ascii(substr(hh, 1, 1)) - 87
+                    ELSE ascii(substr(hh, 1, 1)) - 48 END) * 16
+            + (CASE WHEN ascii(substr(hh, 2, 1)) >= 97
+                    THEN ascii(substr(hh, 2, 1)) - 87
+                    ELSE ascii(substr(hh, 2, 1)) - 48 END)
+            < keep
+    """,
 }
 
 
@@ -2694,6 +2796,8 @@ def _doubled_sql(sql: str, cols: tuple[str, ...]) -> str:
 # ---------------------------------------------------------------------------
 
 _GRADE_PRIORITY: tuple[str, ...] = (
+    # round-3 continuation additions (never graded)
+    "duplicate_spans", "mixture_plan", "quality_weighted_sample",
     # round 3 must-grade: the 8 round-2 additions that have never had
     # a CORRECTNESS row (outside both prior 50-query windows) ...
     "tfidf_search", "contamination_check", "domain_quota_sample",

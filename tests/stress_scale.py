@@ -25,6 +25,7 @@ QUERIES = [
     "knn_bruteforce", "sequence_packing",
     "segment_dedup", "doc_chunks", "pii_redaction", "lsh_ann",
     "kmeans_clusters",
+    "duplicate_spans", "mixture_plan", "quality_weighted_sample",
 ]
 
 

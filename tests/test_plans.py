@@ -270,3 +270,34 @@ def test_semdedup_candidates_are_band_blocked(spark):
     assert "bkey" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicate_spans_fanout_is_scan_side(spark):
+    """The strided window fan-out must happen in the scan projection
+    (Generate/explode), spans must carry only the md5 (never text
+    past the Generate), and the dup-mark join back must be a hash
+    equi-join, not a nested loop."""
+    plan = _plan(spark, "duplicate_spans")
+    assert "Generate" in plan
+    assert "NestedLoop" not in plan
+    assert "md5" in plan
+    # groupBy(h) + join-back + doc agg: shuffles keyed by hash/doc_id
+    assert plan.count("HashAggregate") >= 2   # partial + final
+
+
+def test_mixture_plan_total_is_broadcast(spark):
+    """The 1-row weight total joins the per-source frame via
+    broadcast; the only corpus-touching shuffle is the per-source
+    aggregation (map-side combined)."""
+    plan = _plan(spark, "mixture_plan")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_quality_weighted_sample_is_zero_shuffle(spark):
+    """Deterministic hash-threshold sampling is a pure scan
+    projection + filter: no Exchange, no Join, no aggregation."""
+    plan = _plan(spark, "quality_weighted_sample")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
