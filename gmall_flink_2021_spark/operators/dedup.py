@@ -574,14 +574,7 @@ def duplicate_spans(documents: DataFrame, width: int = 64,
     Everything is keyed by high-cardinality hashes: no skew, no
     quadratic term, survives a 100x corpus.
     """
-    n = F.col("n_chars")
-    starts = F.sequence(F.lit(1), n - (width - 1), F.lit(stride))
-    spans = (documents
-             .filter(n >= width)
-             .select("doc_id", "text", F.explode(starts).alias("pos"))
-             .select("doc_id",
-                     F.md5(F.substring(F.col("text"), F.col("pos"),
-                                       F.lit(width))).alias("h")))
+    spans = span_hashes(documents, width, stride)
     dup_h = (spans.groupBy("h")
              .agg(F.count_distinct("doc_id").alias("ddf"))
              .filter(F.col("ddf") >= 2)
@@ -591,4 +584,40 @@ def duplicate_spans(documents: DataFrame, width: int = 64,
             .agg(F.count(F.lit(1)).alias("total_spans"),
                  F.sum(F.coalesce("is_dup", F.lit(0))).cast("long")
                   .alias("dup_spans"))
+            .filter(F.col("dup_spans") > 0))
+
+
+def span_hashes(documents: DataFrame, width: int = 64,
+                stride: int = 16) -> DataFrame:
+    """Shared span projection of the substring-dedup family: strided
+    fixed-width character windows, reduced to (doc_id, h=md5) in the
+    scan projection. Docs shorter than ``width`` emit nothing."""
+    n = F.col("n_chars")
+    starts = F.sequence(F.lit(1), n - (width - 1), F.lit(stride))
+    return (documents
+            .filter(n >= width)
+            .select("doc_id", "text", F.explode(starts).alias("pos"))
+            .select("doc_id",
+                    F.md5(F.substring(F.col("text"), F.col("pos"),
+                                      F.lit(width))).alias("h")))
+
+
+def duplicate_spans_vs_prior(documents: DataFrame, width: int = 64,
+                             stride: int = 16) -> DataFrame:
+    """Arrival-order form of `duplicate_spans`: a span of doc d is a
+    duplicate iff some EARLIER document (smaller doc_id) contains the
+    same text window — "how much of this new doc is already in the
+    corpus", the ingestion-time variant a streaming pipeline asks.
+    (`duplicate_spans` is symmetric: both sides of a shared span are
+    flagged; this form never flags the first occurrence.)
+
+    Same scale shape: scan-side fan-out, one min-agg shuffle keyed by
+    span hash, one linear join back, one doc_id agg."""
+    spans = span_hashes(documents, width, stride)
+    first = spans.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (spans.join(first, "h")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("total_spans"),
+                 F.sum((F.col("first_doc") < F.col("doc_id"))
+                       .cast("long")).alias("dup_spans"))
             .filter(F.col("dup_spans") > 0))

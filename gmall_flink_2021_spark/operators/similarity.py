@@ -631,3 +631,38 @@ def semdedup_prune(embeddings: DataFrame,
     out._emb_cache = dups._emb_cache
     out._kmeans_cache = assigned._kmeans_cache
     return out
+
+
+def ann_recall(embeddings: DataFrame, n_queries: int = 5,
+               k: int = 3) -> DataFrame:
+    """In-engine ANN quality audit: recall@k of the LSH-bucketed
+    search against the exact brute-force top-k, per query — the
+    measurement a pipeline runs before trusting an approximate index
+    at corpus scale (recall is THE accuracy metric of ANN; computing
+    it inside the engine means the audit parallelizes like any other
+    query instead of a driver-side eval script).
+
+    Both rankings break cosine ties on neighbor_id asc, so the
+    intersection is deterministic; recall is reported as an integer
+    permille (hits*1000 DIV k) — no float division.
+
+    Scale shape: the exact side is the expensive input (broadcast
+    queries x corpus scan — the audit's intrinsic cost, run on a
+    sample of queries, never all); the approximate side probes
+    buckets; the comparison itself is a (n_queries*k)-row join.
+    """
+    exact = knn_bruteforce(embeddings, n_queries, k) \
+        .select("query_id", "neighbor_id")
+    approx = lsh_ann(embeddings, n_queries, k) \
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    # the approximate top-k is n_queries*k rows by construction —
+    # broadcast it so the comparison never shuffles the exact side
+    return (exact.join(F.broadcast(approx),
+                       ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("exact_k"),
+                 F.sum(F.coalesce("hit", F.lit(0))).cast("long")
+                  .alias("hits"))
+            .select("query_id", "exact_k", "hits",
+                    F.expr(f"hits * 1000 DIV {k}")
+                     .alias("recall_permille")))

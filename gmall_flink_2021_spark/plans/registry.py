@@ -795,6 +795,14 @@ def q_mixture_plan(spark, sf):
     return textstats.mixture_plan(documents)
 
 
+def q_ann_recall(spark, sf):
+    """Gates: in-engine ANN recall@3 audit — exact top-k vs LSH
+    bucket probe composed under one left join + integer permille;
+    the index-quality measurement run before trusting an ANN path."""
+    (embeddings,) = _t(spark, sf, "embeddings")
+    return similarity.ann_recall(embeddings)
+
+
 def q_quality_weighted_sample(spark, sf):
     """Gates: deterministic score-proportional sampling via portable
     md5+ascii uniform decode — zero-shuffle scan projection + filter
@@ -909,6 +917,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicate_spans": q_duplicate_spans,
     "mixture_plan": q_mixture_plan,
     "quality_weighted_sample": q_quality_weighted_sample,
+    "ann_recall": q_ann_recall,
 }
 
 
@@ -2636,6 +2645,23 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+# ANN recall audit: composed from the two ranking oracles above so
+# the exact and approximate sides can never drift from the graded
+# definitions (DuckDB allows WITH inside subqueries). Exact side
+# re-filtered to rank <= 3 => recall@3 against the k=3 LSH probe.
+ORACLES["ann_recall"] = f"""
+    SELECT e.query_id,
+           count(*) AS exact_k,
+           CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS hits,
+           CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) * 1000 // 3 AS recall_permille
+    FROM (SELECT * FROM ({ORACLES["knn_bruteforce"]}) WHERE rank <= 3) e
+    LEFT JOIN ({ORACLES["lsh_ann"]}) a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+"""
+
 
 # ---------------------------------------------------------------------------
 # Quantitative accuracy gates for the sketch queries
@@ -2798,6 +2824,7 @@ def _doubled_sql(sql: str, cols: tuple[str, ...]) -> str:
 _GRADE_PRIORITY: tuple[str, ...] = (
     # round-3 continuation additions (never graded)
     "duplicate_spans", "mixture_plan", "quality_weighted_sample",
+    "ann_recall",
     # round 3 must-grade: the 8 round-2 additions that have never had
     # a CORRECTNESS row (outside both prior 50-query windows) ...
     "tfidf_search", "contamination_check", "domain_quota_sample",

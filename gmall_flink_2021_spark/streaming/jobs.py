@@ -258,3 +258,56 @@ def run_to_completion(stream_df: DataFrame, checkpoint: str) -> DataFrame:
              .start())
     query.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def duplicate_spans_stream(doc_stream: DataFrame, out_path: str,
+                           state_path: str, checkpoint: str) -> None:
+    """Incremental substring-dedup for a document stream: each
+    micro-batch's strided span hashes are checked against the
+    grow-only span index built by earlier batches, plus intra-batch
+    earlier documents — "how much of this NEW doc is already in the
+    corpus" at ingestion time. Equal to the batch operator
+    `dedup.duplicate_spans_vs_prior` whenever arrival order is doc_id
+    order (pinned by the streaming==batch test).
+
+    Exactly-once: output and state append are both
+    overwrite-by-batchId, and the state read excludes the current
+    batch id, so a replayed batch neither double-drops against its own
+    partial write nor double-emits. State is one 32-hex md5 per
+    distinct span — at corpus scale a partitioned parquet table the
+    batch left-joins (broadcast-eligible while small)."""
+    from ..operators.dedup import span_hashes
+    from . import sinks
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        spark = batch.sparkSession
+        spans = span_hashes(batch).persist()
+        first = spans.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+        marked = spans.join(first, "h")
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(state_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            prior = (spark.read.parquet(state_path)
+                     .filter(F.col("batch_id") < bid)
+                     .select("h", F.lit(1).alias("seen")))
+            marked = marked.join(prior, "h", "left")
+        else:
+            prior = None
+            marked = marked.withColumn("seen", F.lit(None).cast("int"))
+        dup = (F.col("seen").isNotNull()
+               | (F.col("first_doc") < F.col("doc_id"))).cast("long")
+        per_doc = (marked.groupBy("doc_id")
+                   .agg(F.count(F.lit(1)).alias("total_spans"),
+                        F.sum(dup).alias("dup_spans"))
+                   .filter(F.col("dup_spans") > 0))
+        sinks.write_idempotent(per_doc, bid, out_path)
+        new_h = spans.select("h").distinct()
+        if prior is not None:
+            new_h = new_h.join(prior.select("h"), "h", "left_anti")
+        sinks.write_idempotent(new_h, bid, state_path)
+        spans.unpersist()
+
+    q = (doc_stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()

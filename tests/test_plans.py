@@ -301,3 +301,12 @@ def test_quality_weighted_sample_is_zero_shuffle(spark):
     plan = _plan(spark, "quality_weighted_sample")
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_ann_recall_composes_broadcast_probes(spark):
+    """Both ranking sides broadcast the small query set; the recall
+    comparison join must not shuffle the corpus again (no
+    SortMergeJoin anywhere in the composition)."""
+    plan = _plan(spark, "ann_recall")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1

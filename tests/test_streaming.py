@@ -333,3 +333,46 @@ def test_segment_dedup_stream_replay_is_exactly_once(spark, tmp_path):
     got = sorted(tuple(map(str, r)) for r in
                  spark.read.parquet(out).drop("batch_id").collect())
     assert got == want
+
+
+def test_duplicate_spans_streaming_matches_batch(spark, tmp_path):
+    """Incremental substring-dedup (new-batch spans vs the grow-only
+    span index) must equal the batch arrival-order operator
+    duplicate_spans_vs_prior when arrival order is doc_id order —
+    three doc_id-range files, one per micro-batch."""
+    import os
+    import time as _time
+
+    from gmall_flink_2021_spark.operators import dedup
+    from gmall_flink_2021_spark.streaming.jobs import duplicate_spans_stream
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    cuts = [hi // 3, 2 * hi // 3]
+    src = str(tmp_path / "docs_ordered_spans")
+    os.makedirs(src)
+    parts = [docs.filter(F.col("doc_id") <= cuts[0]),
+             docs.filter((F.col("doc_id") > cuts[0])
+                         & (F.col("doc_id") <= cuts[1])),
+             docs.filter(F.col("doc_id") > cuts[1])]
+    now = _time.time()
+    for i, part in enumerate(parts):
+        tmp_dir = str(tmp_path / f"span_stage_{i}")
+        part.coalesce(1).write.parquet(tmp_dir)
+        f = next(p for p in os.listdir(tmp_dir) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"part_{i}.parquet")
+        os.rename(os.path.join(tmp_dir, f), dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false").parquet(src))
+    out = str(tmp_path / "spans_out")
+    duplicate_spans_stream(stream, out, str(tmp_path / "span_state"),
+                           str(tmp_path / "ck_spans"))
+
+    got = {tuple(map(str, r)) for r in
+           spark.read.parquet(out).drop("batch_id").collect()}
+    want = {tuple(map(str, r))
+            for r in dedup.duplicate_spans_vs_prior(docs).collect()}
+    assert want and got == want
