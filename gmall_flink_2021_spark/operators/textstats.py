@@ -586,3 +586,40 @@ def quality_weighted_sample(documents: DataFrame) -> DataFrame:
                     (nib(1) * 16 + nib(2)).alias("u"))
             .filter(F.col("u") < F.col("keep_p256"))
             .drop("u"))
+
+
+def training_shard_plan(documents: DataFrame,
+                        n_shards: int = 16) -> DataFrame:
+    """Final-layout planning: assign every document to one of
+    ``n_shards`` output shards by CONTENT hash (stable under
+    recompaction and re-ingestion order, unlike doc_id ranges) and
+    audit the balance — per shard: doc count, token mass, and the
+    deviation from the ideal token share in permille. The check a
+    pipeline runs before materializing training shards: a skewed
+    shard becomes the straggler of every epoch.
+
+    Shard id decodes the first two md5 hex chars of the TEXT
+    fingerprint via ascii arithmetic (same portable uniform as
+    quality_weighted_sample) mod n_shards. Integer-only outputs.
+
+    Scale shape: one scan + one map-side-combined aggregation keyed
+    by shard — at 100 TB this is the same plan as any per-key count;
+    the actual shard write would be `.repartition(n_shards, "shard")`
+    with this audit as its pre-flight."""
+    def nib(i: int) -> F.Column:
+        a = F.ascii(F.substring(
+            F.md5(F.coalesce(F.col("text"), F.lit(""))), i, 1))
+        return F.when(a >= 97, a - 87).otherwise(a - 48)
+
+    tok = tokens("text")
+    per_doc = documents.select(
+        ((nib(1) * 16 + nib(2)) % n_shards).cast("long").alias("shard"),
+        F.size(tok).alias("n_tokens"))
+    shards = (per_doc.groupBy("shard")
+              .agg(F.count(F.lit(1)).alias("doc_ct"),
+                   F.sum("n_tokens").alias("token_ct")))
+    tot = shards.agg(F.sum("token_ct").alias("ttot"))
+    return (shards.crossJoin(F.broadcast(tot))
+            .select("shard", "doc_ct", "token_ct",
+                    (F.expr("token_ct * 1000 DIV ttot")
+                     - 1000 // n_shards).alias("skew_permille")))

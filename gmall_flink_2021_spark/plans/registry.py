@@ -795,6 +795,14 @@ def q_mixture_plan(spark, sf):
     return textstats.mixture_plan(documents)
 
 
+def q_training_shard_plan(spark, sf):
+    """Gates: content-hash shard assignment + balance audit (integer
+    skew permille vs ideal share) — the pre-flight of the final
+    training-shard write."""
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.training_shard_plan(documents)
+
+
 def q_ann_recall(spark, sf):
     """Gates: in-engine ANN recall@3 audit — exact top-k vs LSH
     bucket probe composed under one left join + integer permille;
@@ -918,6 +926,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_plan": q_mixture_plan,
     "quality_weighted_sample": q_quality_weighted_sample,
     "ann_recall": q_ann_recall,
+    "training_shard_plan": q_training_shard_plan,
 }
 
 
@@ -2643,6 +2652,33 @@ ORACLES: dict[str, str] = {
                     ELSE ascii(substr(hh, 2, 1)) - 48 END)
             < keep
     """,
+
+    # content-hash shard audit: same portable md5+ascii uniform, mod
+    # n_shards; all-integer balance arithmetic
+    "training_shard_plan": f"""
+        WITH {_TOKS},
+        per AS (
+            SELECT ((CASE WHEN ascii(substr(md5(coalesce(d.text, '')), 1, 1)) >= 97
+                          THEN ascii(substr(md5(coalesce(d.text, '')), 1, 1)) - 87
+                          ELSE ascii(substr(md5(coalesce(d.text, '')), 1, 1)) - 48 END) * 16
+                  + (CASE WHEN ascii(substr(md5(coalesce(d.text, '')), 2, 1)) >= 97
+                          THEN ascii(substr(md5(coalesce(d.text, '')), 2, 1)) - 87
+                          ELSE ascii(substr(md5(coalesce(d.text, '')), 2, 1)) - 48 END))
+                  % 16 AS shard,
+                   len(t.tok) AS n_tokens
+            FROM documents d JOIN toks t USING (doc_id)
+        ),
+        shards AS (
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   count(*) AS doc_ct,
+                   CAST(sum(n_tokens) AS BIGINT) AS token_ct
+            FROM per GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(token_ct) AS BIGINT) AS ttot FROM shards)
+        SELECT shard, doc_ct, token_ct,
+               token_ct * 1000 // ttot - 62 AS skew_permille
+        FROM shards, tot
+    """,
 }
 
 # ANN recall audit: composed from the two ranking oracles above so
@@ -2824,7 +2860,7 @@ def _doubled_sql(sql: str, cols: tuple[str, ...]) -> str:
 _GRADE_PRIORITY: tuple[str, ...] = (
     # round-3 continuation additions (never graded)
     "duplicate_spans", "mixture_plan", "quality_weighted_sample",
-    "ann_recall",
+    "ann_recall", "training_shard_plan",
     # round 3 must-grade: the 8 round-2 additions that have never had
     # a CORRECTNESS row (outside both prior 50-query windows) ...
     "tfidf_search", "contamination_check", "domain_quota_sample",

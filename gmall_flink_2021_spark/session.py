@@ -34,7 +34,11 @@ _DEFAULTS = {
     # events.parquet stores TIMESTAMP(NANOS); Spark reads it as long.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
-    "spark.driver.memory": "8g",
+    # local[32] means the driver JVM hosts all 32 task threads: an 8g
+    # heap forced multi-second full GCs that dominated bench noise
+    # (measured ±7 s swings on identical queries); 24g keeps pauses
+    # young-gen-sized. Cluster deployments size executors instead.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     "spark.ui.enabled": "false",
     # managed tables (bucketing) land outside the repo
     "spark.sql.warehouse.dir": "/tmp/gmall-spark-warehouse",

@@ -310,3 +310,11 @@ def test_ann_recall_composes_broadcast_probes(spark):
     plan = _plan(spark, "ann_recall")
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_training_shard_plan_is_one_corpus_shuffle(spark):
+    """Shard audit = scan + one map-side-combined agg keyed by shard
+    + broadcast 1-row total; the corpus shuffles exactly once."""
+    plan = _plan(spark, "training_shard_plan")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
