@@ -26,6 +26,7 @@ QUERIES = [
     "segment_dedup", "doc_chunks", "pii_redaction", "lsh_ann",
     "kmeans_clusters",
     "duplicate_spans", "mixture_plan", "quality_weighted_sample",
+    "training_shard_plan", "ann_recall", "pq_codebook_audit",
 ]
 
 

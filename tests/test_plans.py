@@ -318,3 +318,15 @@ def test_training_shard_plan_is_one_corpus_shuffle(spark):
     plan = _plan(spark, "training_shard_plan")
     assert "SortMergeJoin" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_pq_assignment_is_zero_shuffle_projection(spark):
+    """PQ codebook audit: the per-iteration assignment must be a pure
+    projection over the exploded subvector frame (codewords ride as
+    literals — no join against a centroid table), and the final plan's
+    only joins are none at all."""
+    plan = _plan(spark, "pq_codebook_audit")
+    assert "Join" not in plan
+    # the error rollup aggregates the persisted assignment (min(fp) on
+    # strings plans as SortAggregate — fine at m*k output rows)
+    assert "HashAggregate" in plan or "SortAggregate" in plan
