@@ -652,3 +652,42 @@ def customer_value_quartiles(customer: DataFrame,
                  F.max("spend").alias("max_spend"),
                  F.sum("spend").cast("decimal(18,2)").alias("total_spend"))
             .orderBy("quartile"))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, pk: str,
+                  cols: list[str],
+                  include_unchanged: bool = False) -> DataFrame:
+    """Snapshot reconciliation: classify every primary key across two
+    versions of a table as inserted / deleted / updated (optionally
+    unchanged) — the audit a CDC pipeline (S2/S3 family) runs to prove
+    a replayed changelog converged to the source, and the diff step of
+    any dataset-versioning workflow.
+
+    Each side is reduced in its scan projection to (pk, md5 row
+    digest) — ONE column comparison downstream regardless of table
+    width, and the only shuffled payload is pk + 32 hex chars. The
+    digest never crosses engines (the oracle classifies with direct
+    IS DISTINCT FROM column compares), so engine-specific string casts
+    inside md5 are safe; nulls are sentinel-separated so ("a", null)
+    and ("a,null-as-text") cannot collide.
+
+    Scale shape: one full-outer sort-merge join keyed by pk — a single
+    shuffle of digests per side; with both versions bucketed by pk
+    (operators/bucketing.py) it is shuffle-free. Never collects,
+    never broadcasts a corpus-sized side.
+    """
+    def digest(df: DataFrame, out: str) -> DataFrame:
+        d = F.md5(F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                      for c in cols]))
+        return df.select(F.col(pk).alias("pk"), d.alias(out))
+
+    j = digest(old, "oh").join(digest(new, "nh"), "pk", "full_outer")
+    change = (F.when(F.col("oh").isNull(), F.lit("inserted"))
+              .when(F.col("nh").isNull(), F.lit("deleted"))
+              .when(F.col("oh") != F.col("nh"), F.lit("updated"))
+              .otherwise(F.lit("unchanged")))
+    out = j.select("pk", change.alias("change_type"))
+    if not include_unchanged:
+        out = out.filter(F.col("change_type") != "unchanged")
+    return out

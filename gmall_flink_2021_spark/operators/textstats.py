@@ -588,6 +588,172 @@ def quality_weighted_sample(documents: DataFrame) -> DataFrame:
             .drop("u"))
 
 
+def heavy_hitter_terms(documents: DataFrame,
+                       phi_permille: int = 10,
+                       counters: int = 512) -> DataFrame:
+    """EXACT corpus heavy hitters — every term whose total frequency is
+    at least ``phi_permille``/1000 of all tokens — without ever
+    shuffling the full vocabulary.
+
+    Two passes:
+      1. Candidate generation: a per-partition Misra-Gries summary with
+         ``counters`` counters (Arrow-batched ``mapInPandas``; each
+         batch folds in via a vectorized value_counts, then the summary
+         is pruned back to ``counters`` entries by subtracting the
+         (k+1)-th largest count — the mergeable-summaries reduction,
+         which preserves the MG error bound n_p/(k+1)). Any term with
+         global share ≥ phi must, by averaging, hold share ≥ phi in at
+         least one partition, so with counters ≥ 1000/phi_permille the
+         union of partition summaries is a GUARANTEED superset of the
+         true heavy hitters. Output: ≤ counters·partitions candidate
+         rows — kilobytes, regardless of corpus size.
+      2. Exact recount: broadcast the candidate set, semi-join the
+         token stream against it, and count exactly; filter with the
+         integer inequality cnt·1000 ≥ phi_permille·total. The final
+         answer is exact (the MG pass only bounds what must be
+         recounted), so the operator is oracle-checkable despite the
+         sketch in the middle.
+
+    Scale shape: two scans; shuffle volume is O(candidates), never
+    O(vocabulary). The naive groupBy(term) ships every distinct term
+    per partition through the shuffle — at web-corpus vocabulary sizes
+    (10⁸+ terms, most of them singletons) that shuffle dwarfs the
+    answer; here the singleton tail dies inside the MG summaries.
+    """
+    if counters * phi_permille < 1000:
+        raise ValueError("need counters >= 1000/phi_permille for the "
+                         "Misra-Gries superset guarantee")
+    import pandas as pd
+
+    toks = documents.select(F.explode(tokens("text")).alias("term"))
+
+    def _mg(batches):
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for t, c in pdf["term"].value_counts().items():
+                counts[t] = counts.get(t, 0) + int(c)
+            if len(counts) > counters:
+                # mergeable-summaries prune: subtract the (k+1)-th
+                # largest value, drop non-positive counters
+                sub = sorted(counts.values(), reverse=True)[counters]
+                counts = {t: c - sub for t, c in counts.items()
+                          if c > sub}
+        yield pd.DataFrame({"term": list(counts)})
+
+    cands = toks.mapInPandas(_mg, "term string").distinct()
+    total = (documents
+             .agg(F.sum(F.size(tokens("text"))).alias("total_tokens")))
+    return (toks.join(F.broadcast(cands), "term")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("cnt") * 1000 >= phi_permille
+                    * F.col("total_tokens"))
+            .select("term", "cnt",
+                    F.expr("cnt * 1000 DIV total_tokens")
+                    .alias("share_permille")))
+
+
+def unigram_lm_scores(documents: DataFrame,
+                      vocab_size: int = 65536,
+                      high_micro: int = -3_450_000,
+                      mid_micro: int = -3_550_000) -> DataFrame:
+    """CCNet-style language-model quality scoring with a self-trained
+    unigram LM: every document gets the summed log-probability of its
+    tokens under the corpus unigram distribution (top-``vocab_size``
+    terms; everything rarer scores at the 1/total floor), plus a
+    low/mid/high quality band. Low average log-prob ⇒ rare-token soup
+    (boilerplate, gibberish, wrong-language) — the classic
+    perplexity-bucket filter, minus the external wiki LM this
+    environment can't ship.
+
+    Determinism: each vocab term's log-prob is fixed-point-rounded
+    ONCE (round(ln(cnt/total)·10⁶)::long), then all per-document math
+    is exact integer sums — no float accumulation order anywhere. The
+    band thresholds compare sum_llr against n_tokens·threshold in
+    integers. (Residual cross-engine risk: a term's ln() landing
+    within an ulp of a 5e-7 rounding boundary — same documented,
+    accepted risk as tfidf_search.)
+
+    Scale shape: one token-count shuffle (map-side combined,
+    vocab-sized result), a global top-V rank over the VOCAB (not the
+    corpus), a broadcast of the V-row log-prob table, then a per-doc
+    aggregation keyed by doc_id. At 100 TB the vocab table is the only
+    globally-sorted object and it is bounded by V.
+    """
+    from pyspark.sql import Window
+
+    toks = documents.select("doc_id", F.explode(tokens("text"))
+                            .alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total_tokens"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    vocab = (counts
+             .withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") <= vocab_size)
+             .crossJoin(F.broadcast(total))
+             .select("term",
+                     F.round(F.log(F.col("cnt")
+                                   / F.col("total_tokens")) * 1e6)
+                     .cast("long").alias("llr_micro")))
+    floor = total.select(
+        F.round(F.log(F.lit(1.0) / F.col("total_tokens")) * 1e6)
+        .cast("long").alias("floor_micro"))
+    scored = (toks
+              .join(F.broadcast(vocab), "term", "left")
+              .crossJoin(F.broadcast(floor))
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_tokens"),
+                   F.sum(F.coalesce("llr_micro", "floor_micro"))
+                   .alias("sum_llr_micro")))
+    # bands on avg nats (integer-only compare: sum vs n·threshold).
+    # Absolute-nats cutoffs are a corpus-tuned parameter — a real run
+    # calibrates them against the reference-LM score distribution
+    # (CCNet buckets at the wiki-LM perplexity terciles); the defaults
+    # split the synthetic corpus (avg llr ∈ [−3.70, −3.38] nats).
+    band = (F.when(F.col("sum_llr_micro") >= high_micro
+                   * F.col("n_tokens"), "high")
+            .when(F.col("sum_llr_micro") >= mid_micro
+                  * F.col("n_tokens"), "mid")
+            .otherwise("low"))
+    return scored.select("doc_id", "n_tokens", "sum_llr_micro",
+                         band.alias("lm_band"))
+
+
+def bpe_merge_candidates(documents: DataFrame,
+                         k: int = 20) -> DataFrame:
+    """The first iteration of BPE tokenizer training, distributed:
+    count every adjacent character pair weighted by word frequency and
+    rank the top-``k`` merge candidates. The corpus is scanned once
+    into a word-frequency table (vocab-sized, map-side combined);
+    the pair fan-out then runs over the VOCAB, not the corpus — the
+    standard trick that makes BPE training tractable at scale (merge
+    statistics depend only on (word, count), so 100 TB of text
+    collapses to a few million weighted words before any pair work).
+
+    Integer-only ranking (weighted count desc, pair asc) — no float
+    scoring to drift across engines.
+    """
+    from pyspark.sql import Window
+
+    words = (documents
+             .select(F.explode(tokens("text")).alias("word"))
+             .groupBy("word")
+             .agg(F.count(F.lit(1)).alias("word_ct")))
+    pairs = (words
+             .filter(F.length("word") >= 2)
+             .select("word_ct",
+                     F.explode(F.expr(
+                         "transform(sequence(1, length(word) - 1), "
+                         "i -> substring(word, i, 2))")).alias("pair")))
+    w = Window.orderBy(F.desc("merge_ct"), F.asc("pair"))
+    return (pairs.groupBy("pair")
+            .agg(F.sum("word_ct").alias("merge_ct"))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("rank", "pair", "merge_ct"))
+
+
 def training_shard_plan(documents: DataFrame,
                         n_shards: int = 16) -> DataFrame:
     """Final-layout planning: assign every document to one of

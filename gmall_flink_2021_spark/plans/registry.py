@@ -832,6 +832,50 @@ def q_quality_weighted_sample(spark, sf):
     return textstats.quality_weighted_sample(documents)
 
 
+def q_heavy_hitter_terms(spark, sf):
+    """Gates: per-partition Misra-Gries sketch (mapInPandas) feeding an
+    EXACT broadcast-semi-join recount — shuffle volume O(candidates),
+    never O(vocabulary); the sketch only bounds what gets recounted,
+    so the result stays oracle-exact."""
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.heavy_hitter_terms(documents)
+
+
+def q_unigram_lm_scores(spark, sf):
+    """Gates: self-trained unigram LM perplexity scoring (CCNet-style
+    quality filter) — vocab-bounded global rank + broadcast log-prob
+    table + integer-exact per-doc sums (one fixed-point rounding per
+    VOCAB term, zero float accumulation)."""
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.unigram_lm_scores(documents)
+
+
+def q_bpe_merge_candidates(spark, sf):
+    """Gates: BPE tokenizer-training iteration 1 — corpus collapsed to a
+    weighted word-frequency table before the pair fan-out, so merge
+    statistics cost O(vocab), not O(corpus)."""
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.bpe_merge_candidates(documents)
+
+
+def q_snapshot_diff(spark, sf):
+    """Gates: CDC snapshot reconciliation — full-outer sort-merge join of
+    (pk, md5 row digest) scan projections; classifies insert/delete/
+    update with a single digest compare per pk regardless of table
+    width. Synthetic versions carved deterministically from orders
+    (v1 drops key%7==0, v2 drops key%11==0 and rewrites status on
+    key%5==0)."""
+    (orders,) = _t(spark, sf, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new = (orders.filter(F.col("o_orderkey") % 11 != 0)
+           .withColumn("o_orderstatus",
+                       F.when(F.col("o_orderkey") % 5 == 0, F.lit("X"))
+                       .otherwise(F.col("o_orderstatus"))))
+    return analytics.snapshot_diff(old, new, "o_orderkey", cols)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -940,6 +984,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall": q_ann_recall,
     "training_shard_plan": q_training_shard_plan,
     "pq_codebook_audit": q_pq_codebook_audit,
+    "heavy_hitter_terms": q_heavy_hitter_terms,
+    "unigram_lm_scores": q_unigram_lm_scores,
+    "bpe_merge_candidates": q_bpe_merge_candidates,
+    "snapshot_diff": q_snapshot_diff,
 }
 
 
@@ -2692,6 +2740,91 @@ ORACLES: dict[str, str] = {
                token_ct * 1000 // ttot - 62 AS skew_permille
         FROM shards, tot
     """,
+    # exact heavy hitters: the MG pass only bounds the recount set, so
+    # the oracle is the plain HAVING form
+    "heavy_hitter_terms": f"""
+        WITH {_TOKS},
+        t AS (SELECT unnest(tok) AS term FROM toks),
+        tot AS (SELECT count(*) AS total_tokens FROM t)
+        SELECT term, count(*) AS cnt,
+               count(*) * 1000 // total_tokens AS share_permille
+        FROM t, tot
+        GROUP BY term, total_tokens
+        HAVING count(*) * 1000 >= 10 * total_tokens
+    """,
+    "unigram_lm_scores": f"""
+        WITH {_TOKS},
+        t AS (SELECT doc_id, unnest(tok) AS term FROM toks),
+        c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+        v AS (SELECT term, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, term) AS rk
+              FROM c),
+        ll AS (SELECT term,
+                      CAST(round(ln(CAST(cnt AS DOUBLE) / n) * 1e6)
+                           AS BIGINT) AS llr_micro
+               FROM v, tot WHERE rk <= 65536),
+        fl AS (SELECT CAST(round(ln(1.0 / n) * 1e6) AS BIGINT)
+                      AS floor_micro FROM tot),
+        scored AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   CAST(sum(coalesce(llr_micro, floor_micro))
+                        AS BIGINT) AS sum_llr_micro
+            FROM t LEFT JOIN ll USING (term), fl
+            GROUP BY doc_id)
+        SELECT doc_id, n_tokens, sum_llr_micro,
+               CASE WHEN sum_llr_micro >= -3450000 * n_tokens THEN 'high'
+                    WHEN sum_llr_micro >= -3550000 * n_tokens THEN 'mid'
+                    ELSE 'low' END AS lm_band
+        FROM scored
+    """,
+    "bpe_merge_candidates": f"""
+        WITH {_TOKS},
+        words AS (
+            SELECT word, count(*) AS word_ct
+            FROM (SELECT unnest(tok) AS word FROM toks)
+            GROUP BY word),
+        pairs AS (
+            SELECT unnest(list_transform(range(1, len(word)),
+                                         i -> substr(word, i, 2))) AS pair,
+                   word_ct
+            FROM words WHERE len(word) >= 2),
+        agg AS (
+            SELECT pair, CAST(sum(word_ct) AS BIGINT) AS merge_ct
+            FROM pairs GROUP BY pair)
+        SELECT CAST(row_number() OVER (ORDER BY merge_ct DESC, pair)
+                    AS BIGINT) AS rank,
+               pair, merge_ct
+        FROM agg
+        ORDER BY merge_ct DESC, pair
+        LIMIT 20
+    """,
+    # digest-free classification: the oracle compares columns directly
+    # (IS DISTINCT FROM), which must classify identically to the
+    # engine's intra-engine md5 digest compare
+    "snapshot_diff": """
+        WITH o AS (
+            SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+        n AS (
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 5 = 0 THEN 'X'
+                        ELSE o_orderstatus END AS o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 11 <> 0),
+        d AS (
+            SELECT coalesce(o.o_orderkey, n.o_orderkey) AS pk,
+                   CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+                        WHEN n.o_orderkey IS NULL THEN 'deleted'
+                        WHEN (o.o_custkey IS DISTINCT FROM n.o_custkey)
+                          OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                          OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                          OR (o.o_orderdate IS DISTINCT FROM n.o_orderdate)
+                          OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+                        THEN 'updated'
+                        ELSE 'unchanged' END AS change_type
+            FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey)
+        SELECT pk, change_type FROM d WHERE change_type <> 'unchanged'
+    """,
 }
 
 # ANN recall audit: composed from the two ranking oracles above so
@@ -2962,6 +3095,11 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     "pii_redaction", "doc_chunks", "segment_dedup", "kmeans_clusters",
     "semdedup_prune", "editdist_verified_pairs",
     "doc_length_percentiles_approx",
+    # new in round 3 (second continuation): exact sketch-bounded heavy
+    # hitters, unigram-LM quality scoring, BPE merge induction, CDC
+    # snapshot reconciliation
+    "heavy_hitter_terms", "unigram_lm_scores", "bpe_merge_candidates",
+    "snapshot_diff",
     # graded green in round 1 only — re-confirm on this round's
     # regenerated testdata (rounds regenerate /root/testdata)
     "props_stats", "keyword_stats", "unique_visitors_daily",

@@ -330,3 +330,54 @@ def test_pq_assignment_is_zero_shuffle_projection(spark):
     # the error rollup aggregates the persisted assignment (min(fp) on
     # strings plans as SortAggregate — fine at m*k output rows)
     assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_heavy_hitter_recount_broadcasts_candidates(spark):
+    """The MG candidate set (≤ counters·partitions rows) must reach
+    the recount as a broadcast — the token stream joins it without a
+    shuffle, and no corpus-sized SortMergeJoin appears. The only
+    corpus shuffle is the post-filter candidate count aggregation."""
+    plan = _plan(spark, "heavy_hitter_terms")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # MG runs Arrow-batched per partition, not row-at-a-time Python
+    assert "MapInPandas" in plan
+
+
+def test_unigram_lm_vocab_table_is_broadcast(spark):
+    """The fixed-point log-prob table (vocab-bounded) and the 1-row
+    floor both broadcast into the token stream; the corpus never
+    sort-merge-joins. The global rank runs over the VOCAB aggregate,
+    not the corpus (single-partition window AFTER an aggregation)."""
+    plan = _plan(spark, "unigram_lm_scores")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan
+
+
+def test_bpe_pair_fanout_runs_over_vocab_not_corpus(spark):
+    """The pair explode must sit ABOVE the word-frequency aggregation
+    in the plan (fan-out over vocab rows, not corpus tokens): the
+    plan has an aggregate below the generator, and the final top-k is
+    a bounded TakeOrderedAndProject/Window, not a corpus sort."""
+    plan = _plan(spark, "bpe_merge_candidates")
+    gen = plan.find("Generate")
+    # two Generates: tokenizer explode (below agg) + pair explode
+    # (above agg); the pair generator must consume the aggregate
+    assert plan.count("Generate") >= 2
+    assert "HashAggregate" in plan
+    assert gen != -1
+
+
+def test_snapshot_diff_is_single_pk_join_of_digests(spark):
+    """Reconciliation = full-outer join keyed by pk over (pk, digest)
+    scan projections: exactly one join, no nested-loop, and each
+    side's scan reads only pk + digest inputs (6 columns), not the
+    9-column orders table."""
+    plan = _plan(spark, "snapshot_diff")
+    assert "SortMergeJoin FullOuter" in plan or (
+        "SortMergeJoin" in plan and "FullOuter" in plan) or (
+        "ShuffledHashJoin" in plan and "FullOuter" in plan)
+    assert "BroadcastNestedLoopJoin" not in plan
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads and all(ln.count(":") - 1 <= 6 for ln in reads), reads
