@@ -311,3 +311,80 @@ def duplicate_spans_stream(doc_stream: DataFrame, out_path: str,
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+def heavy_hitter_stream(doc_stream: DataFrame, store_path: str,
+                        checkpoint: str, counters: int = 512) -> None:
+    """Streaming heavy-hitter terms with BOUNDED state: a corpus-wide
+    Misra-Gries summary maintained across micro-batches. Each batch is
+    exact-counted (one map-side-combined aggregation over the batch),
+    merged into the stored summary by count addition, then pruned back
+    to ``counters`` entries with the mergeable-summaries rule
+    (subtract the (k+1)-th largest count, drop non-positive). State is
+    ≤ counters term rows + one total row — CONSTANT in corpus size,
+    where the exact streaming count (collect-all-terms) would grow
+    with the vocabulary.
+
+    Unlike the batch operator (which recounts candidates exactly and
+    is oracle-exact), a one-pass bounded-state stream cannot be exact;
+    what it guarantees is the MG bound, which the accuracy test gates
+    quantitatively: every stored count c satisfies
+    true − n/(counters+1) ≤ c ≤ true, and every term with true share
+    > 1/(counters+1) of the n tokens seen so far is present.
+
+    The prune threshold is computed by sorting the ≤ 2·counters-entry
+    merged summary — a driver-side top-(k+1) over summary rows, never
+    over the corpus. Idempotent replay via per-batch markers + a
+    two-phase store swap (same discipline as uv_sketch_stream).
+    """
+    import os
+    import shutil
+
+    from ..functions.text import tokens
+
+    spark = doc_stream.sparkSession
+    done_dir = store_path + "._done"
+    TOTAL = "<total tokens>"  # contains a space: unreachable as a token
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        marker = os.path.join(done_dir, str(bid))
+        if os.path.exists(marker):
+            return
+        bc = (batch.select(F.explode(tokens("text")).alias("term"))
+              .groupBy("term").agg(F.count(F.lit(1)).alias("cnt")))
+        n_batch = (batch.agg(F.sum(F.size(tokens("text")))).first()[0]
+                   or 0)
+        try:
+            existing = spark.read.parquet(store_path)
+        except Exception:
+            existing = None
+        if existing is not None:
+            merged = (existing.filter(F.col("term") != TOTAL)
+                      .unionByName(bc)
+                      .groupBy("term").agg(F.sum("cnt").alias("cnt")))
+            n_prior = (existing.filter(F.col("term") == TOTAL)
+                       .first()["cnt"])
+        else:
+            merged, n_prior = bc, 0
+        rows = merged.orderBy(F.desc("cnt"), F.asc("term")) \
+                     .limit(counters + 1).collect()
+        if len(rows) > counters:
+            sub = rows[-1]["cnt"]
+            merged = (merged.filter(F.col("cnt") > sub)
+                      .withColumn("cnt", F.col("cnt") - F.lit(sub)))
+        total = spark.createDataFrame(
+            [(TOTAL, n_prior + n_batch)], "term string, cnt long")
+        out = merged.unionByName(total)
+        tmp = store_path + "._staging"
+        out.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite") \
+            .parquet(store_path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(done_dir, exist_ok=True)
+        with open(marker, "w"):
+            pass
+
+    q = (doc_stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()

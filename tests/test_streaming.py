@@ -376,3 +376,66 @@ def test_duplicate_spans_streaming_matches_batch(spark, tmp_path):
     want = {tuple(map(str, r))
             for r in dedup.duplicate_spans_vs_prior(docs).collect()}
     assert want and got == want
+
+
+def test_heavy_hitter_stream_state_is_bounded_and_within_mg_error(
+        spark, tmp_path):
+    """Streaming Misra-Gries heavy hitters over a 3-batch corpus
+    stream: state stays ≤ counters+1 rows, the total-token row is
+    exact, every stored count c obeys the MG bound
+    true − n/(counters+1) ≤ c ≤ true, and every term whose true share
+    exceeds 1/(counters+1) is present. counters=8 < vocab forces real
+    prunes — with counters ≥ vocab the summary would simply be exact
+    counts and the bound trivially tight."""
+    import os
+    import time as _time
+
+    from gmall_flink_2021_spark.streaming.jobs import heavy_hitter_stream
+
+    COUNTERS = 8
+    docs = load_table(spark, SF_SMOKE, "documents")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    cuts = [hi // 3, 2 * hi // 3]
+    src = str(tmp_path / "hh_docs")
+    os.makedirs(src)
+    parts = [docs.filter(F.col("doc_id") <= cuts[0]),
+             docs.filter((F.col("doc_id") > cuts[0])
+                         & (F.col("doc_id") <= cuts[1])),
+             docs.filter(F.col("doc_id") > cuts[1])]
+    now = _time.time()
+    for i, part in enumerate(parts):
+        tmp_dir = str(tmp_path / f"hh_stage_{i}")
+        part.coalesce(1).write.parquet(tmp_dir)
+        f = next(p for p in os.listdir(tmp_dir) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"part_{i}.parquet")
+        os.rename(os.path.join(tmp_dir, f), dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false").parquet(src))
+    store = str(tmp_path / "hh_store")
+    heavy_hitter_stream(stream, store, str(tmp_path / "ck_hh"),
+                        counters=COUNTERS)
+
+    from gmall_flink_2021_spark.functions.text import tokens
+
+    exact = {r["term"]: r["cnt"] for r in
+             docs.select(F.explode(tokens("text")).alias("term"))
+             .groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+             .collect()}
+    n = sum(exact.values())
+    state = {r["term"]: r["cnt"]
+             for r in spark.read.parquet(store).collect()}
+    total = state.pop("<total tokens>")
+    assert total == n
+    assert len(state) <= COUNTERS
+    err = n / (COUNTERS + 1)
+    for term, c in state.items():
+        assert 0 < c <= exact[term]
+        assert exact[term] - c <= err, (term, c, exact[term], err)
+    for term, t in exact.items():
+        if t > err:
+            assert term in state, (term, t, err)
+    # a prune actually happened (vocab exceeds the counter budget)
+    assert len(exact) > COUNTERS
