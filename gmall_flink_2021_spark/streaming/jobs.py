@@ -388,3 +388,34 @@ def heavy_hitter_stream(doc_stream: DataFrame, store_path: str,
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+def changelog_apply_stream(change_stream: DataFrame, table_path: str,
+                           checkpoint: str, pk: str,
+                           order_col: str, op_col: str = "op") -> None:
+    """CDC changelog replay (the S2/S3 → K4 chain end-to-end): a
+    stream of (op, seq, payload…) change rows is applied to a
+    pk-bucketed parquet table — inserts/updates upsert, deletes
+    remove — via the incremental copy-on-write merge in
+    sinks.upsert_dim. Per-pk application is idempotent, so a replayed
+    micro-batch converges without markers; cross-batch ordering rides
+    on the changelog's own sequence column within each batch and on
+    source ordering across batches (Maxwell/Debezium per-key
+    monotonicity).
+
+    The convergence proof lives in the reconciliation test: after the
+    full changelog drains, analytics.snapshot_diff(applied, source)
+    must return ZERO rows — the audit a real CDC pipeline runs to
+    certify a replica."""
+    from . import sinks
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        if not batch.head(1):
+            return
+        sinks.upsert_dim(batch, table_path, pk=pk, order_col=order_col,
+                         op_col=op_col)
+
+    q = (change_stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()

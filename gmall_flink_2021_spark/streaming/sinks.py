@@ -66,7 +66,9 @@ def read_dim(spark, dim_path: str) -> DataFrame:
 
 def upsert_dim(batch: DataFrame, dim_path: str, pk: str = "id",
                order_col: str | None = None,
-               n_buckets: int = N_DIM_BUCKETS) -> None:
+               n_buckets: int = N_DIM_BUCKETS,
+               op_col: str | None = None,
+               delete_op: str = "delete") -> None:
     """K4 analog: merge a micro-batch into the dim table keyed on the
     sink_pk (default 'id', TableProcessFunction.java:71-73). Within a
     batch the row with the highest ``order_col`` per key wins (falls
@@ -80,7 +82,16 @@ def upsert_dim(batch: DataFrame, dim_path: str, pk: str = "id",
     left byte-identical. A full-table rewrite per micro-batch (the
     previous form, SCALE.md's top known limit) is O(table) per batch;
     this is O(table · touched/n_buckets), which at 100 TB with
-    thousands of buckets approaches O(batch)."""
+    thousands of buckets approaches O(batch).
+
+    With ``op_col`` set, the batch is a CDC changelog slice: the
+    latest row per pk decides — a ``delete_op`` row removes the pk
+    from its bucket (the Maxwell/Debezium 'delete' the reference's
+    DWD layer filters OUT, BaseDBApp.java:42-56, here applied so a
+    replayed changelog CONVERGES to the source table — proven by the
+    snapshot_diff reconciliation test); anything else upserts. Apply
+    is idempotent per pk, so batch replay after failure converges
+    without markers."""
     import shutil
 
     spark = batch.sparkSession
@@ -92,6 +103,10 @@ def upsert_dim(batch: DataFrame, dim_path: str, pk: str = "id",
         latest = batch.dropDuplicates([pk])
     latest = latest.withColumn(DIM_BUCKET_COL,
                                dim_bucket(F.col(pk), n_buckets)).persist()
+    if op_col is not None:
+        upserts = latest.filter(F.col(op_col) != delete_op).drop(op_col)
+    else:
+        upserts = latest
     # bounded collect: at most n_buckets rows
     touched = sorted(
         r[0] for r in latest.select(DIM_BUCKET_COL).distinct().collect())
@@ -101,15 +116,17 @@ def upsert_dim(batch: DataFrame, dim_path: str, pk: str = "id",
             existing = spark.read.parquet(bpath)
         except Exception:
             existing = None
-        brows = latest.filter(F.col(DIM_BUCKET_COL) == b) \
-                      .drop(DIM_BUCKET_COL)
+        bkeys = latest.filter(F.col(DIM_BUCKET_COL) == b).select(pk)
+        brows = upserts.filter(F.col(DIM_BUCKET_COL) == b) \
+                       .drop(DIM_BUCKET_COL)
         if existing is not None:
             # allowMissingColumns: a mid-stream config change can
             # evolve the dim's column set (the runtime-DDL path) —
             # new columns arrive as nulls on old rows, removed ones
             # stay null on new rows, mirroring Phoenix's additive
-            # ALTER behavior
-            merged = existing.join(brows.select(pk), pk, "left_anti") \
+            # ALTER behavior. The anti-join removes EVERY touched pk
+            # (deletes stay removed; upserts come back from brows).
+            merged = existing.join(bkeys, pk, "left_anti") \
                              .unionByName(brows, allowMissingColumns=True)
         else:
             merged = brows
