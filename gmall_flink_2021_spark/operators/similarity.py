@@ -793,3 +793,54 @@ def pq_codebook_audit(embeddings: DataFrame, m: int = PQ_SUBSPACES,
                    "vec_ct", "sq_err_sum", "sq_err_max", "codeword_fp"))
     out._pq_caches = [sub, assigned]
     return out
+
+
+def contrastive_pairs(embeddings: DataFrame, n_anchors: int = 5,
+                      per_kind: int = 2) -> DataFrame:
+    """Contrastive-pair mining for embedding training: per anchor, the
+    ``per_kind`` HARD NEGATIVES (most-similar different-label vectors —
+    the near-misses a contrastive loss learns the most from) and HARD
+    POSITIVES (least-similar same-label vectors — the stragglers the
+    anchor must still be pulled toward).
+
+    One scored frame serves both kinds: anchors broadcast against the
+    corpus scan (knn_bruteforce's shape — the corpus never shuffles),
+    then a single row_number window partitioned by (anchor, same-label
+    flag) with a sign-flipped sort key (cos ascending for positives,
+    descending for negatives, neighbor_id tie-break) — no second scan,
+    no second window pass.
+
+    Scale shape: identical to exact top-k — broadcast·corpus work with
+    a per-partition heap; at 100 TB the mining set rides one corpus
+    scan. Scores stay raw doubles (same sequential IEEE fold as the
+    oracle); ranking ties break on neighbor_id.
+    """
+    corpus = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        as_double("embedding").alias("vec_n")) \
+        .withColumn("norm_n", norm(F.col("vec_n")))
+    anchors = embeddings.filter(F.col("vec_id") < n_anchors).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        as_double("embedding").alias("vec_q")) \
+        .withColumn("norm_q", norm(F.col("vec_q")))
+    scored = (corpus.join(F.broadcast(anchors))
+              .filter(F.col("neighbor_id") != F.col("anchor_id"))
+              .withColumn("cos_sim",
+                          dot(F.col("vec_q"), F.col("vec_n"))
+                          / (F.col("norm_q") * F.col("norm_n")))
+              .withColumn("kind",
+                          F.when(F.col("neighbor_label")
+                                 == F.col("anchor_label"),
+                                 F.lit("hard_positive"))
+                          .otherwise(F.lit("hard_negative"))))
+    sort_key = (F.when(F.col("kind") == "hard_positive",
+                       F.col("cos_sim"))
+                .otherwise(-F.col("cos_sim")))
+    w = Window.partitionBy("anchor_id", "kind").orderBy(
+        sort_key.asc(), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= per_kind)
+            .select("anchor_id", "kind", "rank", "neighbor_id",
+                    "neighbor_label", "cos_sim"))

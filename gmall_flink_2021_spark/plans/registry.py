@@ -876,6 +876,15 @@ def q_snapshot_diff(spark, sf):
     return analytics.snapshot_diff(old, new, "o_orderkey", cols)
 
 
+def q_contrastive_pairs(spark, sf):
+    """Gates: contrastive-pair mining — hard negatives AND hard
+    positives from ONE broadcast-scored corpus scan via a single
+    window with a sign-flipped sort key per kind (no second scan, no
+    second window pass)."""
+    (embeddings,) = _t(spark, sf, "embeddings")
+    return similarity.contrastive_pairs(embeddings)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -988,6 +997,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_lm_scores": q_unigram_lm_scores,
     "bpe_merge_candidates": q_bpe_merge_candidates,
     "snapshot_diff": q_snapshot_diff,
+    "contrastive_pairs": q_contrastive_pairs,
 }
 
 
@@ -2825,6 +2835,35 @@ ORACLES: dict[str, str] = {
             FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey)
         SELECT pk, change_type FROM d WHERE change_type <> 'unchanged'
     """,
+    "contrastive_pairs": f"""
+        WITH q AS (
+            SELECT vec_id AS anchor_id, label AS anchor_label,
+                   CAST(embedding AS DOUBLE[]) AS vq
+            FROM embeddings WHERE vec_id < 5
+        ),
+        c AS (
+            SELECT vec_id AS neighbor_id, label AS neighbor_label,
+                   CAST(embedding AS DOUBLE[]) AS vn
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT anchor_id, neighbor_id, neighbor_label,
+                   CASE WHEN neighbor_label = anchor_label
+                        THEN 'hard_positive'
+                        ELSE 'hard_negative' END AS kind,
+                   {_cos('vq', 'vn')} AS cos_sim
+            FROM c, q WHERE neighbor_id <> anchor_id
+        )
+        SELECT anchor_id, kind, CAST(rank AS BIGINT) AS rank,
+               neighbor_id, neighbor_label, cos_sim
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY anchor_id, kind
+                ORDER BY CASE WHEN kind = 'hard_positive' THEN cos_sim
+                              ELSE -cos_sim END ASC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= 2
+    """,
 }
 
 # ANN recall audit: composed from the two ranking oracles above so
@@ -3099,7 +3138,7 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     # hitters, unigram-LM quality scoring, BPE merge induction, CDC
     # snapshot reconciliation
     "heavy_hitter_terms", "unigram_lm_scores", "bpe_merge_candidates",
-    "snapshot_diff",
+    "snapshot_diff", "contrastive_pairs",
     # graded green in round 1 only — re-confirm on this round's
     # regenerated testdata (rounds regenerate /root/testdata)
     "props_stats", "keyword_stats", "unique_visitors_daily",

@@ -381,3 +381,19 @@ def test_snapshot_diff_is_single_pk_join_of_digests(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert reads and all(ln.count(":") - 1 <= 6 for ln in reads), reads
+
+
+def test_contrastive_mining_is_one_scan_one_window(spark):
+    """Hard positives + hard negatives come from a single broadcast-
+    scored corpus scan and ONE window pass (sign-flipped sort key):
+    the anchors reach the corpus via broadcast, the corpus never
+    SortMergeJoins, and the plan contains exactly one Window
+    operator."""
+    import re
+
+    plan = _plan(spark, "contrastive_pairs")
+    assert "SortMergeJoin" not in plan
+    # exactly one Window operator node (WindowGroupLimit nodes are the
+    # rank-filter pushdown — the per-partition top-k heap — and fine)
+    assert len(re.findall(r"\(\d+\) Window$", plan, re.M)) == 1
+    assert "WindowGroupLimit" in plan
