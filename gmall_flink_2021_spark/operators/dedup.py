@@ -64,6 +64,58 @@ def minhash_signatures(documents: DataFrame,
     return documents.select("doc_id").join(sig, "doc_id", "left")
 
 
+def banded_minhash(documents: DataFrame,
+                   n_hashes: int = MINHASH_SEEDS,
+                   bands: int = LSH_BANDS,
+                   sig: DataFrame | None = None) -> DataFrame:
+    """(doc_id, band, band_hash) LSH banding projection — the shared
+    candidate-generation substrate of `minhash_band_pairs` (pair
+    enumeration) and `minhash_dedup_marks` (online ingestion marks).
+    Band hash = md5 of the band's concatenated minhashes."""
+    rows_per_band = n_hashes // bands
+    if sig is None:
+        sig = minhash_signatures(documents, n_hashes).filter(
+            F.col("h0").isNotNull())
+    band_hashes = F.array(*[
+        F.md5(F.concat_ws(
+            "|", *[f"h{b * rows_per_band + r}" for r in range(rows_per_band)]))
+        for b in range(bands)])
+    return sig.select(
+        "doc_id", F.posexplode(band_hashes).alias("band", "band_hash"))
+
+
+def minhash_dedup_marks(documents: DataFrame) -> DataFrame:
+    """Online-ingestion dedup decision, batch form: in doc_id
+    (arrival) order, a document is a duplicate if ANY of its LSH band
+    buckets was already occupied by an earlier document — the
+    first-seen-wins rule a streaming ingester applies
+    (`streaming/jobs.minhash_dedup_stream` is the incremental form;
+    this is its oracle). Returns every document with an ``is_dup``
+    mark and the earliest colliding predecessor.
+
+    Unlike `minhash_band_pairs` (enumerates candidate PAIRS — m²-ish
+    on heavily duplicated corpora), the mark form ranks within
+    buckets: one min per bucket + one min per doc, so output and
+    shuffle stay O(corpus) no matter how duplicated the data is —
+    this is the production decision path at 100 TB.
+    """
+    banded = banded_minhash(documents).persist()
+    buckets = (banded.groupBy("band", "band_hash")
+               .agg(F.min("doc_id").alias("first_doc")))
+    coll = (banded.join(buckets, ["band", "band_hash"])
+            .filter(F.col("first_doc") < F.col("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.min("first_doc").alias("earliest_prior")))
+    out = (documents.select("doc_id")
+           .join(coll, "doc_id", "left")
+           .select("doc_id",
+                   F.col("earliest_prior").isNotNull().cast("long")
+                   .alias("is_dup"),
+                   "earliest_prior"))
+    out._banded_cache = banded
+    return out
+
+
 def minhash_band_pairs(documents: DataFrame,
                        n_hashes: int = MINHASH_SEEDS,
                        bands: int = LSH_BANDS,
@@ -79,17 +131,7 @@ def minhash_band_pairs(documents: DataFrame,
     ``sig`` frame to share one signature pass with a downstream
     scorer (`minhash_jaccard_pairs` does).
     """
-    rows_per_band = n_hashes // bands
-    if sig is None:
-        sig = minhash_signatures(documents, n_hashes).filter(
-            F.col("h0").isNotNull())
-    band_hashes = F.array(*[
-        F.md5(F.concat_ws(
-            "|", *[f"h{b * rows_per_band + r}" for r in range(rows_per_band)]))
-        for b in range(bands)])
-    banded = sig.select(
-        "doc_id", F.posexplode(band_hashes).alias("band", "band_hash"))
-    banded = banded.persist()
+    banded = banded_minhash(documents, n_hashes, bands, sig).persist()
     l = banded.alias("l")
     r = banded.alias("r")
     pairs = (l.join(r, ["band", "band_hash"])

@@ -876,6 +876,16 @@ def q_snapshot_diff(spark, sf):
     return analytics.snapshot_diff(old, new, "o_orderkey", cols)
 
 
+def q_minhash_dedup_marks(spark, sf):
+    """Gates: the online-ingestion dedup DECISION (bucket-first ranking,
+    O(corpus) output on any duplication level) vs the pair-enumeration
+    family; batch oracle of streaming/jobs.minhash_dedup_stream."""
+    (documents,) = _t(spark, sf, "documents")
+    out = dedup.minhash_dedup_marks(documents)
+    out._banded_cache.unpersist()  # lazy: recompute-on-reuse
+    return out
+
+
 def q_contrastive_pairs(spark, sf):
     """Gates: contrastive-pair mining — hard negatives AND hard
     positives from ONE broadcast-scored corpus scan via a single
@@ -998,6 +1008,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merge_candidates": q_bpe_merge_candidates,
     "snapshot_diff": q_snapshot_diff,
     "contrastive_pairs": q_contrastive_pairs,
+    "minhash_dedup_marks": q_minhash_dedup_marks,
 }
 
 
@@ -1435,6 +1446,23 @@ ORACLES: dict[str, str] = {
         FROM bands l
         JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
         WHERE l.doc_id < r.doc_id
+    """,
+    "minhash_dedup_marks": f"""
+        WITH {_BANDS},
+        buckets AS (
+            SELECT band, band_hash, min(doc_id) AS first_doc
+            FROM bands GROUP BY band, band_hash),
+        coll AS (
+            SELECT b.doc_id, min(k.first_doc) AS earliest_prior
+            FROM bands b
+            JOIN buckets k ON b.band = k.band AND b.band_hash = k.band_hash
+            WHERE k.first_doc < b.doc_id
+            GROUP BY b.doc_id)
+        SELECT d.doc_id,
+               CAST(CASE WHEN c.earliest_prior IS NULL THEN 0 ELSE 1 END
+                    AS BIGINT) AS is_dup,
+               c.earliest_prior
+        FROM documents d LEFT JOIN coll c ON d.doc_id = c.doc_id
     """,
     "minhash_jaccard_pairs": f"""
         WITH {_BANDS},
@@ -3138,7 +3166,7 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     # hitters, unigram-LM quality scoring, BPE merge induction, CDC
     # snapshot reconciliation
     "heavy_hitter_terms", "unigram_lm_scores", "bpe_merge_candidates",
-    "snapshot_diff", "contrastive_pairs",
+    "snapshot_diff", "contrastive_pairs", "minhash_dedup_marks",
     # graded green in round 1 only — re-confirm on this round's
     # regenerated testdata (rounds regenerate /root/testdata)
     "props_stats", "keyword_stats", "unique_visitors_daily",

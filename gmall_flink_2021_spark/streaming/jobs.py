@@ -419,3 +419,74 @@ def changelog_apply_stream(change_stream: DataFrame, table_path: str,
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+def minhash_dedup_stream(doc_stream: DataFrame, out_path: str,
+                         state_path: str, checkpoint: str) -> None:
+    """Incremental doc-level MinHash dedup: each micro-batch's LSH
+    band buckets are checked against a grow-only bucket index
+    ((band, band_hash) → first occupant) plus the batch's own earlier
+    docs; a doc sharing ANY occupied bucket with an earlier doc is
+    marked duplicate with its earliest predecessor — the
+    first-seen-wins ingestion rule whose batch oracle is
+    operators/dedup.minhash_dedup_marks (streaming == batch when
+    arrival order is doc_id order).
+
+    Completes the streaming dedup triad: paragraph level
+    (segment_dedup_stream), substring level (duplicate_spans_stream),
+    and document level (this). Exactly-once: both the per-doc marks
+    and the bucket-index appends are overwrite-by-batchId, and the
+    state read excludes the current batch id, so a replayed batch
+    neither consults its own partial write nor double-appends. State
+    is one 32-hex bucket hash + first doc_id per DISTINCT bucket —
+    bounded by corpus novelty, not corpus size."""
+    from ..operators.dedup import banded_minhash
+    from . import sinks
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        spark = batch.sparkSession
+        banded = banded_minhash(batch).persist()
+        bfirst = (banded.groupBy("band", "band_hash")
+                  .agg(F.min("doc_id").alias("first_doc")))
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(state_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            prior = (spark.read.parquet(state_path)
+                     .filter(F.col("batch_id") < bid)
+                     .select("band", "band_hash",
+                             F.col("first_doc").alias("prior_first")))
+        else:
+            prior = None
+        cand = banded.join(bfirst, ["band", "band_hash"])
+        if prior is not None:
+            cand = cand.join(prior, ["band", "band_hash"], "left")
+        else:
+            cand = cand.withColumn("prior_first",
+                                   F.lit(None).cast("long"))
+        # least() skips nulls; each side is guarded to strict priors
+        prev = F.least(
+            F.when(F.col("first_doc") < F.col("doc_id"),
+                   F.col("first_doc")),
+            F.when(F.col("prior_first") < F.col("doc_id"),
+                   F.col("prior_first")))
+        marks = (cand.withColumn("prev", prev)
+                 .groupBy("doc_id")
+                 .agg(F.min("prev").alias("earliest_prior")))
+        out = (batch.select("doc_id")
+               .join(marks, "doc_id", "left")
+               .select("doc_id",
+                       F.col("earliest_prior").isNotNull().cast("long")
+                       .alias("is_dup"),
+                       "earliest_prior"))
+        sinks.write_idempotent(out, bid, out_path)
+        new_b = bfirst
+        if prior is not None:
+            new_b = new_b.join(prior.select("band", "band_hash"),
+                               ["band", "band_hash"], "left_anti")
+        sinks.write_idempotent(new_b, bid, state_path)
+        banded.unpersist()
+
+    q = (doc_stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()

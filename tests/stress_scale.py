@@ -28,7 +28,7 @@ QUERIES = [
     "duplicate_spans", "mixture_plan", "quality_weighted_sample",
     "training_shard_plan", "ann_recall", "pq_codebook_audit",
     "heavy_hitter_terms", "unigram_lm_scores", "bpe_merge_candidates",
-    "snapshot_diff", "contrastive_pairs",
+    "snapshot_diff", "contrastive_pairs", "minhash_dedup_marks",
 ]
 
 

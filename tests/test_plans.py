@@ -397,3 +397,19 @@ def test_contrastive_mining_is_one_scan_one_window(spark):
     # rank-filter pushdown — the per-partition top-k heap — and fine)
     assert len(re.findall(r"\(\d+\) Window$", plan, re.M)) == 1
     assert "WindowGroupLimit" in plan
+
+
+def test_minhash_dedup_marks_ranks_buckets_no_pair_join(spark):
+    """The ingestion-mark form must NOT enumerate candidate pairs: no
+    self-join of the banded projection (every join in the plan has a
+    build side bounded by buckets or marks, and the banded frame is
+    scanned from its InMemoryRelation, not joined to itself on
+    doc_id inequality). Concretely: no '<' join condition anywhere —
+    pair enumeration's signature — and ≥2 aggregates (bucket min,
+    per-doc min)."""
+    plan = _plan(spark, "minhash_dedup_marks")
+    assert "doc_id#" in plan
+    assert plan.count("HashAggregate") >= 2
+    # the pair form's `l.doc_id < r.doc_id` join predicate is absent
+    import re
+    assert not re.search(r"doc_id#\d+L? < doc_id#\d+L?", plan)

@@ -500,3 +500,48 @@ def test_changelog_apply_converges_to_source_snapshot(spark, tmp_path):
     assert diff.count() == 0
     # sanity: the replay actually changed the table
     assert applied.count() == target.count() != orders.count()
+
+
+def test_minhash_dedup_streaming_matches_batch(spark, tmp_path):
+    """Document-level incremental MinHash dedup over a 3-batch stream
+    (grow-only bucket index, first-seen-wins) must equal the batch
+    minhash_dedup_marks when arrival order is doc_id order."""
+    import os
+    import time as _time
+
+    from gmall_flink_2021_spark.operators import dedup
+    from gmall_flink_2021_spark.streaming.jobs import minhash_dedup_stream
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    cuts = [hi // 3, 2 * hi // 3]
+    src = str(tmp_path / "mh_docs")
+    os.makedirs(src)
+    parts = [docs.filter(F.col("doc_id") <= cuts[0]),
+             docs.filter((F.col("doc_id") > cuts[0])
+                         & (F.col("doc_id") <= cuts[1])),
+             docs.filter(F.col("doc_id") > cuts[1])]
+    now = _time.time()
+    for i, part in enumerate(parts):
+        stage = str(tmp_path / f"mh_stage_{i}")
+        part.coalesce(1).write.parquet(stage)
+        f = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"part_{i}.parquet")
+        os.rename(os.path.join(stage, f), dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false").parquet(src))
+    out = str(tmp_path / "mh_out")
+    minhash_dedup_stream(stream, out, str(tmp_path / "mh_state"),
+                         str(tmp_path / "ck_mh"))
+
+    got = {tuple(map(str, r)) for r in
+           spark.read.parquet(out).drop("batch_id").collect()}
+    batch_out = dedup.minhash_dedup_marks(docs)
+    want = {tuple(map(str, r)) for r in batch_out.collect()}
+    batch_out._banded_cache.unpersist()
+    assert want and got == want
+    # the corpus actually contains cross-batch duplicates
+    assert any(r[1] == "1" for r in got)
