@@ -789,3 +789,56 @@ def training_shard_plan(documents: DataFrame,
             .select("shard", "doc_ct", "token_ct",
                     (F.expr("token_ct * 1000 DIV ttot")
                      - 1000 // n_shards).alias("skew_permille")))
+
+
+def corpus_funnel(documents: DataFrame) -> DataFrame:
+    """The attrition report every cleaning pipeline publishes: per
+    source, how many documents survive each sequential gate of a
+    C4-style pass — language heuristic → length floor → quality
+    thresholds → MinHash dedup — plus the surviving token mass that
+    actually reaches training.
+
+    Gate semantics (cumulative — a doc counts at stage k only if it
+    passed stages 1..k):
+      lang_ct:    stopword-ratio language heuristic (lang_id's 'en')
+      len_ct:     ≥ 30 tokens (corpus_filter's floor)
+      quality_ct: stopword ratio ≤ 0.2 AND type-token ratio ≥ 0.3
+      unique_ct:  not a MinHash-LSH duplicate of an earlier doc
+                  (minhash_dedup_marks' first-seen-wins rule)
+      kept_tokens: Σ n_tokens over full survivors
+
+    Plan shape: ONE corpus scan computes every per-doc signal as
+    column expressions; the only extra branch is the dedup-marks
+    subtree (signature agg + bucket mins), joined back by doc_id; the
+    funnel itself is a single conditional aggregation keyed by
+    source. No per-stage re-scans — at 100 TB the funnel costs one
+    pass over the text plus the dedup branch it would run anyway.
+    """
+    from .dedup import minhash_dedup_marks
+
+    marks = minhash_dedup_marks(documents)
+    tok = tokens("text")
+    n = F.size(tok)
+    sr = stopword_ratio(tok)
+    ttr = (F.size(F.array_distinct(tok)).cast("double")
+           / n.cast("double"))
+    per_doc = documents.select(
+        "doc_id", "source", n.alias("n_tokens"),
+        ((n > 0) & (sr >= 0.05)).alias("g_lang"),
+        (n >= 30).alias("g_len"),
+        ((n > 0) & (sr <= 0.2) & (ttr >= 0.3)).alias("g_quality"))
+    j = per_doc.join(marks.select("doc_id", "is_dup"), "doc_id", "left")
+    c1 = F.col("g_lang")
+    c2 = c1 & F.col("g_len")
+    c3 = c2 & F.col("g_quality")
+    c4 = c3 & (F.coalesce("is_dup", F.lit(0)) == 0)
+    out = (j.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("total_ct"),
+                F.sum(c1.cast("long")).alias("lang_ct"),
+                F.sum(c2.cast("long")).alias("len_ct"),
+                F.sum(c3.cast("long")).alias("quality_ct"),
+                F.sum(c4.cast("long")).alias("unique_ct"),
+                F.sum(F.when(c4, F.col("n_tokens")).otherwise(0)
+                      .cast("long")).alias("kept_tokens")))
+    out._banded_cache = marks._banded_cache
+    return out

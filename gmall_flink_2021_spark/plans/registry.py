@@ -886,6 +886,17 @@ def q_minhash_dedup_marks(spark, sf):
     return out
 
 
+def q_corpus_funnel(spark, sf):
+    """Gates: the pipeline END PRODUCT — cumulative multi-gate attrition
+    (lang → length → quality → MinHash dedup) as ONE conditional
+    aggregation over one corpus scan + the dedup-marks branch; no
+    per-stage re-scans."""
+    (documents,) = _t(spark, sf, "documents")
+    out = textstats.corpus_funnel(documents)
+    out._banded_cache.unpersist()  # lazy: recompute-on-reuse
+    return out
+
+
 def q_contrastive_pairs(spark, sf):
     """Gates: contrastive-pair mining — hard negatives AND hard
     positives from ONE broadcast-scored corpus scan via a single
@@ -1009,6 +1020,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff": q_snapshot_diff,
     "contrastive_pairs": q_contrastive_pairs,
     "minhash_dedup_marks": q_minhash_dedup_marks,
+    "corpus_funnel": q_corpus_funnel,
 }
 
 
@@ -1463,6 +1475,46 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS is_dup,
                c.earliest_prior
         FROM documents d LEFT JOIN coll c ON d.doc_id = c.doc_id
+    """,
+    "corpus_funnel": f"""
+        WITH {_BANDS},
+        buckets AS (
+            SELECT band, band_hash, min(doc_id) AS first_doc
+            FROM bands GROUP BY band, band_hash),
+        coll AS (
+            SELECT b.doc_id, min(k.first_doc) AS earliest_prior
+            FROM bands b
+            JOIN buckets k ON b.band = k.band AND b.band_hash = k.band_hash
+            WHERE k.first_doc < b.doc_id
+            GROUP BY b.doc_id),
+        feats AS (
+            SELECT t.doc_id, t.source, len(tok) AS n,
+                   CASE WHEN len(tok) = 0 THEN 0.0
+                        ELSE CAST(len(list_filter(tok,
+                             t2 -> t2 IN ('the', 'a'))) AS DOUBLE)
+                             / CAST(len(tok) AS DOUBLE) END AS sr,
+                   CASE WHEN len(tok) = 0 THEN 0.0
+                        ELSE CAST(len(list_distinct(tok)) AS DOUBLE)
+                             / CAST(len(tok) AS DOUBLE) END AS ttr
+            FROM toks t),
+        g AS (
+            SELECT f.source, f.n,
+                   (f.n > 0 AND f.sr >= 0.05) AS c1,
+                   (f.n > 0 AND f.sr >= 0.05 AND f.n >= 30) AS c2,
+                   (f.n > 0 AND f.sr >= 0.05 AND f.n >= 30
+                    AND f.sr <= 0.2 AND f.ttr >= 0.3) AS c3,
+                   (f.n > 0 AND f.sr >= 0.05 AND f.n >= 30
+                    AND f.sr <= 0.2 AND f.ttr >= 0.3
+                    AND c.earliest_prior IS NULL) AS c4
+            FROM feats f LEFT JOIN coll c ON f.doc_id = c.doc_id)
+        SELECT source,
+               count(*) AS total_ct,
+               CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS lang_ct,
+               CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS len_ct,
+               CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS quality_ct,
+               CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS unique_ct,
+               CAST(sum(CASE WHEN c4 THEN n ELSE 0 END) AS BIGINT) AS kept_tokens
+        FROM g GROUP BY source
     """,
     "minhash_jaccard_pairs": f"""
         WITH {_BANDS},
@@ -3167,6 +3219,7 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     # snapshot reconciliation
     "heavy_hitter_terms", "unigram_lm_scores", "bpe_merge_candidates",
     "snapshot_diff", "contrastive_pairs", "minhash_dedup_marks",
+    "corpus_funnel",
     # graded green in round 1 only — re-confirm on this round's
     # regenerated testdata (rounds regenerate /root/testdata)
     "props_stats", "keyword_stats", "unique_visitors_daily",

@@ -413,3 +413,16 @@ def test_minhash_dedup_marks_ranks_buckets_no_pair_join(spark):
     # the pair form's `l.doc_id < r.doc_id` join predicate is absent
     import re
     assert not re.search(r"doc_id#\d+L? < doc_id#\d+L?", plan)
+
+
+def test_corpus_funnel_is_one_scan_plus_dedup_branch(spark):
+    """The funnel must not re-scan the corpus per gate: exactly two
+    text-scan branches total (the per-doc signal projection + the
+    dedup-marks signature branch) and one final source-keyed
+    aggregation — the gates are conditional sums, not separate
+    queries."""
+    plan = _plan(spark, "corpus_funnel")
+    scans = [ln for ln in plan.splitlines()
+             if "Scan parquet" in ln and "documents" in ln]
+    assert len(scans) <= 2, scans
+    assert plan.count("HashAggregate") >= 4  # bucket/doc/funnel pairs
