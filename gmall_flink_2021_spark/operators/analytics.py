@@ -691,3 +691,43 @@ def snapshot_diff(old: DataFrame, new: DataFrame, pk: str,
     if not include_unchanged:
         out = out.filter(F.col("change_type") != "unchanged")
     return out
+
+
+def daily_value_zscores(events: DataFrame, trailing: int = 7,
+                        min_prior: int = 3) -> DataFrame:
+    """Time-series anomaly scoring for pipeline monitoring: each
+    (event_type, day)'s value mass gets a z-score against its own
+    TRAILING ``trailing``-day window (rowsBetween(-trailing, -1) — a
+    bounded frame, not the running unbounded-preceding family), the
+    drift detector a warehouse runs over its daily loads.
+
+    Exactness discipline: the frame aggregates run over INTEGER cents
+    (exact decimal day sums × 100), so sliding-frame summation order
+    (Spark's buffer walk vs DuckDB's segment tree) cannot produce ulp
+    drift; mean/variance/z are then derived by an identical float
+    expression tree on both engines and the z is rounded to 6 dp.
+    Variance uses the sum-of-squares identity on exact integers.
+    Days with fewer than ``min_prior`` trailing observations or zero
+    variance get a null z (cold start / constant series).
+
+    Scale shape: one map-side-combined daily aggregation, then a
+    window over the DAYS-sized frame (per event_type) — the window
+    input is O(days·types), not O(events)."""
+    day = F.date_trunc("day", F.col("ts"))
+    daily = (events
+             .groupBy("event_type", day.alias("day"))
+             .agg((F.sum(money("value")) * 100).cast("long")
+                  .alias("cents"))
+             .withColumn("cents_sq", F.col("cents") * F.col("cents")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(-trailing, -1))
+    n = F.count("cents").over(w)
+    s = F.sum("cents").over(w).cast("double")
+    ss = F.sum("cents_sq").over(w).cast("double")
+    mean = s / n
+    var = (ss - s * s / n) / (n - 1)
+    z = F.round((F.col("cents") - mean) / F.sqrt(var), 6)
+    return (daily
+            .select("event_type", "day", "cents",
+                    n.cast("long").alias("n_prior"),
+                    F.when((n >= min_prior) & (var > 0), z).alias("z")))

@@ -886,6 +886,15 @@ def q_minhash_dedup_marks(spark, sf):
     return out
 
 
+def q_daily_value_zscores(spark, sf):
+    """Gates: BOUNDED trailing window frame (rowsBetween(-7,-1) — vs the
+    unbounded-preceding running family) computing drift z-scores from
+    exact integer-cents frame sums; the warehouse load-monitoring
+    query."""
+    (events,) = _t(spark, sf, "events")
+    return analytics.daily_value_zscores(events)
+
+
 def q_corpus_funnel(spark, sf):
     """Gates: the pipeline END PRODUCT — cumulative multi-gate attrition
     (lang → length → quality → MinHash dedup) as ONE conditional
@@ -1021,6 +1030,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contrastive_pairs": q_contrastive_pairs,
     "minhash_dedup_marks": q_minhash_dedup_marks,
     "corpus_funnel": q_corpus_funnel,
+    "daily_value_zscores": q_daily_value_zscores,
 }
 
 
@@ -1515,6 +1525,29 @@ ORACLES: dict[str, str] = {
                CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS unique_ct,
                CAST(sum(CASE WHEN c4 THEN n ELSE 0 END) AS BIGINT) AS kept_tokens
         FROM g GROUP BY source
+    """,
+    "daily_value_zscores": """
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                        AS TIMESTAMP) AS day,
+                   CAST(round(sum(CAST(round(value, 2)
+                        AS DECIMAL(18,2))), 2) * 100 AS BIGINT) AS cents
+            FROM events GROUP BY 1, 2),
+        fr AS (
+            SELECT event_type, day, cents,
+                   count(cents) OVER w AS n,
+                   CAST(sum(cents) OVER w AS DOUBLE) AS s,
+                   CAST(sum(cents * cents) OVER w AS DOUBLE) AS ss
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        SELECT event_type, day, cents, CAST(n AS BIGINT) AS n_prior,
+               CASE WHEN n >= 3 AND (ss - s * s / n) / (n - 1) > 0
+                    THEN round((cents - s / n)
+                               / sqrt((ss - s * s / n) / (n - 1)), 6)
+                    END AS z
+        FROM fr
     """,
     "minhash_jaccard_pairs": f"""
         WITH {_BANDS},
@@ -3219,7 +3252,7 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     # snapshot reconciliation
     "heavy_hitter_terms", "unigram_lm_scores", "bpe_merge_candidates",
     "snapshot_diff", "contrastive_pairs", "minhash_dedup_marks",
-    "corpus_funnel",
+    "corpus_funnel", "daily_value_zscores",
     # graded green in round 1 only — re-confirm on this round's
     # regenerated testdata (rounds regenerate /root/testdata)
     "props_stats", "keyword_stats", "unique_visitors_daily",

@@ -426,3 +426,15 @@ def test_corpus_funnel_is_one_scan_plus_dedup_branch(spark):
              if "Scan parquet" in ln and "documents" in ln]
     assert len(scans) <= 2, scans
     assert plan.count("HashAggregate") >= 4  # bucket/doc/funnel pairs
+
+
+def test_zscore_window_runs_over_daily_aggregate(spark):
+    """The trailing-frame window must consume the daily aggregate
+    (O(days·types) rows), not raw events: the Window sits above a
+    partial/final HashAggregate pair, and the frame spec is bounded
+    (ROWS BETWEEN ... PRECEDING AND 1 PRECEDING), not running."""
+    plan = _plan(spark, "daily_value_zscores")
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
+    assert "-7, -1" in plan or "7 PRECEDING" in plan.upper() or \
+        "rowsBetween" in plan or "specifiedwindowframe" in plan.lower()
