@@ -170,3 +170,76 @@ def resize_media(media_df: DataFrame, max_dim: int = 64) -> DataFrame:
 
 def media_resize(documents: DataFrame) -> DataFrame:
     return resize_media(documents_as_media(documents))
+
+
+FRAME_HASH_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame_hash", StringType()),
+])
+
+
+def frame_hashes(media_df: DataFrame) -> DataFrame:
+    """Per-frame content hashes for video payloads: each (stub-)
+    decoded frame's byte slice is md5'd inside the Arrow batch — the
+    fingerprint step of cross-video frame dedup. Zero-length frames
+    (payload shorter than the frame count) are skipped. A real
+    deployment swaps the byte-slice for a decoded-keyframe perceptual
+    hash; the Spark shape (mapInPandas fan-out → hash column) is
+    identical."""
+    import hashlib
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_hash": []}
+            for doc_id, m, t in zip(pdf["doc_id"], pdf["media"],
+                                    pdf["media_type"]):
+                if t != "video":
+                    continue
+                n = len(m)
+                _, _, frames = _decode(m, t)
+                stride = n // frames
+                if stride == 0:
+                    continue
+                for i in range(frames):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_hash"].append(
+                        hashlib.md5(
+                            m[i * stride:(i + 1) * stride]).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(fn, FRAME_HASH_SCHEMA)
+
+
+# Planted re-upload payload for the frame-dedup audit: the synthetic
+# corpus has no byte-identical videos, so (like pii_redaction's
+# planted PII) every 11th video gets a shared payload — mirrored
+# verbatim in the oracle — making the duplicate-frame path genuinely
+# exercised with nonzero counts. 214 ascii chars -> 5 frames of 42
+# bytes whose content varies by offset phase (13-char period vs 42
+# stride), so the audit sees multiple distinct colliding hashes.
+PLANTED_VIDEO = "shared-intro " * 16 + "tail42"
+
+
+def frame_dedup(documents: DataFrame) -> DataFrame:
+    """Cross-video duplicate-frame audit: hash every sampled frame
+    (Arrow path) and report content hashes occurring more than once —
+    occurrence count, number of distinct videos, and the first
+    occupant — the dedup step that catches re-uploads/shared intros a
+    doc-level hash misses. One hash-keyed map-side-combined
+    aggregation above the fan-out; at 100 TB this is the same plan as
+    any per-key count."""
+    media = documents_as_media(
+        documents.withColumn("text", F.coalesce("text", F.lit(""))))
+    media = media.withColumn(
+        "media",
+        F.when((F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 11 == 0),
+               F.encode(F.lit(PLANTED_VIDEO), "utf-8"))
+         .otherwise(F.col("media")))
+    f = frame_hashes(media)
+    return (f.groupBy("frame_hash")
+            .agg(F.count(F.lit(1)).alias("occurrence_ct"),
+                 F.countDistinct("doc_id").alias("video_ct"),
+                 F.min("doc_id").alias("first_doc"))
+            .filter(F.col("occurrence_ct") > 1))

@@ -895,6 +895,15 @@ def q_daily_value_zscores(spark, sf):
     return analytics.daily_value_zscores(events)
 
 
+def q_frame_dedup(spark, sf):
+    """Gates: multimodal DEDUP composition — frame-level content hashes
+    computed inside the Arrow mapInPandas fan-out, aggregated by hash
+    (planted re-uploads make the duplicate path nonzero; oracle
+    mirrors the byte-slice hashing with substr+md5)."""
+    (documents,) = _t(spark, sf, "documents")
+    return multimodal.frame_dedup(documents)
+
+
 def q_corpus_funnel(spark, sf):
     """Gates: the pipeline END PRODUCT — cumulative multi-gate attrition
     (lang → length → quality → MinHash dedup) as ONE conditional
@@ -1031,6 +1040,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_dedup_marks": q_minhash_dedup_marks,
     "corpus_funnel": q_corpus_funnel,
     "daily_value_zscores": q_daily_value_zscores,
+    "frame_dedup": q_frame_dedup,
 }
 
 
@@ -1548,6 +1558,28 @@ ORACLES: dict[str, str] = {
                                / sqrt((ss - s * s / n) / (n - 1)), 6)
                     END AS z
         FROM fr
+    """,
+    "frame_dedup": """
+        WITH v AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 11 = 0
+                        THEN repeat('shared-intro ', 16) || 'tail42'
+                        ELSE coalesce(text, '') END AS payload
+            FROM documents WHERE doc_id % 3 = 2),
+        s AS (
+            SELECT doc_id, payload, len(payload) AS n,
+                   1 + len(payload) % 5 AS fr
+            FROM v),
+        f AS (
+            SELECT doc_id,
+                   md5(substr(payload, CAST(i * (n // fr) AS INT) + 1,
+                              CAST(n // fr AS INT))) AS frame_hash
+            FROM s, unnest(range(0, fr)) AS t(i)
+            WHERE n // fr > 0)
+        SELECT frame_hash, count(*) AS occurrence_ct,
+               count(DISTINCT doc_id) AS video_ct,
+               min(doc_id) AS first_doc
+        FROM f GROUP BY frame_hash HAVING count(*) > 1
     """,
     "minhash_jaccard_pairs": f"""
         WITH {_BANDS},
@@ -3252,7 +3284,7 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     # snapshot reconciliation
     "heavy_hitter_terms", "unigram_lm_scores", "bpe_merge_candidates",
     "snapshot_diff", "contrastive_pairs", "minhash_dedup_marks",
-    "corpus_funnel", "daily_value_zscores",
+    "corpus_funnel", "daily_value_zscores", "frame_dedup",
     # graded green in round 1 only — re-confirm on this round's
     # regenerated testdata (rounds regenerate /root/testdata)
     "props_stats", "keyword_stats", "unique_visitors_daily",

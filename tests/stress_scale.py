@@ -29,7 +29,7 @@ QUERIES = [
     "training_shard_plan", "ann_recall", "pq_codebook_audit",
     "heavy_hitter_terms", "unigram_lm_scores", "bpe_merge_candidates",
     "snapshot_diff", "contrastive_pairs", "minhash_dedup_marks",
-    "corpus_funnel", "daily_value_zscores",
+    "corpus_funnel", "daily_value_zscores", "frame_dedup",
 ]
 
 

@@ -438,3 +438,13 @@ def test_zscore_window_runs_over_daily_aggregate(spark):
     assert "Window" in plan
     assert "-7, -1" in plan or "7 PRECEDING" in plan.upper() or \
         "rowsBetween" in plan or "specifiedwindowframe" in plan.lower()
+
+
+def test_frame_dedup_aggregates_above_arrow_fanout(spark):
+    """The multimodal dedup plan: Arrow mapInPandas frame fan-out
+    feeding one hash-keyed partial/final aggregate pair — no joins,
+    no Python outside the fan-out."""
+    plan = _plan(spark, "frame_dedup")
+    assert "MapInPandas" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
