@@ -842,3 +842,29 @@ def corpus_funnel(documents: DataFrame) -> DataFrame:
                       .cast("long")).alias("kept_tokens")))
     out._banded_cache = marks._banded_cache
     return out
+
+
+def corpus_survivors(documents: DataFrame) -> DataFrame:
+    """The documents that pass ALL of corpus_funnel's gates (lang →
+    length → quality → MinHash dedup) — the materialization
+    counterpart of the funnel report: funnel counts the attrition,
+    this returns the rows that ship. Same gate expressions, same
+    dedup branch; kept in one place so report and release can never
+    disagree."""
+    from .dedup import minhash_dedup_marks
+
+    marks = minhash_dedup_marks(documents)
+    tok = tokens("text")
+    n = F.size(tok)
+    sr = stopword_ratio(tok)
+    ttr = (F.size(F.array_distinct(tok)).cast("double")
+           / n.cast("double"))
+    keep = ((n > 0) & (sr >= 0.05) & (n >= 30)
+            & (sr <= 0.2) & (ttr >= 0.3))
+    j = documents.withColumn("_keep", keep).join(
+        marks.select("doc_id", "is_dup"), "doc_id", "left")
+    out = (j.filter(F.col("_keep")
+                    & (F.coalesce("is_dup", F.lit(0)) == 0))
+           .drop("_keep", "is_dup"))
+    out._banded_cache = marks._banded_cache
+    return out

@@ -165,3 +165,54 @@ def test_province_stats_sql(spark, order_wide, dims):
     assert rows and all(r.order_count >= 1 for r in rows)
     assert {r.province_name for r in rows} <= {"province_1", "province_2",
                                                "province_3"}
+
+def test_training_release_composition(spark, tmp_path):
+    """End-to-end release: the funnel's survivors are chunked,
+    shard-assigned by content hash, and written partitioned by shard;
+    the materialized release must reconcile exactly with the audit
+    queries — survivor count == funnel unique_ct, every written shard
+    row belongs to a survivor, and shard dirs match the shard-plan's
+    ids."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gmall_flink_2021_spark.operators import textstats
+    from gmall_flink_2021_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    survivors = textstats.corpus_survivors(docs)
+    surv_rows = survivors.collect()
+    survivors._banded_cache.unpersist()
+    funnel = textstats.corpus_funnel(docs)
+    fun = funnel.agg(F.sum("unique_ct"), F.sum("kept_tokens")).first()
+    funnel._banded_cache.unpersist()
+    surv = spark.createDataFrame(surv_rows, survivors.schema)
+    assert surv.count() == fun[0]
+    tok_mass = surv.select(
+        F.sum(F.size(F.filter(F.split(F.coalesce("text", F.lit("")), " "),
+                              lambda t: F.length(t) > 0)))).first()[0]
+    assert tok_mass == fun[1]
+
+    # shard-assign and materialize
+    def nib(i):
+        a = F.ascii(F.substring(
+            F.md5(F.coalesce(F.col("text"), F.lit(""))), i, 1))
+        return F.when(a >= 97, a - 87).otherwise(a - 48)
+
+    sharded = surv.withColumn(
+        "shard", ((nib(1) * 16 + nib(2)) % 16).cast("long"))
+    out = str(tmp_path / "release")
+    sharded.write.partitionBy("shard").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == fun[0]
+    written_shards = {r[0] for r in back.select("shard").distinct().collect()}
+    dirs = {int(d.split("=")[1]) for d in os.listdir(out)
+            if d.startswith("shard=")}
+    assert written_shards == dirs
+    # shard ids agree with the audit's assignment on the same corpus
+    plan_shards = {
+        r["shard"] for r in
+        textstats.training_shard_plan(surv).select("shard").collect()}
+    assert written_shards == plan_shards
