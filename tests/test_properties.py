@@ -266,3 +266,71 @@ def test_doc_chunks_cover_every_token_exactly(spark, texts):
         overlap = sum(max(0, min(j * 12 + 16, n) - (j + 1) * 12)
                       for j in range(want_ct - 1))
         assert covered == n + overlap
+
+
+words_strategy = st.lists(
+    st.lists(st.sampled_from(list("abcdef")) | st.just("the"),
+             min_size=1, max_size=30),
+    min_size=1, max_size=25)
+
+
+@given(docs=words_strategy, parts=st.integers(1, 7))
+@_slow
+def test_heavy_hitters_exact_under_any_partitioning(spark, docs, parts):
+    """The Misra-Gries candidate pass must never cost correctness:
+    for ANY partitioning of the corpus, heavy_hitter_terms equals the
+    brute-force phi-heavy set computed in Python. counters=8 is tiny,
+    so prunes fire constantly — the guarantee, not luck, carries the
+    result (counters ≥ 1000/phi keeps the superset property:
+    phi=125‰, 8·125 ≥ 1000)."""
+    from collections import Counter
+
+    from gmall_flink_2021_spark.operators.textstats import heavy_hitter_terms
+
+    rows = [(i, " ".join(ws), "en", "src0", len(" ".join(ws)))
+            for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long").repartition(parts)
+    got = {(r["term"], r["cnt"]) for r in
+           heavy_hitter_terms(df, phi_permille=125, counters=8).collect()}
+    exact = Counter(w for ws in docs for w in ws)
+    total = sum(exact.values())
+    want = {(t, c) for t, c in exact.items() if c * 1000 >= 125 * total}
+    assert got == want
+
+
+@given(edits=st.lists(st.tuples(st.integers(0, 49),
+                                st.sampled_from(["del", "upd", "ins"])),
+                      min_size=0, max_size=30,
+                      unique_by=lambda e: e[0]))
+@_slow
+def test_snapshot_diff_matches_python_reference(spark, edits):
+    """snapshot_diff's digest-join classification equals a dict-based
+    diff for arbitrary insert/update/delete edit sets."""
+    from gmall_flink_2021_spark.operators.analytics import snapshot_diff
+
+    old = {i: f"v{i}" for i in range(50)}
+    new = dict(old)
+    for k, op in edits:
+        if op == "del":
+            new.pop(k, None)
+        elif op == "upd":
+            new[k] = f"u{k}"
+        else:
+            new[1000 + k] = f"n{k}"
+    o = spark.createDataFrame([(k, v) for k, v in old.items()],
+                              "pk long, val string")
+    n = spark.createDataFrame([(k, v) for k, v in new.items()],
+                              "pk long, val string")
+    got = {(r["pk"], r["change_type"]) for r in
+           snapshot_diff(o, n, "pk", ["val"]).collect()}
+    want = set()
+    for k in set(old) | set(new):
+        if k not in new:
+            want.add((k, "deleted"))
+        elif k not in old:
+            want.add((k, "inserted"))
+        elif old[k] != new[k]:
+            want.add((k, "updated"))
+    assert got == want
