@@ -17,7 +17,7 @@ Conventions that keep the value-hash comparison exact:
 
 Registry pruning policy (round 3): every query wrapper's docstring
 names the unique plan feature it gates ("Gates: ..."), so each of the
-89 graded slots is justified. The near-duplicate candidates were
+113 registry slots is justified. The near-duplicate candidates were
 examined and kept deliberately: token_stats vs bpe_token_stats gate
 the split/array path vs the regexp_extract_all path; top_brands vs
 top_revenue_supplier gate TakeOrderedAndProject vs a scalar-max

@@ -440,49 +440,110 @@ def minhash_dedup_stream(doc_stream: DataFrame, out_path: str,
     neither consults its own partial write nor double-appends. State
     is one 32-hex bucket hash + first doc_id per DISTINCT bucket —
     bounded by corpus novelty, not corpus size."""
-    from ..operators.dedup import banded_minhash
     from . import sinks
 
     def sink(batch: DataFrame, bid: int) -> None:
-        spark = batch.sparkSession
-        banded = banded_minhash(batch).persist()
-        bfirst = (banded.groupBy("band", "band_hash")
-                  .agg(F.min("doc_id").alias("first_doc")))
-        jpath = spark._jvm.org.apache.hadoop.fs.Path(state_path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(jpath):
-            prior = (spark.read.parquet(state_path)
-                     .filter(F.col("batch_id") < bid)
-                     .select("band", "band_hash",
-                             F.col("first_doc").alias("prior_first")))
-        else:
-            prior = None
-        cand = banded.join(bfirst, ["band", "band_hash"])
-        if prior is not None:
-            cand = cand.join(prior, ["band", "band_hash"], "left")
-        else:
-            cand = cand.withColumn("prior_first",
-                                   F.lit(None).cast("long"))
-        # least() skips nulls; each side is guarded to strict priors
-        prev = F.least(
-            F.when(F.col("first_doc") < F.col("doc_id"),
-                   F.col("first_doc")),
-            F.when(F.col("prior_first") < F.col("doc_id"),
-                   F.col("prior_first")))
-        marks = (cand.withColumn("prev", prev)
-                 .groupBy("doc_id")
-                 .agg(F.min("prev").alias("earliest_prior")))
-        out = (batch.select("doc_id")
-               .join(marks, "doc_id", "left")
-               .select("doc_id",
-                       F.col("earliest_prior").isNotNull().cast("long")
-                       .alias("is_dup"),
-                       "earliest_prior"))
+        out, new_b, banded = _batch_dedup_marks(batch, bid, state_path)
         sinks.write_idempotent(out, bid, out_path)
-        new_b = bfirst
-        if prior is not None:
-            new_b = new_b.join(prior.select("band", "band_hash"),
-                               ["band", "band_hash"], "left_anti")
+        sinks.write_idempotent(new_b, bid, state_path)
+        banded.unpersist()
+
+    q = (doc_stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def _batch_dedup_marks(batch: DataFrame, bid: int, state_path: str):
+    """Shared per-batch body of the incremental MinHash dedup: returns
+    (marks, new_buckets, banded-cache-handle). marks = every batch doc
+    with is_dup/earliest_prior against the grow-only bucket index
+    (batches < bid) plus the batch's own earlier docs; new_buckets =
+    the index rows this batch contributes. Caller writes both
+    idempotently and unpersists the handle."""
+    from ..operators.dedup import banded_minhash
+
+    spark = batch.sparkSession
+    banded = banded_minhash(batch).persist()
+    bfirst = (banded.groupBy("band", "band_hash")
+              .agg(F.min("doc_id").alias("first_doc")))
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(state_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        prior = (spark.read.parquet(state_path)
+                 .filter(F.col("batch_id") < bid)
+                 .select("band", "band_hash",
+                         F.col("first_doc").alias("prior_first")))
+    else:
+        prior = None
+    cand = banded.join(bfirst, ["band", "band_hash"])
+    if prior is not None:
+        cand = cand.join(prior, ["band", "band_hash"], "left")
+    else:
+        cand = cand.withColumn("prior_first", F.lit(None).cast("long"))
+    # least() skips nulls; each side is guarded to strict priors
+    prev = F.least(
+        F.when(F.col("first_doc") < F.col("doc_id"),
+               F.col("first_doc")),
+        F.when(F.col("prior_first") < F.col("doc_id"),
+               F.col("prior_first")))
+    marks = (cand.withColumn("prev", prev)
+             .groupBy("doc_id")
+             .agg(F.min("prev").alias("earliest_prior")))
+    out = (batch.select("doc_id")
+           .join(marks, "doc_id", "left")
+           .select("doc_id",
+                   F.col("earliest_prior").isNotNull().cast("long")
+                   .alias("is_dup"),
+                   "earliest_prior"))
+    new_b = bfirst
+    if prior is not None:
+        new_b = new_b.join(prior.select("band", "band_hash"),
+                           ["band", "band_hash"], "left_anti")
+    return out, new_b, banded
+
+
+def corpus_funnel_stream(doc_stream: DataFrame, out_path: str,
+                         state_path: str, checkpoint: str) -> None:
+    """Streaming corpus-cleaning funnel: each micro-batch's per-source
+    attrition counts (lang → length → quality → MinHash dedup, the
+    gates of operators/textstats.corpus_funnel) are emitted as
+    additive partials; the cumulative report is SUM(partials) GROUP BY
+    source, which equals the batch funnel when arrival order is doc_id
+    order — the gates are per-doc and the dedup decision is the same
+    grow-only-index rule as minhash_dedup_stream (shared per-batch
+    body, shared state layout). Exactly-once via overwrite-by-batchId
+    on both partials and index."""
+    from ..functions.text import stopword_ratio, tokens
+    from . import sinks
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        marks, new_b, banded = _batch_dedup_marks(batch, bid, state_path)
+        tok = tokens("text")
+        n = F.size(tok)
+        sr = stopword_ratio(tok)
+        ttr = (F.size(F.array_distinct(tok)).cast("double")
+               / n.cast("double"))
+        per_doc = batch.select(
+            "doc_id", "source", n.alias("n_tokens"),
+            ((n > 0) & (sr >= 0.05)).alias("g_lang"),
+            (n >= 30).alias("g_len"),
+            ((n > 0) & (sr <= 0.2) & (ttr >= 0.3)).alias("g_quality"))
+        j = per_doc.join(marks.select("doc_id", "is_dup"),
+                         "doc_id", "left")
+        c1 = F.col("g_lang")
+        c2 = c1 & F.col("g_len")
+        c3 = c2 & F.col("g_quality")
+        c4 = c3 & (F.coalesce("is_dup", F.lit(0)) == 0)
+        partial = (j.groupBy("source")
+                   .agg(F.count(F.lit(1)).alias("total_ct"),
+                        F.sum(c1.cast("long")).alias("lang_ct"),
+                        F.sum(c2.cast("long")).alias("len_ct"),
+                        F.sum(c3.cast("long")).alias("quality_ct"),
+                        F.sum(c4.cast("long")).alias("unique_ct"),
+                        F.sum(F.when(c4, F.col("n_tokens")).otherwise(0)
+                              .cast("long")).alias("kept_tokens")))
+        sinks.write_idempotent(partial, bid, out_path)
         sinks.write_idempotent(new_b, bid, state_path)
         banded.unpersist()
 

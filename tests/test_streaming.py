@@ -545,3 +545,52 @@ def test_minhash_dedup_streaming_matches_batch(spark, tmp_path):
     assert want and got == want
     # the corpus actually contains cross-batch duplicates
     assert any(r[1] == "1" for r in got)
+
+
+def test_corpus_funnel_streaming_partials_sum_to_batch(spark, tmp_path):
+    """Streaming funnel partials over a 3-batch corpus stream must sum
+    (per source) to the batch corpus_funnel — gates are per-doc and
+    the dedup rule matches the incremental index, so the report is
+    additive."""
+    import os
+    import time as _time
+
+    from gmall_flink_2021_spark.operators import textstats
+    from gmall_flink_2021_spark.streaming.jobs import corpus_funnel_stream
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    cuts = [hi // 3, 2 * hi // 3]
+    src = str(tmp_path / "cf_docs")
+    os.makedirs(src)
+    parts = [docs.filter(F.col("doc_id") <= cuts[0]),
+             docs.filter((F.col("doc_id") > cuts[0])
+                         & (F.col("doc_id") <= cuts[1])),
+             docs.filter(F.col("doc_id") > cuts[1])]
+    now = _time.time()
+    for i, part in enumerate(parts):
+        stage = str(tmp_path / f"cf_stage_{i}")
+        part.coalesce(1).write.parquet(stage)
+        f = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"part_{i}.parquet")
+        os.rename(os.path.join(stage, f), dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false").parquet(src))
+    out = str(tmp_path / "cf_out")
+    corpus_funnel_stream(stream, out, str(tmp_path / "cf_state"),
+                         str(tmp_path / "ck_cf"))
+
+    got = {tuple(map(str, r)) for r in
+           spark.read.parquet(out)
+           .groupBy("source")
+           .agg(*[F.sum(c).cast("long").alias(c)
+                  for c in ("total_ct", "lang_ct", "len_ct",
+                            "quality_ct", "unique_ct", "kept_tokens")])
+           .collect()}
+    batch_out = textstats.corpus_funnel(docs)
+    want = {tuple(map(str, r)) for r in batch_out.collect()}
+    batch_out._banded_cache.unpersist()
+    assert want and got == want
