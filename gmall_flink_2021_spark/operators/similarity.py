@@ -682,31 +682,17 @@ def _isqdist_sql(qcol: str, qc: list[int]) -> str:
             f"cast(0 as bigint), (acc, d) -> acc + d)")
 
 
-def pq_codebook_audit(embeddings: DataFrame, m: int = PQ_SUBSPACES,
-                      k: int = KMEANS_K, iters: int = KMEANS_ITERS,
-                      dim: int = 64) -> DataFrame:
-    """Product-quantization codebook audit: split each d-dim vector
-    into ``m`` subspaces, learn a k-codeword codebook per subspace
-    with the deterministic fixed-point k-means (same guarantees as
-    kmeans_clusters — no RNG, integer distances, exact centroid
-    sums), and report per (subspace, codeword): population, codeword
-    fingerprint, and the exact integer reconstruction error (sum and
-    max of the fixed-point squared distance to the quantized
-    codeword). PQ is the standard billion-vector compression
-    (m*log2(k) bits/vector); this audit is the "is the codebook any
-    good" check run before committing an embedding store to it.
-
-    All m sub-problems advance TOGETHER through each Lloyd iteration
-    on one exploded (vec_id, subspace, subvector) frame: per
-    iteration, assignment is a zero-shuffle projection (the m*k
-    codewords ride along as a subspace-dispatched literal argmin) and
-    recomputation is ONE (subspace, cluster, dim)-keyed map-side-
-    combined aggregation — m times fewer scans and driver rounds than
-    looping subspaces (measured 28 s -> 3 s at m=8). The driver only
-    ever collects m*k codewords per iteration.
-    """
-    import hashlib
-
+def _pq_learn(embeddings: DataFrame, m: int = PQ_SUBSPACES,
+              k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+              dim: int = 64):
+    """PQ codebook learning shared by pq_codebook_audit (the quality
+    report) and ivfpq_ann (the search path). Returns
+    (sub, assigned, final): the persisted exploded
+    (vec_id, s, subvector) frame, the persisted final assignment
+    (vec_id, s, q, cluster) — cluster IS the PQ code — and the final
+    quantized codewords {(s, cluster): qc}. Caller unpersists both
+    frames. Same determinism as kmeans_clusters: lowest-vec_id seeds,
+    integer distances, exact fixed-point centroid sums."""
     w = dim // m
     sub = (embeddings
            .select("vec_id",
@@ -767,11 +753,40 @@ def pq_codebook_audit(embeddings: DataFrame, m: int = PQ_SUBSPACES,
                      [_quant_py(x) for x in r.centroid]
                      for r in recompute(assigned).collect()}
 
-    # the last assignment feeds BOTH the final recompute and the error
-    # aggregation — persist it so the interpreted argmin folds run once
+    # the last assignment feeds both the final recompute and whatever
+    # the caller aggregates — persist so the argmin folds run once
     assigned = assigned.persist()
     final = {(int(r.s), int(r.cluster)): [_quant_py(x) for x in r.centroid]
              for r in recompute(assigned).collect()}
+    return sub, assigned, final
+
+
+def pq_codebook_audit(embeddings: DataFrame, m: int = PQ_SUBSPACES,
+                      k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+                      dim: int = 64) -> DataFrame:
+    """Product-quantization codebook audit: split each d-dim vector
+    into ``m`` subspaces, learn a k-codeword codebook per subspace
+    with the deterministic fixed-point k-means (same guarantees as
+    kmeans_clusters — no RNG, integer distances, exact centroid
+    sums), and report per (subspace, codeword): population, codeword
+    fingerprint, and the exact integer reconstruction error (sum and
+    max of the fixed-point squared distance to the quantized
+    codeword). PQ is the standard billion-vector compression
+    (m*log2(k) bits/vector); this audit is the "is the codebook any
+    good" check run before committing an embedding store to it.
+
+    All m sub-problems advance TOGETHER through each Lloyd iteration
+    on one exploded (vec_id, subspace, subvector) frame: per
+    iteration, assignment is a zero-shuffle projection (the m*k
+    codewords ride along as a subspace-dispatched literal argmin) and
+    recomputation is ONE (subspace, cluster, dim)-keyed map-side-
+    combined aggregation — m times fewer scans and driver rounds than
+    looping subspaces (measured 28 s -> 3 s at m=8). The driver only
+    ever collects m*k codewords per iteration.
+    """
+    import hashlib
+
+    sub, assigned, final = _pq_learn(embeddings, m, k, iters, dim)
     err_b, fp_b = [], []
     for (s, c), qc in sorted(final.items()):
         digest = hashlib.md5(
@@ -844,3 +859,64 @@ def contrastive_pairs(embeddings: DataFrame, n_anchors: int = 5,
             .filter(F.col("rank") <= per_kind)
             .select("anchor_id", "kind", "rank", "neighbor_id",
                     "neighbor_label", "cos_sim"))
+
+
+def ivfpq_ann(embeddings: DataFrame, n_queries: int = 5,
+              k: int = 3, m: int = PQ_SUBSPACES,
+              kc: int = KMEANS_K, iters: int = KMEANS_ITERS,
+              dim: int = 64) -> DataFrame:
+    """IVF-PQ approximate nearest neighbors — the composition every
+    billion-vector store runs in production: a LEARNED coarse
+    quantizer (fixed-point Lloyd's k-means, no label crutch) routes
+    each query to its inverted list, and inside the probed partition
+    candidates are ranked by ASYMMETRIC PQ distance — the exact query
+    subvector against each candidate's codeword, summed over the m
+    subspaces — so the corpus is stored as m·log2(k) bits/vector and
+    never re-read at search time.
+
+    End-to-end integer exactness: coarse assignment, PQ codes, and
+    every ADC term are fixed-point int64 squared distances (ties →
+    lowest id), so the full index-build + search composition has a
+    bit-exact fully-unrolled SQL oracle — the same discipline as
+    kmeans_clusters / pq_codebook_audit, composed.
+
+    Scale shape: index build = the kmeans + PQ passes (each iteration
+    one zero-shuffle assignment projection + one map-side-combined
+    recompute); search = candidates equi-joined to their inverted
+    list (1/kc of the corpus at n_probe=1), one broadcast of the
+    query subvectors, ADC terms dispatched from the m·k-codeword
+    literal table (the per-query LUT of a real ADC scan), one
+    (query, vec) sum + per-query top-k heap.
+    """
+    coarse = kmeans_assignments(embeddings, kc, iters)
+    sub, codes, final = _pq_learn(embeddings, m, kc, iters, dim)
+
+    qv = (coarse.filter(F.col("vec_id") < n_queries)
+          .select(F.col("vec_id").alias("query_id"), "cluster"))
+    pairs = (coarse.select("vec_id", "cluster")
+             .join(F.broadcast(qv), "cluster")
+             .filter(F.col("vec_id") != F.col("query_id"))
+             .select("query_id", "vec_id"))
+    qsubs = (sub.filter(F.col("vec_id") < n_queries)
+             .select(F.col("vec_id").alias("query_id"), "s",
+                     F.col("q").alias("qq")))
+    adc_b = " ".join(
+        f"WHEN s = {s} AND code = {c} THEN {_isqdist_sql('qq', qc)}"
+        for (s, c), qc in sorted(final.items()))
+    contrib = (pairs
+               .join(codes.select("vec_id", "s",
+                                  F.col("cluster").alias("code")),
+                     "vec_id")
+               .join(F.broadcast(qsubs), ["query_id", "s"])
+               .selectExpr("query_id", "vec_id",
+                           f"(CASE {adc_b} END) AS d"))
+    adc = (contrib.groupBy("query_id", "vec_id")
+           .agg(F.sum("d").alias("adc_dist")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id"))
+    out = (adc.withColumn("rank", F.row_number().over(w).cast("long"))
+           .filter(F.col("rank") <= k)
+           .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                   "rank", "adc_dist"))
+    out._ivfpq_caches = [coarse._kmeans_cache, sub, codes]
+    return out

@@ -904,6 +904,19 @@ def q_frame_dedup(spark, sf):
     return multimodal.frame_dedup(documents)
 
 
+def q_ivfpq_ann(spark, sf):
+    """Gates: the composed production ANN index — learned coarse
+    quantizer (inverted lists) + PQ codebooks + asymmetric integer
+    ADC ranking inside the probed partition, all under ONE fully-
+    unrolled bit-exact SQL oracle (kmeans chain ∘ m PQ chains ∘
+    ranked distance sum)."""
+    (embeddings,) = _t(spark, sf, "embeddings")
+    out = similarity.ivfpq_ann(embeddings)
+    for c in out._ivfpq_caches:  # lazy: recompute-on-reuse
+        c.unpersist()
+    return out
+
+
 def q_corpus_funnel(spark, sf):
     """Gates: the pipeline END PRODUCT — cumulative multi-gate attrition
     (lang → length → quality → MinHash dedup) as ONE conditional
@@ -1041,6 +1054,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_funnel": q_corpus_funnel,
     "daily_value_zscores": q_daily_value_zscores,
     "frame_dedup": q_frame_dedup,
+    "ivfpq_ann": q_ivfpq_ann,
 }
 
 
@@ -3015,18 +3029,15 @@ ORACLES: dict[str, str] = {
 # the exact and approximate sides can never drift from the graded
 # definitions (DuckDB allows WITH inside subqueries). Exact side
 # re-filtered to rank <= 3 => recall@3 against the k=3 LSH probe.
-def _pq_oracle_sql(m: int = 8, w: int = 8) -> str:
-    """Fully-unrolled PQ oracle mirroring similarity.pq_codebook_audit:
-    one _kmeans_ctes-style Lloyd chain PER SUBSPACE over the sliced
-    vectors, then per (subspace, cluster) exact integer error vs the
-    quantized final codeword. Everything that could diverge between
-    engines is int64 arithmetic."""
+def _pq_subspace_ctes(m: int = 8, w: int = 8) -> list:
+    """The per-subspace Lloyd chains of the PQ oracle (s{s}_vecs …
+    s{s}_a{N}, s{s}_cqf) as a CTE list — shared by the PQ audit
+    oracle and the composed IVF-PQ search oracle."""
     from ..operators.similarity import KMEANS_ITERS, KMEANS_K
 
     quant = "x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)"
     sqd = _ISQD.format(a="q", b="qc")
-    sqd_af = _ISQD.format(a="a.q", b="f.qc")
-    ctes, selects = [], []
+    ctes = []
     for s in range(m):
         p = f"s{s}_"
         lo, hi = s * w + 1, s * w + w
@@ -3070,6 +3081,22 @@ def _pq_oracle_sql(m: int = 8, w: int = 8) -> str:
                                       AS BIGINT) AS VARCHAR)), ','))
                        AS fp
             FROM {p}c{it})""")
+    return ctes
+
+
+def _pq_oracle_sql(m: int = 8, w: int = 8) -> str:
+    """Fully-unrolled PQ oracle mirroring similarity.pq_codebook_audit:
+    one _kmeans_ctes-style Lloyd chain PER SUBSPACE over the sliced
+    vectors, then per (subspace, cluster) exact integer error vs the
+    quantized final codeword. Everything that could diverge between
+    engines is int64 arithmetic."""
+    from ..operators.similarity import KMEANS_ITERS
+
+    sqd_af = _ISQD.format(a="a.q", b="f.qc")
+    it = KMEANS_ITERS
+    selects = []
+    for s in range(m):
+        p = f"s{s}_"
         selects.append(f"""
             SELECT CAST({s} AS BIGINT) AS subspace,
                    CAST(a.cluster AS BIGINT) AS cluster,
@@ -3079,11 +3106,56 @@ def _pq_oracle_sql(m: int = 8, w: int = 8) -> str:
                    min(f.fp) AS codeword_fp
             FROM {p}a{it} a JOIN {p}cqf f USING (cluster)
             GROUP BY 1, 2""")
-    return ("WITH " + ",\n".join(ctes) + "\n"
+    return ("WITH " + ",\n".join(_pq_subspace_ctes(m, w)) + "\n"
             + "\nUNION ALL\n".join(selects))
 
 
+def _ivfpq_oracle_sql(m: int = 8, w: int = 8, n_queries: int = 5,
+                      k: int = 3) -> str:
+    """Composed IVF-PQ search oracle: the coarse k-means chain
+    (_kmeans_ctes — a{N} is the inverted-list assignment) + the m
+    per-subspace PQ chains (codes = s{s}_a{N}.cluster, codewords =
+    s{s}_cqf.qc) + asymmetric integer distances summed over subspaces
+    and ranked per query. Mirrors similarity.ivfpq_ann bit-for-bit."""
+    from ..operators.similarity import KMEANS_ITERS
+
+    it = KMEANS_ITERS
+    contribs = "\n            UNION ALL\n".join(
+        f"""            SELECT p.query_id, p.vec_id,
+                   {_ISQD.format(a='qs.q', b='f.qc')} AS d
+            FROM pairs p
+            JOIN s{s}_vecs qs ON qs.vec_id = p.query_id
+            JOIN s{s}_a{it} cc ON cc.vec_id = p.vec_id
+            JOIN s{s}_cqf f ON f.cluster = cc.cluster"""
+        for s in range(m))
+    return (_kmeans_ctes() + ",\n"
+            + ",\n".join(_pq_subspace_ctes(m, w)) + f""",
+        qv AS (
+            SELECT vec_id AS query_id, cluster
+            FROM a{it} WHERE vec_id < {n_queries}),
+        pairs AS (
+            SELECT qv.query_id, a.vec_id
+            FROM a{it} a JOIN qv ON a.cluster = qv.cluster
+            WHERE a.vec_id <> qv.query_id),
+        contrib AS (
+{contribs}
+        ),
+        adc AS (
+            SELECT query_id, vec_id,
+                   CAST(sum(d) AS BIGINT) AS adc_dist
+            FROM contrib GROUP BY 1, 2)
+        SELECT query_id, vec_id AS neighbor_id,
+               CAST(rank AS BIGINT) AS rank, adc_dist
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY adc_dist, vec_id) AS rank
+            FROM adc
+        ) WHERE rank <= {k}""")
+
+
 ORACLES["pq_codebook_audit"] = _pq_oracle_sql()
+ORACLES["ivfpq_ann"] = _ivfpq_oracle_sql()
 
 ORACLES["ann_recall"] = f"""
     SELECT e.query_id,
@@ -3285,6 +3357,7 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     "heavy_hitter_terms", "unigram_lm_scores", "bpe_merge_candidates",
     "snapshot_diff", "contrastive_pairs", "minhash_dedup_marks",
     "corpus_funnel", "daily_value_zscores", "frame_dedup",
+    "ivfpq_ann",
     # graded green in round 1 only — re-confirm on this round's
     # regenerated testdata (rounds regenerate /root/testdata)
     "props_stats", "keyword_stats", "unique_visitors_daily",

@@ -448,3 +448,15 @@ def test_frame_dedup_aggregates_above_arrow_fanout(spark):
     assert "MapInPandas" in plan
     assert plan.count("HashAggregate") >= 2
     assert "Join" not in plan
+
+
+def test_ivfpq_search_is_codeword_dispatch_no_vector_rejoin(spark):
+    """The ADC search must rank candidates from their CODES, never by
+    re-reading candidate vectors: the distance projection is a literal
+    codeword CASE (no join back to an embedding-array column on the
+    candidate side), the query subvectors broadcast, and the final
+    top-k is a WindowGroupLimit heap."""
+    plan = _plan(spark, "ivfpq_ann")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
