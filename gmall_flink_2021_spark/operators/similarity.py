@@ -920,3 +920,28 @@ def ivfpq_ann(embeddings: DataFrame, n_queries: int = 5,
                    "rank", "adc_dist"))
     out._ivfpq_caches = [coarse._kmeans_cache, sub, codes]
     return out
+
+
+def ivfpq_recall(embeddings: DataFrame, n_queries: int = 5,
+                 k: int = 3) -> DataFrame:
+    """Recall@k of the composed IVF-PQ index against the exact
+    brute-force top-k — the quality-loss measurement run before
+    committing a corpus to coarse+PQ compression (complements
+    ann_recall, which audits the LSH bucket probe). Same integer
+    permille reporting, same (n_queries·k)-row comparison join."""
+    exact = knn_bruteforce(embeddings, n_queries, k) \
+        .select("query_id", "neighbor_id")
+    approx = ivfpq_ann(embeddings, n_queries, k)
+    hits = approx.select("query_id", "neighbor_id",
+                         F.lit(1).alias("hit"))
+    out = (exact.join(F.broadcast(hits),
+                      ["query_id", "neighbor_id"], "left")
+           .groupBy("query_id")
+           .agg(F.count(F.lit(1)).alias("exact_k"),
+                F.sum(F.coalesce("hit", F.lit(0))).cast("long")
+                 .alias("hits"))
+           .select("query_id", "exact_k", "hits",
+                   F.expr(f"hits * 1000 DIV {k}")
+                    .alias("recall_permille")))
+    out._ivfpq_caches = approx._ivfpq_caches
+    return out

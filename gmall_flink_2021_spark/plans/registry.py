@@ -917,6 +917,17 @@ def q_ivfpq_ann(spark, sf):
     return out
 
 
+def q_ivfpq_recall(spark, sf):
+    """Gates: IVF-PQ quality-loss audit — recall@3 of the compressed
+    index vs exact top-k, integer permille (the PQ counterpart of
+    ann_recall's LSH audit)."""
+    (embeddings,) = _t(spark, sf, "embeddings")
+    out = similarity.ivfpq_recall(embeddings)
+    for c in out._ivfpq_caches:  # lazy: recompute-on-reuse
+        c.unpersist()
+    return out
+
+
 def q_corpus_funnel(spark, sf):
     """Gates: the pipeline END PRODUCT — cumulative multi-gate attrition
     (lang → length → quality → MinHash dedup) as ONE conditional
@@ -1055,6 +1066,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_value_zscores": q_daily_value_zscores,
     "frame_dedup": q_frame_dedup,
     "ivfpq_ann": q_ivfpq_ann,
+    "ivfpq_recall": q_ivfpq_recall,
 }
 
 
@@ -3156,6 +3168,18 @@ def _ivfpq_oracle_sql(m: int = 8, w: int = 8, n_queries: int = 5,
 
 ORACLES["pq_codebook_audit"] = _pq_oracle_sql()
 ORACLES["ivfpq_ann"] = _ivfpq_oracle_sql()
+ORACLES["ivfpq_recall"] = f"""
+    SELECT e.query_id,
+           count(*) AS exact_k,
+           CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS hits,
+           CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) * 1000 // 3 AS recall_permille
+    FROM (SELECT * FROM ({ORACLES["knn_bruteforce"]}) WHERE rank <= 3) e
+    LEFT JOIN ({ORACLES["ivfpq_ann"]}) a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+"""
 
 ORACLES["ann_recall"] = f"""
     SELECT e.query_id,
@@ -3357,7 +3381,7 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     "heavy_hitter_terms", "unigram_lm_scores", "bpe_merge_candidates",
     "snapshot_diff", "contrastive_pairs", "minhash_dedup_marks",
     "corpus_funnel", "daily_value_zscores", "frame_dedup",
-    "ivfpq_ann",
+    "ivfpq_ann", "ivfpq_recall",
     # graded green in round 1 only — re-confirm on this round's
     # regenerated testdata (rounds regenerate /root/testdata)
     "props_stats", "keyword_stats", "unique_visitors_daily",
