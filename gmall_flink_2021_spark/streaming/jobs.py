@@ -551,3 +551,36 @@ def corpus_funnel_stream(doc_stream: DataFrame, out_path: str,
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+def pq_encode_stream(emb_stream: DataFrame,
+                     codebooks: dict, m: int = 8,
+                     dim: int = 64) -> DataFrame:
+    """Static-codebook × stream PQ encoding: every arriving embedding
+    is compressed to its m codeword ids (the write path of an IVF-PQ
+    store ingesting new vectors against codebooks trained offline by
+    similarity._pq_learn). Codeword literals ride in the projection —
+    stateless per-row transform, streaming == batch row-for-row, no
+    state store. Returns (vec_id, s, code)."""
+    from ..functions.vectors import as_double
+    from ..operators.similarity import _isqdist_sql, quantized
+
+    w = dim // m
+    sub = (emb_stream
+           .select("vec_id",
+                   F.posexplode(F.array(*[
+                       F.slice(as_double("embedding"), s * w + 1, w)
+                       for s in range(m)])).alias("s", "v"))
+           .withColumn("q", quantized(F.col("v"))))
+    ks = sorted({c for (_, c) in codebooks})
+    branches = []
+    for s in range(m):
+        cand = ",".join(
+            f"struct(coalesce({_isqdist_sql('q', codebooks[(s, c)])}, "
+            f"{int(sum(x * x for x in codebooks[(s, c)]))}L) as d, "
+            f"{c} as code)"
+            for c in ks)
+        branches.append(
+            f"WHEN s = {s} THEN array_min(array({cand})).code")
+    case = "CASE " + " ".join(branches) + " END"
+    return sub.selectExpr("vec_id", "s", f"({case}) AS code")

@@ -594,3 +594,39 @@ def test_corpus_funnel_streaming_partials_sum_to_batch(spark, tmp_path):
     want = {tuple(map(str, r)) for r in batch_out.collect()}
     batch_out._banded_cache.unpersist()
     assert want and got == want
+
+
+def test_pq_encoding_streaming_matches_batch(spark, tmp_path):
+    """PQ codes assigned to a vector stream against statically-trained
+    codebooks must equal the batch _pq_learn assignment row-for-row
+    (train-offline / encode-online split of the IVF-PQ write path)."""
+    import numpy as np
+
+    from gmall_flink_2021_spark.operators.similarity import (
+        _pq_learn, _quant_py)
+    from gmall_flink_2021_spark.streaming.jobs import (
+        pq_encode_stream, run_to_completion)
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    sub, assigned, final = _pq_learn(emb)
+    # independent reference: numpy int64 argmin of every quantized
+    # subvector against the FINAL codebooks (the codebooks the stream
+    # encoder ships — one half-step past the last training assignment)
+    subrows = sub.select("vec_id", "s", "q").collect()
+    sub.unpersist()
+    assigned.unpersist()
+    ks = sorted({c for (_, c) in final})
+    want = set()
+    for r in subrows:
+        q = np.array(r["q"], dtype=np.int64)
+        dists = [int(((q - np.array(final[(r["s"], c)], dtype=np.int64))
+                      ** 2).sum()) for c in ks]
+        want.add((r["vec_id"], r["s"], ks[int(np.argmin(dists))]))
+
+    src = str(tmp_path / "emb_stream")
+    emb.write.parquet(src)
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    got_df = run_to_completion(pq_encode_stream(stream, final),
+                               str(tmp_path / "ck_pq"))
+    got = {(r["vec_id"], r["s"], r["code"]) for r in got_df.collect()}
+    assert want and got == want
