@@ -668,8 +668,10 @@ def snapshot_diff(old: DataFrame, new: DataFrame, pk: str,
     width, and the only shuffled payload is pk + 32 hex chars. The
     digest never crosses engines (the oracle classifies with direct
     IS DISTINCT FROM column compares), so engine-specific string casts
-    inside md5 are safe; nulls are sentinel-separated so ("a", null)
-    and ("a,null-as-text") cannot collide.
+    inside md5 are safe. The digest input is JSON (null fields kept),
+    so field boundaries are escaped — values containing separator
+    bytes, and null vs the string "null", cannot collide across
+    columns the way a naive concat_ws digest can.
 
     Scale shape: one full-outer sort-merge join keyed by pk — a single
     shuffle of digests per side; with both versions bucketed by pk
@@ -677,9 +679,9 @@ def snapshot_diff(old: DataFrame, new: DataFrame, pk: str,
     never broadcasts a corpus-sized side.
     """
     def digest(df: DataFrame, out: str) -> DataFrame:
-        d = F.md5(F.concat_ws(
-            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                      for c in cols]))
+        d = F.md5(F.to_json(
+            F.struct(*[F.col(c).cast("string").alias(c) for c in cols]),
+            {"ignoreNullFields": "false"}))
         return df.select(F.col(pk).alias("pk"), d.alias(out))
 
     j = digest(old, "oh").join(digest(new, "nh"), "pk", "full_outer")
@@ -706,7 +708,9 @@ def daily_value_zscores(events: DataFrame, trailing: int = 7,
     (Spark's buffer walk vs DuckDB's segment tree) cannot produce ulp
     drift; mean/variance/z are then derived by an identical float
     expression tree on both engines and the z is rounded to 6 dp.
-    Variance uses the sum-of-squares identity on exact integers.
+    Variance uses the sum-of-squares identity on exact integers; the
+    per-day square is widened to decimal(38,0) (HUGEINT in the
+    oracle) so a $92M+ day cannot silently wrap int64.
     Days with fewer than ``min_prior`` trailing observations or zero
     variance get a null z (cold start / constant series).
 
@@ -718,7 +722,9 @@ def daily_value_zscores(events: DataFrame, trailing: int = 7,
              .groupBy("event_type", day.alias("day"))
              .agg((F.sum(money("value")) * 100).cast("long")
                   .alias("cents"))
-             .withColumn("cents_sq", F.col("cents") * F.col("cents")))
+             .withColumn("cents_sq",
+                         F.col("cents").cast("decimal(38,0)")
+                         * F.col("cents")))
     w = (Window.partitionBy("event_type").orderBy("day")
          .rowsBetween(-trailing, -1))
     n = F.count("cents").over(w)

@@ -791,6 +791,43 @@ def training_shard_plan(documents: DataFrame,
                      - 1000 // n_shards).alias("skew_permille")))
 
 
+def funnel_gates(documents: DataFrame) -> DataFrame:
+    """THE per-document gate projection of the cleaning pipeline —
+    the single definition consumed by corpus_funnel (the report),
+    corpus_survivors (the release), and streaming
+    corpus_funnel_stream (the partials), so the three can never
+    disagree on thresholds. Columns: doc_id, source, n_tokens,
+    g_lang, g_len, g_quality."""
+    tok = tokens("text")
+    n = F.size(tok)
+    sr = stopword_ratio(tok)
+    ttr = (F.size(F.array_distinct(tok)).cast("double")
+           / n.cast("double"))
+    return documents.select(
+        "doc_id", "source", n.alias("n_tokens"),
+        ((n > 0) & (sr >= 0.05)).alias("g_lang"),
+        (n >= 30).alias("g_len"),
+        ((n > 0) & (sr <= 0.2) & (ttr >= 0.3)).alias("g_quality"))
+
+
+def funnel_counts(gated: DataFrame) -> DataFrame:
+    """Per-source cumulative attrition aggregation over a
+    funnel_gates frame joined with is_dup marks — shared by the batch
+    funnel and the streaming partials."""
+    c1 = F.col("g_lang")
+    c2 = c1 & F.col("g_len")
+    c3 = c2 & F.col("g_quality")
+    c4 = c3 & (F.coalesce("is_dup", F.lit(0)) == 0)
+    return (gated.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("total_ct"),
+                 F.sum(c1.cast("long")).alias("lang_ct"),
+                 F.sum(c2.cast("long")).alias("len_ct"),
+                 F.sum(c3.cast("long")).alias("quality_ct"),
+                 F.sum(c4.cast("long")).alias("unique_ct"),
+                 F.sum(F.when(c4, F.col("n_tokens")).otherwise(0)
+                       .cast("long")).alias("kept_tokens")))
+
+
 def corpus_funnel(documents: DataFrame) -> DataFrame:
     """The attrition report every cleaning pipeline publishes: per
     source, how many documents survive each sequential gate of a
@@ -817,29 +854,9 @@ def corpus_funnel(documents: DataFrame) -> DataFrame:
     from .dedup import minhash_dedup_marks
 
     marks = minhash_dedup_marks(documents)
-    tok = tokens("text")
-    n = F.size(tok)
-    sr = stopword_ratio(tok)
-    ttr = (F.size(F.array_distinct(tok)).cast("double")
-           / n.cast("double"))
-    per_doc = documents.select(
-        "doc_id", "source", n.alias("n_tokens"),
-        ((n > 0) & (sr >= 0.05)).alias("g_lang"),
-        (n >= 30).alias("g_len"),
-        ((n > 0) & (sr <= 0.2) & (ttr >= 0.3)).alias("g_quality"))
-    j = per_doc.join(marks.select("doc_id", "is_dup"), "doc_id", "left")
-    c1 = F.col("g_lang")
-    c2 = c1 & F.col("g_len")
-    c3 = c2 & F.col("g_quality")
-    c4 = c3 & (F.coalesce("is_dup", F.lit(0)) == 0)
-    out = (j.groupBy("source")
-           .agg(F.count(F.lit(1)).alias("total_ct"),
-                F.sum(c1.cast("long")).alias("lang_ct"),
-                F.sum(c2.cast("long")).alias("len_ct"),
-                F.sum(c3.cast("long")).alias("quality_ct"),
-                F.sum(c4.cast("long")).alias("unique_ct"),
-                F.sum(F.when(c4, F.col("n_tokens")).otherwise(0)
-                      .cast("long")).alias("kept_tokens")))
+    j = funnel_gates(documents).join(
+        marks.select("doc_id", "is_dup"), "doc_id", "left")
+    out = funnel_counts(j)
     out._banded_cache = marks._banded_cache
     return out
 
@@ -854,17 +871,12 @@ def corpus_survivors(documents: DataFrame) -> DataFrame:
     from .dedup import minhash_dedup_marks
 
     marks = minhash_dedup_marks(documents)
-    tok = tokens("text")
-    n = F.size(tok)
-    sr = stopword_ratio(tok)
-    ttr = (F.size(F.array_distinct(tok)).cast("double")
-           / n.cast("double"))
-    keep = ((n > 0) & (sr >= 0.05) & (n >= 30)
-            & (sr <= 0.2) & (ttr >= 0.3))
-    j = documents.withColumn("_keep", keep).join(
-        marks.select("doc_id", "is_dup"), "doc_id", "left")
-    out = (j.filter(F.col("_keep")
-                    & (F.coalesce("is_dup", F.lit(0)) == 0))
-           .drop("_keep", "is_dup"))
+    keep_ids = (funnel_gates(documents)
+                .join(marks.select("doc_id", "is_dup"), "doc_id", "left")
+                .filter(F.col("g_lang") & F.col("g_len")
+                        & F.col("g_quality")
+                        & (F.coalesce("is_dup", F.lit(0)) == 0))
+                .select("doc_id"))
+    out = documents.join(keep_ids, "doc_id")
     out._banded_cache = marks._banded_cache
     return out

@@ -16,8 +16,8 @@ Conventions that keep the value-hash comparison exact:
  - ORDER BY ... LIMIT queries always carry a unique tie-break key.
 
 Registry pruning policy (round 3): every query wrapper's docstring
-names the unique plan feature it gates ("Gates: ..."), so each of the
-113 registry slots is justified. The near-duplicate candidates were
+names the unique plan feature it gates ("Gates: ..."), so every
+registry slot (115 at this writing) is justified. The near-duplicate candidates were
 examined and kept deliberately: token_stats vs bpe_token_stats gate
 the split/array path vs the regexp_extract_all path; top_brands vs
 top_revenue_supplier gate TakeOrderedAndProject vs a scalar-max
@@ -1574,7 +1574,8 @@ ORACLES: dict[str, str] = {
             SELECT event_type, day, cents,
                    count(cents) OVER w AS n,
                    CAST(sum(cents) OVER w AS DOUBLE) AS s,
-                   CAST(sum(cents * cents) OVER w AS DOUBLE) AS ss
+                   CAST(sum(CAST(cents AS HUGEINT) * cents) OVER w
+                        AS DOUBLE) AS ss
             FROM daily
             WINDOW w AS (PARTITION BY event_type ORDER BY day
                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))

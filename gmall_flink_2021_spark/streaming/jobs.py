@@ -351,19 +351,28 @@ def heavy_hitter_stream(doc_stream: DataFrame, store_path: str,
         if os.path.exists(marker):
             return
         bc = (batch.select(F.explode(tokens("text")).alias("term"))
-              .groupBy("term").agg(F.count(F.lit(1)).alias("cnt")))
-        n_batch = (batch.agg(F.sum(F.size(tokens("text")))).first()[0]
-                   or 0)
-        try:
+              .groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+              .persist())
+        # batch token total from the aggregated (vocab-sized) frame —
+        # no second corpus-sized tokenize pass
+        n_batch = bc.agg(F.sum("cnt")).first()[0] or 0
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(store_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
             existing = spark.read.parquet(store_path)
-        except Exception:
-            existing = None
-        if existing is not None:
             merged = (existing.filter(F.col("term") != TOTAL)
                       .unionByName(bc)
                       .groupBy("term").agg(F.sum("cnt").alias("cnt")))
-            n_prior = (existing.filter(F.col("term") == TOTAL)
-                       .first()["cnt"])
+            total_row = existing.filter(F.col("term") == TOTAL).first()
+            if total_row is None:
+                # a store without its total row is a partially-written
+                # swap (crash mid-republish): refuse to silently reset
+                # the accumulated summary — fail loud for re-seeding
+                raise RuntimeError(
+                    f"heavy-hitter store {store_path} is corrupt "
+                    "(missing total row); restore from a clean batch "
+                    "or delete the store to re-seed")
+            n_prior = total_row["cnt"]
         else:
             merged, n_prior = bc, 0
         rows = merged.orderBy(F.desc("cnt"), F.asc("term")) \
@@ -383,6 +392,7 @@ def heavy_hitter_stream(doc_stream: DataFrame, store_path: str,
         os.makedirs(done_dir, exist_ok=True)
         with open(marker, "w"):
             pass
+        bc.unpersist()
 
     q = (doc_stream.writeStream.foreachBatch(sink)
          .option("checkpointLocation", checkpoint)
@@ -413,7 +423,7 @@ def changelog_apply_stream(change_stream: DataFrame, table_path: str,
         if not batch.head(1):
             return
         sinks.upsert_dim(batch, table_path, pk=pk, order_col=order_col,
-                         op_col=op_col)
+                         op_col=op_col, transient_cols=(order_col,))
 
     q = (change_stream.writeStream.foreachBatch(sink)
          .option("checkpointLocation", checkpoint)
@@ -514,35 +524,14 @@ def corpus_funnel_stream(doc_stream: DataFrame, out_path: str,
     grow-only-index rule as minhash_dedup_stream (shared per-batch
     body, shared state layout). Exactly-once via overwrite-by-batchId
     on both partials and index."""
-    from ..functions.text import stopword_ratio, tokens
+    from ..operators.textstats import funnel_counts, funnel_gates
     from . import sinks
 
     def sink(batch: DataFrame, bid: int) -> None:
         marks, new_b, banded = _batch_dedup_marks(batch, bid, state_path)
-        tok = tokens("text")
-        n = F.size(tok)
-        sr = stopword_ratio(tok)
-        ttr = (F.size(F.array_distinct(tok)).cast("double")
-               / n.cast("double"))
-        per_doc = batch.select(
-            "doc_id", "source", n.alias("n_tokens"),
-            ((n > 0) & (sr >= 0.05)).alias("g_lang"),
-            (n >= 30).alias("g_len"),
-            ((n > 0) & (sr <= 0.2) & (ttr >= 0.3)).alias("g_quality"))
-        j = per_doc.join(marks.select("doc_id", "is_dup"),
-                         "doc_id", "left")
-        c1 = F.col("g_lang")
-        c2 = c1 & F.col("g_len")
-        c3 = c2 & F.col("g_quality")
-        c4 = c3 & (F.coalesce("is_dup", F.lit(0)) == 0)
-        partial = (j.groupBy("source")
-                   .agg(F.count(F.lit(1)).alias("total_ct"),
-                        F.sum(c1.cast("long")).alias("lang_ct"),
-                        F.sum(c2.cast("long")).alias("len_ct"),
-                        F.sum(c3.cast("long")).alias("quality_ct"),
-                        F.sum(c4.cast("long")).alias("unique_ct"),
-                        F.sum(F.when(c4, F.col("n_tokens")).otherwise(0)
-                              .cast("long")).alias("kept_tokens")))
+        j = funnel_gates(batch).join(
+            marks.select("doc_id", "is_dup"), "doc_id", "left")
+        partial = funnel_counts(j)
         sinks.write_idempotent(partial, bid, out_path)
         sinks.write_idempotent(new_b, bid, state_path)
         banded.unpersist()
@@ -572,9 +561,12 @@ def pq_encode_stream(emb_stream: DataFrame,
                        F.slice(as_double("embedding"), s * w + 1, w)
                        for s in range(m)])).alias("s", "v"))
            .withColumn("q", quantized(F.col("v"))))
-    ks = sorted({c for (_, c) in codebooks})
     branches = []
     for s in range(m):
+        # per-subspace code set: a cluster can empty out in one
+        # subspace but survive in another, so the union of codes
+        # across subspaces would KeyError on a ragged codebook
+        ks = sorted(c for (s2, c) in codebooks if s2 == s)
         cand = ",".join(
             f"struct(coalesce({_isqdist_sql('q', codebooks[(s, c)])}, "
             f"{int(sum(x * x for x in codebooks[(s, c)]))}L) as d, "

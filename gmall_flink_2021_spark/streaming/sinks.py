@@ -68,7 +68,8 @@ def upsert_dim(batch: DataFrame, dim_path: str, pk: str = "id",
                order_col: str | None = None,
                n_buckets: int = N_DIM_BUCKETS,
                op_col: str | None = None,
-               delete_op: str = "delete") -> None:
+               delete_op: str = "delete",
+               transient_cols: tuple[str, ...] = ()) -> None:
     """K4 analog: merge a micro-batch into the dim table keyed on the
     sink_pk (default 'id', TableProcessFunction.java:71-73). Within a
     batch the row with the highest ``order_col`` per key wins (falls
@@ -101,10 +102,18 @@ def upsert_dim(batch: DataFrame, dim_path: str, pk: str = "id",
                   .filter(F.col("_rn") == 1).drop("_rn"))
     else:
         latest = batch.dropDuplicates([pk])
+    # transient_cols: changelog plumbing (sequence numbers etc.) that
+    # ordered/filtered the batch but must NOT land in the dim table —
+    # the @TransientSink analog for the CDC apply path
+    latest = latest.drop(*transient_cols)
     latest = latest.withColumn(DIM_BUCKET_COL,
                                dim_bucket(F.col(pk), n_buckets)).persist()
     if op_col is not None:
-        upserts = latest.filter(F.col(op_col) != delete_op).drop(op_col)
+        # null-safe: a dirty row with op=NULL must UPSERT (it carries a
+        # payload), not silently vanish — NULL != 'delete' is NULL,
+        # which a plain filter would drop, deleting the key
+        upserts = latest.filter(
+            ~F.col(op_col).eqNullSafe(delete_op)).drop(op_col)
     else:
         upserts = latest
     # bounded collect: at most n_buckets rows

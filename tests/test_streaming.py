@@ -495,6 +495,8 @@ def test_changelog_apply_converges_to_source_snapshot(spark, tmp_path):
                            pk="o_orderkey", order_col="seq")
 
     applied = read_dim(spark, table)
+    # changelog plumbing (op/seq) must not leak into the replica schema
+    assert set(applied.columns) == set(cols)
     diff = snapshot_diff(applied, target, "o_orderkey",
                          [c for c in cols if c != "o_orderkey"])
     assert diff.count() == 0
