@@ -576,3 +576,25 @@ def pq_encode_stream(emb_stream: DataFrame,
             f"WHEN s = {s} THEN array_min(array({cand})).code")
     case = "CASE " + " ".join(branches) + " END"
     return sub.selectExpr("vec_id", "s", f"({case}) AS code")
+
+
+def uv_native_dedup_stream(events: DataFrame,
+                           watermark: str = "1 second") -> DataFrame:
+    """O6's UV dedup on Spark's NATIVE watermarked-dedup state
+    operator (dropDuplicatesWithinWatermark) instead of the explicit
+    applyInPandasWithState/TTL form (streaming/stateful.py) — the
+    engine-managed alternative: state eviction rides the watermark,
+    no custom timeout code. Emits each (day, user_id) once — the
+    first-visit stream — equal as a SET to the batch distinct.
+
+    The two forms coexist deliberately: the explicit-state form pins
+    the reference's 1-day-TTL semantics (UniqueVisitApp.java) exactly
+    and carries per-key metadata; this form is what you reach for
+    when the key itself defines the dedup and the watermark bounds
+    state — fewer moving parts, JVM-managed store."""
+    with_et = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (with_et
+            .withWatermark("ts", watermark)
+            .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+            .dropDuplicatesWithinWatermark(["day", "user_id"])
+            .select("day", "user_id"))

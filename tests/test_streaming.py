@@ -632,3 +632,21 @@ def test_pq_encoding_streaming_matches_batch(spark, tmp_path):
                                str(tmp_path / "ck_pq"))
     got = {(r["vec_id"], r["s"], r["code"]) for r in got_df.collect()}
     assert want and got == want
+
+
+def test_native_watermarked_dedup_matches_batch_distinct(spark, tmp_path):
+    """The engine-managed dedup operator (dropDuplicatesWithinWatermark)
+    must emit exactly the batch DISTINCT (day, user_id) set — the
+    native-state counterpart of the explicit-TTL UV dedup."""
+    from gmall_flink_2021_spark.streaming.jobs import uv_native_dedup_stream
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    out = run_to_completion(uv_native_dedup_stream(stream),
+                            str(tmp_path / "ck_uvnative"))
+    got = {tuple(r) for r in out.collect()}
+
+    events = load_table(spark, SF_SMOKE, "events")
+    want = {tuple(r) for r in
+            events.select(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                          "user_id").distinct().collect()}
+    assert want and got == want
