@@ -209,6 +209,23 @@ def test_text_operators_tolerate_null_and_empty_text(spark):
     packed = textstats.sequence_packing(docs).collect()
     assert sum(r.doc_ct for r in packed) == 3
 
+    # round-3 additions: the MG recount, LM scores, BPE pairs, and
+    # the funnel must all survive null/empty text without -1 sizes,
+    # null divisions, or dropped documents
+    hh = {(r.term, r.cnt) for r in
+          textstats.heavy_hitter_terms(docs, phi_permille=250,
+                                       counters=8).collect()}
+    # 'a' = 500‰; 'b'/'c' = exactly 250‰, and the gate is ≥
+    assert hh == {("a", 2), ("b", 1), ("c", 1)}
+    lm = {r.doc_id: r for r in textstats.unigram_lm_scores(docs).collect()}
+    assert set(lm) == {3} and lm[3].n_tokens == 4  # null/empty drop out
+    bpe = {r.pair for r in textstats.bpe_merge_candidates(docs).collect()}
+    assert bpe == set()  # all words single-char: no adjacent pairs
+    fun = textstats.corpus_funnel(docs)
+    frow = fun.collect()[0]
+    fun._banded_cache.unpersist()
+    assert frow.total_ct == 3 and frow.len_ct == 0  # nothing reaches 30
+
 
 docs_strategy = st.lists(
     st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=80)
