@@ -68,9 +68,14 @@ def minhash(sh: Column, seed: int) -> Column:
 
 
 def stopword_ratio(tok: Column) -> Column:
+    """Fraction of tokens that are stopwords; 0.0 for an empty doc.
+    The divisor is clamped to ≥1: under ANSI mode (Spark 4 default)
+    0/0 THROWS DIVIDE_BY_ZERO mid-scan — one empty document would
+    kill an entire corpus job."""
     stop = F.size(F.filter(
         tok, lambda t: t.isin(*STOPWORDS)))
-    return stop.cast("double") / F.size(tok).cast("double")
+    return (stop.cast("double")
+            / F.greatest(F.size(tok), F.lit(1)).cast("double"))
 
 
 def register_tokenizer_udtf(spark, name: str = "ik_analyze") -> None:

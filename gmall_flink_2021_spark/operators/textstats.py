@@ -50,9 +50,10 @@ def quality_scores(documents: DataFrame) -> DataFrame:
         "doc_id", "lang", "source",
         n.alias("n_tokens"),
         (F.size(F.array_distinct(tok)).cast("double")
-         / n.cast("double")).alias("ttr"),
+         / F.greatest(n, F.lit(1)).cast("double")).alias("ttr"),
         stopword_ratio(tok).alias("stop_ratio"),
-        (sum_len.cast("double") / n.cast("double")).alias("mean_tok_len"),
+        (sum_len.cast("double")
+         / F.greatest(n, F.lit(1)).cast("double")).alias("mean_tok_len"),
         (n >= 20).cast("int").alias("len_ok"),
     )
 
@@ -86,7 +87,7 @@ def corpus_filter(documents: DataFrame, min_tokens: int = 30,
     tok = tokens("text")
     n = F.size(tok)
     ttr = (F.size(F.array_distinct(tok)).cast("double")
-           / n.cast("double"))
+           / F.greatest(n, F.lit(1)).cast("double"))
     sr = stopword_ratio(tok)
     reason = (F.when(n < min_tokens, F.lit("too_short"))
                .when(sr > max_stop_ratio, F.lit("stopword_heavy"))
@@ -801,8 +802,10 @@ def funnel_gates(documents: DataFrame) -> DataFrame:
     tok = tokens("text")
     n = F.size(tok)
     sr = stopword_ratio(tok)
+    # ANSI-safe: 0/0 throws under Spark 4's default; empty docs fail
+    # every gate anyway, so the clamp cannot change a decision
     ttr = (F.size(F.array_distinct(tok)).cast("double")
-           / n.cast("double"))
+           / F.greatest(n, F.lit(1)).cast("double"))
     return documents.select(
         "doc_id", "source", n.alias("n_tokens"),
         ((n > 0) & (sr >= 0.05)).alias("g_lang"),

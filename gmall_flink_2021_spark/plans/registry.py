@@ -1681,11 +1681,11 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, lang, source,
                CAST(len(tok) AS INT) AS n_tokens,
                CAST(len(list_distinct(tok)) AS DOUBLE)
-                   / CAST(len(tok) AS DOUBLE) AS ttr,
+                   / CAST(greatest(len(tok), 1) AS DOUBLE) AS ttr,
                CAST(len(list_filter(tok, t -> t IN ('the', 'a'))) AS DOUBLE)
-                   / CAST(len(tok) AS DOUBLE) AS stop_ratio,
+                   / CAST(greatest(len(tok), 1) AS DOUBLE) AS stop_ratio,
                CAST(list_aggregate(list_transform(tok, t -> len(t)), 'sum') AS DOUBLE)
-                   / CAST(len(tok) AS DOUBLE) AS mean_tok_len,
+                   / CAST(greatest(len(tok), 1) AS DOUBLE) AS mean_tok_len,
                CAST(len(tok) >= 20 AS INT) AS len_ok
         FROM toks
     """,
@@ -1694,7 +1694,7 @@ ORACLES: dict[str, str] = {
         SELECT label_lang, pred_lang, count(*) AS ct FROM (
             SELECT lang AS label_lang,
                    CASE WHEN CAST(len(list_filter(tok, t -> t IN ('the', 'a'))) AS DOUBLE)
-                             / CAST(len(tok) AS DOUBLE) >= 0.05
+                             / CAST(greatest(len(tok), 1) AS DOUBLE) >= 0.05
                         THEN 'en' ELSE 'unknown' END AS pred_lang
             FROM toks
         )
