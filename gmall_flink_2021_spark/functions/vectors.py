@@ -32,4 +32,8 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL (not an ANSI DIVIDE_BY_ZERO crash) when
+    either vector has zero norm — one degenerate embedding must not
+    kill a corpus-scale scoring job, and NULL matches DuckDB's x/0
+    double semantics, keeping the oracles aligned."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))

@@ -37,8 +37,9 @@ def knn_bruteforce(embeddings: DataFrame, n_queries: int = 5,
     scored = (corpus.join(F.broadcast(queries))
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .withColumn("cos_sim",
-                          dot(F.col("vec_q"), F.col("vec_n"))
-                          / (F.col("norm_q") * F.col("norm_n"))))
+                          F.try_divide(
+                              dot(F.col("vec_q"), F.col("vec_n")),
+                              F.col("norm_q") * F.col("norm_n"))))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -100,8 +101,8 @@ def embedding_dups_exhaustive(embeddings: DataFrame,
     return (a.join(b, "label")
             .filter(F.col("vec_a") < F.col("vec_b"))
             .withColumn("cos_sim",
-                        dot(F.col("va"), F.col("vb"))
-                        / (F.col("na") * F.col("nb")))
+                        F.try_divide(dot(F.col("va"), F.col("vb")),
+                                     F.col("na") * F.col("nb")))
             .select("label", "vec_a", "vec_b", "cos_sim")
             .filter(F.col("cos_sim") >= threshold))
 
@@ -419,8 +420,8 @@ def embedding_dups(embeddings: DataFrame,
                     F.col("v").alias("vb"), F.col("n").alias("nb"))
     out = (cand.join(a, ["label", "vec_a"]).join(b, ["label", "vec_b"])
            .withColumn("cos_sim",
-                       dot(F.col("va"), F.col("vb"))
-                       / (F.col("na") * F.col("nb")))
+                       F.try_divide(dot(F.col("va"), F.col("vb")),
+                                    F.col("na") * F.col("nb")))
            .select("label", "vec_a", "vec_b", "cos_sim")
            .filter(F.col("cos_sim") >= threshold))
     out._emb_cache = (base, bands)
@@ -843,8 +844,9 @@ def contrastive_pairs(embeddings: DataFrame, n_anchors: int = 5,
     scored = (corpus.join(F.broadcast(anchors))
               .filter(F.col("neighbor_id") != F.col("anchor_id"))
               .withColumn("cos_sim",
-                          dot(F.col("vec_q"), F.col("vec_n"))
-                          / (F.col("norm_q") * F.col("norm_n")))
+                          F.try_divide(
+                              dot(F.col("vec_q"), F.col("vec_n")),
+                              F.col("norm_q") * F.col("norm_n")))
               .withColumn("kind",
                           F.when(F.col("neighbor_label")
                                  == F.col("anchor_label"),

@@ -351,3 +351,23 @@ def test_snapshot_diff_matches_python_reference(spark, edits):
         elif old[k] != new[k]:
             want.add((k, "updated"))
     assert got == want
+
+
+def test_similarity_operators_tolerate_zero_vectors(spark):
+    """Dirty-embedding hardening: a zero-norm vector must not throw
+    ANSI DIVIDE_BY_ZERO mid-scan — its cosine scores become NULL
+    (DuckDB's x/0 semantics) and it simply never ranks."""
+    from gmall_flink_2021_spark.operators import similarity
+
+    rows = [(i, [float((i + j) % 5) for j in range(64)], i % 2)
+            for i in range(8)]
+    rows.append((8, [0.0] * 64, 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    knn = similarity.knn_bruteforce(emb, n_queries=2, k=3).collect()
+    assert knn and all(r.neighbor_id != 8 or r.cos_sim is None
+                       for r in knn)
+    dups = similarity.embedding_dups_exhaustive(emb, threshold=0.1)
+    assert all(8 not in (r.vec_a, r.vec_b) for r in dups.collect())
+    cp = similarity.contrastive_pairs(emb, n_anchors=2).collect()
+    assert cp
