@@ -140,10 +140,14 @@ def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
            .groupBy(month)
            .agg(F.sum(promo).cast("decimal(18,2)").alias("promo_revenue"),
                 F.sum(disc).cast("decimal(18,2)").alias("total_revenue")))
+    # try_divide: a degenerate all-zero-revenue month yields NULL
+    # share (DuckDB's x/0 double semantics) instead of an ANSI
+    # DIVIDE_BY_ZERO job abort
     return agg.select(
         "ship_month", "promo_revenue", "total_revenue",
-        (F.col("promo_revenue").cast("double")
-         / F.col("total_revenue").cast("double")).alias("promo_share"))
+        F.try_divide(F.col("promo_revenue").cast("double"),
+                     F.col("total_revenue").cast("double"))
+        .alias("promo_share"))
 
 
 def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
