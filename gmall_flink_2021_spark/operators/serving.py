@@ -195,3 +195,34 @@ def props_stats(events: DataFrame) -> DataFrame:
                  F.sum("k").alias("k_sum"),
                  F.min("k").alias("k_min"),
                  F.max("k").alias("k_max")))
+
+
+def regional_part_gap(lineitem: DataFrame, supplier: DataFrame,
+                      nation: DataFrame, region: DataFrame,
+                      have: str = "AMERICA",
+                      lack: str = "ASIA") -> DataFrame:
+    """Assortment-gap analysis via SQL set difference: part keys
+    shipped by suppliers of region ``have`` EXCEPT those shipped by
+    suppliers of region ``lack`` — the sourcing-coverage question
+    ("what do we only get from one region?") expressed as EXCEPT
+    DISTINCT (DataFrame ``subtract``), the set-operator plan family
+    (distinct + anti-like set subtraction), not a join rewrite.
+
+    Scale shape: the region→nation→supplier dim chain broadcasts into
+    the lineitem scan once per side off one shared projection; the
+    subtraction aggregates each side's distinct keys (map-side
+    combined) before the set op — shuffled volume is distinct part
+    keys, not lineitem rows."""
+    dims = (supplier
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("s_suppkey", "r_name"))
+    shipped = (lineitem.select("l_partkey", "l_suppkey")
+               .join(F.broadcast(dims),
+                     F.col("l_suppkey") == F.col("s_suppkey"))
+               .select("l_partkey", "r_name"))
+    a = shipped.filter(F.col("r_name") == have).select("l_partkey")
+    b = shipped.filter(F.col("r_name") == lack).select("l_partkey")
+    return a.subtract(b).withColumnRenamed("l_partkey", "part_key")

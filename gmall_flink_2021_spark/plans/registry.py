@@ -928,6 +928,16 @@ def q_ivfpq_recall(spark, sf):
     return out
 
 
+def q_regional_part_gap(spark, sf):
+    """Gates: SQL set difference (EXCEPT DISTINCT / subtract) over
+    distinct-key sides — the set-operator plan family, complementing
+    array_intersect (returnflag_part_overlap) and left-anti
+    (customers_without_orders)."""
+    lineitem, supplier, nation, region = _t(
+        spark, sf, "lineitem", "supplier", "nation", "region")
+    return serving.regional_part_gap(lineitem, supplier, nation, region)
+
+
 def q_corpus_funnel(spark, sf):
     """Gates: the pipeline END PRODUCT — cumulative multi-gate attrition
     (lang → length → quality → MinHash dedup) as ONE conditional
@@ -1067,6 +1077,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frame_dedup": q_frame_dedup,
     "ivfpq_ann": q_ivfpq_ann,
     "ivfpq_recall": q_ivfpq_recall,
+    "regional_part_gap": q_regional_part_gap,
 }
 
 
@@ -3007,6 +3018,19 @@ ORACLES: dict[str, str] = {
             FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey)
         SELECT pk, change_type FROM d WHERE change_type <> 'unchanged'
     """,
+    "regional_part_gap": """
+        WITH dims AS (
+            SELECT s_suppkey, r_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey),
+        shipped AS (
+            SELECT l_partkey, r_name
+            FROM lineitem JOIN dims ON l_suppkey = s_suppkey)
+        SELECT l_partkey AS part_key FROM shipped WHERE r_name = 'AMERICA'
+        EXCEPT
+        SELECT l_partkey AS part_key FROM shipped WHERE r_name = 'ASIA'
+    """,
     "contrastive_pairs": f"""
         WITH q AS (
             SELECT vec_id AS anchor_id, label AS anchor_label,
@@ -3382,7 +3406,7 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     "heavy_hitter_terms", "unigram_lm_scores", "bpe_merge_candidates",
     "snapshot_diff", "contrastive_pairs", "minhash_dedup_marks",
     "corpus_funnel", "daily_value_zscores", "frame_dedup",
-    "ivfpq_ann", "ivfpq_recall",
+    "ivfpq_ann", "ivfpq_recall", "regional_part_gap",
     # graded green in round 1 only — re-confirm on this round's
     # regenerated testdata (rounds regenerate /root/testdata)
     "props_stats", "keyword_stats", "unique_visitors_daily",
