@@ -598,3 +598,18 @@ def uv_native_dedup_stream(events: DataFrame,
             .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
             .dropDuplicatesWithinWatermark(["day", "user_id"])
             .select("day", "user_id"))
+
+
+def with_row_audit(df: DataFrame, name: str = "row_audit") -> DataFrame:
+    """Attach an in-flight reconciliation metric to any stream (or
+    batch frame): rows seen and non-null keys, surfaced per
+    micro-batch through StreamingQueryProgress.observedMetrics —
+    production monitoring without a second scan or a side query. Pair
+    with the sink's own counts to detect silent row loss between
+    stages (the observability layer every ingest pipeline carries)."""
+    first = df.columns[0]
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.col(first).isNotNull().cast("long"))
+        .alias("first_col_nonnull"))

@@ -650,3 +650,29 @@ def test_native_watermarked_dedup_matches_batch_distinct(spark, tmp_path):
             events.select(F.date_format("ts", "yyyy-MM-dd").alias("day"),
                           "user_id").distinct().collect()}
     assert want and got == want
+
+
+def test_observed_metrics_reconcile_with_sink_counts(spark, tmp_path):
+    """The observe() row-audit must report, per micro-batch, exactly
+    the rows the sink received — in-flight reconciliation with no
+    second scan (QueryProgress.observedMetrics)."""
+    import uuid
+
+    from gmall_flink_2021_spark.streaming.jobs import with_row_audit
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = str(tmp_path / "obs_docs")
+    docs.repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    name = "obs_" + uuid.uuid4().hex[:8]
+    q = (with_row_audit(stream, "row_audit").writeStream
+         .format("memory").queryName(name).outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_obs"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    observed = sum(
+        p["observedMetrics"]["row_audit"]["rows_seen"]
+        for p in (q.recentProgress or [])
+        if p.get("observedMetrics", {}).get("row_audit"))
+    assert observed == spark.table(name).count() == docs.count()
