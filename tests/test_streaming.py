@@ -676,3 +676,45 @@ def test_observed_metrics_reconcile_with_sink_counts(spark, tmp_path):
         for p in (q.recentProgress or [])
         if p.get("observedMetrics", {}).get("row_audit"))
     assert observed == spark.table(name).count() == docs.count()
+
+
+def test_heavy_hitter_stream_replay_is_idempotent(spark, tmp_path):
+    """Replaying the whole stream with a FRESH checkpoint (batch ids
+    re-fire from 0) against the existing store must be a no-op: the
+    per-batch markers skip every already-merged batch, so counts and
+    the token total do not double."""
+    import os
+    import time as _time
+
+    from gmall_flink_2021_spark.streaming.jobs import heavy_hitter_stream
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    src = str(tmp_path / "hhr_docs")
+    os.makedirs(src)
+    parts = [docs.filter(F.col("doc_id") <= hi // 2),
+             docs.filter(F.col("doc_id") > hi // 2)]
+    now = _time.time()
+    for i, part in enumerate(parts):
+        stage = str(tmp_path / f"hhr_stage_{i}")
+        part.coalesce(1).write.parquet(stage)
+        f = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"part_{i}.parquet")
+        os.rename(os.path.join(stage, f), dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    def run(ck):
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .option("latestFirst", "false").parquet(src))
+        heavy_hitter_stream(stream, store, str(tmp_path / ck),
+                            counters=8)
+
+    store = str(tmp_path / "hhr_store")
+    run("ck_a")
+    first = {(r["term"], r["cnt"])
+             for r in spark.read.parquet(store).collect()}
+    run("ck_b")  # full replay, fresh checkpoint → same batch ids
+    second = {(r["term"], r["cnt"])
+              for r in spark.read.parquet(store).collect()}
+    assert first and second == first
