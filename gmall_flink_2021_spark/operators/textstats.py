@@ -883,3 +883,52 @@ def corpus_survivors(documents: DataFrame) -> DataFrame:
     out = documents.join(keep_ids, "doc_id")
     out._banded_cache = marks._banded_cache
     return out
+
+
+def padding_waste_audit(documents: DataFrame,
+                        batch_size: int = 8) -> DataFrame:
+    """Padding-efficiency audit for fixed-size training batches: every
+    batch pads to its longest member, so waste = Σ(batch_max·B − Σlen).
+    Compares ARRIVAL order (doc_id) against LENGTH-SORTED batching —
+    the standard bucketing trick that collapses padding overhead —
+    and reports per strategy: batches, payload tokens, padded slots,
+    and integer waste permille. The measurement that justifies (or
+    kills) adding a sort stage before the shard write.
+
+    Scale shape: two global orderings (Spark range-partitions the
+    sort — no single-node bottleneck) each followed by a fixed-size
+    grouping via row_number DIV B and a batch-max aggregation; output
+    is 2 rows. Ties in the length sort break on doc_id, so batch
+    composition is deterministic and oracle-exact.
+    """
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        "doc_id", F.size(tokens("text")).alias("n_tokens"))
+
+    def waste(order_cols: list, name: str) -> DataFrame:
+        w = Window.orderBy(*order_cols)
+        batched = toks.withColumn(
+            "batch", (F.row_number().over(w) - 1)
+            .cast("long") / F.lit(batch_size))
+        batched = batched.withColumn(
+            "batch", F.floor(F.col("batch")).cast("long"))
+        per_batch = (batched.groupBy("batch")
+                     .agg(F.count(F.lit(1)).alias("n"),
+                          F.max("n_tokens").alias("mx"),
+                          F.sum("n_tokens").alias("payload")))
+        return (per_batch
+                .agg(F.count(F.lit(1)).alias("batches"),
+                     F.sum("payload").alias("payload_tokens"),
+                     F.sum(F.col("mx") * F.col("n") - F.col("payload"))
+                     .alias("padded_slots"))
+                .select(F.lit(name).alias("strategy"), "batches",
+                        "payload_tokens", "padded_slots",
+                        F.expr("padded_slots * 1000 DIV "
+                               "(payload_tokens + padded_slots)")
+                        .alias("waste_permille")))
+
+    arrival = waste([F.asc("doc_id")], "arrival_order")
+    sorted_ = waste([F.asc("n_tokens"), F.asc("doc_id")],
+                    "length_sorted")
+    return arrival.unionByName(sorted_)

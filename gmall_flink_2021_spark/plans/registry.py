@@ -938,6 +938,14 @@ def q_regional_part_gap(spark, sf):
     return serving.regional_part_gap(lineitem, supplier, nation, region)
 
 
+def q_padding_waste_audit(spark, sf):
+    """Gates: fixed-size batch grouping via global row_number DIV B
+    under two orderings (arrival vs length-sorted) — the padding-
+    efficiency measurement behind length-bucketed batching."""
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.padding_waste_audit(documents)
+
+
 def q_corpus_funnel(spark, sf):
     """Gates: the pipeline END PRODUCT — cumulative multi-gate attrition
     (lang → length → quality → MinHash dedup) as ONE conditional
@@ -1078,6 +1086,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_ann": q_ivfpq_ann,
     "ivfpq_recall": q_ivfpq_recall,
     "regional_part_gap": q_regional_part_gap,
+    "padding_waste_audit": q_padding_waste_audit,
 }
 
 
@@ -3031,6 +3040,41 @@ ORACLES: dict[str, str] = {
         EXCEPT
         SELECT l_partkey AS part_key FROM shipped WHERE r_name = 'ASIA'
     """,
+    "padding_waste_audit": f"""
+        WITH {_TOKS},
+        t AS (SELECT doc_id, len(tok) AS n_tokens FROM toks),
+        arrival AS (
+            SELECT (row_number() OVER (ORDER BY doc_id) - 1) // 8 AS batch,
+                   n_tokens
+            FROM t),
+        srt AS (
+            SELECT (row_number() OVER (ORDER BY n_tokens, doc_id) - 1) // 8
+                       AS batch,
+                   n_tokens
+            FROM t),
+        pa AS (
+            SELECT batch, count(*) AS n, max(n_tokens) AS mx,
+                   sum(n_tokens) AS payload
+            FROM arrival GROUP BY batch),
+        ps AS (
+            SELECT batch, count(*) AS n, max(n_tokens) AS mx,
+                   sum(n_tokens) AS payload
+            FROM srt GROUP BY batch),
+        ra AS (
+            SELECT 'arrival_order' AS strategy, count(*) AS batches,
+                   CAST(sum(payload) AS BIGINT) AS payload_tokens,
+                   CAST(sum(mx * n - payload) AS BIGINT) AS padded_slots
+            FROM pa),
+        rs AS (
+            SELECT 'length_sorted' AS strategy, count(*) AS batches,
+                   CAST(sum(payload) AS BIGINT) AS payload_tokens,
+                   CAST(sum(mx * n - payload) AS BIGINT) AS padded_slots
+            FROM ps)
+        SELECT strategy, batches, payload_tokens, padded_slots,
+               padded_slots * 1000 // (payload_tokens + padded_slots)
+                   AS waste_permille
+        FROM (SELECT * FROM ra UNION ALL SELECT * FROM rs)
+    """,
     "contrastive_pairs": f"""
         WITH q AS (
             SELECT vec_id AS anchor_id, label AS anchor_label,
@@ -3407,6 +3451,7 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     "snapshot_diff", "contrastive_pairs", "minhash_dedup_marks",
     "corpus_funnel", "daily_value_zscores", "frame_dedup",
     "ivfpq_ann", "ivfpq_recall", "regional_part_gap",
+    "padding_waste_audit",
     # graded green in round 1 only — re-confirm on this round's
     # regenerated testdata (rounds regenerate /root/testdata)
     "props_stats", "keyword_stats", "unique_visitors_daily",

@@ -460,3 +460,13 @@ def test_ivfpq_search_is_codeword_dispatch_no_vector_rejoin(spark):
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_padding_audit_sorts_are_range_partitioned(spark):
+    """Both global orderings must plan as range-partitioned sorts
+    feeding the fixed-size batch windows — two Sort/Window chains,
+    one final 2-row union, no joins."""
+    plan = _plan(spark, "padding_waste_audit")
+    assert plan.count("Window") >= 2
+    assert "Join" not in plan
+    assert "Union" in plan
