@@ -932,3 +932,65 @@ def padding_waste_audit(documents: DataFrame,
     sorted_ = waste([F.asc("n_tokens"), F.asc("doc_id")],
                     "length_sorted")
     return arrival.unionByName(sorted_)
+
+
+def bigram_lm_scores(documents: DataFrame,
+                     lam: float = 0.7,
+                     backoff: float = 0.3) -> DataFrame:
+    """Bigram language-model scoring with interpolated unigram backoff
+    — the fidelity step past unigram_lm_scores (word-order-blind
+    scoring passes 'the of and a' soup; transition probabilities do
+    not): every document scores
+    Σ ln(λ·P(w|prev) + (1−λ)·P(w)) over its token transitions.
+
+    Determinism discipline (same as the unigram form): the
+    interpolated probability of each DISTINCT bigram is computed once
+    from exact integer counts by one identical float expression tree
+    and fixed-point-rounded once (round(ln·10⁶)::long); per-document
+    math is exact integer sums. Documents with < 2 tokens have no
+    transitions and drop out (mirrored in the oracle). ``lam`` and
+    ``backoff`` are SEPARATE literals (not lam and 1−lam): 1.0−0.7
+    is 0.30000000000000004 in IEEE, and the oracle's literal 0.3
+    must multiply bit-identically.
+
+    Scale shape: transition extraction rides the scan (array
+    zip/slice, no shuffle); the bigram table is one map-side-combined
+    count shuffle bounded by DISTINCT OBSERVED bigrams (sparse, not
+    |V|²); scoring joins transitions to the table on the bigram key —
+    broadcast while the table fits, hash join at corpus scale — then
+    one per-doc aggregation."""
+    tok = tokens("text")
+    k = F.greatest(F.size(tok) - 1, F.lit(0))
+    prevs = F.slice(tok, 1, k)
+    nexts = F.slice(tok, 2, k)
+    trans = (documents
+             .select("doc_id",
+                     F.explode(F.zip_with(
+                         prevs, nexts,
+                         lambda p, n: F.concat(p, F.lit(" "), n)))
+                     .alias("bigram")))
+    toks = documents.select(F.explode(tok).alias("term"))
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cu"))
+    total = uni.agg(F.sum("cu").alias("total_tokens"))
+    bi = (trans.groupBy("bigram")
+          .agg(F.count(F.lit(1)).alias("c2"))
+          .withColumn("prev", F.split("bigram", " ").getItem(0))
+          .withColumn("nxt", F.split("bigram", " ").getItem(1)))
+    scored_bi = (bi
+                 .join(uni.select(F.col("term").alias("prev"),
+                                  F.col("cu").alias("c_prev")), "prev")
+                 .join(uni.select(F.col("term").alias("nxt"),
+                                  F.col("cu").alias("c_next")), "nxt")
+                 .crossJoin(F.broadcast(total))
+                 .select("bigram",
+                         F.round(F.log(
+                             F.lit(lam) * F.col("c2")
+                             / F.col("c_prev")
+                             + F.lit(backoff) * F.col("c_next")
+                             / F.col("total_tokens")) * 1e6)
+                         .cast("long").alias("llr_micro")))
+    return (trans
+            .join(scored_bi, "bigram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_transitions"),
+                 F.sum("llr_micro").alias("sum_llr_micro")))

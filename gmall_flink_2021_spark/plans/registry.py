@@ -946,6 +946,15 @@ def q_padding_waste_audit(spark, sf):
     return textstats.padding_waste_audit(documents)
 
 
+def q_bigram_lm_scores(spark, sf):
+    """Gates: conditional-probability scoring — bigram table with
+    interpolated unigram backoff (sparse observed-bigram join, one
+    fixed-point rounding per distinct transition, integer-exact
+    per-doc sums)."""
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.bigram_lm_scores(documents)
+
+
 def q_corpus_funnel(spark, sf):
     """Gates: the pipeline END PRODUCT — cumulative multi-gate attrition
     (lang → length → quality → MinHash dedup) as ONE conditional
@@ -1087,6 +1096,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_recall": q_ivfpq_recall,
     "regional_part_gap": q_regional_part_gap,
     "padding_waste_audit": q_padding_waste_audit,
+    "bigram_lm_scores": q_bigram_lm_scores,
 }
 
 
@@ -3075,6 +3085,36 @@ ORACLES: dict[str, str] = {
                    AS waste_permille
         FROM (SELECT * FROM ra UNION ALL SELECT * FROM rs)
     """,
+    "bigram_lm_scores": f"""
+        WITH {_TOKS},
+        tr AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(tok)),
+                          i -> tok[i] || ' ' || tok[i + 1])) AS bigram
+            FROM toks),
+        uni AS (
+            SELECT term, count(*) AS cu
+            FROM (SELECT unnest(tok) AS term FROM toks)
+            GROUP BY term),
+        tot AS (SELECT CAST(sum(cu) AS BIGINT) AS total_tokens FROM uni),
+        bi AS (
+            SELECT bigram, count(*) AS c2,
+                   string_split(bigram, ' ')[1] AS prev,
+                   string_split(bigram, ' ')[2] AS nxt
+            FROM tr GROUP BY bigram),
+        sb AS (
+            SELECT bigram,
+                   CAST(round(ln(0.7 * c2 / p.cu
+                                 + 0.3 * n.cu / total_tokens) * 1e6)
+                        AS BIGINT) AS llr_micro
+            FROM bi
+            JOIN uni p ON bi.prev = p.term
+            JOIN uni n ON bi.nxt = n.term, tot)
+        SELECT doc_id, count(*) AS n_transitions,
+               CAST(sum(llr_micro) AS BIGINT) AS sum_llr_micro
+        FROM tr JOIN sb USING (bigram)
+        GROUP BY doc_id
+    """,
     "contrastive_pairs": f"""
         WITH q AS (
             SELECT vec_id AS anchor_id, label AS anchor_label,
@@ -3451,7 +3491,7 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     "snapshot_diff", "contrastive_pairs", "minhash_dedup_marks",
     "corpus_funnel", "daily_value_zscores", "frame_dedup",
     "ivfpq_ann", "ivfpq_recall", "regional_part_gap",
-    "padding_waste_audit",
+    "padding_waste_audit", "bigram_lm_scores",
     # graded green in round 1 only — re-confirm on this round's
     # regenerated testdata (rounds regenerate /root/testdata)
     "props_stats", "keyword_stats", "unique_visitors_daily",
