@@ -947,3 +947,22 @@ def ivfpq_recall(embeddings: DataFrame, n_queries: int = 5,
                     .alias("recall_permille")))
     out._ivfpq_caches = approx._ivfpq_caches
     return out
+
+
+def save_codebooks(codebooks: dict, path: str, spark) -> None:
+    """Persist learned PQ codebooks ({(subspace, cluster): quantized
+    codeword}) as a parquet artifact — the index-build output a
+    training pipeline writes once and every encoder (batch or
+    streaming) reloads. Fixed-point integers on disk: the roundtrip
+    is exact, so a reloaded encoder is bit-identical to the trainer's.
+    """
+    rows = [(int(s), int(c), list(map(int, qc)))
+            for (s, c), qc in sorted(codebooks.items())]
+    (spark.createDataFrame(rows, "s int, cluster int, qc array<long>")
+     .coalesce(1).write.mode("overwrite").parquet(path))
+
+
+def load_codebooks(path: str, spark) -> dict:
+    """Inverse of save_codebooks."""
+    return {(r["s"], r["cluster"]): list(r["qc"])
+            for r in spark.read.parquet(path).collect()}

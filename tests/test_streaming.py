@@ -718,3 +718,35 @@ def test_heavy_hitter_stream_replay_is_idempotent(spark, tmp_path):
     second = {(r["term"], r["cnt"])
               for r in spark.read.parquet(store).collect()}
     assert first and second == first
+
+
+def test_codebook_persistence_roundtrip_encodes_identically(spark, tmp_path):
+    """Train-once / encode-anywhere: PQ codebooks written to parquet
+    and reloaded must drive the streaming encoder to the exact codes
+    the in-memory codebooks produce (fixed-point integers on disk —
+    no float serialization drift)."""
+    from gmall_flink_2021_spark.operators.similarity import (
+        _pq_learn, load_codebooks, save_codebooks)
+    from gmall_flink_2021_spark.streaming.jobs import (
+        pq_encode_stream, run_to_completion)
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    sub, assigned, final = _pq_learn(emb)
+    sub.unpersist()
+    assigned.unpersist()
+    art = str(tmp_path / "codebooks")
+    save_codebooks(final, art, spark)
+    reloaded = load_codebooks(art, spark)
+    assert reloaded == {k: list(map(int, v)) for k, v in final.items()}
+
+    src = str(tmp_path / "emb_rt")
+    emb.write.parquet(src)
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    a = {(r["vec_id"], r["s"], r["code"]) for r in run_to_completion(
+        pq_encode_stream(stream, final),
+        str(tmp_path / "ck_a")).collect()}
+    stream2 = spark.readStream.schema(emb.schema).parquet(src)
+    b = {(r["vec_id"], r["s"], r["code"]) for r in run_to_completion(
+        pq_encode_stream(stream2, reloaded),
+        str(tmp_path / "ck_b")).collect()}
+    assert a and a == b
