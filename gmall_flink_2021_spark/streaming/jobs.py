@@ -613,3 +613,44 @@ def with_row_audit(df: DataFrame, name: str = "row_audit") -> DataFrame:
         F.count(F.lit(1)).alias("rows_seen"),
         F.sum(F.col(first).isNotNull().cast("long"))
         .alias("first_col_nonnull"))
+
+
+def uv_tws_stream(events: DataFrame) -> DataFrame:
+    """O6's first-visit dedup on Spark 4's NEW arbitrary-stateful API
+    (transformWithStateInPandas / StatefulProcessor): per (day,
+    user_id) key a ValueState marks 'seen'; the first arrival emits,
+    every later one is swallowed. Third implementation of the same
+    semantics — explicit applyInPandasWithState TTL
+    (streaming/stateful.py), engine-managed dropDuplicates-
+    WithinWatermark (uv_native_dedup_stream), and this, the
+    composable-state successor API (typed state handles, timers,
+    per-key processors) that the old flatMapGroupsWithState family is
+    converging to. All three must emit the batch DISTINCT set."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class FirstVisit(StatefulProcessor):
+        def init(self, handle):
+            self.seen = handle.getValueState("seen", "seen boolean")
+
+        def handleInputRows(self, key, rows, timerValues):
+            for _ in rows:   # drain the iterator (API contract)
+                pass
+            if not self.seen.exists():
+                self.seen.update((True,))
+                yield pd.DataFrame({"day": [key[0]],
+                                    "user_id": [key[1]]})
+
+        def close(self):
+            pass
+
+    with_et = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (with_et
+            .withWatermark("ts", "1 second")
+            .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+            .groupBy("day", "user_id")
+            .transformWithStateInPandas(
+                FirstVisit(),
+                outputStructType="day string, user_id long",
+                outputMode="Append",
+                timeMode="ProcessingTime"))

