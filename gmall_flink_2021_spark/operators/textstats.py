@@ -925,7 +925,7 @@ def padding_waste_audit(documents: DataFrame,
                 .select(F.lit(name).alias("strategy"), "batches",
                         "payload_tokens", "padded_slots",
                         F.expr("padded_slots * 1000 DIV "
-                               "(payload_tokens + padded_slots)")
+                               "greatest(payload_tokens + padded_slots, 1)")
                         .alias("waste_permille")))
 
     arrival = waste([F.asc("doc_id")], "arrival_order")

@@ -3081,7 +3081,7 @@ ORACLES: dict[str, str] = {
                    CAST(sum(mx * n - payload) AS BIGINT) AS padded_slots
             FROM ps)
         SELECT strategy, batches, payload_tokens, padded_slots,
-               padded_slots * 1000 // (payload_tokens + padded_slots)
+               padded_slots * 1000 // greatest(payload_tokens + padded_slots, 1)
                    AS waste_permille
         FROM (SELECT * FROM ra UNION ALL SELECT * FROM rs)
     """,

@@ -225,6 +225,8 @@ def test_text_operators_tolerate_null_and_empty_text(spark):
     frow = fun.collect()[0]
     fun._banded_cache.unpersist()
     assert frow.total_ct == 3 and frow.len_ct == 0  # nothing reaches 30
+    bg = {r.doc_id: r for r in textstats.bigram_lm_scores(docs).collect()}
+    assert set(bg) == {3} and bg[3].n_transitions == 3  # <2-token docs drop
 
 
 docs_strategy = st.lists(
@@ -371,3 +373,36 @@ def test_similarity_operators_tolerate_zero_vectors(spark):
     assert all(8 not in (r.vec_a, r.vec_b) for r in dups.collect())
     cp = similarity.contrastive_pairs(emb, n_anchors=2).collect()
     assert cp
+
+
+@given(lens=st.lists(st.integers(0, 40), min_size=1, max_size=30))
+@_slow
+def test_padding_waste_matches_python_reference(spark, lens):
+    """padding_waste_audit against a straight-line Python batcher for
+    both strategies on arbitrary length distributions."""
+    from gmall_flink_2021_spark.operators.textstats import (
+        padding_waste_audit)
+
+    B = 8
+    rows = [(i, " ".join(["w"] * n) if n else "", "en", "src0", n)
+            for i, n in enumerate(lens)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    got = {r["strategy"]: (r["batches"], r["payload_tokens"],
+                           r["padded_slots"])
+           for r in padding_waste_audit(docs, batch_size=B).collect()}
+
+    def ref(ordered):
+        batches, payload, padded = 0, 0, 0
+        for i in range(0, len(ordered), B):
+            b = ordered[i:i + B]
+            batches += 1
+            payload += sum(b)
+            padded += max(b) * len(b) - sum(b)
+        return batches, payload, padded
+
+    arrival = [n for _, n in sorted((i, n) for i, n in enumerate(lens))]
+    by_len = [n for n, _ in sorted((n, i) for i, n in enumerate(lens))]
+    assert got["arrival_order"] == ref(arrival)
+    assert got["length_sorted"] == ref(by_len)
