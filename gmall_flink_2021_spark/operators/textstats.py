@@ -550,11 +550,16 @@ def mixture_plan(documents: DataFrame,
     return (weighted.crossJoin(F.broadcast(tot))
             .select(
                 "source", "token_ct", "weight",
-                F.expr("weight * 1000 DIV wtot").alias("share_permille"),
-                F.expr(f"{budget_tokens}L * weight DIV wtot")
+                # divisors clamped to >=1: a source of only empty docs
+                # (token_ct=0) or an all-empty corpus (wtot=0) throws
+                # DIVIDE_BY_ZERO under ANSI otherwise
+                F.expr("weight * 1000 DIV greatest(wtot, 1)")
+                 .alias("share_permille"),
+                F.expr(f"{budget_tokens}L * weight DIV greatest(wtot, 1)")
                  .alias("alloc_tokens"),
-                F.expr(f"({budget_tokens}L * weight DIV wtot) * 1000 "
-                       "DIV token_ct").alias("epochs_permille")))
+                F.expr(f"({budget_tokens}L * weight DIV greatest(wtot, 1))"
+                       " * 1000 DIV greatest(token_ct, 1)")
+                 .alias("epochs_permille")))
 
 
 def quality_weighted_sample(documents: DataFrame) -> DataFrame:
@@ -788,7 +793,7 @@ def training_shard_plan(documents: DataFrame,
     tot = shards.agg(F.sum("token_ct").alias("ttot"))
     return (shards.crossJoin(F.broadcast(tot))
             .select("shard", "doc_ct", "token_ct",
-                    (F.expr("token_ct * 1000 DIV ttot")
+                    (F.expr("token_ct * 1000 DIV greatest(ttot, 1)")
                      - 1000 // n_shards).alias("skew_permille")))
 
 

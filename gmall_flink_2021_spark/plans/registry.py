@@ -2896,9 +2896,10 @@ ORACLES: dict[str, str] = {
         ),
         tot AS (SELECT CAST(sum(weight) AS BIGINT) AS wtot FROM w)
         SELECT source, token_ct, weight,
-               weight * 1000 // wtot AS share_permille,
-               1000000 * weight // wtot AS alloc_tokens,
-               (1000000 * weight // wtot) * 1000 // token_ct
+               weight * 1000 // greatest(wtot, 1) AS share_permille,
+               1000000 * weight // greatest(wtot, 1) AS alloc_tokens,
+               (1000000 * weight // greatest(wtot, 1)) * 1000
+                   // greatest(token_ct, 1)
                    AS epochs_permille
         FROM w, tot
     """,
@@ -2949,7 +2950,7 @@ ORACLES: dict[str, str] = {
         ),
         tot AS (SELECT CAST(sum(token_ct) AS BIGINT) AS ttot FROM shards)
         SELECT shard, doc_ct, token_ct,
-               token_ct * 1000 // ttot - 62 AS skew_permille
+               token_ct * 1000 // greatest(ttot, 1) - 62 AS skew_permille
         FROM shards, tot
     """,
     # exact heavy hitters: the MG pass only bounds the recount set, so
