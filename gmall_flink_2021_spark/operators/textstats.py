@@ -999,3 +999,80 @@ def bigram_lm_scores(documents: DataFrame,
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_transitions"),
                  F.sum("llr_micro").alias("sum_llr_micro")))
+
+
+def langid_trigram_confusion(documents: DataFrame) -> DataFrame:
+    """Character-trigram naive-Bayes language identification (the
+    CLD/langid.py shape, replacing lang_id's stopword heuristic):
+    per-language trigram profiles with add-one smoothing are trained
+    from the labeled corpus, every document is scored
+    argmax_lang Σ ln P(tri|lang), and the confusion matrix
+    (label_lang, pred_lang, ct) is reported — the resubstitution
+    audit of the classifier a pipeline would then run on unlabeled
+    data.
+
+    Pivot-free scoring that works for ANY language set (the driver
+    regenerates the corpus, so no lang list is hardcoded):
+    score(doc, lang) = Σ_matched llr(tri, lang)
+                     + (n_tri(doc) − matched(doc, lang)) · floor(lang),
+    where llr is the smoothed log-prob fixed-point-rounded ONCE per
+    (lang, trigram) and floor(lang) the unseen-trigram log-prob — so
+    per-doc math is exact integer sums and argmax ties break on lang.
+
+    Scale shape: one (lang, trigram) profile shuffle (map-side
+    combined, charset³-bounded), doc-trigram explode joined to the
+    profile on trigram (profile broadcasts), one (doc, lang)
+    aggregation, one per-doc argmax window, one confusion count."""
+    from pyspark.sql import Window
+
+    # greatest(...,1) + length filter, NOT greatest(...,0):
+    # sequence(1, 0) counts DOWN in Spark ([1,0]), which would emit
+    # bogus short "trigrams" for docs under 3 chars
+    tris = F.expr(
+        "filter(transform(sequence(1, greatest(length(coalesce(text, ''))"
+        " - 2, 1)), i -> substring(coalesce(text, ''), i, 3)),"
+        " t -> length(t) = 3)")
+    doc_tri = (documents
+               .select("doc_id", F.col("lang").alias("label_lang"),
+                       F.explode(tris).alias("tri")))
+    profile = (documents
+               .select(F.col("lang").alias("lang_p"),
+                       F.explode(tris).alias("tri"))
+               .groupBy("lang_p", "tri")
+               .agg(F.count(F.lit(1)).alias("c")))
+    v = (documents.select(F.explode(tris).alias("tri"))
+         .agg(F.countDistinct("tri").alias("v")))
+    lang_tot = (profile.groupBy("lang_p")
+                .agg(F.sum("c").alias("ct_lang"))
+                .crossJoin(F.broadcast(v)))
+    llr = (profile
+           .join(F.broadcast(lang_tot), "lang_p")
+           .select("lang_p", "tri",
+                   F.round(F.log((F.col("c") + 1).cast("double")
+                                 / (F.col("ct_lang") + F.col("v")))
+                           * 1e6).cast("long").alias("llr_micro")))
+    floors = lang_tot.select(
+        "lang_p",
+        F.round(F.log(F.lit(1.0)
+                      / (F.col("ct_lang") + F.col("v"))) * 1e6)
+        .cast("long").alias("floor_micro"))
+    matched = (doc_tri
+               .join(F.broadcast(llr), "tri")
+               .groupBy("doc_id", "label_lang", "lang_p")
+               .agg(F.count(F.lit(1)).alias("m"),
+                    F.sum("llr_micro").alias("s")))
+    n_tri = (doc_tri.groupBy("doc_id")
+             .agg(F.count(F.lit(1)).alias("n_tri")))
+    scored = (matched
+              .join(n_tri, "doc_id")
+              .join(F.broadcast(floors), "lang_p")
+              .select("doc_id", "label_lang", "lang_p",
+                      (F.col("s") + (F.col("n_tri") - F.col("m"))
+                       * F.col("floor_micro")).alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("lang_p"))
+    pred = (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1))
+    return (pred.groupBy(F.col("label_lang"),
+                         F.col("lang_p").alias("pred_lang"))
+            .agg(F.count(F.lit(1)).alias("ct")))

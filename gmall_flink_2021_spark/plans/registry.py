@@ -955,6 +955,14 @@ def q_bigram_lm_scores(spark, sf):
     return textstats.bigram_lm_scores(documents)
 
 
+def q_langid_trigram(spark, sf):
+    """Gates: trained classifier scoring in-engine — char-trigram
+    naive-Bayes language ID (smoothed per-language profiles, pivot-free
+    matched+floor scoring, integer argmax) vs lang_id's heuristic."""
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.langid_trigram_confusion(documents)
+
+
 def q_corpus_funnel(spark, sf):
     """Gates: the pipeline END PRODUCT — cumulative multi-gate attrition
     (lang → length → quality → MinHash dedup) as ONE conditional
@@ -1097,6 +1105,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "regional_part_gap": q_regional_part_gap,
     "padding_waste_audit": q_padding_waste_audit,
     "bigram_lm_scores": q_bigram_lm_scores,
+    "langid_trigram": q_langid_trigram,
 }
 
 
@@ -3116,6 +3125,53 @@ ORACLES: dict[str, str] = {
         FROM tr JOIN sb USING (bigram)
         GROUP BY doc_id
     """,
+    "langid_trigram": """
+        WITH tri AS (
+            SELECT doc_id, lang AS label_lang,
+                   unnest(list_filter(list_transform(
+                       range(1, greatest(len(coalesce(text, '')) - 2, 1) + 1),
+                       i -> substr(coalesce(text, ''), CAST(i AS INT), 3)),
+                       t -> len(t) = 3)) AS tri
+            FROM documents),
+        profile AS (
+            SELECT label_lang AS lang_p, tri, count(*) AS c
+            FROM tri GROUP BY 1, 2),
+        v AS (SELECT count(DISTINCT tri) AS v FROM tri),
+        lt AS (
+            SELECT lang_p, CAST(sum(c) AS BIGINT) AS ct_lang, v
+            FROM profile, v GROUP BY lang_p, v),
+        llr AS (
+            SELECT p.lang_p, p.tri,
+                   CAST(round(ln(CAST(p.c + 1 AS DOUBLE)
+                                 / (lt.ct_lang + lt.v)) * 1e6)
+                        AS BIGINT) AS llr_micro
+            FROM profile p JOIN lt ON p.lang_p = lt.lang_p),
+        floors AS (
+            SELECT lang_p,
+                   CAST(round(ln(1.0 / (ct_lang + v)) * 1e6)
+                        AS BIGINT) AS floor_micro
+            FROM lt),
+        matched AS (
+            SELECT t.doc_id, t.label_lang, l.lang_p,
+                   count(*) AS m, CAST(sum(l.llr_micro) AS BIGINT) AS s
+            FROM tri t JOIN llr l ON t.tri = l.tri
+            GROUP BY 1, 2, 3),
+        nt AS (SELECT doc_id, count(*) AS n_tri FROM tri GROUP BY 1),
+        scored AS (
+            SELECT m.doc_id, m.label_lang, m.lang_p,
+                   m.s + (nt.n_tri - m.m) * f.floor_micro AS score
+            FROM matched m
+            JOIN nt ON m.doc_id = nt.doc_id
+            JOIN floors f ON m.lang_p = f.lang_p),
+        pred AS (
+            SELECT doc_id, label_lang, lang_p FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score DESC, lang_p) AS rk
+                FROM scored) WHERE rk = 1)
+        SELECT label_lang, lang_p AS pred_lang, count(*) AS ct
+        FROM pred GROUP BY 1, 2
+    """,
     "contrastive_pairs": f"""
         WITH q AS (
             SELECT vec_id AS anchor_id, label AS anchor_label,
@@ -3492,7 +3548,7 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     "snapshot_diff", "contrastive_pairs", "minhash_dedup_marks",
     "corpus_funnel", "daily_value_zscores", "frame_dedup",
     "ivfpq_ann", "ivfpq_recall", "regional_part_gap",
-    "padding_waste_audit", "bigram_lm_scores",
+    "padding_waste_audit", "bigram_lm_scores", "langid_trigram",
     # graded green in round 1 only — re-confirm on this round's
     # regenerated testdata (rounds regenerate /root/testdata)
     "props_stats", "keyword_stats", "unique_visitors_daily",

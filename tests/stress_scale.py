@@ -30,7 +30,7 @@ QUERIES = [
     "heavy_hitter_terms", "unigram_lm_scores", "bpe_merge_candidates",
     "snapshot_diff", "contrastive_pairs", "minhash_dedup_marks",
     "corpus_funnel", "daily_value_zscores", "frame_dedup",
-    "ivfpq_ann", "padding_waste_audit", "bigram_lm_scores",
+    "ivfpq_ann", "padding_waste_audit", "bigram_lm_scores", "langid_trigram",
 ]
 
 
