@@ -470,3 +470,13 @@ def test_padding_audit_sorts_are_range_partitioned(spark):
     assert plan.count("Window") >= 2
     assert "Join" not in plan
     assert "Union" in plan
+
+
+def test_langid_profile_broadcasts_and_argmax_is_heap(spark):
+    """The trained profile (charset³-bounded) must broadcast into the
+    doc-trigram stream (no corpus-side SortMergeJoin against the
+    profile), and the per-doc argmax must push down to a
+    WindowGroupLimit heap."""
+    plan = _plan(spark, "langid_trigram")
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
