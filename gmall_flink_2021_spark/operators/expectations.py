@@ -1,0 +1,62 @@
+"""Declarative data-quality expectations (the Deequ/Great-Expectations
+capability class): a rule set is compiled into ONE conditional
+aggregation pass over the table, returning integer-permille metrics
+with pass/fail against thresholds — the validation gate a warehouse
+runs before promoting a load, and a training pipeline runs before
+trusting a corpus drop.
+
+Each rule is a plain dict:
+  {"name": ..., "kind": "not_null" | "unique" | "range" |
+   "accepted_values", "column": c, ...kind params...,
+   "min_permille": threshold}
+
+Scale shape: every metric is a conditional sum in one map-side-
+combined aggregate over one scan (uniqueness adds countDistinct,
+which Spark plans into the same single-pass Expand); output is
+|rules| rows. Integer permille end-to-end — oracle-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def validate(df: DataFrame, rules: list[dict]) -> DataFrame:
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, r in enumerate(rules):
+        c = F.col(r["column"])
+        kind = r["kind"]
+        if kind == "not_null":
+            hit = c.isNotNull()
+        elif kind == "range":
+            lo, hi = r.get("lo"), r.get("hi")
+            hit = F.lit(True)
+            if lo is not None:
+                hit = hit & (c >= lo)
+            if hi is not None:
+                hit = hit & (c <= hi)
+            hit = c.isNotNull() & hit
+        elif kind == "accepted_values":
+            hit = c.isin(*r["values"])
+        elif kind == "unique":
+            aggs.append(F.countDistinct(c).alias(f"_m{i}"))
+            continue
+        else:
+            raise ValueError(f"unknown rule kind: {kind}")
+        aggs.append(F.sum(hit.cast("long")).alias(f"_m{i}"))
+    row = df.agg(*aggs)
+    # ONE row → |rules| rows via a single explode: a per-rule union
+    # would re-derive the aggregate subtree once per branch and
+    # re-scan the table |rules| times (plan-pinned single scan)
+    structs = []
+    for i, r in enumerate(rules):
+        metric = F.expr(f"_m{i} * 1000 DIV greatest(_n, 1)")
+        structs.append(F.struct(
+            F.lit(r["name"]).alias("rule"),
+            metric.alias("metric_permille"),
+            F.lit(int(r["min_permille"])).cast("long")
+             .alias("min_permille"),
+            (metric >= r["min_permille"]).cast("long").alias("passed")))
+    return (row.select(F.explode(F.array(*structs)).alias("r"))
+            .select("r.*"))

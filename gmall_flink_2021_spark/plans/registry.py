@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ..operators import (
     analytics,
+    expectations,
     dedup,
     dwm,
     dws,
@@ -963,6 +964,26 @@ def q_langid_trigram(spark, sf):
     return textstats.langid_trigram_confusion(documents)
 
 
+def q_data_quality_report(spark, sf):
+    """Gates: declarative data-quality expectations (Deequ-style)
+    compiled into ONE conditional-aggregation pass — not-null /
+    uniqueness / range / accepted-values metrics in integer permille
+    with pass flags."""
+    (orders,) = _t(spark, sf, "orders")
+    rules = [
+        {"name": "custkey_not_null", "kind": "not_null",
+         "column": "o_custkey", "min_permille": 999},
+        {"name": "orderkey_unique", "kind": "unique",
+         "column": "o_orderkey", "min_permille": 1000},
+        {"name": "totalprice_positive", "kind": "range",
+         "column": "o_totalprice", "lo": 0, "min_permille": 1000},
+        {"name": "status_accepted", "kind": "accepted_values",
+         "column": "o_orderstatus", "values": ["O", "F", "P"],
+         "min_permille": 1000},
+    ]
+    return expectations.validate(orders, rules)
+
+
 def q_corpus_funnel(spark, sf):
     """Gates: the pipeline END PRODUCT — cumulative multi-gate attrition
     (lang → length → quality → MinHash dedup) as ONE conditional
@@ -1106,6 +1127,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "padding_waste_audit": q_padding_waste_audit,
     "bigram_lm_scores": q_bigram_lm_scores,
     "langid_trigram": q_langid_trigram,
+    "data_quality_report": q_data_quality_report,
 }
 
 
@@ -3172,6 +3194,40 @@ ORACLES: dict[str, str] = {
         SELECT label_lang, lang_p AS pred_lang, count(*) AS ct
         FROM pred GROUP BY 1, 2
     """,
+    "data_quality_report": """
+        WITH m AS (
+            SELECT count(*) AS n,
+                   sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                       AS m0,
+                   count(DISTINCT o_orderkey) AS m1,
+                   sum(CASE WHEN o_totalprice IS NOT NULL
+                             AND o_totalprice >= 0 THEN 1 ELSE 0 END)
+                       AS m2,
+                   sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                            THEN 1 ELSE 0 END) AS m3
+            FROM orders),
+        rows_ AS (
+            SELECT 'custkey_not_null' AS rule,
+                   CAST(m0 * 1000 // greatest(n, 1) AS BIGINT)
+                       AS metric_permille,
+                   CAST(999 AS BIGINT) AS min_permille FROM m
+            UNION ALL
+            SELECT 'orderkey_unique',
+                   CAST(m1 * 1000 // greatest(n, 1) AS BIGINT),
+                   CAST(1000 AS BIGINT) FROM m
+            UNION ALL
+            SELECT 'totalprice_positive',
+                   CAST(m2 * 1000 // greatest(n, 1) AS BIGINT),
+                   CAST(1000 AS BIGINT) FROM m
+            UNION ALL
+            SELECT 'status_accepted',
+                   CAST(m3 * 1000 // greatest(n, 1) AS BIGINT),
+                   CAST(1000 AS BIGINT) FROM m)
+        SELECT rule, metric_permille, min_permille,
+               CAST(CASE WHEN metric_permille >= min_permille
+                         THEN 1 ELSE 0 END AS BIGINT) AS passed
+        FROM rows_
+    """,
     "contrastive_pairs": f"""
         WITH q AS (
             SELECT vec_id AS anchor_id, label AS anchor_label,
@@ -3549,6 +3605,7 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     "corpus_funnel", "daily_value_zscores", "frame_dedup",
     "ivfpq_ann", "ivfpq_recall", "regional_part_gap",
     "padding_waste_audit", "bigram_lm_scores", "langid_trigram",
+    "data_quality_report",
     # graded green in round 1 only — re-confirm on this round's
     # regenerated testdata (rounds regenerate /root/testdata)
     "props_stats", "keyword_stats", "unique_visitors_daily",

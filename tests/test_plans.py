@@ -480,3 +480,15 @@ def test_langid_profile_broadcasts_and_argmax_is_heap(spark):
     plan = _plan(spark, "langid_trigram")
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_expectations_compile_to_one_pass(spark):
+    """The whole rule set must cost ONE scan of orders: a single
+    aggregate (the distinct rule rides the same Expand), then |rules|
+    1-row projections unioned — no per-rule re-scan."""
+    import re
+
+    plan = _plan(spark, "data_quality_report")
+    # one distinct scan NODE (formatted plans print each node twice:
+    # tree + detail section)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
