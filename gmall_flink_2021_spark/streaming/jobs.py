@@ -654,3 +654,39 @@ def uv_tws_stream(events: DataFrame) -> DataFrame:
                 outputStructType="day string, user_id long",
                 outputMode="Append",
                 timeMode="ProcessingTime"))
+
+
+def quality_gated_sink(stream: DataFrame, rules: list, out_path: str,
+                       quarantine_path: str, checkpoint: str) -> None:
+    """Dead-letter quality gate: every micro-batch is validated
+    against a declarative rule set (operators/expectations — one
+    conditional-aggregation pass); a batch where every rule passes is
+    committed to ``out_path``, a failing batch is diverted WHOLE to
+    ``quarantine_path`` along with its verdict rows — nothing is
+    silently dropped, the pipeline keeps running, and the quarantine
+    carries the evidence needed for triage. Both writes are
+    overwrite-by-batchId (exactly-once on replay).
+
+    Batch-granular quarantine (vs row-level filtering) is deliberate:
+    an upstream fault that poisons a slice of data usually poisons
+    the whole file/offset range, and the operator's job is to stop a
+    bad LOAD from entering the table, not to salvage rows from it."""
+    from ..operators import expectations
+    from . import sinks
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        if not batch.head(1):
+            return
+        verdict = expectations.validate(batch, rules)
+        rows = verdict.collect()   # |rules| rows
+        if all(r["passed"] == 1 for r in rows):
+            sinks.write_idempotent(batch, bid, out_path)
+        else:
+            sinks.write_idempotent(batch, bid, quarantine_path)
+            sinks.write_idempotent(
+                verdict, bid, quarantine_path + "._verdicts")
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()

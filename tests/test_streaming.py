@@ -779,3 +779,59 @@ def test_transform_with_state_dedup_matches_batch_distinct(spark, tmp_path):
             events.select(F.date_format("ts", "yyyy-MM-dd").alias("day"),
                           "user_id").distinct().collect()}
     assert want and got == want
+
+
+def test_quality_gate_quarantines_poisoned_batch(spark, tmp_path):
+    """Dead-letter gate: a 3-batch stream where one file carries null
+    custkeys must land that whole batch (and its verdicts) in
+    quarantine while clean batches commit — nothing dropped, counts
+    reconcile exactly."""
+    import os
+    import time as _time
+
+    from gmall_flink_2021_spark.streaming.jobs import quality_gated_sink
+
+    orders = load_table(spark, SF_SMOKE, "orders") \
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    hi = orders.agg(F.max("o_orderkey")).first()[0]
+    cuts = [hi // 3, 2 * hi // 3]
+    parts = [
+        orders.filter(F.col("o_orderkey") <= cuts[0]),
+        # poison the middle batch: 1 in 3 custkeys nulled
+        orders.filter((F.col("o_orderkey") > cuts[0])
+                      & (F.col("o_orderkey") <= cuts[1]))
+        .withColumn("o_custkey",
+                    F.when(F.col("o_orderkey") % 3 == 0, None)
+                    .otherwise(F.col("o_custkey"))),
+        orders.filter(F.col("o_orderkey") > cuts[1]),
+    ]
+    src = str(tmp_path / "qg_src")
+    os.makedirs(src)
+    now = _time.time()
+    for i, part in enumerate(parts):
+        stage = str(tmp_path / f"qg_stage_{i}")
+        part.coalesce(1).write.parquet(stage)
+        f = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"part_{i}.parquet")
+        os.rename(os.path.join(stage, f), dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    stream = (spark.readStream.schema(parts[0].schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false").parquet(src))
+    out = str(tmp_path / "qg_out")
+    quar = str(tmp_path / "qg_quarantine")
+    rules = [{"name": "custkey_not_null", "kind": "not_null",
+              "column": "o_custkey", "min_permille": 1000}]
+    quality_gated_sink(stream, rules, out, quar,
+                       str(tmp_path / "ck_qg"))
+
+    committed = spark.read.parquet(out)
+    quarantined = spark.read.parquet(quar)
+    assert committed.count() == parts[0].count() + parts[2].count()
+    assert quarantined.count() == parts[1].count()
+    assert committed.filter(F.col("o_custkey").isNull()).count() == 0
+    verdicts = spark.read.parquet(quar + "._verdicts")
+    v = verdicts.collect()
+    assert len(v) == 1 and v[0]["passed"] == 0
+    assert v[0]["metric_permille"] < 1000
