@@ -835,3 +835,30 @@ def test_quality_gate_quarantines_poisoned_batch(spark, tmp_path):
     v = verdicts.collect()
     assert len(v) == 1 and v[0]["passed"] == 0
     assert v[0]["metric_permille"] < 1000
+
+
+def test_compaction_preserves_content_and_reduces_files(spark, tmp_path):
+    """compact_table must collapse the per-batch small-file layout of
+    an idempotent streaming sink into the target file count with
+    byte-for-byte identical content (as a multiset of rows)."""
+    from gmall_flink_2021_spark.streaming import sinks
+
+    p = str(tmp_path / "smallfiles")
+    events = load_table(spark, SF_SMOKE, "events") \
+        .select("event_id", "user_id", "event_type")
+    # simulate 12 micro-batches of appends
+    rows_total = 0
+    for b in range(12):
+        part = events.filter(F.col("event_id") % 12 == b)
+        rows_total += part.count()
+        sinks.write_idempotent(part.repartition(3), b, p)
+
+    before = {tuple(r) for r in spark.read.parquet(p)
+              .drop("batch_id").collect()}
+    stats = sinks.compact_table(spark, p, target_files=4)
+    after = {tuple(r) for r in spark.read.parquet(p)
+             .drop("batch_id").collect()}
+    assert stats["rows"] == rows_total
+    assert stats["files_before"] >= 12 * 3
+    assert stats["files_after"] <= 4
+    assert before == after
