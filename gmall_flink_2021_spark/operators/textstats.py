@@ -1032,16 +1032,16 @@ def langid_trigram_confusion(documents: DataFrame) -> DataFrame:
         "filter(transform(sequence(1, greatest(length(coalesce(text, ''))"
         " - 2, 1)), i -> substring(coalesce(text, ''), i, 3)),"
         " t -> length(t) = 3)")
+    # ONE trigram fan-out serves all three derivations (profile,
+    # vocab size, scoring) — three separate explodes would scan the
+    # corpus three times
     doc_tri = (documents
                .select("doc_id", F.col("lang").alias("label_lang"),
                        F.explode(tris).alias("tri")))
-    profile = (documents
-               .select(F.col("lang").alias("lang_p"),
-                       F.explode(tris).alias("tri"))
-               .groupBy("lang_p", "tri")
+    profile = (doc_tri
+               .groupBy(F.col("label_lang").alias("lang_p"), "tri")
                .agg(F.count(F.lit(1)).alias("c")))
-    v = (documents.select(F.explode(tris).alias("tri"))
-         .agg(F.countDistinct("tri").alias("v")))
+    v = doc_tri.agg(F.countDistinct("tri").alias("v"))
     lang_tot = (profile.groupBy("lang_p")
                 .agg(F.sum("c").alias("ct_lang"))
                 .crossJoin(F.broadcast(v)))
