@@ -22,7 +22,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+VERDICT_SCHEMA = ("rule string, metric_permille long, "
+                  "min_permille long, passed long")
+
+
 def validate(df: DataFrame, rules: list[dict]) -> DataFrame:
+    if not rules:
+        # explode(array()) cannot star-expand; an empty rule set is a
+        # vacuous pass — return the empty verdict frame, not a crash
+        return df.sparkSession.createDataFrame([], VERDICT_SCHEMA)
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, r in enumerate(rules):
         c = F.col(r["column"])

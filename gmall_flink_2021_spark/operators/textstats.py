@@ -900,11 +900,16 @@ def padding_waste_audit(documents: DataFrame,
     and integer waste permille. The measurement that justifies (or
     kills) adding a sort stage before the shard write.
 
-    Scale shape: two global orderings (Spark range-partitions the
-    sort — no single-node bottleneck) each followed by a fixed-size
-    grouping via row_number DIV B and a batch-max aggregation; output
-    is 2 rows. Ties in the length sort break on doc_id, so batch
-    composition is deterministic and oracle-exact.
+    Scale shape: the global ordinal each strategy needs is built
+    WITHOUT a single-partition window (the naive
+    Window.orderBy(...).row_number() ships the whole corpus through
+    one task): the frame is range-repartitioned on the total order
+    key, row-numbered WITHIN each partition, and shifted by the
+    per-partition counts (a bounded driver-side prefix sum over
+    n_partitions rows, broadcast back as a join). Then the fixed-size
+    grouping via ordinal DIV B and a batch-max aggregation; output is
+    2 rows. Ties break on doc_id (unique), so the total order — and
+    batch composition — is deterministic and oracle-exact.
     """
     from pyspark.sql import Window
 
@@ -912,12 +917,25 @@ def padding_waste_audit(documents: DataFrame,
         "doc_id", F.size(tokens("text")).alias("n_tokens"))
 
     def waste(order_cols: list, name: str) -> DataFrame:
-        w = Window.orderBy(*order_cols)
-        batched = toks.withColumn(
-            "batch", (F.row_number().over(w) - 1)
-            .cast("long") / F.lit(batch_size))
-        batched = batched.withColumn(
-            "batch", F.floor(F.col("batch")).cast("long"))
+        ranged = (toks.repartitionByRange(8, *order_cols)
+                  .withColumn("_pid", F.spark_partition_id()))
+        w = Window.partitionBy("_pid").orderBy(*order_cols)
+        local = ranged.withColumn("_rn", F.row_number().over(w))
+        counts = sorted(
+            (r["_pid"], r["c"]) for r in
+            local.groupBy("_pid").agg(F.count(F.lit(1)).alias("c"))
+            .collect())
+        offsets, acc = {}, 0
+        for pid, c in counts:
+            offsets[pid] = acc
+            acc += c
+        off = F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items()
+                           for x in kv]),
+            F.col("_pid")) if offsets else F.lit(0)
+        batched = local.withColumn(
+            "batch", F.floor((F.col("_rn") - 1 + off)
+                             / F.lit(batch_size)).cast("long"))
         per_batch = (batched.groupBy("batch")
                      .agg(F.count(F.lit(1)).alias("n"),
                           F.max("n_tokens").alias("mx"),
@@ -1058,16 +1076,23 @@ def langid_trigram_confusion(documents: DataFrame) -> DataFrame:
         .cast("long").alias("floor_micro"))
     matched = (doc_tri
                .join(F.broadcast(llr), "tri")
-               .groupBy("doc_id", "label_lang", "lang_p")
+               .groupBy("doc_id", "lang_p")
                .agg(F.count(F.lit(1)).alias("m"),
                     F.sum("llr_micro").alias("s")))
-    n_tri = (doc_tri.groupBy("doc_id")
+    n_tri = (doc_tri.groupBy("doc_id", "label_lang")
              .agg(F.count(F.lit(1)).alias("n_tri")))
-    scored = (matched
-              .join(n_tri, "doc_id")
-              .join(F.broadcast(floors), "lang_p")
+    # the FULL doc × language grid, not just matched combinations: a
+    # language sharing zero trigrams with a doc still has the score
+    # n_tri·floor(lang), which (floors being least negative for
+    # low-volume languages) can legitimately win the argmax — an
+    # inner join would silently exclude it from the vote
+    scored = (n_tri
+              .crossJoin(F.broadcast(floors))
+              .join(matched, ["doc_id", "lang_p"], "left")
               .select("doc_id", "label_lang", "lang_p",
-                      (F.col("s") + (F.col("n_tri") - F.col("m"))
+                      (F.coalesce("s", F.lit(0))
+                       + (F.col("n_tri")
+                          - F.coalesce("m", F.lit(0)))
                        * F.col("floor_micro")).alias("score")))
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("score"), F.asc("lang_p"))

@@ -3174,17 +3174,21 @@ ORACLES: dict[str, str] = {
                         AS BIGINT) AS floor_micro
             FROM lt),
         matched AS (
-            SELECT t.doc_id, t.label_lang, l.lang_p,
+            SELECT t.doc_id, l.lang_p,
                    count(*) AS m, CAST(sum(l.llr_micro) AS BIGINT) AS s
             FROM tri t JOIN llr l ON t.tri = l.tri
-            GROUP BY 1, 2, 3),
-        nt AS (SELECT doc_id, count(*) AS n_tri FROM tri GROUP BY 1),
+            GROUP BY 1, 2),
+        nt AS (SELECT doc_id, label_lang, count(*) AS n_tri
+               FROM tri GROUP BY 1, 2),
         scored AS (
-            SELECT m.doc_id, m.label_lang, m.lang_p,
-                   m.s + (nt.n_tri - m.m) * f.floor_micro AS score
-            FROM matched m
-            JOIN nt ON m.doc_id = nt.doc_id
-            JOIN floors f ON m.lang_p = f.lang_p),
+            SELECT nt.doc_id, nt.label_lang, f.lang_p,
+                   coalesce(m.s, 0)
+                   + (nt.n_tri - coalesce(m.m, 0)) * f.floor_micro
+                       AS score
+            FROM nt
+            CROSS JOIN floors f
+            LEFT JOIN matched m
+              ON nt.doc_id = m.doc_id AND f.lang_p = m.lang_p),
         pred AS (
             SELECT doc_id, label_lang, lang_p FROM (
                 SELECT *, row_number() OVER (

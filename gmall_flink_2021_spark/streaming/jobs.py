@@ -579,7 +579,7 @@ def pq_encode_stream(emb_stream: DataFrame,
 
 
 def uv_native_dedup_stream(events: DataFrame,
-                           watermark: str = "1 second") -> DataFrame:
+                           watermark: str = "1 day") -> DataFrame:
     """O6's UV dedup on Spark's NATIVE watermarked-dedup state
     operator (dropDuplicatesWithinWatermark) instead of the explicit
     applyInPandasWithState/TTL form (streaming/stateful.py) — the
@@ -591,7 +591,15 @@ def uv_native_dedup_stream(events: DataFrame,
     the reference's 1-day-TTL semantics (UniqueVisitApp.java) exactly
     and carries per-key metadata; this form is what you reach for
     when the key itself defines the dedup and the watermark bounds
-    state — fewer moving parts, JVM-managed store."""
+    state — fewer moving parts, JVM-managed store.
+
+    The watermark IS the dedup horizon: state for a (day, user) key
+    is evicted once the watermark passes its event time + delay, and
+    a later same-day visit would re-emit. The default is therefore
+    1 DAY — matching the reference's 1-day TTL (UniqueVisitApp) so a
+    key stays deduped for exactly as long as its day key is live; a
+    short delay would silently turn exactly-once-per-day into
+    once-per-delay-window."""
     with_et = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return (with_et
             .withWatermark("ts", watermark)
@@ -675,16 +683,23 @@ def quality_gated_sink(stream: DataFrame, rules: list, out_path: str,
     from . import sinks
 
     def sink(batch: DataFrame, bid: int) -> None:
-        if not batch.head(1):
-            return
-        verdict = expectations.validate(batch, rules)
-        rows = verdict.collect()   # |rules| rows
-        if all(r["passed"] == 1 for r in rows):
-            sinks.write_idempotent(batch, bid, out_path)
-        else:
-            sinks.write_idempotent(batch, bid, quarantine_path)
-            sinks.write_idempotent(
-                verdict, bid, quarantine_path + "._verdicts")
+        # one materialization serves the probe, the validation pass,
+        # and the commit/quarantine write — foreachBatch re-evaluates
+        # the source per action otherwise
+        batch = batch.persist()
+        try:
+            if not batch.head(1):
+                return
+            verdict = expectations.validate(batch, rules)
+            rows = verdict.collect()   # |rules| rows
+            if all(r["passed"] == 1 for r in rows):
+                sinks.write_idempotent(batch, bid, out_path)
+            else:
+                sinks.write_idempotent(batch, bid, quarantine_path)
+                sinks.write_idempotent(
+                    verdict, bid, quarantine_path + "._verdicts")
+        finally:
+            batch.unpersist()
 
     q = (stream.writeStream.foreachBatch(sink)
          .option("checkpointLocation", checkpoint)

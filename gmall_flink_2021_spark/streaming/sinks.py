@@ -149,20 +149,24 @@ def upsert_dim(batch: DataFrame, dim_path: str, pk: str = "id",
     latest.unpersist()
 
 
-def compact_table(spark, path: str, target_files: int) -> dict:
+def compact_table(spark, path: str,
+                  target_files_per_partition: int = 1) -> dict:
     """Small-file compaction — the maintenance job behind every
     streaming sink: overwrite-by-batchId appends (write_idempotent)
-    accumulate one directory per micro-batch, and a long-running
+    accumulate one directory per micro-batch, each holding however
+    many files its write's parallelism produced, and a long-running
     table degrades into thousands of KB-files whose per-file open
-    cost dominates scans. Rewrites the table into ``target_files``
-    files via a two-phase swap (stage, re-publish, then remove the
-    old layout), preserving rows exactly; returns
-    {files_before, files_after, rows} for the maintenance log.
+    cost dominates scans.
 
-    At 100 TB this runs per partition (day/bucket), not per table —
-    the same primitive applied under a partition predicate; the
-    two-phase swap keeps readers consistent the same way upsert_dim's
-    bucket rewrite does."""
+    Compaction happens PER PARTITION DIRECTORY (batch_id=N,
+    pkbucket=N, day=...): each leaf directory's files are rewritten
+    to ``target_files_per_partition`` via the same stage-then-
+    republish swap as upsert_dim's bucket rewrite — the hive layout,
+    the batch_id column, downstream `batch_id < bid` state filters,
+    and replay-overwrite semantics all survive, and no moment exists
+    where the table as a whole is missing. Returns
+    {files_before, files_after, rows} for the maintenance log; raises
+    if any directory's rewrite would change its row count."""
     import os
     import shutil
 
@@ -171,15 +175,26 @@ def compact_table(spark, path: str, target_files: int) -> dict:
                    for f in files
                    if f.endswith(".parquet") and not f.startswith("."))
 
+    def leaf_dirs(p):
+        for root, dirs, files in os.walk(p):
+            if any(f.endswith(".parquet") for f in files):
+                yield root
+
     before = count_files(path)
-    df = spark.read.option("mergeSchema", "true").parquet(path)
-    rows = df.count()
-    tmp = path + "._compact"
-    df.repartition(target_files).write.mode("overwrite").parquet(tmp)
-    back = spark.read.parquet(tmp)
-    assert back.count() == rows, "compaction must preserve row count"
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    rows_total = 0
+    for d in sorted(leaf_dirs(path)):
+        part = spark.read.parquet(d)
+        n = part.count()
+        rows_total += n
+        tmp = d + "._compact"
+        part.repartition(target_files_per_partition) \
+            .write.mode("overwrite").parquet(tmp)
+        staged = spark.read.parquet(tmp)
+        if staged.count() != n:
+            raise RuntimeError(
+                f"compaction of {d} would change row count")
+        staged.write.mode("overwrite").parquet(d)
+        shutil.rmtree(tmp, ignore_errors=True)
     return {"files_before": before,
             "files_after": count_files(path),
-            "rows": rows}
+            "rows": rows_total}

@@ -463,12 +463,21 @@ def test_ivfpq_search_is_codeword_dispatch_no_vector_rejoin(spark):
 
 
 def test_padding_audit_sorts_are_range_partitioned(spark):
-    """Both global orderings must plan as range-partitioned sorts
-    feeding the fixed-size batch windows — two Sort/Window chains,
-    one final 2-row union, no joins."""
+    """Both orderings must build global ordinals WITHOUT funneling the
+    corpus through one task: range-partitioned exchanges + partition-
+    local windows, and NO SinglePartition exchange anywhere (the naive
+    global row_number's signature)."""
     plan = _plan(spark, "padding_waste_audit")
     assert plan.count("Window") >= 2
-    assert "Join" not in plan
+    assert "rangepartitioning" in plan.lower()
+    # windows are partition-local (keyed by the range-partition id) —
+    # the corpus never funnels through a SinglePartition exchange into
+    # a Window (final 1-row aggregates legitimately use one)
+    assert "_pid" in plan
+    for i, ln in enumerate(plan.splitlines()):
+        if "Exchange SinglePartition" in ln:
+            nxt = "\n".join(plan.splitlines()[i:i + 3])
+            assert "Window" not in nxt, nxt
     assert "Union" in plan
 
 

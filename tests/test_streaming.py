@@ -853,12 +853,17 @@ def test_compaction_preserves_content_and_reduces_files(spark, tmp_path):
         rows_total += part.count()
         sinks.write_idempotent(part.repartition(3), b, p)
 
-    before = {tuple(r) for r in spark.read.parquet(p)
-              .drop("batch_id").collect()}
-    stats = sinks.compact_table(spark, p, target_files=4)
-    after = {tuple(r) for r in spark.read.parquet(p)
-             .drop("batch_id").collect()}
+    before = {tuple(r) for r in spark.read.parquet(p).collect()}
+    stats = sinks.compact_table(spark, p, target_files_per_partition=1)
+    back = spark.read.parquet(p)
+    after = {tuple(r) for r in back.collect()}
     assert stats["rows"] == rows_total
     assert stats["files_before"] >= 12 * 3
-    assert stats["files_after"] <= 4
+    assert stats["files_after"] <= 12
     assert before == after
+    # the hive batch_id layout survives: partition column still reads,
+    # and the `batch_id < N` state-filter pattern still prunes
+    assert "batch_id" in back.columns
+    half = back.filter(F.col("batch_id") < 6).count()
+    assert 0 < half < stats["rows"]
+    assert back.select("batch_id").distinct().count() == 12
