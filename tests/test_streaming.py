@@ -867,3 +867,28 @@ def test_compaction_preserves_content_and_reduces_files(spark, tmp_path):
     half = back.filter(F.col("batch_id") < 6).count()
     assert 0 < half < stats["rows"]
     assert back.select("batch_id").distinct().count() == 12
+
+
+def test_drift_monitor_streaming_store_matches_batch_zscores(
+        spark, tmp_path):
+    """The continuously-fed daily store must reproduce the batch
+    trailing-frame z-scores exactly once the stream drains (integer
+    cent sums are additive across micro-batches)."""
+    from gmall_flink_2021_spark.operators.analytics import (
+        daily_value_zscores)
+    from gmall_flink_2021_spark.streaming.jobs import (
+        daily_value_store_stream, zscores_from_daily_store)
+
+    events = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "ev_multi")
+    events.repartition(4).write.parquet(src)
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    store = str(tmp_path / "daily_store")
+    daily_value_store_stream(stream, store, str(tmp_path / "ck_dv"))
+
+    got = {tuple(map(str, r)) for r in
+           zscores_from_daily_store(spark, store).collect()}
+    want = {tuple(map(str, r)) for r in
+            daily_value_zscores(events).collect()}
+    assert want and got == want
