@@ -68,3 +68,52 @@ def validate(df: DataFrame, rules: list[dict]) -> DataFrame:
             (metric >= r["min_permille"]).cast("long").alias("passed")))
     return (row.select(F.explode(F.array(*structs)).alias("r"))
             .select("r.*"))
+
+
+def validate_by(df: DataFrame, group_col: str,
+                rules: list[dict]) -> DataFrame:
+    """Per-group expectations: the same declarative rules evaluated
+    independently for every value of ``group_col`` (per-source corpus
+    gates, per-day load gates) — still ONE conditional-aggregation
+    pass, now keyed by the group; |groups|·|rules| verdict rows via
+    the same explode-from-one-row trick per group. The report that
+    catches a single bad supplier/source inside an otherwise-green
+    load, which the table-level gate averages away."""
+    if not rules:
+        return df.sparkSession.createDataFrame(
+            [], f"{group_col} string, " + VERDICT_SCHEMA)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, r in enumerate(rules):
+        c = F.col(r["column"])
+        kind = r["kind"]
+        if kind == "not_null":
+            hit = c.isNotNull()
+        elif kind == "range":
+            lo, hi = r.get("lo"), r.get("hi")
+            hit = F.lit(True)
+            if lo is not None:
+                hit = hit & (c >= lo)
+            if hi is not None:
+                hit = hit & (c <= hi)
+            hit = c.isNotNull() & hit
+        elif kind == "accepted_values":
+            hit = c.isin(*r["values"])
+        elif kind == "unique":
+            aggs.append(F.countDistinct(c).alias(f"_m{i}"))
+            continue
+        else:
+            raise ValueError(f"unknown rule kind: {kind}")
+        aggs.append(F.sum(hit.cast("long")).alias(f"_m{i}"))
+    row = df.groupBy(group_col).agg(*aggs)
+    structs = []
+    for i, r in enumerate(rules):
+        metric = F.expr(f"_m{i} * 1000 DIV greatest(_n, 1)")
+        structs.append(F.struct(
+            F.lit(r["name"]).alias("rule"),
+            metric.alias("metric_permille"),
+            F.lit(int(r["min_permille"])).cast("long")
+             .alias("min_permille"),
+            (metric >= r["min_permille"]).cast("long").alias("passed")))
+    return (row.select(group_col,
+                       F.explode(F.array(*structs)).alias("r"))
+            .select(group_col, "r.*"))

@@ -984,6 +984,22 @@ def q_data_quality_report(spark, sf):
     return expectations.validate(orders, rules)
 
 
+def q_source_quality_report(spark, sf):
+    """Gates: PER-GROUP expectations — the rule grid keyed by source in
+    one grouped conditional-aggregation pass (catches a single bad
+    source a table-level gate averages away)."""
+    (documents,) = _t(spark, sf, "documents")
+    rules = [
+        {"name": "text_not_null", "kind": "not_null",
+         "column": "text", "min_permille": 1000},
+        {"name": "chars_in_range", "kind": "range", "column": "n_chars",
+         "lo": 1, "hi": 100000, "min_permille": 900},
+        {"name": "doc_id_unique", "kind": "unique",
+         "column": "doc_id", "min_permille": 1000},
+    ]
+    return expectations.validate_by(documents, "source", rules)
+
+
 def q_corpus_funnel(spark, sf):
     """Gates: the pipeline END PRODUCT — cumulative multi-gate attrition
     (lang → length → quality → MinHash dedup) as ONE conditional
@@ -1128,6 +1144,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_lm_scores": q_bigram_lm_scores,
     "langid_trigram": q_langid_trigram,
     "data_quality_report": q_data_quality_report,
+    "source_quality_report": q_source_quality_report,
 }
 
 
@@ -3232,6 +3249,32 @@ ORACLES: dict[str, str] = {
                          THEN 1 ELSE 0 END AS BIGINT) AS passed
         FROM rows_
     """,
+    "source_quality_report": """
+        WITH m AS (
+            SELECT source, count(*) AS n,
+                   sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS m0,
+                   sum(CASE WHEN n_chars IS NOT NULL AND n_chars >= 1
+                             AND n_chars <= 100000 THEN 1 ELSE 0 END) AS m1,
+                   count(DISTINCT doc_id) AS m2
+            FROM documents GROUP BY source),
+        rows_ AS (
+            SELECT source, 'text_not_null' AS rule,
+                   CAST(m0 * 1000 // greatest(n, 1) AS BIGINT)
+                       AS metric_permille,
+                   CAST(1000 AS BIGINT) AS min_permille FROM m
+            UNION ALL
+            SELECT source, 'chars_in_range',
+                   CAST(m1 * 1000 // greatest(n, 1) AS BIGINT),
+                   CAST(900 AS BIGINT) FROM m
+            UNION ALL
+            SELECT source, 'doc_id_unique',
+                   CAST(m2 * 1000 // greatest(n, 1) AS BIGINT),
+                   CAST(1000 AS BIGINT) FROM m)
+        SELECT source, rule, metric_permille, min_permille,
+               CAST(CASE WHEN metric_permille >= min_permille
+                         THEN 1 ELSE 0 END AS BIGINT) AS passed
+        FROM rows_
+    """,
     "contrastive_pairs": f"""
         WITH q AS (
             SELECT vec_id AS anchor_id, label AS anchor_label,
@@ -3609,7 +3652,7 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     "corpus_funnel", "daily_value_zscores", "frame_dedup",
     "ivfpq_ann", "ivfpq_recall", "regional_part_gap",
     "padding_waste_audit", "bigram_lm_scores", "langid_trigram",
-    "data_quality_report",
+    "data_quality_report", "source_quality_report",
     # graded green in round 1 only — re-confirm on this round's
     # regenerated testdata (rounds regenerate /root/testdata)
     "props_stats", "keyword_stats", "unique_visitors_daily",
