@@ -892,3 +892,57 @@ def test_drift_monitor_streaming_store_matches_batch_zscores(
     want = {tuple(map(str, r)) for r in
             daily_value_zscores(events).collect()}
     assert want and got == want
+
+
+def test_checkpoint_resume_continues_from_offset(spark, tmp_path):
+    """True restart semantics (O9): a stream is drained with only
+    part of the data present, the process 'restarts' (same
+    checkpoint), more files arrive, and the second run must continue
+    from the recorded offset — no reprocessing of batch 0, state
+    carried forward — ending in exactly the batch result."""
+    import os
+    import time as _time
+
+    from gmall_flink_2021_spark.operators import dedup
+    from gmall_flink_2021_spark.streaming.jobs import minhash_dedup_stream
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    parts = [docs.filter(F.col("doc_id") <= hi // 2),
+             docs.filter(F.col("doc_id") > hi // 2)]
+    src = str(tmp_path / "cr_docs")
+    os.makedirs(src)
+    ck = str(tmp_path / "cr_ck")
+    out = str(tmp_path / "cr_out")
+    state = str(tmp_path / "cr_state")
+    now = _time.time()
+
+    def stage(i):
+        d = str(tmp_path / f"cr_stage_{i}")
+        parts[i].coalesce(1).write.parquet(d)
+        f = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"part_{i}.parquet")
+        os.rename(os.path.join(d, f), dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    def run():
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .option("latestFirst", "false").parquet(src))
+        minhash_dedup_stream(stream, out, state, ck)
+
+    stage(0)
+    run()                      # drains file 0, records offset
+    first_batches = set(os.listdir(out))
+    stage(1)
+    run()                      # 'restart': must process ONLY file 1
+    second_batches = set(os.listdir(out)) - first_batches
+    assert first_batches == {"batch_id=0"}
+    assert second_batches == {"batch_id=1"}
+
+    got = {tuple(map(str, r)) for r in
+           spark.read.parquet(out).drop("batch_id").collect()}
+    batch_out = dedup.minhash_dedup_marks(docs)
+    want = {tuple(map(str, r)) for r in batch_out.collect()}
+    batch_out._banded_cache.unpersist()
+    assert want and got == want
