@@ -961,7 +961,9 @@ def q_langid_trigram(spark, sf):
     naive-Bayes language ID (smoothed per-language profiles, pivot-free
     matched+floor scoring, integer argmax) vs lang_id's heuristic."""
     (documents,) = _t(spark, sf, "documents")
-    return textstats.langid_trigram_confusion(documents)
+    out = textstats.langid_trigram_confusion(documents)
+    out._tri_cache.unpersist()  # lazy: recompute-on-reuse
+    return out
 
 
 def q_data_quality_report(spark, sf):
