@@ -721,10 +721,20 @@ def daily_value_zscores(events: DataFrame, trailing: int = 7,
     daily = (events
              .groupBy("event_type", day.alias("day"))
              .agg((F.sum(money("value")) * 100).cast("long")
-                  .alias("cents"))
-             .withColumn("cents_sq",
-                         F.col("cents").cast("decimal(38,0)")
-                         * F.col("cents")))
+                  .alias("cents")))
+    return score_daily_cents(daily, trailing, min_prior)
+
+
+def score_daily_cents(daily: DataFrame, trailing: int = 7,
+                      min_prior: int = 3) -> DataFrame:
+    """The shared scoring half of daily_value_zscores: trailing-frame
+    mean/variance/z over a (event_type, day, cents) frame — ONE
+    definition consumed by the batch operator and the streaming
+    monitor's read side (streaming/jobs.zscores_from_daily_store), so
+    the two can never diverge on the arithmetic."""
+    daily = daily.withColumn(
+        "cents_sq",
+        F.col("cents").cast("decimal(38,0)") * F.col("cents"))
     w = (Window.partitionBy("event_type").orderBy("day")
          .rowsBetween(-trailing, -1))
     n = F.count("cents").over(w)

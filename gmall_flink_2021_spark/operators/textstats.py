@@ -1053,12 +1053,9 @@ def langid_trigram_confusion(documents: DataFrame) -> DataFrame:
     # ONE trigram fan-out serves all three derivations (profile,
     # vocab size, scoring) — three separate explodes would scan the
     # corpus three times
-    # persisted: profile, vocab size, matched scoring, and per-doc
-    # totals all consume this fan-out — unpersisted it would re-scan
-    # and re-explode the corpus once per consumer
     doc_tri = (documents
                .select("doc_id", F.col("lang").alias("label_lang"),
-                       F.explode(tris).alias("tri"))).persist()
+                       F.explode(tris).alias("tri")))
     profile = (doc_tri
                .groupBy(F.col("label_lang").alias("lang_p"), "tri")
                .agg(F.count(F.lit(1)).alias("c")))
@@ -1101,8 +1098,6 @@ def langid_trigram_confusion(documents: DataFrame) -> DataFrame:
         F.desc("score"), F.asc("lang_p"))
     pred = (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1))
-    out = (pred.groupBy(F.col("label_lang"),
-                        F.col("lang_p").alias("pred_lang"))
-           .agg(F.count(F.lit(1)).alias("ct")))
-    out._tri_cache = doc_tri
-    return out
+    return (pred.groupBy(F.col("label_lang"),
+                         F.col("lang_p").alias("pred_lang"))
+            .agg(F.count(F.lit(1)).alias("ct")))

@@ -961,9 +961,7 @@ def q_langid_trigram(spark, sf):
     naive-Bayes language ID (smoothed per-language profiles, pivot-free
     matched+floor scoring, integer argmax) vs lang_id's heuristic."""
     (documents,) = _t(spark, sf, "documents")
-    out = textstats.langid_trigram_confusion(documents)
-    out._tri_cache.unpersist()  # lazy: recompute-on-reuse
-    return out
+    return textstats.langid_trigram_confusion(documents)
 
 
 def q_data_quality_report(spark, sf):

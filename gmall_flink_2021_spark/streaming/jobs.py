@@ -709,49 +709,27 @@ def quality_gated_sink(stream: DataFrame, rules: list, out_path: str,
 
 def daily_value_store_stream(events_stream: DataFrame, store_path: str,
                              checkpoint: str) -> None:
-    """Continuous feed for the drift monitor: each micro-batch's
-    (event_type, day) integer-cent sums are merged into a compact
-    daily store (exact integer addition — incremental merge ==
-    single-pass batch, the same additivity argument as the funnel
-    partials), so analytics.daily_value_zscores can run its trailing-
-    frame scoring over O(days·types) rows on every refresh instead of
-    re-scanning raw events. Idempotent replay via per-batch markers +
-    two-phase swap (uv_sketch_stream's discipline)."""
-    import os
-    import shutil
-
+    """Continuous feed for the drift monitor: each micro-batch writes
+    its (event_type, day) integer-cent PARTIALS via the idempotent
+    overwrite-by-batchId sink — no merged-store swap, no marker, no
+    read-modify-write: a replayed batch overwrites its own partial
+    directory, so exactly-once holds structurally (the earlier
+    merge-in-place form had a crash window between store publish and
+    marker where a replay double-counted sums). The merged daily
+    frame is derived AT READ time by summing partials — exact integer
+    addition, still O(days·types) after aggregation — and the
+    partial directories compact like any other sink layout
+    (sinks.compact_table)."""
     from ..functions import money
-
-    spark = events_stream.sparkSession
-    done_dir = store_path + "._done"
+    from . import sinks
 
     def sink(batch: DataFrame, bid: int) -> None:
-        marker = os.path.join(done_dir, str(bid))
-        if os.path.exists(marker):
-            return
         day = F.date_trunc("day", F.col("ts"))
         daily = (batch
                  .groupBy("event_type", day.alias("day"))
                  .agg((F.sum(money("value")) * 100).cast("long")
                       .alias("cents")))
-        try:
-            existing = spark.read.parquet(store_path)
-        except Exception:
-            existing = None
-        if existing is not None:
-            merged = (existing.unionByName(daily)
-                      .groupBy("event_type", "day")
-                      .agg(F.sum("cents").alias("cents")))
-        else:
-            merged = daily
-        tmp = store_path + "._staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite") \
-            .parquet(store_path)
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(done_dir, exist_ok=True)
-        with open(marker, "w"):
-            pass
+        sinks.write_idempotent(daily, bid, store_path)
 
     q = (events_stream.writeStream.foreachBatch(sink)
          .option("checkpointLocation", checkpoint)
@@ -762,26 +740,15 @@ def daily_value_store_stream(events_stream: DataFrame, store_path: str,
 def zscores_from_daily_store(spark, store_path: str,
                              trailing: int = 7,
                              min_prior: int = 3) -> DataFrame:
-    """The monitor's read side: trailing-frame z-scores over the
-    incrementally-maintained daily store — identical arithmetic to
-    analytics.daily_value_zscores' window stage, so streaming-fed
-    scoring equals the batch operator exactly once all events have
-    drained (pinned by test)."""
-    from pyspark.sql import Window
+    """The monitor's read side: sum the per-batch partials into the
+    exact daily totals (integer cents are additive across batches),
+    then run THE SAME scoring tree as the batch operator
+    (analytics.score_daily_cents — shared, not copied), so
+    streaming-fed scoring equals analytics.daily_value_zscores
+    exactly once all events have drained (pinned by test)."""
+    from ..operators.analytics import score_daily_cents
 
     daily = (spark.read.parquet(store_path)
-             .withColumn("cents_sq",
-                         F.col("cents").cast("decimal(38,0)")
-                         * F.col("cents")))
-    w = (Window.partitionBy("event_type").orderBy("day")
-         .rowsBetween(-trailing, -1))
-    n = F.count("cents").over(w)
-    s = F.sum("cents").over(w).cast("double")
-    ss = F.sum("cents_sq").over(w).cast("double")
-    mean = s / n
-    var = (ss - s * s / n) / (n - 1)
-    z = F.round((F.col("cents") - mean) / F.sqrt(var), 6)
-    return daily.select(
-        "event_type", "day", "cents",
-        n.cast("long").alias("n_prior"),
-        F.when((n >= min_prior) & (var > 0), z).alias("z"))
+             .groupBy("event_type", "day")
+             .agg(F.sum("cents").alias("cents")))
+    return score_daily_cents(daily, trailing, min_prior)
