@@ -663,3 +663,25 @@ def duplicate_spans_vs_prior(documents: DataFrame, width: int = 64,
                  F.sum((F.col("first_doc") < F.col("doc_id"))
                        .cast("long")).alias("dup_spans"))
             .filter(F.col("dup_spans") > 0))
+
+
+def dedup_provenance(documents: DataFrame) -> DataFrame:
+    """Dedup PROVENANCE matrix: for every document marked duplicate by
+    the online rule (minhash_dedup_marks), attribute it to the SOURCE
+    of its earliest predecessor — (dup_source, orig_source, ct) —
+    the curation question behind the counts: which feeds mirror which
+    (off-diagonal mass = cross-source copying / scraped mirrors;
+    diagonal = within-source reposts). One broadcast-sized join of
+    the marks against the doc→source projection per side."""
+    marks = minhash_dedup_marks(documents)
+    src = documents.select("doc_id", "source")
+    out = (marks.filter(F.col("is_dup") == 1)
+           .join(src, "doc_id")
+           .withColumnRenamed("source", "dup_source")
+           .join(src.select(F.col("doc_id").alias("earliest_prior"),
+                            F.col("source").alias("orig_source")),
+                 "earliest_prior")
+           .groupBy("dup_source", "orig_source")
+           .agg(F.count(F.lit(1)).alias("ct")))
+    out._banded_cache = marks._banded_cache
+    return out

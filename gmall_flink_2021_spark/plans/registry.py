@@ -1000,6 +1000,17 @@ def q_source_quality_report(spark, sf):
     return expectations.validate_by(documents, "source", rules)
 
 
+def q_dedup_provenance(spark, sf):
+    """Gates: dedup provenance attribution — the (dup_source,
+    orig_source) matrix over the online marks; off-diagonal mass is
+    cross-source mirroring, the feed-level curation signal the
+    pairwise counts hide."""
+    (documents,) = _t(spark, sf, "documents")
+    out = dedup.dedup_provenance(documents)
+    out._banded_cache.unpersist()  # lazy: recompute-on-reuse
+    return out
+
+
 def q_corpus_funnel(spark, sf):
     """Gates: the pipeline END PRODUCT — cumulative multi-gate attrition
     (lang → length → quality → MinHash dedup) as ONE conditional
@@ -1145,6 +1156,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid_trigram": q_langid_trigram,
     "data_quality_report": q_data_quality_report,
     "source_quality_report": q_source_quality_report,
+    "dedup_provenance": q_dedup_provenance,
 }
 
 
@@ -1599,6 +1611,24 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS is_dup,
                c.earliest_prior
         FROM documents d LEFT JOIN coll c ON d.doc_id = c.doc_id
+    """,
+    "dedup_provenance": f"""
+        WITH {_BANDS},
+        buckets AS (
+            SELECT band, band_hash, min(doc_id) AS first_doc
+            FROM bands GROUP BY band, band_hash),
+        coll AS (
+            SELECT b.doc_id, min(k.first_doc) AS earliest_prior
+            FROM bands b
+            JOIN buckets k ON b.band = k.band AND b.band_hash = k.band_hash
+            WHERE k.first_doc < b.doc_id
+            GROUP BY b.doc_id)
+        SELECT d.source AS dup_source, o.source AS orig_source,
+               count(*) AS ct
+        FROM coll c
+        JOIN documents d ON c.doc_id = d.doc_id
+        JOIN documents o ON c.earliest_prior = o.doc_id
+        GROUP BY 1, 2
     """,
     "corpus_funnel": f"""
         WITH {_BANDS},
@@ -3653,6 +3683,7 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     "ivfpq_ann", "ivfpq_recall", "regional_part_gap",
     "padding_waste_audit", "bigram_lm_scores", "langid_trigram",
     "data_quality_report", "source_quality_report",
+    "dedup_provenance",
     # graded green in round 1 only — re-confirm on this round's
     # regenerated testdata (rounds regenerate /root/testdata)
     "props_stats", "keyword_stats", "unique_visitors_daily",
