@@ -7,7 +7,7 @@ trusting a corpus drop.
 
 Each rule is a plain dict:
   {"name": ..., "kind": "not_null" | "unique" | "range" |
-   "accepted_values", "column": c, ...kind params...,
+   "accepted_values" | "matches_regex", "column": c, ...kind params...,
    "min_permille": threshold}
 
 Scale shape: every metric is a conditional sum in one map-side-
@@ -45,6 +45,10 @@ def _rule_aggs(rules: list[dict]) -> list:
             hit = c.isNotNull() & hit
         elif kind == "accepted_values":
             hit = c.isin(*r["values"])
+        elif kind == "matches_regex":
+            # Java-regex/RE2-common dialect (no lookaround), the same
+            # portability rule as the PII patterns
+            hit = c.isNotNull() & c.rlike(r["pattern"])
         elif kind == "unique":
             aggs.append(F.countDistinct(c).alias(f"_m{i}"))
             continue

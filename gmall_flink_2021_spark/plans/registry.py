@@ -980,6 +980,9 @@ def q_data_quality_report(spark, sf):
         {"name": "status_accepted", "kind": "accepted_values",
          "column": "o_orderstatus", "values": ["O", "F", "P"],
          "min_permille": 1000},
+        {"name": "priority_format", "kind": "matches_regex",
+         "column": "o_orderpriority", "pattern": "^[1-5]-[A-Z ]+$",
+         "min_permille": 1000},
     ]
     return expectations.validate(orders, rules)
 
@@ -3255,7 +3258,11 @@ ORACLES: dict[str, str] = {
                              AND o_totalprice >= 0 THEN 1 ELSE 0 END)
                        AS m2,
                    sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
-                            THEN 1 ELSE 0 END) AS m3
+                            THEN 1 ELSE 0 END) AS m3,
+                   sum(CASE WHEN o_orderpriority IS NOT NULL
+                             AND regexp_matches(o_orderpriority,
+                                                '^[1-5]-[A-Z ]+$')
+                            THEN 1 ELSE 0 END) AS m4
             FROM orders),
         rows_ AS (
             SELECT 'custkey_not_null' AS rule,
@@ -3273,6 +3280,10 @@ ORACLES: dict[str, str] = {
             UNION ALL
             SELECT 'status_accepted',
                    CAST(m3 * 1000 // greatest(n, 1) AS BIGINT),
+                   CAST(1000 AS BIGINT) FROM m
+            UNION ALL
+            SELECT 'priority_format',
+                   CAST(m4 * 1000 // greatest(n, 1) AS BIGINT),
                    CAST(1000 AS BIGINT) FROM m)
         SELECT rule, metric_permille, min_permille,
                CAST(CASE WHEN metric_permille >= min_permille
