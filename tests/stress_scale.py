@@ -31,6 +31,7 @@ QUERIES = [
     "snapshot_diff", "contrastive_pairs", "minhash_dedup_marks",
     "corpus_funnel", "daily_value_zscores", "frame_dedup",
     "ivfpq_ann", "padding_waste_audit", "bigram_lm_scores", "langid_trigram",
+    "data_quality_report", "source_quality_report", "dedup_provenance",
 ]
 
 
