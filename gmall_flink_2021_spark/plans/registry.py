@@ -308,8 +308,9 @@ def q_media_features(spark, sf):
 
 
 def q_embedding_dups_exhaustive(spark, sf):
-    """Label-only-blocked exhaustive audit form; the default near-dup
-    path is `embedding_dups_lsh` (label × hyperplane bucket)."""
+    """Gates: the exhaustive block² AUDIT form used to measure the LSH
+    path's recall on a sampled block; the default near-dup path is
+    `embedding_dups_lsh` (label × hyperplane bucket)."""
     (embeddings,) = _t(spark, sf, "embeddings")
     return similarity.embedding_dups_exhaustive(embeddings)
 
@@ -409,9 +410,9 @@ def q_purchase_click_window_join(spark, sf):
 
 
 def q_salted_brand_revenue(spark, sf):
-    """Brand revenue via the explicit salted skew join — identical
-    semantics to a plain equi-join (the oracle is the plain join), so
-    the skew machinery itself sits behind the correctness gate."""
+    """Gates: the explicit salted skew join — identical semantics to a
+    plain equi-join (the oracle is the plain join), so the skew
+    machinery itself sits behind the correctness gate."""
     from ..operators.skew import salted_join
 
     lineitem, part = _t(spark, sf, "lineitem", "part")
