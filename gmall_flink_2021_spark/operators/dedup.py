@@ -685,3 +685,36 @@ def dedup_provenance(documents: DataFrame) -> DataFrame:
            .agg(F.count(F.lit(1)).alias("ct")))
     out._banded_cache = marks._banded_cache
     return out
+
+
+def split_leakage_check(documents: DataFrame) -> DataFrame:
+    """Train/val split hygiene: how many VAL documents share an LSH
+    band bucket with any TRAIN document — near-duplicate leakage
+    ACROSS the content-hash split (textstats.train_val_split's
+    assignment rule), the in-corpus counterpart of benchmark
+    decontamination: exact-dup leakage is impossible under a
+    content-hash split only if duplicates are byte-identical; near
+    dups land on both sides and silently inflate eval scores.
+
+    One row: val_ct, leaked_ct, integer leak permille. Scale shape:
+    the banding projection + a distinct train-bucket set + one
+    semi-join — all keyed on (band, band_hash), no pair
+    enumeration."""
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    is_val = nib.isin("0", "1")
+    banded = (banded_minhash(documents)
+              .withColumn("is_val", is_val)).persist()
+    train_buckets = (banded.filter(~F.col("is_val"))
+                     .select("band", "band_hash").distinct())
+    leaked = (banded.filter(F.col("is_val"))
+              .join(train_buckets, ["band", "band_hash"], "left_semi")
+              .select("doc_id").distinct()
+              .agg(F.count(F.lit(1)).alias("leaked_ct")))
+    val_ct = (documents.filter(is_val)
+              .agg(F.count(F.lit(1)).alias("val_ct")))
+    out = (val_ct.crossJoin(F.broadcast(leaked))
+           .select("val_ct", "leaked_ct",
+                   F.expr("leaked_ct * 1000 DIV greatest(val_ct, 1)")
+                   .alias("leak_permille")))
+    out._banded_cache = banded
+    return out

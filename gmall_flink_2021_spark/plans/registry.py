@@ -1015,6 +1015,16 @@ def q_dedup_provenance(spark, sf):
     return out
 
 
+def q_split_leakage_check(spark, sf):
+    """Gates: split hygiene — near-dup leakage ACROSS the content-hash
+    train/val split via a bucket semi-join (no pair enumeration); the
+    in-corpus counterpart of benchmark decontamination."""
+    (documents,) = _t(spark, sf, "documents")
+    out = dedup.split_leakage_check(documents)
+    out._banded_cache.unpersist()  # lazy: recompute-on-reuse
+    return out
+
+
 def q_corpus_funnel(spark, sf):
     """Gates: the pipeline END PRODUCT — cumulative multi-gate attrition
     (lang → length → quality → MinHash dedup) as ONE conditional
@@ -1161,6 +1171,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_quality_report": q_data_quality_report,
     "source_quality_report": q_source_quality_report,
     "dedup_provenance": q_dedup_provenance,
+    "split_leakage_check": q_split_leakage_check,
 }
 
 
@@ -1633,6 +1644,30 @@ ORACLES: dict[str, str] = {
         JOIN documents d ON c.doc_id = d.doc_id
         JOIN documents o ON c.earliest_prior = o.doc_id
         GROUP BY 1, 2
+    """,
+    "split_leakage_check": f"""
+        WITH {_BANDS},
+        tagged AS (
+            SELECT doc_id, band, band_hash,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       IN ('0', '1') AS is_val
+            FROM bands),
+        tb AS (
+            SELECT DISTINCT band, band_hash FROM tagged
+            WHERE NOT is_val),
+        leaked AS (
+            SELECT count(DISTINCT t.doc_id) AS leaked_ct
+            FROM tagged t
+            SEMI JOIN tb ON t.band = tb.band
+                        AND t.band_hash = tb.band_hash
+            WHERE t.is_val),
+        vc AS (
+            SELECT count(*) AS val_ct FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN ('0', '1'))
+        SELECT val_ct, leaked_ct,
+               leaked_ct * 1000 // greatest(val_ct, 1) AS leak_permille
+        FROM vc, leaked
     """,
     "corpus_funnel": f"""
         WITH {_BANDS},
@@ -3695,7 +3730,7 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     "ivfpq_ann", "ivfpq_recall", "regional_part_gap",
     "padding_waste_audit", "bigram_lm_scores", "langid_trigram",
     "data_quality_report", "source_quality_report",
-    "dedup_provenance",
+    "dedup_provenance", "split_leakage_check",
     # graded green in round 1 only — re-confirm on this round's
     # regenerated testdata (rounds regenerate /root/testdata)
     "props_stats", "keyword_stats", "unique_visitors_daily",

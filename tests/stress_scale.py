@@ -32,6 +32,7 @@ QUERIES = [
     "corpus_funnel", "daily_value_zscores", "frame_dedup",
     "ivfpq_ann", "padding_waste_audit", "bigram_lm_scores", "langid_trigram",
     "data_quality_report", "source_quality_report", "dedup_provenance",
+    "split_leakage_check",
 ]
 
 
