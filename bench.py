@@ -97,23 +97,59 @@ def main() -> None:
             spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    payload = json.dumps({
+    full_payload = json.dumps({
         "metric": "registry_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
     }, separators=(",", ":"))
-    # the consumer captures only the tail of the output, so the JSON
-    # line must be the LAST thing emitted: stop Spark first (its
-    # shutdown chatter would otherwise land after the line and push
-    # the line's head out of a bounded tail window), persist a copy,
-    # then print.
+
+    # The driver keeps only the last ~2000 chars of stdout, and the
+    # 123-entry per-query map blows past that, leaving the recorded
+    # artifact unparseable (BENCH_r03.json parsed: null). So the LAST
+    # line is a compact summary guaranteed <= 2 KB: total, count,
+    # per-family subtotals (family = the operator module a query's
+    # callable lives in), and the 10 slowest queries. The complete
+    # per-query map is persisted to bench_results.json.
+    import inspect
+    _FAMS = ("analytics", "dedup", "dwm", "dws", "expectations",
+             "multimodal", "serving", "similarity", "textstats",
+             "gmall_dws", "gmall_dwm")
+    families: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        try:
+            src = inspect.getsource(inspect.unwrap(fn))
+        except (OSError, TypeError):
+            src = ""
+        fam = next((f for f in _FAMS if re.search(rf"\b{f}\.", src)),
+                   "relational")
+        families[fam] = round(
+            families.get(fam, 0.0) + timings.get(name, 0.0), 3)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    summary = json.dumps({
+        "metric": "registry_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,           # 10 slowest; full map in bench_results.json
+        "n_queries": len(timings),
+        "families": families,
+        "sf": sf,
+        "full_results": "bench_results.json",
+    }, separators=(",", ":"))
+    if len(summary) > 1900:  # belt-and-braces: never exceed the tail window
+        summary = json.dumps({
+            "metric": "registry_total_wall", "value": total, "unit": "sec",
+            "queries": slowest, "n_queries": len(timings), "sf": sf,
+        }, separators=(",", ":"))
+    # Stop Spark first (its shutdown chatter would otherwise land
+    # after the line and push the line's head out of a bounded tail
+    # window), persist the full map, then print the summary LAST.
     spark.stop()
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_results.json"), "w") as f:
-        f.write(payload + "\n")
-    print(payload, flush=True)
+        f.write(full_payload + "\n")
+    print(summary, flush=True)
 
 
 if __name__ == "__main__":

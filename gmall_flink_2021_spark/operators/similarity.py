@@ -855,8 +855,12 @@ def contrastive_pairs(embeddings: DataFrame, n_anchors: int = 5,
     sort_key = (F.when(F.col("kind") == "hard_positive",
                        F.col("cos_sim"))
                 .otherwise(-F.col("cos_sim")))
+    # NULL cos_sim (a zero-norm vector — try_divide yields NULL) must
+    # never rank: Spark's plain asc() is nulls-FIRST while the SQL
+    # oracle's default is nulls-last, so a degenerate embedding would
+    # otherwise become the top "hard" pair in the engine only.
     w = Window.partitionBy("anchor_id", "kind").orderBy(
-        sort_key.asc(), F.asc("neighbor_id"))
+        sort_key.asc_nulls_last(), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= per_kind)
             .select("anchor_id", "kind", "rank", "neighbor_id",

@@ -17,7 +17,8 @@ Conventions that keep the value-hash comparison exact:
 
 Registry pruning policy (round 3): every query wrapper's docstring
 names the unique plan feature it gates ("Gates: ..."), so every
-registry slot (115 at this writing) is justified. The near-duplicate candidates were
+registry slot (len(QUERIES) is the count of record) is justified.
+The near-duplicate candidates were
 examined and kept deliberately: token_stats vs bpe_token_stats gate
 the split/array path vs the regexp_extract_all path; top_brands vs
 top_revenue_supplier gate TakeOrderedAndProject vs a scalar-max

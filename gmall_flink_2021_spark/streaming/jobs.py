@@ -113,28 +113,35 @@ def uv_sketch_stream(events_stream: DataFrame, store_path: str,
 
     Idempotence: replaying a micro-batch after a failure must not
     double-merge (sketch union is idempotent but the pv_ct sum is
-    not), so each merged batch id leaves a marker; a replay with an
-    existing marker is a no-op — the same overwrite-by-batch
-    discipline as sinks.write_idempotent."""
-    import os
+    not). The highest merged batch id is EMBEDDED in the store (a
+    constant ``merged_bid`` column), so the replay guard swaps
+    atomically WITH the data it guards; a batch id ≤ the stored one is
+    a no-op. (A post-publish marker file — the earlier form — left a
+    crash window between publish and marker in which a replay
+    double-counted pv_ct; same fix as heavy_hitter_stream.)"""
     import shutil
 
     from ..operators.dwm import uv_daily_sketches
 
     spark = events_stream.sparkSession
-    done_dir = store_path + "._done"
 
     def sink(batch: DataFrame, bid: int) -> None:
-        marker = os.path.join(done_dir, str(bid))
-        if os.path.exists(marker):
-            return
-        daily = uv_daily_sketches(batch)
         try:
             existing = spark.read.parquet(store_path)
         except Exception:
             existing = None
         if existing is not None:
-            merged = (existing.unionByName(daily)
+            prior_bid = existing.agg(F.max("merged_bid")).first()[0]
+            if prior_bid is None:
+                raise RuntimeError(
+                    f"uv-sketch store {store_path} is corrupt (no "
+                    "merged_bid); restore or delete the store to "
+                    "re-seed")
+            if bid <= prior_bid:
+                return  # replayed batch: already merged, atomically
+        daily = uv_daily_sketches(batch)
+        if existing is not None:
+            merged = (existing.drop("merged_bid").unionByName(daily)
                       .groupBy("day")
                       .agg(F.hll_union_agg("sk").alias("sk"),
                            F.sum("pv_ct").alias("pv_ct")))
@@ -143,12 +150,10 @@ def uv_sketch_stream(events_stream: DataFrame, store_path: str,
         # two-phase swap: we cannot overwrite the store while lazily
         # reading from it
         tmp = store_path + "._staging"
-        merged.write.mode("overwrite").parquet(tmp)
+        merged.withColumn("merged_bid", F.lit(bid).cast("long")) \
+            .write.mode("overwrite").parquet(tmp)
         spark.read.parquet(tmp).write.mode("overwrite").parquet(store_path)
         shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(done_dir, exist_ok=True)
-        with open(marker, "w"):
-            pass
 
     q = (events_stream.writeStream.foreachBatch(sink)
          .option("checkpointLocation", checkpoint)
@@ -334,64 +339,72 @@ def heavy_hitter_stream(doc_stream: DataFrame, store_path: str,
 
     The prune threshold is computed by sorting the ≤ 2·counters-entry
     merged summary — a driver-side top-(k+1) over summary rows, never
-    over the corpus. Idempotent replay via per-batch markers + a
-    two-phase store swap (same discipline as uv_sketch_stream).
+    over the corpus. Idempotent replay: the max merged batch id is
+    EMBEDDED in the store as a sentinel row, so the replay guard swaps
+    atomically WITH the data it guards — the earlier post-publish
+    marker file left a crash window (publish done, marker not yet
+    written) in which a replayed batch re-merged into the
+    already-merged store, double-counting and breaking the c ≤ true
+    side of the MG bound. A crash mid-swap still fails loud on the
+    next read (missing sentinel rows ⇒ corrupt store).
     """
-    import os
     import shutil
 
     from ..functions.text import tokens
 
     spark = doc_stream.sparkSession
-    done_dir = store_path + "._done"
-    TOTAL = "<total tokens>"  # contains a space: unreachable as a token
+    # both sentinels contain a space: unreachable as tokens
+    TOTAL = "<total tokens>"
+    MERGED = "<merged batches>"  # cnt = highest batch id merged in
 
     def sink(batch: DataFrame, bid: int) -> None:
-        marker = os.path.join(done_dir, str(bid))
-        if os.path.exists(marker):
-            return
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(store_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        existing = None
+        if fs.exists(jpath):
+            existing = spark.read.parquet(store_path)
+            meta = {r["term"]: r["cnt"] for r in existing.filter(
+                F.col("term").isin(TOTAL, MERGED)).collect()}
+            if TOTAL not in meta or MERGED not in meta:
+                # a store without its sentinel rows is a partially-
+                # written swap (crash mid-republish): refuse to
+                # silently reset the accumulated summary — fail loud
+                raise RuntimeError(
+                    f"heavy-hitter store {store_path} is corrupt "
+                    "(missing sentinel rows); restore from a clean "
+                    "batch or delete the store to re-seed")
+            if bid <= meta[MERGED]:
+                return  # replayed batch: already merged, atomically
+            n_prior = meta[TOTAL]
+        else:
+            n_prior = 0
         bc = (batch.select(F.explode(tokens("text")).alias("term"))
               .groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
               .persist())
         # batch token total from the aggregated (vocab-sized) frame —
         # no second corpus-sized tokenize pass
         n_batch = bc.agg(F.sum("cnt")).first()[0] or 0
-        jpath = spark._jvm.org.apache.hadoop.fs.Path(store_path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(jpath):
-            existing = spark.read.parquet(store_path)
-            merged = (existing.filter(F.col("term") != TOTAL)
+        if existing is not None:
+            merged = (existing.filter(~F.col("term").isin(TOTAL, MERGED))
                       .unionByName(bc)
                       .groupBy("term").agg(F.sum("cnt").alias("cnt")))
-            total_row = existing.filter(F.col("term") == TOTAL).first()
-            if total_row is None:
-                # a store without its total row is a partially-written
-                # swap (crash mid-republish): refuse to silently reset
-                # the accumulated summary — fail loud for re-seeding
-                raise RuntimeError(
-                    f"heavy-hitter store {store_path} is corrupt "
-                    "(missing total row); restore from a clean batch "
-                    "or delete the store to re-seed")
-            n_prior = total_row["cnt"]
         else:
-            merged, n_prior = bc, 0
+            merged = bc
         rows = merged.orderBy(F.desc("cnt"), F.asc("term")) \
                      .limit(counters + 1).collect()
         if len(rows) > counters:
             sub = rows[-1]["cnt"]
             merged = (merged.filter(F.col("cnt") > sub)
                       .withColumn("cnt", F.col("cnt") - F.lit(sub)))
-        total = spark.createDataFrame(
-            [(TOTAL, n_prior + n_batch)], "term string, cnt long")
-        out = merged.unionByName(total)
+        meta_rows = spark.createDataFrame(
+            [(TOTAL, n_prior + n_batch), (MERGED, bid)],
+            "term string, cnt long")
+        out = merged.unionByName(meta_rows)
         tmp = store_path + "._staging"
         out.write.mode("overwrite").parquet(tmp)
         spark.read.parquet(tmp).write.mode("overwrite") \
             .parquet(store_path)
         shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(done_dir, exist_ok=True)
-        with open(marker, "w"):
-            pass
         bc.unpersist()
 
     q = (doc_stream.writeStream.foreachBatch(sink)

@@ -373,6 +373,10 @@ def test_similarity_operators_tolerate_zero_vectors(spark):
     assert all(8 not in (r.vec_a, r.vec_b) for r in dups.collect())
     cp = similarity.contrastive_pairs(emb, n_anchors=2).collect()
     assert cp
+    # "it simply never ranks" must hold literally: NULL cos_sim sorts
+    # nulls-LAST (matching the SQL oracle), so the zero-norm vec 8 can
+    # never displace a real neighbor from the top-per_kind pairs.
+    assert all(r.neighbor_id != 8 for r in cp)
 
 
 @given(lens=st.lists(st.integers(0, 40), min_size=1, max_size=30))

@@ -428,6 +428,7 @@ def test_heavy_hitter_stream_state_is_bounded_and_within_mg_error(
     state = {r["term"]: r["cnt"]
              for r in spark.read.parquet(store).collect()}
     total = state.pop("<total tokens>")
+    state.pop("<merged batches>")  # embedded replay guard, not a term
     assert total == n
     assert len(state) <= COUNTERS
     err = n / (COUNTERS + 1)
@@ -681,8 +682,10 @@ def test_observed_metrics_reconcile_with_sink_counts(spark, tmp_path):
 def test_heavy_hitter_stream_replay_is_idempotent(spark, tmp_path):
     """Replaying the whole stream with a FRESH checkpoint (batch ids
     re-fire from 0) against the existing store must be a no-op: the
-    per-batch markers skip every already-merged batch, so counts and
-    the token total do not double."""
+    batch-id sentinel embedded in the store (atomic with the data it
+    guards — no publish/marker crash window) skips every
+    already-merged batch, so counts and the token total do not
+    double."""
     import os
     import time as _time
 
