@@ -55,7 +55,8 @@ def product_stats(page: DataFrame, display: DataFrame,
                   order_wide: DataFrame, payment_wide: DataFrame,
                   refund: DataFrame, comment: DataFrame,
                   window_duration: str = "10 seconds",
-                  streaming_watermark: str | None = None) -> DataFrame:
+                  streaming_watermark: str | None = None,
+                  approx_distinct: bool = False) -> DataFrame:
     """The 7-source union → tumbling window reduce, keyed by sku_id.
 
     With ``streaming_watermark`` set, the union gets a watermark on its
@@ -63,6 +64,15 @@ def product_stats(page: DataFrame, display: DataFrame,
     aggregation run in append-mode streaming (the distinct order
     counts are already set-based, which streaming aggregation allows —
     A4's exact-within-window semantics).
+
+    ``approx_distinct=True`` swaps the three set-based distinct order
+    counts for approx_count_distinct (HyperLogLog++): constant ~kB of
+    state per (window, sku) group instead of one set entry per
+    distinct order — the 100 TB default in the composed warehouse
+    topology, where a hot sku's per-window order set is unbounded.
+    The exact form remains for reference parity
+    (bean/ProductStats.java:74-85 keeps real Sets). The error band is
+    gated in tests (same 3σ discipline as dws._uv_expr's approx_uv).
     """
     one = F.lit(1).cast("long")
     et_ms = F.timestamp_millis(F.col("ts"))
@@ -102,6 +112,12 @@ def product_stats(page: DataFrame, display: DataFrame,
         unioned = unioned.withColumn(
             "et", F.col("et").cast("timestamp")) \
             .withWatermark("et", streaming_watermark)
+    if approx_distinct:
+        def distinct_ct(col: str):
+            return F.approx_count_distinct(col).cast("long")
+    else:
+        def distinct_ct(col: str):
+            return F.size(F.collect_set(col)).cast("long")
     agg = (unioned
            .groupBy(F.window("et", window_duration), "sku_id")
            .agg(F.sum("click_ct").alias("click_ct"),
@@ -111,16 +127,13 @@ def product_stats(page: DataFrame, display: DataFrame,
                 F.sum("order_sku_num").alias("order_sku_num"),
                 F.sum("order_amount").cast("decimal(18,2)")
                  .alias("order_amount"),
-                F.size(F.collect_set("order_id")).cast("long")
-                 .alias("order_ct"),
+                distinct_ct("order_id").alias("order_ct"),
                 F.sum("payment_amount").cast("decimal(18,2)")
                  .alias("payment_amount"),
-                F.size(F.collect_set("paid_order_id")).cast("long")
-                 .alias("paid_order_ct"),
+                distinct_ct("paid_order_id").alias("paid_order_ct"),
                 F.sum("refund_amount").cast("decimal(18,2)")
                  .alias("refund_amount"),
-                F.size(F.collect_set("refund_order_id")).cast("long")
-                 .alias("refund_order_ct"),
+                distinct_ct("refund_order_id").alias("refund_order_ct"),
                 F.sum("comment_ct").alias("comment_ct"),
                 F.sum("good_comment_ct").alias("good_comment_ct")))
     return agg.select(*window_stamps(), "*").drop("window")

@@ -87,10 +87,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def visitor_stats_stream(events: DataFrame,
                          window_duration: str = "10 minutes",
-                         watermark: str = "1 second") -> DataFrame:
+                         watermark: str = "1 second",
+                         approx_uv: bool = False) -> DataFrame:
     """Streaming form of operators/dws.visitor_stats_window (A2+O2):
     the identical aggregation behind a bounded-out-of-orderness
-    watermark; append mode emits each window once it closes."""
+    watermark; append mode emits each window once it closes.
+
+    ``approx_uv=True`` is the high-cardinality deployment default
+    (constant HLL++ state per group instead of a per-user set entry —
+    see dws._uv_expr); the exact form remains for parity tests and
+    low-cardinality keys."""
     from ..operators.dws import visitor_stats_window
 
     # watermarks require TIMESTAMP (not NTZ); with the session pinned
@@ -98,7 +104,7 @@ def visitor_stats_stream(events: DataFrame,
     with_et = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return visitor_stats_window(
         with_et.withWatermark("ts", watermark), window_duration,
-        streaming=True)
+        streaming=True, approx_uv=approx_uv)
 
 
 def uv_sketch_stream(events_stream: DataFrame, store_path: str,

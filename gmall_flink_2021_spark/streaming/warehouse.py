@@ -34,12 +34,23 @@ from ..sources import cdc as cdc_src
 from . import sinks, stateful
 
 class Warehouse:
-    """Paths + SparkSession for one warehouse instance."""
+    """Paths + SparkSession for one warehouse instance.
+
+    ``approx_distinct`` (default True — the 100 TB posture) makes the
+    DWS jobs compute their per-window distinct order counts with
+    approx_count_distinct (HyperLogLog++, constant ~kB state per
+    group) instead of exact collect_set sets whose streaming state
+    grows with the true per-group cardinality. Pass False for
+    bit-exact reference parity (the form the reference's Set
+    accumulators compute — fine at per-sku 10 s grain, unbounded for
+    a hot key at corpus scale); the approx error band is gated by
+    tests/test_warehouse.py against the exact batch job."""
 
     def __init__(self, spark: SparkSession, workdir: str,
-                 config_rows: list[dict]):
+                 config_rows: list[dict], approx_distinct: bool = True):
         self.spark = spark
         self.work = workdir
+        self.approx_distinct = approx_distinct
         for d in ("ods_log", "ods_db", "ods_config", "dwd", "dwd_facts",
                   "dim", "dws", "ck"):
             os.makedirs(os.path.join(workdir, d), exist_ok=True)
@@ -326,7 +337,8 @@ class Warehouse:
                 self._p("dwd", "dwm_payment_wide")).drop("batch_id"),
             refund=self.typed_fact_stream("order_refund_info"),
             comment=self.typed_fact_stream("comment_info"),
-            streaming_watermark="1 second")
+            streaming_watermark="1 second",
+            approx_distinct=self.approx_distinct)
         q = (stats.writeStream.foreachBatch(
                 lambda b, i: sinks.write_idempotent(
                     b, i, self._p("dws", "product_stats_stream")))
@@ -398,7 +410,8 @@ class Warehouse:
             cart=self.typed_fact("cart_info"),
             order_wide=order_wide, payment_wide=pw,
             refund=self.typed_fact("order_refund_info"),
-            comment=self.typed_fact("comment_info"))
+            comment=self.typed_fact("comment_info"),
+            approx_distinct=self.approx_distinct)
         dims = self.dims()
         enrich_product_stats(stats, dims).write.mode("overwrite") \
             .parquet(self._p("dws", "product_stats"))

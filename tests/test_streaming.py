@@ -33,6 +33,28 @@ def test_visitor_stats_streaming_matches_batch(spark, tmp_path):
     assert want and got == want
 
 
+def test_visitor_stats_streaming_approx_uv_matches_batch_approx(
+        spark, tmp_path):
+    """The constant-state deployment form (approx_uv=True): HLL++
+    registers are per-value maxes, so the streaming estimate for a
+    closed window equals the batch estimate EXACTLY — the
+    approximation is vs the true count (gated separately in
+    test_sketch_accuracy), not vs the batch run."""
+    stream = read_events_stream(spark, SF_SMOKE)
+    out = run_to_completion(visitor_stats_stream(stream, approx_uv=True),
+                            str(tmp_path / "ckpt_vs_approx"))
+    got = {tuple(r) for r in out.collect()}
+
+    events = load_table(spark, SF_SMOKE, "events")
+    batch = visitor_stats_window(events, approx_uv=True)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    horizon = max_ts - datetime.timedelta(seconds=1)
+    want = {tuple(r) for r in batch.filter(F.col("edt") <= horizon).collect()}
+    assert want and got == want
+
+
 def test_streaming_sinks(spark, tmp_path):
     """K1/K2/K3 analogs: idempotent batch write, routed write, dim
     upsert (K4)."""

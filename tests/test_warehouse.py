@@ -12,7 +12,12 @@ from gmall_flink_2021_spark.streaming.warehouse import Warehouse
 
 def test_warehouse_end_to_end(spark, tmp_path):
     work = str(tmp_path / "wh")
-    wh = Warehouse(spark, work, fx.table_process_rows())
+    # exact reference-parity mode: every streaming==batch comparison
+    # below is bit-exact. The default (approx_distinct=True, the
+    # constant-state 100 TB posture) is covered by
+    # test_warehouse_default_approx_distinct_within_band.
+    wh = Warehouse(spark, work, fx.table_process_rows(),
+                   approx_distinct=False)
     cdc_src.write_changelog_fixture(fx.cdc_rows(),
                                     os.path.join(work, "ods_db"))
     with open(os.path.join(work, "ods_log", "log-0.txt"), "w") as f:
@@ -194,3 +199,58 @@ def test_dim_tables_are_config_driven(spark, tmp_path):
     assert set(evolved) == {7, 8}
     assert evolved[8]["hex"] == "#001f3f"
     assert evolved[7]["hex"] is None
+
+
+def test_warehouse_default_approx_distinct_within_band(spark, tmp_path):
+    """The DEFAULT warehouse posture is the constant-state path:
+    approx_distinct=True swaps the per-window distinct order sets for
+    HyperLogLog++ counters. Gate: against the exact batch ProductStats
+    every summed metric must be identical (approximation touches ONLY
+    the distinct counts) and each distinct count must sit inside the
+    approx_count_distinct band (rsd 5% ⇒ ~3σ = 15%, with the ±2
+    absolute floor for tiny groups — the same combined band as
+    test_windowed_approx_uv_within_band)."""
+    from gmall_flink_2021_spark.operators import gmall_dws
+
+    work = str(tmp_path / "wh_approx")
+    wh = Warehouse(spark, work, fx.table_process_rows())
+    assert wh.approx_distinct is True  # the documented default
+    cdc_src.write_changelog_fixture(fx.cdc_rows(),
+                                    os.path.join(work, "ods_db"))
+    with open(os.path.join(work, "ods_log", "log-0.txt"), "w") as f:
+        f.write("\n".join(fx.page_log_lines()))
+    wh.run_base_db()
+    wh.run_base_log()
+    wh.run_order_wide()
+    wh.run_payment_wide()
+    wh.run_product_stats_streaming()
+
+    page = spark.read.parquet(os.path.join(work, "dwd", "log_page"))
+    ow = spark.read.parquet(
+        os.path.join(work, "dwd", "dwm_order_wide")).drop("batch_id")
+    pw = spark.read.parquet(
+        os.path.join(work, "dwd", "dwm_payment_wide")).drop("batch_id")
+    exact = gmall_dws.product_stats(
+        page=page,
+        display=spark.read.parquet(os.path.join(work, "dwd", "log_display")),
+        favor=wh.typed_fact("favor_info"),
+        cart=wh.typed_fact("cart_info"),
+        order_wide=ow, payment_wide=pw,
+        refund=wh.typed_fact("order_refund_info"),
+        comment=wh.typed_fact("comment_info"))
+    got = spark.read.parquet(
+        os.path.join(work, "dws", "product_stats_stream")).drop("batch_id")
+
+    approx_cols = {"order_ct", "paid_order_ct", "refund_order_ct"}
+    key = ["stt", "sku_id"]
+    want_rows = {(str(r["stt"]), r["sku_id"]): r for r in exact.collect()}
+    got_rows = got.collect()
+    assert got_rows, "streaming job emitted no closed windows"
+    for r in got_rows:
+        w = want_rows[(str(r["stt"]), r["sku_id"])]
+        for f in exact.columns:
+            if f in approx_cols:
+                assert abs(r[f] - w[f]) <= max(0.15 * w[f], 2.0), \
+                    (f, r["sku_id"], r[f], w[f])
+            else:
+                assert str(r[f]) == str(w[f]), (f, r["sku_id"])
