@@ -266,25 +266,45 @@ def ngram_jaccard_pairs(documents: DataFrame, top_n: int = 50,
 
 
 def minhash_jaccard_pairs(documents: DataFrame,
-                          n_hashes: int = MINHASH_SEEDS) -> DataFrame:
-    """Signature-estimated Jaccard for every LSH candidate pair: the
-    fraction of agreeing MinHash components — the PRODUCTION near-dup
-    scorer at 100 TB. Candidates come from `minhash_band_pairs`
-    (bucketed equi-join, never all-pairs) and are scored from the
+                          n_hashes: int = MINHASH_SEEDS,
+                          per_band_cap: int = 4) -> DataFrame:
+    """Signature-estimated Jaccard over CAPPED LSH candidates: the
+    PRODUCTION near-dup scorer at 100 TB. Pairs are scored from the
     8-component signatures alone, so after the one signature pass the
     raw text is never re-read — this is what replaces the demoted
     `ngram_jaccard_pairs` exact counting at corpus scale (SCALE.md).
+
+    Candidate cap: inside each (band, band_hash) bucket a document
+    pairs only with its ``per_band_cap`` immediate successors in
+    doc_id order (a lead() window over the bucket), not with every
+    co-bucketed document. A bucket of m exact duplicates therefore
+    emits m·cap pairs instead of m²/2 — O(corpus) candidate mass at
+    ANY duplication level (the residual m² the uncapped equi-join
+    kept, measured 6-7× at 10× data on a duplicated corpus). The
+    adjacency chain still covers every duplicate cluster (each member
+    is scored against its nearest successors, and clustering
+    reachability is preserved transitively); pair enumeration beyond
+    the chain is exactly what the production decision does not need —
+    `dup_clusters`/`minhash_band_pairs` remain the uncapped audit
+    route. The cap rule is doc_id-deterministic, so the DuckDB oracle
+    mirrors it bit-for-bit.
 
     The estimate is exact integer arithmetic (component equality
     count) over engine-portable md5 slices, then one IEEE division by
     the component count — bit-identical in the DuckDB oracle. Joining
     candidates back to the signature table costs two doc_id-keyed
-    shuffles of the candidate set; candidates are LSH-bounded (orders
-    of magnitude smaller than the corpus), which is why the join-back
-    beats carrying 8 hashes through the banded explode."""
+    shuffles of the candidate set, now provably O(corpus·cap)."""
     sig = minhash_signatures(documents, n_hashes).filter(
         F.col("h0").isNotNull()).persist()
-    pairs = minhash_band_pairs(documents, n_hashes, sig=sig)
+    banded = banded_minhash(documents, n_hashes, sig=sig).persist()
+    w = Window.partitionBy("band", "band_hash").orderBy("doc_id")
+    succ = F.array(*[F.lead("doc_id", i).over(w)
+                     for i in range(1, per_band_cap + 1)])
+    pairs = (banded
+             .select(F.col("doc_id").alias("doc_a"), succ.alias("succ"))
+             .select("doc_a", F.explode("succ").alias("doc_b"))
+             .filter(F.col("doc_b").isNotNull())
+             .distinct())
     matching = sum(
         (F.when(F.col(f"a.h{j}") == F.col(f"b.h{j}"), F.lit(1))
          .otherwise(F.lit(0)) for j in range(n_hashes)),
@@ -296,7 +316,7 @@ def minhash_jaccard_pairs(documents: DataFrame,
                    (matching.cast("double") / F.lit(float(n_hashes)))
                    .alias("est_jaccard")))
     out._sig_cache = sig
-    out._banded_cache = getattr(pairs, "_banded_cache", None)
+    out._banded_cache = banded
     return out
 
 

@@ -1758,11 +1758,22 @@ ORACLES: dict[str, str] = {
     """,
     "minhash_jaccard_pairs": f"""
         WITH {_BANDS},
+        -- per-band candidate cap mirrored from the Spark side: each
+        -- doc pairs with its 4 immediate doc_id successors inside the
+        -- bucket (lead window), so a bucket of m duplicates emits
+        -- m*4 pairs, never m^2/2
+        led AS (
+            SELECT doc_id AS doc_a,
+                   [lead(doc_id, 1) OVER w, lead(doc_id, 2) OVER w,
+                    lead(doc_id, 3) OVER w, lead(doc_id, 4) OVER w]
+                   AS succ
+            FROM bands
+            WINDOW w AS (PARTITION BY band, band_hash ORDER BY doc_id)
+        ),
         pairs AS (
-            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-            FROM bands l
-            JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
-            WHERE l.doc_id < r.doc_id
+            SELECT DISTINCT doc_a, t.doc_b
+            FROM led, unnest(succ) AS t(doc_b)
+            WHERE t.doc_b IS NOT NULL
         )
         SELECT doc_a, doc_b,
                CAST({_MINHASH_MATCH} AS BIGINT) AS matching_components,
@@ -3701,53 +3712,44 @@ def _doubled_sql(sql: str, cols: tuple[str, ...]) -> str:
 # ---------------------------------------------------------------------------
 
 _GRADE_PRIORITY: tuple[str, ...] = (
-    # round-3 continuation additions (never graded)
-    "duplicate_spans", "mixture_plan", "quality_weighted_sample",
-    "ann_recall", "training_shard_plan", "pq_codebook_audit",
-    # round 3 must-grade: the 8 round-2 additions that have never had
-    # a CORRECTNESS row (outside both prior 50-query windows) ...
-    "tfidf_search", "contamination_check", "domain_quota_sample",
-    "sequence_packing", "event_metrics_unpivot", "embedding_dups_lsh",
-    "customer_value_quartiles", "uv_sketch_rollup",
-    # ... and the two whose output contract changed this round
-    # (ngram: per-doc index budget added; exhaustive: renamed from
-    # embedding_dups when the LSH-blocked form became the default)
-    "ngram_jaccard_pairs", "embedding_dups_exhaustive",
-    # new in round 3: the signature-estimated scorer + the
-    # keep-best-quality cluster rule
-    "minhash_jaccard_pairs", "dedup_keep_best",
-    # new in round 3 (continuation): PII scrubbing, training-window
-    # chunking, paragraph-level dedup-with-reconstruction, SemDedup
-    # k-means
-    "pii_redaction", "doc_chunks", "segment_dedup", "kmeans_clusters",
-    "semdedup_prune", "editdist_verified_pairs",
-    "doc_length_percentiles_approx",
-    # new in round 3 (second continuation): exact sketch-bounded heavy
-    # hitters, unigram-LM quality scoring, BPE merge induction, CDC
-    # snapshot reconciliation
-    "heavy_hitter_terms", "unigram_lm_scores", "bpe_merge_candidates",
-    "snapshot_diff", "contrastive_pairs", "minhash_dedup_marks",
-    "corpus_funnel", "daily_value_zscores", "frame_dedup",
-    "ivfpq_ann", "ivfpq_recall", "regional_part_gap",
-    "padding_waste_audit", "bigram_lm_scores", "langid_trigram",
-    "data_quality_report", "source_quality_report",
-    "dedup_provenance", "split_leakage_check",
-    # graded green in round 1 only — re-confirm on this round's
-    # regenerated testdata (rounds regenerate /root/testdata)
-    "props_stats", "keyword_stats", "unique_visitors_daily",
-    "first_visits", "is_new_repair", "user_jump_stats", "exact_dups",
-    "minhash_signatures", "minhash_band_pairs", "token_stats",
-    "quality_scores", "lang_id", "fingerprints", "knn_bruteforce",
-    "simhash_signatures", "label_centroid_similarity", "ivf_ann",
-    "top_orders_per_segment", "sessionize", "customers_without_orders",
-    "media_features", "late_shipment_priority", "funnel_conversion",
+    # Round-4 rotation: the driver grades the first 50 registry
+    # entries each round, so the order is STALENESS — every query is
+    # sorted by the round of its newest green CORRECTNESS row (r1
+    # first), with the queries whose output contract changed this
+    # round promoted to the very front. Rounds 4-5 jointly re-confirm
+    # the whole registry on regenerated testdata.
+    # changed in round 4 (nulls-last ranking; candidate cap):
+    "contrastive_pairs", "minhash_jaccard_pairs",
+    # newest green row is from round 1:
+    "exact_dups", "minhash_signatures", "minhash_band_pairs",
+    "token_stats", "quality_scores", "lang_id", "fingerprints",
+    "knn_bruteforce", "simhash_signatures",
+    "label_centroid_similarity", "ivf_ann", "top_orders_per_segment",
+    "sessionize", "customers_without_orders", "media_features",
+    "late_shipment_priority", "funnel_conversion",
     "video_frame_samples", "unique_visitors_daily_approx",
     "top_supplier_per_nation", "corpus_filter", "train_val_split",
     "order_count_distribution",
-    # round-2 greens re-confirmed: the scale-critical dedup/text chain
+    # newest green row is from round 2:
     "dup_clusters", "dedup_summary", "simhash_band_pairs",
     "repetition_stats", "doc_top_terms", "term_df_stats",
-    "bpe_token_stats", "lsh_ann", "norm_histogram",
+    "bpe_token_stats", "lsh_ann", "norm_histogram", "pricing_summary",
+    "segment_revenue", "region_revenue", "top_brands", "gmv_daily",
+    "order_wide_stats", "visitor_stats_window", "event_stats_daily",
+    "province_stats_sql", "click_purchase_join", "gmv_daily_delta",
+    "priority_rollup", "revenue_forecast", "promo_revenue_share",
+    "disjunctive_revenue", "large_volume_customers", "bilateral_trade",
+    "top_revenue_supplier", "small_qty_part_revenue",
+    "high_balance_inactive_customers", "nation_year_revenue",
+    "purchase_attribution", "price_tier_stats", "region_segment_cube",
+    "stratified_sample", "doc_length_percentiles", "media_resize",
+    "salted_brand_revenue", "purchase_click_window_join",
+    "hourly_activity_pivot", "retention_cohorts",
+    "native_session_windows", "quantization_error",
+    "returnflag_priority_stats", "part_supplier_variety",
+    "sole_late_suppliers", "grouping_sets_revenue",
+    "returnflag_part_overlap", "returned_item_customers",
+    "nation_market_share", "visitor_stats_sliding",
 )
 
 

@@ -142,13 +142,17 @@ def test_default_embedding_dups_is_band_blocked(spark):
 
 def test_minhash_jaccard_scorer_shape(spark):
     """The signature-estimated scorer must stay candidate-bounded:
-    banded equi-join candidate generation plus two equi-joins back to
-    the signature table — never a cartesian/nested-loop, and no text
-    tokenization downstream of the signature aggregation (the whole
-    point is scoring without re-reading text)."""
+    capped candidate generation (a lead() window over each LSH bucket
+    — per-doc fan-out ≤ cap·bands, never the bucket² self-join) plus
+    two equi-joins back to the signature table — never a
+    cartesian/nested-loop, and no text tokenization downstream of the
+    signature aggregation (the whole point is scoring without
+    re-reading text)."""
     plan = _plan(spark, "minhash_jaccard_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the cap is a window over (band, band_hash), not a pair self-join
+    assert "Window" in plan
 
 
 def test_simhash_band_pairs_is_bucketed_equi_join(spark):

@@ -410,3 +410,30 @@ def test_padding_waste_matches_python_reference(spark, lens):
     by_len = [n for n, _ in sorted((n, i) for i, n in enumerate(lens))]
     assert got["arrival_order"] == ref(arrival)
     assert got["length_sorted"] == ref(by_len)
+
+
+def test_minhash_jaccard_candidate_mass_is_linear_in_duplicates(spark):
+    """The per-band candidate cap: a cluster of m exact duplicates
+    must emit O(m·cap·bands) scored pairs — never the uncapped m²/2 —
+    while still chaining every cluster member into the pair graph
+    (adjacent-successor pairs preserve clustering reachability)."""
+    from gmall_flink_2021_spark.operators.dedup import (
+        minhash_jaccard_pairs)
+
+    m = 40
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, text, "en", "s0", len(text)) for i in range(m)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    pairs = minhash_jaccard_pairs(docs).collect()
+    cap, bands = 4, 4
+    assert len(pairs) <= m * cap * bands          # linear, not m²/2=780
+    # chain connectivity: every doc except the last appears as doc_a
+    # with its immediate successor among its pairs
+    succ = {(r.doc_a, r.doc_b) for r in pairs}
+    for i in range(m - 1):
+        assert (i, i + 1) in succ
+    # identical docs: every scored pair agrees on all 8 components
+    assert all(r.matching_components == 8 and r.est_jaccard == 1.0
+               for r in pairs)
