@@ -31,7 +31,18 @@ _DEFAULTS = {
     # raise this back to 128m+ (see SCALE.md).
     "spark.sql.files.maxPartitionBytes": os.environ.get(
         "SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
-    # events.parquet stores TIMESTAMP(NANOS); Spark reads it as long.
+    # events.parquet has been generated as TIMESTAMP(NANOS) in some
+    # rounds; Spark refuses to scan that physical type unless this
+    # legacy flag is set, under which a NANOS column surfaces as
+    # bigint (the loaders convert it back — sources/tables.py
+    # convert_events_ts). CONSTRAINT for library callers: the flag is
+    # session-global and type-scoped — it changes how every
+    # NANOS-encoded parquet column in this session reads (bigint, not
+    # timestamp) but leaves MICROS/MILLIS-encoded columns untouched
+    # (they read as timestamp regardless; pinned by
+    # test_sources_and_sql.test_micros_reads_unaffected_by_nanos_flag).
+    # Read nanos-encoded files through sources.tables.load_table (or
+    # mirror its footer probe) rather than raw spark.read.parquet.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     # local[32] means the driver JVM hosts all 32 task threads: an 8g

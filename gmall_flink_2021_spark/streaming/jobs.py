@@ -642,17 +642,14 @@ def with_row_audit(df: DataFrame, name: str = "row_audit") -> DataFrame:
         .alias("first_col_nonnull"))
 
 
-def uv_tws_stream(events: DataFrame) -> DataFrame:
-    """O6's first-visit dedup on Spark 4's NEW arbitrary-stateful API
-    (transformWithStateInPandas / StatefulProcessor): per (day,
-    user_id) key a ValueState marks 'seen'; the first arrival emits,
-    every later one is swallowed. Third implementation of the same
-    semantics — explicit applyInPandasWithState TTL
-    (streaming/stateful.py), engine-managed dropDuplicates-
-    WithinWatermark (uv_native_dedup_stream), and this, the
-    composable-state successor API (typed state handles, timers,
-    per-key processors) that the old flatMapGroupsWithState family is
-    converging to. All three must emit the batch DISTINCT set."""
+def first_visit_processor():
+    """The StatefulProcessor class behind ``uv_tws_stream``, exposed
+    via a factory so its per-key LOGIC is unit-testable with a fake
+    state handle even where the transformWithState runtime cannot
+    start (its state-server wire format needs a working
+    google.protobuf, which this sandbox lacks — the end-to-end test
+    skips there; tests/test_streaming.py drives this class directly
+    as the pure-Python fallback check)."""
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor
 
@@ -671,6 +668,21 @@ def uv_tws_stream(events: DataFrame) -> DataFrame:
         def close(self):
             pass
 
+    return FirstVisit
+
+
+def uv_tws_stream(events: DataFrame) -> DataFrame:
+    """O6's first-visit dedup on Spark 4's NEW arbitrary-stateful API
+    (transformWithStateInPandas / StatefulProcessor): per (day,
+    user_id) key a ValueState marks 'seen'; the first arrival emits,
+    every later one is swallowed. Third implementation of the same
+    semantics — explicit applyInPandasWithState TTL
+    (streaming/stateful.py), engine-managed dropDuplicates-
+    WithinWatermark (uv_native_dedup_stream), and this, the
+    composable-state successor API (typed state handles, timers,
+    per-key processors) that the old flatMapGroupsWithState family is
+    converging to. All three must emit the batch DISTINCT set."""
+    FirstVisit = first_visit_processor()
     with_et = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return (with_et
             .withWatermark("ts", "1 second")

@@ -164,7 +164,15 @@ def compact_table(spark, path: str,
     republish swap as upsert_dim's bucket rewrite — the hive layout,
     the batch_id column, downstream `batch_id < bid` state filters,
     and replay-overwrite semantics all survive, and no moment exists
-    where the table as a whole is missing. Returns
+    where the table as a whole is missing — with one caveat: the
+    final republish into a LEAF directory is itself non-atomic, so a
+    crash mid-republish can leave that one partition partial while
+    its fully-written ._compact staging dir survives. Crash RECOVERY
+    is therefore part of the contract: on entry, any leftover
+    ._compact staging dir that reads as a complete parquet dataset is
+    re-published into its target before compaction proceeds (and an
+    unreadable/partial staging leftover — crash mid-STAGE, target
+    still intact — is simply discarded). Returns
     {files_before, files_after, rows} for the maintenance log; raises
     if any directory's rewrite would change its row count."""
     import os
@@ -179,6 +187,25 @@ def compact_table(spark, path: str,
         for root, dirs, files in os.walk(p):
             if any(f.endswith(".parquet") for f in files):
                 yield root
+
+    # crash recovery: re-publish any completed staging left behind by
+    # a previous run that died between staging and republish
+    for root, dirs, _ in os.walk(path):
+        for dname in list(dirs):
+            if not dname.endswith("._compact"):
+                continue
+            stage = os.path.join(root, dname)
+            target = stage[: -len("._compact")]
+            # Spark writes _SUCCESS on job commit: its presence proves
+            # the stage is COMPLETE (crash was after staging, possibly
+            # mid-republish → target may be partial → re-publish);
+            # its absence proves the crash was mid-STAGE (target still
+            # intact → discard the partial stage)
+            if os.path.exists(os.path.join(stage, "_SUCCESS")):
+                spark.read.parquet(stage).write.mode("overwrite") \
+                    .parquet(target)
+            shutil.rmtree(stage, ignore_errors=True)
+            dirs.remove(dname)
 
     before = count_files(path)
     rows_total = 0

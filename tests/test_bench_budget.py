@@ -1,0 +1,108 @@
+"""In-tree bench regression gate (VERDICT r3 task 7): a plan
+regression — canonically a lost broadcast — must fail HERE, before
+the driver's per-round bench run sees it as a slowdown.
+
+Two layers:
+
+1. SHAPE budgets (deterministic): for the broadcast-reliant headline
+   queries, the physical plan must contain no SortMergeJoin (every
+   join in them is a dim-side broadcast) and at most the pinned
+   number of Exchange nodes. Forcing
+   ``spark.sql.autoBroadcastJoinThreshold=-1`` (plus the AQE
+   variant) demonstrably fails this gate: region_revenue goes
+   (12 Exchange, 0 SMJ) → (14, 2), segment_revenue (6, 0) → (6, 2),
+   bilateral_trade (12, 0) → (14, 2), nation_market_share
+   (14, 0) → (16, 2), click_purchase_join (2, 0) → (4, 2) —
+   measured on this rig; wall time at sf0.01 does NOT discriminate
+   (the data is too small for join strategy to dominate), which is
+   why the shape layer exists.
+
+2. WALL budgets (coarse, 3x margins, rig-noise tolerant): per-family
+   representative queries at sf0.01 must finish inside a generous
+   absolute budget. This catches gross regressions the shape layer
+   can't see (a Python UDF slipping into a hot path, a cache leak
+   re-computing a signature pass per query).
+
+Skip with SPARK_GRAFT_SKIP_BUDGET=1 on rigs where even 3x margins
+are too tight (shared CI under load).
+"""
+
+import io
+import contextlib
+import os
+import time
+
+import pytest
+
+from gmall_flink_2021_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+_skip = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SKIP_BUDGET") == "1",
+    reason="budget gate disabled via SPARK_GRAFT_SKIP_BUDGET")
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# (max Exchange nodes, SortMergeJoin allowed?) — max exchanges pinned
+# at measured count + 1 headroom so an added broadcast never trips it,
+# while a lost broadcast (= +2 exchanges each) always does.
+SHAPE_BUDGETS = {
+    "region_revenue": (13, False),
+    "segment_revenue": (7, False),
+    "bilateral_trade": (13, False),
+    "nation_market_share": (15, False),
+    "order_wide_stats": (11, False),
+    "click_purchase_join": (3, False),
+}
+
+
+@_skip
+@pytest.mark.parametrize("name", sorted(SHAPE_BUDGETS))
+def test_shuffle_shape_budget(spark, name):
+    max_exchange, smj_ok = SHAPE_BUDGETS[name]
+    plan = _plan(spark, name)
+    n_exchange = plan.count("Exchange")
+    assert n_exchange <= max_exchange, (
+        f"{name}: {n_exchange} Exchange nodes (budget {max_exchange}) — "
+        "a broadcast join probably degraded to a shuffle join")
+    if not smj_ok:
+        assert "SortMergeJoin" not in plan, (
+            f"{name}: SortMergeJoin in plan — every join here should "
+            "be a dim-side broadcast")
+
+
+# family -> (representative queries, wall budget seconds). Budgets are
+# ~3x the cold-ish sf0.01 wall on the local[32] rig (driver-recorded
+# bench r4 probe), absolute so the test needs no baseline file.
+WALL_BUDGETS = {
+    "relational": (["pricing_summary", "region_revenue",
+                    "nation_market_share"], 12.0),
+    "dedup": (["minhash_band_pairs", "minhash_jaccard_pairs",
+               "simhash_band_pairs"], 25.0),
+    "similarity": (["knn_bruteforce", "ivf_ann"], 12.0),
+    "textstats": (["token_stats", "heavy_hitter_terms"], 15.0),
+    "analytics": (["sessionize", "top_orders_per_segment"], 12.0),
+    "dws": (["visitor_stats_window", "event_stats_daily"], 12.0),
+}
+
+
+@_skip
+@pytest.mark.parametrize("family", sorted(WALL_BUDGETS))
+def test_family_wall_budget(spark, family):
+    names, budget = WALL_BUDGETS[family]
+    t0 = time.time()
+    for name in names:
+        QUERIES[name](spark, SF).collect()
+        spark.catalog.clearCache()
+    wall = time.time() - t0
+    assert wall <= budget, (
+        f"family {family} took {wall:.1f}s at sf0.01 "
+        f"(budget {budget}s, ~3x margin) — gross perf regression")

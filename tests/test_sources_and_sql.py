@@ -154,3 +154,45 @@ def test_kafka_builder_contracts(spark):
     assert routed.collect()[0]["topic"] == "dwd_order_info"
     # K1: fixed topic -> value-only frame, topic set on the writer
     assert k.route_topic(df).columns == ["value"]
+
+
+def test_micros_reads_unaffected_by_nanos_flag(spark, tmp_path):
+    """Session-conf hygiene for the nanosAsLong flag: after a
+    nanos-encoded streaming query has run (the flag is session-global
+    and must stay set for its scans), a MICROS-encoded parquet read in
+    the same session must still surface timestamps, not bigints — the
+    legacy flag is type-scoped to NANOS physical columns. Both the raw
+    read and the load_table path are pinned."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gmall_flink_2021_spark.sources.tables import (
+        events_ts_is_nanos, load_table)
+
+    # the engine session keeps the flag set (session factory default,
+    # and any nanos streaming scan needs it at execution time)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    base = datetime.datetime(2024, 1, 1)
+    table = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["view", "click"]),
+        "ts": pa.array([base, base + datetime.timedelta(seconds=5)],
+                       pa.timestamp("us")),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array([{"k": "v"}, {"k": "w"}],
+                          pa.map_(pa.string(), pa.string())),
+    })
+    d = tmp_path / "micros_sf"
+    d.mkdir()
+    pq.write_table(table, str(d / "events.parquet"))
+    assert not events_ts_is_nanos(str(d / "events.parquet"))
+
+    raw = spark.read.parquet(str(d / "events.parquet"))
+    assert dict(raw.dtypes)["ts"].startswith("timestamp")
+    via_loader = load_table(spark, str(d), "events")
+    assert dict(via_loader.dtypes)["ts"].startswith("timestamp")
+    assert via_loader.count() == 2

@@ -971,3 +971,98 @@ def test_checkpoint_resume_continues_from_offset(spark, tmp_path):
     want = {tuple(map(str, r)) for r in batch_out.collect()}
     batch_out._banded_cache.unpersist()
     assert want and got == want
+
+
+def test_first_visit_processor_logic_without_state_server():
+    """Pure-Python fallback check for the Spark-4 StatefulProcessor UV
+    dedup (VERDICT r3 task 8): the end-to-end transformWithState test
+    skips in sandboxes with a broken protobuf (the state-server wire
+    format), so the per-key first-visit logic is driven here directly
+    with a fake state handle — first arrival per (day, user) emits,
+    every later arrival (same or later micro-batch) is swallowed."""
+    from gmall_flink_2021_spark.streaming.jobs import first_visit_processor
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeValueState())
+
+    FirstVisit = first_visit_processor()
+
+    emitted = []
+    # one processor instance per key, as the engine partitions state
+    procs: dict = {}
+    for key, n_rows in [(("2024-01-01", 10), 3),
+                        (("2024-01-01", 10), 2),   # replayed key: silent
+                        (("2024-01-01", 20), 1),
+                        (("2024-01-02", 10), 1)]:  # new day: new key
+        p = procs.get(key)
+        if p is None:
+            p = procs[key] = FirstVisit()
+            p.init(FakeHandle())
+        for df in p.handleInputRows(key, iter([object()] * n_rows), None):
+            emitted.extend(
+                (d, u) for d, u in zip(df["day"], df["user_id"]))
+        p.close()
+    assert emitted == [("2024-01-01", 10), ("2024-01-01", 20),
+                       ("2024-01-02", 10)]
+
+
+def test_compaction_recovers_interrupted_republish(spark, tmp_path):
+    """Crash-window recovery: a previous compaction that died between
+    writing its ._compact staging dir (complete, _SUCCESS present) and
+    republishing it leaves the target leaf partial. The next
+    compact_table run must re-publish the staging dir FIRST — no rows
+    lost — while a partial staging (no _SUCCESS: crash mid-stage,
+    target intact) is simply discarded."""
+    import os
+    import shutil
+
+    from gmall_flink_2021_spark.streaming import sinks
+
+    p = str(tmp_path / "crashy")
+    events = load_table(spark, SF_SMOKE, "events") \
+        .select("event_id", "user_id", "event_type")
+    rows_total = 0
+    for b in range(3):
+        part = events.filter(F.col("event_id") % 3 == b)
+        rows_total += part.count()
+        sinks.write_idempotent(part.repartition(2), b, p)
+    before = {tuple(r) for r in spark.read.parquet(p).collect()}
+
+    # simulate the crash on batch_id=1's leaf: stage completed (real
+    # write, _SUCCESS present), then the republish died halfway —
+    # model that as the target having lost some of its files
+    leaf = os.path.join(p, "batch_id=1")
+    stage = leaf + "._compact"
+    spark.read.parquet(leaf).repartition(1).write.mode("overwrite") \
+        .parquet(stage)
+    assert os.path.exists(os.path.join(stage, "_SUCCESS"))
+    for f in sorted(os.listdir(leaf))[:1]:
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(leaf, f))
+    # ... and a mid-STAGE crash on batch_id=2: partial staging dir
+    # (no _SUCCESS), target untouched
+    bad_stage = os.path.join(p, "batch_id=2") + "._compact"
+    os.makedirs(bad_stage)
+    with open(os.path.join(bad_stage, "part-junk.parquet"), "wb") as fh:
+        fh.write(b"\x00not a real parquet file")
+
+    stats = sinks.compact_table(spark, p, target_files_per_partition=1)
+    after = {tuple(r) for r in spark.read.parquet(p).collect()}
+    assert after == before          # no row lost to either crash mode
+    assert stats["rows"] == rows_total
+    assert not os.path.exists(stage)
+    assert not os.path.exists(bad_stage)
