@@ -1101,3 +1101,88 @@ def langid_trigram_confusion(documents: DataFrame) -> DataFrame:
     return (pred.groupBy(F.col("label_lang"),
                          F.col("lang_p").alias("pred_lang"))
             .agg(F.count(F.lit(1)).alias("ct")))
+
+
+CLASSIFIER_DIM = 4096  # 3 md5 nibbles: buckets 0..4095
+
+
+def classifier_weights(spark, dim: int = CLASSIFIER_DIM,
+                       salt: str = "w") -> DataFrame:
+    """Weight table for ``hashed_classifier_scores``: one row per
+    feature bucket with a fixed-point micro-unit weight. The weights
+    here are a deterministic md5-derived STAND-IN (documented — this
+    environment cannot ship a trained fastText model); a production
+    deployment loads its trained vector into the same (bucket,
+    w_micro) shape and everything downstream is unchanged. The
+    derivation (4 md5 nibbles of "bucket|salt" − 32768 → ±32768 µ) is
+    engine-portable, so the full scorer has an exact SQL oracle."""
+    b = F.col("id").cast("string")
+    h = F.md5(F.concat(b, F.lit("|" + salt)))
+
+    def nib(i: int) -> F.Column:
+        a = F.ascii(F.substring(h, i, 1))
+        return F.when(a >= 97, a - 87).otherwise(a - 48)
+
+    return spark.range(dim).select(
+        F.col("id").alias("bucket"),
+        (nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4) - 32768)
+        .cast("long").alias("w_micro"))
+
+
+def hashed_classifier_scores(documents: DataFrame,
+                             weights: DataFrame | None = None,
+                             dim: int = CLASSIFIER_DIM,
+                             threshold_micro: int = 0) -> DataFrame:
+    """Model-based quality filtering — the fastText-style hashed
+    bag-of-words linear classifier every CCNet/RefinedWeb-shaped
+    pipeline runs after the heuristic filters: each token hashes into
+    one of ``dim`` feature buckets (first 3 md5 nibbles —
+    engine-portable), the document's logit is the integer sum of the
+    bucket weights over all token OCCURRENCES (bag, not set), and the
+    keep/drop label compares the logit to a threshold. Complements
+    the self-trained LM scorers (unigram_lm_scores/bigram_lm_scores):
+    those score fluency under the corpus distribution, this applies
+    an EXTERNAL learned decision boundary (here a documented
+    md5-derived stand-in vector — see classifier_weights).
+
+    Determinism: weights are fixed-point micro-units and the per-doc
+    score is a pure integer sum — no float accumulation anywhere, so
+    the whole scorer is bit-exact against the SQL oracle.
+
+    Scale shape: ONE corpus pass — explode_outer keeps empty/null
+    docs as a null-term row so no second scan or doc-spine join-back
+    exists; the bucket is computed scan-side, the dim-row weight
+    table joins by BROADCAST (dim is classifier-sized, ~10⁴–10⁶ rows
+    — always broadcast territory; left join so the null-term row
+    survives), and the per-doc logit is one map-side-combined sum.
+    At 100 TB nothing shuffles except doc_id-keyed partial sums.
+    Streaming form: scoring is per-doc stateless, so the
+    contamination_stream pattern (static broadcast side + micro-batch
+    scoring) applies verbatim."""
+    spark = documents.sparkSession
+    if weights is None:
+        weights = classifier_weights(spark, dim)
+
+    h = F.md5(F.col("term"))
+
+    def nib(i: int) -> F.Column:
+        a = F.ascii(F.substring(h, i, 1))
+        return F.when(a >= 97, a - 87).otherwise(a - 48)
+
+    toks = (documents
+            .select("doc_id", F.explode_outer(tokens("text"))
+                    .alias("term"))
+            .select("doc_id", "term",
+                    F.when(F.col("term").isNotNull(),
+                           nib(1) * 256 + nib(2) * 16 + nib(3))
+                    .cast("long").alias("bucket")))
+    scored = (toks.join(F.broadcast(weights), "bucket", "left")
+              .groupBy("doc_id")
+              .agg(F.sum(F.coalesce(F.col("w_micro"), F.lit(0)))
+                   .alias("s"),
+                   F.count("term").alias("n")))
+    return scored.select(
+        "doc_id", F.col("n").cast("long").alias("n_tokens"),
+        F.col("s").cast("long").alias("logit_micro"),
+        F.when(F.col("s") >= threshold_micro, F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("keep_label"))

@@ -1046,6 +1046,15 @@ def q_contrastive_pairs(spark, sf):
     return similarity.contrastive_pairs(embeddings)
 
 
+def q_hashed_classifier_scores(spark, sf):
+    """Gates: model-based quality filtering — hashed bag-of-words linear
+    classifier (scan-side md5 feature hashing, broadcast dim-row weight
+    table, integer logit sum; the external-decision-boundary complement
+    of the self-trained LM scorers)."""
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.hashed_classifier_scores(documents)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -1173,6 +1182,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_quality_report": q_source_quality_report,
     "dedup_provenance": q_dedup_provenance,
     "split_leakage_check": q_split_leakage_check,
+    "hashed_classifier_scores": q_hashed_classifier_scores,
 }
 
 
@@ -3552,6 +3562,33 @@ ORACLES["ann_recall"] = f"""
     GROUP BY e.query_id
 """
 
+ORACLES["hashed_classifier_scores"] = f"""
+    WITH {_TOKS},
+    occ AS (
+        SELECT doc_id, t.term FROM toks, unnest(tok) AS t(term)
+    ),
+    feat AS (
+        SELECT doc_id, (CASE WHEN ascii(substr(md5(term), 1, 1)) >= 97 THEN ascii(substr(md5(term), 1, 1)) - 87 ELSE ascii(substr(md5(term), 1, 1)) - 48 END) * 256 + (CASE WHEN ascii(substr(md5(term), 2, 1)) >= 97 THEN ascii(substr(md5(term), 2, 1)) - 87 ELSE ascii(substr(md5(term), 2, 1)) - 48 END) * 16 + (CASE WHEN ascii(substr(md5(term), 3, 1)) >= 97 THEN ascii(substr(md5(term), 3, 1)) - 87 ELSE ascii(substr(md5(term), 3, 1)) - 48 END) AS bucket FROM occ
+    ),
+    -- the md5-derived stand-in weight vector, one row per bucket
+    -- (mirrors operators/textstats.classifier_weights exactly)
+    w AS (
+        SELECT CAST(b AS BIGINT) AS bucket,
+               CAST((CASE WHEN ascii(substr(md5(CAST(b AS VARCHAR) || '|w'), 1, 1)) >= 97 THEN ascii(substr(md5(CAST(b AS VARCHAR) || '|w'), 1, 1)) - 87 ELSE ascii(substr(md5(CAST(b AS VARCHAR) || '|w'), 1, 1)) - 48 END) * 4096 + (CASE WHEN ascii(substr(md5(CAST(b AS VARCHAR) || '|w'), 2, 1)) >= 97 THEN ascii(substr(md5(CAST(b AS VARCHAR) || '|w'), 2, 1)) - 87 ELSE ascii(substr(md5(CAST(b AS VARCHAR) || '|w'), 2, 1)) - 48 END) * 256 + (CASE WHEN ascii(substr(md5(CAST(b AS VARCHAR) || '|w'), 3, 1)) >= 97 THEN ascii(substr(md5(CAST(b AS VARCHAR) || '|w'), 3, 1)) - 87 ELSE ascii(substr(md5(CAST(b AS VARCHAR) || '|w'), 3, 1)) - 48 END) * 16 + (CASE WHEN ascii(substr(md5(CAST(b AS VARCHAR) || '|w'), 4, 1)) >= 97 THEN ascii(substr(md5(CAST(b AS VARCHAR) || '|w'), 4, 1)) - 87 ELSE ascii(substr(md5(CAST(b AS VARCHAR) || '|w'), 4, 1)) - 48 END) - 32768 AS BIGINT) AS w_micro
+        FROM range(0, 4096) AS t(b)
+    ),
+    sums AS (
+        SELECT doc_id, sum(w_micro) AS s
+        FROM feat JOIN w USING (bucket) GROUP BY doc_id
+    )
+    SELECT toks.doc_id, CAST(len(tok) AS BIGINT) AS n_tokens,
+           CAST(coalesce(s, 0) AS BIGINT) AS logit_micro,
+           CAST(CASE WHEN coalesce(s, 0) >= 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS keep_label
+    FROM toks LEFT JOIN sums USING (doc_id)
+"""
+
+
 
 # ---------------------------------------------------------------------------
 # Quantitative accuracy gates for the sketch queries
@@ -3718,8 +3755,10 @@ _GRADE_PRIORITY: tuple[str, ...] = (
     # first), with the queries whose output contract changed this
     # round promoted to the very front. Rounds 4-5 jointly re-confirm
     # the whole registry on regenerated testdata.
-    # changed in round 4 (nulls-last ranking; candidate cap):
-    "contrastive_pairs", "minhash_jaccard_pairs",
+    # new/changed in round 4 (classifier scorer is new; nulls-last
+    # ranking; candidate cap):
+    "hashed_classifier_scores", "contrastive_pairs",
+    "minhash_jaccard_pairs",
     # newest green row is from round 1:
     "exact_dups", "minhash_signatures", "minhash_band_pairs",
     "token_stats", "quality_scores", "lang_id", "fingerprints",

@@ -505,3 +505,14 @@ def test_expectations_compile_to_one_pass(spark):
     # one distinct scan NODE (formatted plans print each node twice:
     # tree + detail section)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_hashed_classifier_is_broadcast_scored(spark):
+    """Model-based filtering must ride one corpus pass: the dim-row
+    weight table joins by BROADCAST (never a shuffled join keyed by
+    bucket — the corpus side must not shuffle for enrichment), and the
+    per-doc logit is a partial/final hash aggregate."""
+    plan = _plan(spark, "hashed_classifier_scores")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

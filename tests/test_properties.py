@@ -437,3 +437,26 @@ def test_minhash_jaccard_candidate_mass_is_linear_in_duplicates(spark):
     # identical docs: every scored pair agrees on all 8 components
     assert all(r.matching_components == 8 and r.est_jaccard == 1.0
                for r in pairs)
+
+
+def test_hashed_classifier_handles_empty_docs_and_is_bag_based(spark):
+    """Classifier hardening: null/empty text scores logit 0 (keep at
+    threshold 0, never a dropped row); repeated tokens count per
+    OCCURRENCE (bag semantics — doubling a doc's tokens doubles its
+    logit)."""
+    from gmall_flink_2021_spark.operators.textstats import (
+        hashed_classifier_scores)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "en", "s", 10),
+         (2, "alpha beta alpha beta", "en", "s", 21),
+         (3, None, "en", "s", 0),
+         (4, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    got = {r.doc_id: r for r in hashed_classifier_scores(docs).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[3].logit_micro == 0 and got[4].logit_micro == 0
+    assert got[3].n_tokens == 0 and got[3].keep_label == 1
+    assert got[2].logit_micro == 2 * got[1].logit_micro
+    assert got[2].n_tokens == 2 * got[1].n_tokens
