@@ -188,6 +188,32 @@ def contamination_stream(corpus_stream: DataFrame, bench_index: DataFrame,
     q.awaitTermination()
 
 
+def classifier_scores_stream(doc_stream: DataFrame, weights: DataFrame,
+                             out_path: str, checkpoint: str) -> None:
+    """Streaming model-based quality filtering: the trained (or
+    stand-in) weight table — built ONCE, classifier-sized, broadcast
+    inside every micro-batch — scores each arriving document with
+    textstats.hashed_classifier_scores. Per-doc logits depend only on
+    the doc and the static weights, so the union of emitted batches
+    equals the batch operator row-for-row (pinned by test); writes
+    are overwrite-by-batch-id (exactly-once). This is the ingestion
+    placement of the classifier filter: score-at-arrival, so a later
+    corpus release just filters on the stored keep_label instead of
+    re-reading text."""
+    from ..operators.textstats import hashed_classifier_scores
+    from . import sinks
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        sinks.write_idempotent(
+            hashed_classifier_scores(batch, weights=weights), bid,
+            out_path)
+
+    q = (doc_stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
 def segment_dedup_stream(doc_stream: DataFrame, out_path: str,
                          state_path: str, checkpoint: str) -> None:
     """Incremental paragraph-level dedup for a document stream: each

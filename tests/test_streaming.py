@@ -1066,3 +1066,30 @@ def test_compaction_recovers_interrupted_republish(spark, tmp_path):
     assert stats["rows"] == rows_total
     assert not os.path.exists(stage)
     assert not os.path.exists(bad_stage)
+
+
+def test_classifier_scores_streaming_matches_batch(spark, tmp_path):
+    """Model-based filtering at ingestion: the static weight table
+    scoring a multi-batch corpus stream must reproduce the batch
+    operator row-for-row (per-doc integer logits are independent of
+    batching)."""
+    from gmall_flink_2021_spark.operators import textstats
+    from gmall_flink_2021_spark.streaming.jobs import (
+        classifier_scores_stream)
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = str(tmp_path / "docs_cls")
+    docs.repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    weights = textstats.classifier_weights(spark).persist()
+    out = str(tmp_path / "cls_out")
+    classifier_scores_stream(stream, weights, out,
+                             str(tmp_path / "ck_cls"))
+    weights.unpersist()
+
+    got = {tuple(r) for r in
+           spark.read.parquet(out).drop("batch_id").collect()}
+    want = {tuple(r)
+            for r in textstats.hashed_classifier_scores(docs).collect()}
+    assert want and got == want
