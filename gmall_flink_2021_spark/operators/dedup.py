@@ -119,7 +119,8 @@ def minhash_dedup_marks(documents: DataFrame) -> DataFrame:
 def minhash_band_pairs(documents: DataFrame,
                        n_hashes: int = MINHASH_SEEDS,
                        bands: int = LSH_BANDS,
-                       sig: DataFrame | None = None) -> DataFrame:
+                       sig: DataFrame | None = None,
+                       chain_only: bool = False) -> DataFrame:
     """LSH candidate pairs: docs whose signatures collide in ≥1 band.
 
     Band hash = md5 of the band's concatenated minhashes; candidates
@@ -130,15 +131,33 @@ def minhash_band_pairs(documents: DataFrame,
     pipeline on both sides. Pass a prebuilt (ideally persisted)
     ``sig`` frame to share one signature pass with a downstream
     scorer (`minhash_jaccard_pairs` does).
+
+    ``chain_only=True`` emits, per bucket, only the ADJACENT pairs in
+    doc_id order (a lead(1) window instead of the bucket self-join):
+    a bucket of m docs contributes m−1 edges instead of m²/2. For
+    CONNECTED-COMPONENT consumers (`dup_clusters` and everything
+    built on it) the result is PROVABLY identical — all docs sharing
+    a bucket land in one component either way, and a chain keeps them
+    connected — while the edge count becomes linear in the corpus at
+    any duplication level. Pair-semantic consumers (the audit
+    enumeration, simhash-style verify joins) must keep the default.
     """
     banded = banded_minhash(documents, n_hashes, bands, sig).persist()
-    l = banded.alias("l")
-    r = banded.alias("r")
-    pairs = (l.join(r, ["band", "band_hash"])
-             .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-             .select(F.col("l.doc_id").alias("doc_a"),
-                     F.col("r.doc_id").alias("doc_b"))
-             .distinct())
+    if chain_only:
+        w = Window.partitionBy("band", "band_hash").orderBy("doc_id")
+        pairs = (banded
+                 .select(F.col("doc_id").alias("doc_a"),
+                         F.lead("doc_id", 1).over(w).alias("doc_b"))
+                 .filter(F.col("doc_b").isNotNull())
+                 .distinct())
+    else:
+        l = banded.alias("l")
+        r = banded.alias("r")
+        pairs = (l.join(r, ["band", "band_hash"])
+                 .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+                 .select(F.col("l.doc_id").alias("doc_a"),
+                         F.col("r.doc_id").alias("doc_b"))
+                 .distinct())
     # handle for callers that materialize `pairs` and can then release
     # the banded projection (persist() is lazy, so it cannot be
     # released here without recomputing the signatures twice)
@@ -336,8 +355,16 @@ def dup_clusters(documents: DataFrame, max_iter: int = 20,
     pass; above the bound it falls back to distributed min-label
     propagation (GraphX-style, converges in O(component diameter)
     rounds with a single aggregated convergence flag per round).
+
+    Round 4: the candidate graph uses ``chain_only`` banding — per
+    bucket, m−1 adjacent edges instead of the m²/2 self-join. The
+    components are provably identical (bucket co-membership is what
+    connects docs; a chain preserves it) while the edge list stays
+    linear in the corpus at any duplication level, which is what
+    keeps the pathological-bucket hazard (SCALE.md) out of the
+    clustering path entirely.
     """
-    pairs = minhash_band_pairs(documents).persist()
+    pairs = minhash_band_pairs(documents, chain_only=True).persist()
     n_pairs = pairs.count()
     banded = getattr(pairs, "_banded_cache", None)
     if banded is not None:

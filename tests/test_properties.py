@@ -460,3 +460,59 @@ def test_hashed_classifier_handles_empty_docs_and_is_bag_based(spark):
     assert got[3].n_tokens == 0 and got[3].keep_label == 1
     assert got[2].logit_micro == 2 * got[1].logit_micro
     assert got[2].n_tokens == 2 * got[1].n_tokens
+
+
+def test_chain_banding_yields_identical_components(spark):
+    """chain_only banding (m−1 adjacent edges per bucket) must produce
+    EXACTLY the components of the full m²/2 pair enumeration — bucket
+    co-membership is what connects docs, and a chain preserves it.
+    Checked on a corpus with a large duplicate cluster plus real
+    near-dup structure."""
+    from gmall_flink_2021_spark.operators.dedup import (
+        dup_clusters, minhash_band_pairs)
+    from gmall_flink_2021_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    extra = spark.createDataFrame(
+        [(100000 + i,
+          "zebra quokka lorem ipsum dolor sit amet consectetur "
+          "adipiscing elit sed do eiusmod tempor", "en", "dup", 90)
+         for i in range(25)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    corpus = docs.unionByName(extra)
+
+    def components(pairs_df):
+        parent = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs_df.select("doc_a", "doc_b").collect():
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        out = {}
+        for n in parent:
+            out.setdefault(find(n), set()).add(n)
+        return {frozenset(v) for v in out.values()}
+
+    full = components(minhash_band_pairs(corpus))
+    chain = components(minhash_band_pairs(corpus, chain_only=True))
+    assert full == chain
+    # edge economy: the chain graph is strictly smaller on the
+    # 25-duplicate cluster (25·24/2=300 pairs → ≤ 24·bands edges)
+    n_full = minhash_band_pairs(corpus).count()
+    n_chain = minhash_band_pairs(corpus, chain_only=True).count()
+    assert n_chain < n_full
+    # and dup_clusters (which now rides the chain graph) reports the
+    # planted cluster whole
+    cl = dup_clusters(corpus).collect()
+    planted = [r for r in cl if r.doc_id >= 100000]
+    assert len(planted) == 25
+    assert len({r.cluster_id for r in planted}) == 1
