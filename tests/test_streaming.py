@@ -1093,3 +1093,44 @@ def test_classifier_scores_streaming_matches_batch(spark, tmp_path):
     want = {tuple(r)
             for r in textstats.hashed_classifier_scores(docs).collect()}
     assert want and got == want
+
+
+def test_merged_store_streams_fail_loud_on_corrupt_store(spark, tmp_path):
+    """A merged store missing its embedded replay guard (crash
+    mid-swap, or external truncation) must make the next run raise —
+    silently re-seeding would reset accumulated counts and break the
+    exactly-once claim. Covers both merged-store streams."""
+    import os
+
+    import pytest
+
+    from gmall_flink_2021_spark.streaming.jobs import (
+        heavy_hitter_stream, uv_sketch_stream)
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = str(tmp_path / "docs_corrupt")
+    docs.limit(50).write.parquet(src)
+
+    # heavy hitters: store present but missing the sentinel rows
+    hh_store = str(tmp_path / "hh_corrupt_store")
+    spark.createDataFrame([("term_only", 3)], "term string, cnt long") \
+        .write.parquet(hh_store)
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .parquet(src))
+    with pytest.raises(Exception, match="corrupt"):
+        heavy_hitter_stream(stream, hh_store, str(tmp_path / "ck_hc"),
+                            counters=4)
+
+    # uv sketch: store present but no merged_bid column
+    events = load_table(spark, SF_SMOKE, "events")
+    esrc = str(tmp_path / "ev_corrupt")
+    events.limit(50).write.parquet(esrc)
+    uv_store = str(tmp_path / "uv_corrupt_store")
+    from gmall_flink_2021_spark.operators.dwm import uv_daily_sketches
+
+    uv_daily_sketches(events.limit(10)).withColumn(
+        "merged_bid", F.lit(None).cast("long")).write.parquet(uv_store)
+    estream = (spark.readStream.schema(spark.read.parquet(esrc).schema)
+               .parquet(esrc))
+    with pytest.raises(Exception, match="corrupt"):
+        uv_sketch_stream(estream, uv_store, str(tmp_path / "ck_uc"))
