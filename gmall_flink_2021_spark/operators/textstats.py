@@ -1050,16 +1050,21 @@ def langid_trigram_confusion(documents: DataFrame) -> DataFrame:
         "filter(transform(sequence(1, greatest(length(coalesce(text, ''))"
         " - 2, 1)), i -> substring(coalesce(text, ''), i, 3)),"
         " t -> length(t) = 3)")
-    # ONE trigram fan-out serves all three derivations (profile,
-    # vocab size, scoring) — three separate explodes would scan the
-    # corpus three times
+    # ONE trigram fan-out serves both corpus-sized derivations
+    # (profile training and scoring) — PERSISTED, because the two
+    # consumers are separate plan branches and would otherwise each
+    # re-scan and re-explode the corpus (round 4: this query's cost
+    # was 4 corpus fan-outs — profile, vocab, matched, n_tri; now 1:
+    # vocab comes from the charset³-bounded profile and n_tri is pure
+    # length arithmetic on the scan).
     doc_tri = (documents
                .select("doc_id", F.col("lang").alias("label_lang"),
-                       F.explode(tris).alias("tri")))
+                       F.explode(tris).alias("tri"))
+               .persist())
     profile = (doc_tri
                .groupBy(F.col("label_lang").alias("lang_p"), "tri")
                .agg(F.count(F.lit(1)).alias("c")))
-    v = doc_tri.agg(F.countDistinct("tri").alias("v"))
+    v = profile.agg(F.countDistinct("tri").alias("v"))
     lang_tot = (profile.groupBy("lang_p")
                 .agg(F.sum("c").alias("ct_lang"))
                 .crossJoin(F.broadcast(v)))
@@ -1079,8 +1084,16 @@ def langid_trigram_confusion(documents: DataFrame) -> DataFrame:
                .groupBy("doc_id", "lang_p")
                .agg(F.count(F.lit(1)).alias("m"),
                     F.sum("llr_micro").alias("s")))
-    n_tri = (doc_tri.groupBy("doc_id", "label_lang")
-             .agg(F.count(F.lit(1)).alias("n_tri")))
+    # trigram count is pure length arithmetic — no fan-out needed
+    # (docs under 3 chars have zero length-3 substrings), but docs
+    # with n_tri = 0 must still be EXCLUDED exactly as the explode
+    # form excluded them (explode of an empty array emits no row)
+    n_tri = (documents
+             .select("doc_id", F.col("lang").alias("label_lang"),
+                     F.greatest(
+                         F.length(F.coalesce(F.col("text"), F.lit("")))
+                         - 2, F.lit(0)).cast("long").alias("n_tri"))
+             .filter(F.col("n_tri") > 0))
     # the FULL doc × language grid, not just matched combinations: a
     # language sharing zero trigrams with a doc still has the score
     # n_tri·floor(lang), which (floors being least negative for
@@ -1098,9 +1111,12 @@ def langid_trigram_confusion(documents: DataFrame) -> DataFrame:
         F.desc("score"), F.asc("lang_p"))
     pred = (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1))
-    return (pred.groupBy(F.col("label_lang"),
-                         F.col("lang_p").alias("pred_lang"))
-            .agg(F.count(F.lit(1)).alias("ct")))
+    out = (pred.groupBy(F.col("label_lang"),
+                        F.col("lang_p").alias("pred_lang"))
+           .agg(F.count(F.lit(1)).alias("ct")))
+    # release handle for the shared trigram fan-out (repo convention)
+    out._tri_cache = doc_tri
+    return out
 
 
 CLASSIFIER_DIM = 4096  # 3 md5 nibbles: buckets 0..4095
