@@ -216,3 +216,20 @@ def test_training_release_composition(spark, tmp_path):
         r["shard"] for r in
         textstats.training_shard_plan(surv).select("shard").collect()}
     assert written_shards == plan_shards
+
+    # round 4: the model-based filter composes onto the release —
+    # classifier scores join the survivor set 1:1 on doc_id, the kept
+    # subset is exactly the keep_label=1 survivors, and re-scoring
+    # the written release reproduces the stored labels (the
+    # score-at-arrival contract of classifier_scores_stream)
+    scores = textstats.hashed_classifier_scores(surv)
+    scored_release = surv.join(
+        scores.select("doc_id", "keep_label"), "doc_id")
+    assert scored_release.count() == surv.count()
+    kept = scored_release.filter(F.col("keep_label") == 1)
+    n_kept = kept.count()
+    assert 0 < n_kept < surv.count()  # the stand-in model splits both ways
+    rescored = textstats.hashed_classifier_scores(
+        kept.select(*docs.columns))
+    assert rescored.filter(F.col("keep_label") == 0).count() == 0
+    assert rescored.count() == n_kept
