@@ -284,6 +284,34 @@ def ngram_jaccard_pairs(documents: DataFrame, top_n: int = 50,
     return out
 
 
+def capped_band_pairs(documents: DataFrame,
+                      n_hashes: int = MINHASH_SEEDS,
+                      bands: int = LSH_BANDS,
+                      per_band_cap: int = 4,
+                      sig: DataFrame | None = None) -> DataFrame:
+    """CAPPED LSH candidate pairs — the linear-candidate-mass
+    substrate shared by the production scorer
+    (`minhash_jaccard_pairs`) and the exact-verify pass
+    (`editdist_verified_pairs`): inside each (band, band_hash) bucket
+    a document pairs only with its ``per_band_cap`` immediate doc_id
+    successors (a lead() window), so a bucket of m duplicates emits
+    m·cap pairs, never m²/2 — total output ≤ cap·bands·n at ANY
+    duplication level. The adjacency chain (lead 1) is a subset, so
+    everything the clustering path decides on is covered. The rule is
+    doc_id-deterministic and mirrored bit-for-bit in the oracles."""
+    banded = banded_minhash(documents, n_hashes, bands, sig).persist()
+    w = Window.partitionBy("band", "band_hash").orderBy("doc_id")
+    succ = F.array(*[F.lead("doc_id", i).over(w)
+                     for i in range(1, per_band_cap + 1)])
+    pairs = (banded
+             .select(F.col("doc_id").alias("doc_a"), succ.alias("succ"))
+             .select("doc_a", F.explode("succ").alias("doc_b"))
+             .filter(F.col("doc_b").isNotNull())
+             .distinct())
+    pairs._banded_cache = banded
+    return pairs
+
+
 def minhash_jaccard_pairs(documents: DataFrame,
                           n_hashes: int = MINHASH_SEEDS,
                           per_band_cap: int = 4) -> DataFrame:
@@ -315,15 +343,9 @@ def minhash_jaccard_pairs(documents: DataFrame,
     shuffles of the candidate set, now provably O(corpus·cap)."""
     sig = minhash_signatures(documents, n_hashes).filter(
         F.col("h0").isNotNull()).persist()
-    banded = banded_minhash(documents, n_hashes, sig=sig).persist()
-    w = Window.partitionBy("band", "band_hash").orderBy("doc_id")
-    succ = F.array(*[F.lead("doc_id", i).over(w)
-                     for i in range(1, per_band_cap + 1)])
-    pairs = (banded
-             .select(F.col("doc_id").alias("doc_a"), succ.alias("succ"))
-             .select("doc_a", F.explode("succ").alias("doc_b"))
-             .filter(F.col("doc_b").isNotNull())
-             .distinct())
+    pairs = capped_band_pairs(documents, n_hashes, per_band_cap=per_band_cap,
+                              sig=sig)
+    banded = pairs._banded_cache
     matching = sum(
         (F.when(F.col(f"a.h{j}") == F.col(f"b.h{j}"), F.lit(1))
          .otherwise(F.lit(0)) for j in range(n_hashes)),
@@ -613,11 +635,16 @@ def editdist_verified_pairs(documents: DataFrame,
     lev / max(len_a, len_b) is a single identical IEEE division, so
     the filter threshold behaves identically everywhere.
 
-    Scale shape: candidate generation is the banded equi-join
-    (Σ bucket², never n²); the O(len²)-per-pair Levenshtein runs only
-    on candidates, joined against a narrow (doc_id, text) projection.
+    Scale shape (round 4): candidates come from `capped_band_pairs`
+    (per-bucket lead() window, output ≤ cap·bands·n — the same linear
+    bound as the scorer; the uncapped Σ bucket² enumeration previously
+    made the VERIFY pass the m² survivor at heavy duplication). The
+    capped set is a superset of the adjacency chain `dup_clusters`
+    decides on, so every edge production relies on gets its exact
+    Levenshtein check. The O(len²)-per-pair Levenshtein runs only on
+    candidates, joined against a narrow (doc_id, text) projection.
     """
-    pairs = minhash_band_pairs(documents)
+    pairs = capped_band_pairs(documents)
     # both join sides read this narrow projection: persist so the
     # corpus is tokenized once, not once per side (same policy as the
     # banded projection above); released via _norm_cache
@@ -627,6 +654,12 @@ def editdist_verified_pairs(documents: DataFrame,
     b = norm.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))
     lev = F.levenshtein("ta", "tb")
     denom = F.greatest(F.length("ta"), F.length("tb"), F.lit(1))
+    # (A per-row THRESHOLDED levenshtein — levenshtein(ta, tb, t),
+    # banded O(len·t) — was measured here and REJECTED: at
+    # max_rel=0.4 the band is 0.4·len wide, the theoretical saving is
+    # ~20%, and the measured x10 wall was ~15% WORSE than the plain
+    # O(len²) codegen path. Worth revisiting only for much tighter
+    # thresholds.)
     out = (pairs.join(a, "doc_a").join(b, "doc_b")
            .select("doc_a", "doc_b",
                    lev.cast("long").alias("lev"),

@@ -2973,11 +2973,21 @@ ORACLES: dict[str, str] = {
     "semdedup_prune": _semdedup_oracle_sql(0.35),
     "editdist_verified_pairs": f"""
         WITH {_BANDS},
+        -- per-band candidate cap mirrored from the Spark side (same
+        -- rule as minhash_jaccard_pairs): each doc pairs with its 4
+        -- immediate doc_id successors inside the bucket
+        led AS (
+            SELECT doc_id AS doc_a,
+                   [lead(doc_id, 1) OVER w, lead(doc_id, 2) OVER w,
+                    lead(doc_id, 3) OVER w, lead(doc_id, 4) OVER w]
+                   AS succ
+            FROM bands
+            WINDOW w AS (PARTITION BY band, band_hash ORDER BY doc_id)
+        ),
         pairs AS (
-            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-            FROM bands l
-            JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
-            WHERE l.doc_id < r.doc_id
+            SELECT DISTINCT doc_a, t.doc_b
+            FROM led, unnest(succ) AS t(doc_b)
+            WHERE t.doc_b IS NOT NULL
         ),
         norm AS (SELECT doc_id, array_to_string(tok, ' ') AS t FROM toks)
         SELECT doc_a, doc_b,
