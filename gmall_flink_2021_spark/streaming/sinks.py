@@ -225,3 +225,52 @@ def compact_table(spark, path: str,
     return {"files_before": before,
             "files_after": count_files(path),
             "rows": rows_total}
+
+
+def optimize_layout(df: DataFrame, path: str, range_cols: list[str],
+                    n_partitions: int = 32) -> dict:
+    """Range-partitioned, sorted data layout — the third layout tool
+    next to hive partitioning (partition pruning) and bucketing
+    (shuffle-free joins): `repartitionByRange` on the query's range
+    key + `sortWithinPartitions` writes files whose per-file (and
+    per-row-group) min/max statistics are TIGHT and essentially
+    disjoint, which is what turns a range predicate into physical
+    row-group skipping at scan time on a 100 TB table. Spark samples
+    the key distribution for the range bounds, so skewed keys still
+    split evenly.
+
+    Returns {files, disjoint_pct}: the written file count and the
+    percentage of adjacent file-pairs (by min) whose key ranges do
+    not overlap — 100 means a scan with a range predicate reads only
+    the files it must; the number is also the test's assertion
+    surface. Metadata is read back footer-side (pyarrow), no data
+    scan."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    (df.repartitionByRange(n_partitions, *range_cols)
+       .sortWithinPartitions(*range_cols)
+       .write.mode("overwrite").parquet(path))
+
+    key = range_cols[0]
+    spans = []
+    for fn in os.listdir(path):
+        if not fn.endswith(".parquet") or fn.startswith("."):
+            continue
+        md = pq.read_metadata(os.path.join(path, fn))
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.row_group(rg).num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == key and col.statistics:
+                    s = col.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        if lo is not None:
+            spans.append((lo, hi))
+    spans.sort()
+    disjoint = sum(1 for i in range(1, len(spans))
+                   if spans[i][0] >= spans[i - 1][1])
+    pct = 100 * disjoint // max(len(spans) - 1, 1)
+    return {"files": len(spans), "disjoint_pct": pct}
