@@ -1176,6 +1176,15 @@ def hashed_classifier_scores(documents: DataFrame,
     contamination_stream pattern (static broadcast side + micro-batch
     scoring) applies verbatim."""
     spark = documents.sparkSession
+    # the bucket derivation below is fixed at 3 md5 nibbles → domain
+    # exactly [0, CLASSIFIER_DIM); a weight table over a different
+    # domain would silently zero-score the out-of-range buckets via
+    # the left join, so refuse a mismatched dim up front
+    if dim != CLASSIFIER_DIM:
+        raise ValueError(
+            f"hashed_classifier_scores buckets are fixed at "
+            f"{CLASSIFIER_DIM} (3 md5 nibbles); got dim={dim}. "
+            "Provide a weights table covering [0, 4096) instead.")
     if weights is None:
         weights = classifier_weights(spark, dim)
 
