@@ -3758,18 +3758,19 @@ def _doubled_sql(sql: str, cols: tuple[str, ...]) -> str:
 # back.  Rotate per round.
 # ---------------------------------------------------------------------------
 
-# Queries whose OUTPUT CONTRACT changed in the CURRENT round (new
-# queries, semantics changes) — promoted to the very front of the
-# grading window regardless of staleness, because artifact-derived
-# ordering cannot know about them. Reset each round.
-_CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "hashed_classifier_scores",   # new in round 4
-    "contrastive_pairs",          # nulls-last ranking fix
-    "minhash_jaccard_pairs",      # per-bucket candidate cap
-    "editdist_verified_pairs",    # capped candidate substrate
-    "dup_clusters",               # chain-graph candidates (components
-                                  # identical; re-confirm anyway)
-)
+# Queries whose OUTPUT CONTRACT changed (new queries, semantics
+# changes), mapped to the round the change landed in — promoted to
+# the very front of the grading window until an artifact of that
+# round (or newer) has graded them green, because artifact-derived
+# staleness cannot know about in-flight changes. Append on change;
+# entries expire automatically once confirmed.
+_CHANGED_THIS_ROUND: dict[str, int] = {
+    "hashed_classifier_scores": 4,   # new in round 4
+    "contrastive_pairs": 4,          # nulls-last ranking fix
+    "minhash_jaccard_pairs": 4,      # per-bucket candidate cap
+    "editdist_verified_pairs": 4,    # capped candidate substrate
+    "dup_clusters": 4,               # chain-graph candidates
+}
 
 _GRADE_PRIORITY: tuple[str, ...] = (
     # STATIC FALLBACK ordering, used only when no CORRECTNESS_r*.json
@@ -3813,7 +3814,7 @@ _GRADE_PRIORITY: tuple[str, ...] = (
 )
 
 
-def _staleness_order(queries) -> list[str] | None:
+def _staleness_order(queries, root: str | None = None):
     """Self-rotating grading window: the driver grades the FIRST 50
     registry entries each round, so order queries by the round of
     their newest green CORRECTNESS row (never-graded first, then
@@ -3828,8 +3829,9 @@ def _staleness_order(queries) -> list[str] | None:
     import os
     import re
 
-    root = os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__))))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
     latest: dict[str, int] = {}
     found = False
     for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
@@ -3852,7 +3854,10 @@ def _staleness_order(queries) -> list[str] | None:
     if not found:
         return None
     names = list(queries)
-    return sorted(names, key=lambda n: (latest.get(n, 0), names.index(n)))
+    order = sorted(names,
+                   key=lambda n: (latest.get(n, 0), names.index(n)))
+    max_round = max(latest.values(), default=0)
+    return order, latest, max_round
 
 
 def _finalize(
@@ -3860,12 +3865,20 @@ def _finalize(
     oracles: dict[str, str],
 ) -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]],
            dict[str, str]]:
-    base = _staleness_order(queries)
-    if base is None:
+    staleness = _staleness_order(queries)
+    if staleness is None:
         order = [n for n in _GRADE_PRIORITY if n in queries]
         order += [n for n in queries if n not in _GRADE_PRIORITY]
     else:
-        changed = [n for n in _CHANGED_THIS_ROUND if n in queries]
+        base, latest, _max_round = staleness
+        # promote contract-changed queries only until an artifact of
+        # the change's round (or newer) has graded them green — after
+        # that the change is confirmed and normal staleness rotation
+        # resumes (a stale promotion entry cannot waste window slots
+        # in later rounds, and a pre-change green row cannot expire
+        # the promotion early)
+        changed = [n for n, chg in _CHANGED_THIS_ROUND.items()
+                   if n in queries and latest.get(n, 0) < chg]
         order = changed + [n for n in base if n not in changed]
     q = {n: _doubled(queries[n]) for n in order}
     o = {}
