@@ -516,3 +516,52 @@ def test_chain_banding_yields_identical_components(spark):
     planted = [r for r in cl if r.doc_id >= 100000]
     assert len(planted) == 25
     assert len({r.cluster_id for r in planted}) == 1
+
+
+@given(picks=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 2)),
+                      min_size=2, max_size=24))
+@_slow
+def test_chain_banding_components_equal_on_random_corpora(spark, picks):
+    """Generative form of the chain-equivalence claim: for ANY corpus
+    (random mixtures of base texts and small variations, arbitrary
+    duplication), chain_only banding yields exactly the components of
+    the full pair enumeration."""
+    from gmall_flink_2021_spark.operators.dedup import minhash_band_pairs
+
+    bases = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten eleven",
+        "red orange yellow green blue indigo violet umber ochre teal",
+        "north south east west up down left right front back middle",
+    ]
+    rows = []
+    for i, (b, var) in enumerate(picks):
+        text = bases[b] + ("" if var == 0 else f" tail{var}")
+        rows.append((i, text, "en", "s", len(text)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+
+    def components(pairs_df):
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b2 in pairs_df.select("doc_a", "doc_b").collect():
+            parent.setdefault(a, a)
+            parent.setdefault(b2, b2)
+            ra, rb = find(a), find(b2)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        out: dict = {}
+        for n in parent:
+            out.setdefault(find(n), set()).add(n)
+        return {frozenset(v) for v in out.values()}
+
+    full = components(minhash_band_pairs(docs))
+    chain = components(minhash_band_pairs(docs, chain_only=True))
+    assert full == chain
