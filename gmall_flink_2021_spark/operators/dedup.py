@@ -188,12 +188,20 @@ def simhash_signatures(documents: DataFrame, bits: int = 60) -> DataFrame:
               .select("doc_id",
                       F.substring(F.md5(F.col("t")), 1, bits // 4)
                       .alias("h")))
+    # one hex→int64 conversion per token, then 60 integer shift/mask
+    # bit extracts — replaces 60 per-bit string instr()+substring()
+    # ops (round 4: ~25% off the signature pass, bit-identical: the
+    # hex char at position k holds bits 4·(15−k)..4·(15−k)+3 of the
+    # converted value, so bit j of nibble k is plain shift arithmetic)
+    nibbles = bits // 4
+    hashed = hashed.select(
+        "doc_id",
+        F.conv(F.col("h"), 16, 10).cast("long").alias("v"))
     sums = []
     for b in range(bits):
         k, j = b // 4 + 1, b % 4
-        bit = F.expr(
-            f"((instr('0123456789abcdef', substring(h, {k}, 1)) - 1)"
-            f" div {2 ** j}) % 2")
+        shift = 4 * (nibbles - k) + j
+        bit = F.shiftright(F.col("v"), shift).bitwiseAND(F.lit(1))
         sums.append(F.sum(bit * 2 - 1).alias(f"s{b}"))
     votes = hashed.groupBy("doc_id").agg(*sums)
     sig = sum(
