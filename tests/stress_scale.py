@@ -33,6 +33,10 @@ QUERIES = [
     "ivfpq_ann", "padding_waste_audit", "bigram_lm_scores", "langid_trigram",
     "data_quality_report", "source_quality_report", "dedup_provenance",
     "split_leakage_check",
+    # round 4: classifier scorer; the capped exact-verify pass (its
+    # x10 wall is ~90 s — dominated by true Levenshtein work on the
+    # replica corpus's real near-dup mass, bounded at cap·bands·n)
+    "hashed_classifier_scores", "editdist_verified_pairs",
 ]
 
 
