@@ -916,9 +916,21 @@ def padding_waste_audit(documents: DataFrame,
     toks = documents.select(
         "doc_id", F.size(tokens("text")).alias("n_tokens"))
 
+    caches = []
+
     def waste(order_cols: list, name: str) -> DataFrame:
+        # PERSIST the range-partitioned frame: the per-partition
+        # counts below and the final aggregation are two separate
+        # actions, and repartitionByRange SAMPLES the key
+        # distribution for its bounds — recomputed from scratch, the
+        # second action can land on different bounds, misaligning the
+        # collected offsets and colliding ordinals (observed at
+        # sf0.1: 612 batches for 5000 rows — 13 batches doubled up).
+        # Persisting pins one materialized partitioning for both.
         ranged = (toks.repartitionByRange(8, *order_cols)
-                  .withColumn("_pid", F.spark_partition_id()))
+                  .withColumn("_pid", F.spark_partition_id())
+                  .persist())
+        caches.append(ranged)
         w = Window.partitionBy("_pid").orderBy(*order_cols)
         local = ranged.withColumn("_rn", F.row_number().over(w))
         counts = sorted(
@@ -954,7 +966,10 @@ def padding_waste_audit(documents: DataFrame,
     arrival = waste([F.asc("doc_id")], "arrival_order")
     sorted_ = waste([F.asc("n_tokens"), F.asc("doc_id")],
                     "length_sorted")
-    return arrival.unionByName(sorted_)
+    out = arrival.unionByName(sorted_)
+    # release handles for the two pinned partitionings
+    out._ordinal_caches = caches
+    return out
 
 
 def bigram_lm_scores(documents: DataFrame,
