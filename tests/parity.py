@@ -21,10 +21,17 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        # Spark-written tables are DIRECTORIES of part files (the
+        # stress corpora); driver testdata is single files — glob
+        # accordingly so either layout oracles identically
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     return con
 
 
