@@ -305,8 +305,11 @@ def capped_band_pairs(documents: DataFrame,
     successors (a lead() window), so a bucket of m duplicates emits
     m·cap pairs, never m²/2 — total output ≤ cap·bands·n at ANY
     duplication level. The adjacency chain (lead 1) is a subset, so
-    everything the clustering path decides on is covered. The rule is
-    doc_id-deterministic and mirrored bit-for-bit in the oracles."""
+    everything the clustering path decides on is covered; pair
+    ENUMERATION recall is capped, though (see
+    minhash_jaccard_pairs's docstring for the exact limit). The rule
+    is doc_id-deterministic and mirrored bit-for-bit in the
+    oracles."""
     banded = banded_minhash(documents, n_hashes, bands, sig).persist()
     w = Window.partitionBy("band", "band_hash").orderBy("doc_id")
     succ = F.array(*[F.lead("doc_id", i).over(w)
@@ -336,13 +339,19 @@ def minhash_jaccard_pairs(documents: DataFrame,
     emits m·cap pairs instead of m²/2 — O(corpus) candidate mass at
     ANY duplication level (the residual m² the uncapped equi-join
     kept, measured 6-7× at 10× data on a duplicated corpus). The
-    adjacency chain still covers every duplicate cluster (each member
-    is scored against its nearest successors, and clustering
-    reachability is preserved transitively); pair enumeration beyond
-    the chain is exactly what the production decision does not need —
-    `dup_clusters`/`minhash_band_pairs` remain the uncapped audit
-    route. The cap rule is doc_id-deterministic, so the DuckDB oracle
-    mirrors it bit-for-bit.
+    adjacency chain covers every duplicate cluster for the CLUSTERING
+    decision: each member is scored against its nearest successors,
+    and reachability is transitive for exact duplicates, whose chain
+    neighbours are themselves duplicates. The cap is NOT
+    recall-complete for thresholded pair ENUMERATION — a true
+    near-dup pair more than ``per_band_cap`` doc_id-successors apart
+    in every shared bucket is never scored, and transitivity does not
+    rescue it when the interleaved chain docs fall below the
+    similarity threshold. Recall-sensitive consumers should raise
+    ``per_band_cap`` or use the uncapped
+    `minhash_band_pairs`/`dup_clusters` audit route. The cap rule is
+    doc_id-deterministic, so the DuckDB oracle mirrors it
+    bit-for-bit.
 
     The estimate is exact integer arithmetic (component equality
     count) over engine-portable md5 slices, then one IEEE division by

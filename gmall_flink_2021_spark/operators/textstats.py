@@ -903,51 +903,51 @@ def padding_waste_audit(documents: DataFrame,
     Scale shape: the global ordinal each strategy needs is built
     WITHOUT a single-partition window (the naive
     Window.orderBy(...).row_number() ships the whole corpus through
-    one task): the frame is range-repartitioned on the total order
-    key, row-numbered WITHIN each partition, and shifted by the
-    per-partition counts (a bounded driver-side prefix sum over
-    n_partitions rows, broadcast back as a join). Then the fixed-size
+    one task): rows are bucketed by a DETERMINISTIC order-preserving
+    function of the sort key itself (doc_id DIV width for arrival
+    order; the exact token count for length order — never by sampled
+    range bounds, whose resampling across actions was the round-4
+    ordinal-collision bug class), row-numbered WITHIN each bucket
+    (a hash-partitioned window), and shifted by the cumulative count
+    of earlier buckets (a bounded driver-side prefix sum over
+    |buckets| rows, broadcast back as a join). Then the fixed-size
     grouping via ordinal DIV B and a batch-max aggregation; output is
     2 rows. Ties break on doc_id (unique), so the total order — and
-    batch composition — is deterministic and oracle-exact.
+    batch composition — is deterministic and oracle-exact; because
+    every step is recompute-stable, the single persisted frame (the
+    token-count projection, shared by both strategies) is safe to
+    release lazily. Skew note: the length-sorted bucket is the exact
+    token count, so a corpus where most documents share ONE exact
+    length would funnel that length's rows into one window task; the
+    order-preserving composite bucket (n_tokens, doc_id DIV w) is the
+    drop-in widening if a real corpus ever exhibits that.
     """
     from pyspark.sql import Window
 
+    spark = documents.sparkSession
     toks = documents.select(
-        "doc_id", F.size(tokens("text")).alias("n_tokens"))
+        "doc_id", F.size(tokens("text")).alias("n_tokens")).persist()
+    max_id = toks.agg(F.max("doc_id")).first()[0] or 0
+    width = max(1, (max_id + 256) // 256)
 
-    caches = []
-
-    def waste(order_cols: list, name: str) -> DataFrame:
-        # PERSIST the range-partitioned frame: the per-partition
-        # counts below and the final aggregation are two separate
-        # actions, and repartitionByRange SAMPLES the key
-        # distribution for its bounds — recomputed from scratch, the
-        # second action can land on different bounds, misaligning the
-        # collected offsets and colliding ordinals (observed at
-        # sf0.1: 612 batches for 5000 rows — 13 batches doubled up).
-        # Persisting pins one materialized partitioning for both.
-        ranged = (toks.repartitionByRange(8, *order_cols)
-                  .withColumn("_pid", F.spark_partition_id())
-                  .persist())
-        caches.append(ranged)
-        w = Window.partitionBy("_pid").orderBy(*order_cols)
-        local = ranged.withColumn("_rn", F.row_number().over(w))
+    def waste(bucket: F.Column, order_cols: list, name: str) -> DataFrame:
+        b = toks.withColumn("_b", bucket.cast("long"))
+        w = Window.partitionBy("_b").orderBy(*order_cols)
+        local = b.withColumn("_rn", F.row_number().over(w))
         counts = sorted(
-            (r["_pid"], r["c"]) for r in
-            local.groupBy("_pid").agg(F.count(F.lit(1)).alias("c"))
+            (r["_b"], r["c"]) for r in
+            b.groupBy("_b").agg(F.count(F.lit(1)).alias("c"))
             .collect())
-        offsets, acc = {}, 0
-        for pid, c in counts:
-            offsets[pid] = acc
+        offs, acc = [], 0
+        for bb, c in counts:
+            offs.append((bb, acc))
             acc += c
-        off = F.element_at(
-            F.create_map(*[F.lit(x) for kv in offsets.items()
-                           for x in kv]),
-            F.col("_pid")) if offsets else F.lit(0)
-        batched = local.withColumn(
-            "batch", F.floor((F.col("_rn") - 1 + off)
-                             / F.lit(batch_size)).cast("long"))
+        off_df = spark.createDataFrame(offs or [(0, 0)],
+                                       "_b long, _off long")
+        batched = (local.join(F.broadcast(off_df), "_b")
+                   .withColumn(
+            "batch", F.floor((F.col("_rn") - 1 + F.col("_off"))
+                             / F.lit(batch_size)).cast("long")))
         per_batch = (batched.groupBy("batch")
                      .agg(F.count(F.lit(1)).alias("n"),
                           F.max("n_tokens").alias("mx"),
@@ -963,12 +963,15 @@ def padding_waste_audit(documents: DataFrame,
                                "greatest(payload_tokens + padded_slots, 1)")
                         .alias("waste_permille")))
 
-    arrival = waste([F.asc("doc_id")], "arrival_order")
-    sorted_ = waste([F.asc("n_tokens"), F.asc("doc_id")],
+    arrival = waste(F.expr(f"doc_id DIV {width}"),
+                    [F.asc("doc_id")], "arrival_order")
+    sorted_ = waste(F.col("n_tokens"),
+                    [F.asc("n_tokens"), F.asc("doc_id")],
                     "length_sorted")
     out = arrival.unionByName(sorted_)
-    # release handles for the two pinned partitionings
-    out._ordinal_caches = caches
+    # release handle for the shared token-count projection (safe to
+    # unpersist lazily: every ordinal input is recompute-stable)
+    out._ordinal_caches = [toks]
     return out
 
 

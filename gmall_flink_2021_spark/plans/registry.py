@@ -946,7 +946,10 @@ def q_padding_waste_audit(spark, sf):
     under two orderings (arrival vs length-sorted) — the padding-
     efficiency measurement behind length-bucketed batching."""
     (documents,) = _t(spark, sf, "documents")
-    return textstats.padding_waste_audit(documents)
+    out = textstats.padding_waste_audit(documents)
+    for c in out._ordinal_caches:  # lazy: recompute-on-reuse
+        c.unpersist()
+    return out
 
 
 def q_bigram_lm_scores(spark, sf):
@@ -963,7 +966,9 @@ def q_langid_trigram(spark, sf):
     naive-Bayes language ID (smoothed per-language profiles, pivot-free
     matched+floor scoring, integer argmax) vs lang_id's heuristic."""
     (documents,) = _t(spark, sf, "documents")
-    return textstats.langid_trigram_confusion(documents)
+    out = textstats.langid_trigram_confusion(documents)
+    out._tri_cache.unpersist()  # lazy: recompute-on-reuse
+    return out
 
 
 def q_data_quality_report(spark, sf):
@@ -3770,6 +3775,7 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     "minhash_jaccard_pairs": 4,      # per-bucket candidate cap
     "editdist_verified_pairs": 4,    # capped candidate substrate
     "dup_clusters": 4,               # chain-graph candidates
+    "padding_waste_audit": 5,        # deterministic ordinal buckets
 }
 
 _GRADE_PRIORITY: tuple[str, ...] = (

@@ -120,18 +120,21 @@ def uv_sketch_stream(events_stream: DataFrame, store_path: str,
     Idempotence: replaying a micro-batch after a failure must not
     double-merge (sketch union is idempotent but the pv_ct sum is
     not). The highest merged batch id is EMBEDDED in the store (a
-    constant ``merged_bid`` column), so the replay guard swaps
-    atomically WITH the data it guards; a batch id ≤ the stored one is
-    a no-op. (A post-publish marker file — the earlier form — left a
-    crash window between publish and marker in which a replay
-    double-counted pv_ct; same fix as heavy_hitter_stream.)"""
-    import shutil
-
+    constant ``merged_bid`` column) and the store is published by
+    ATOMIC directory rename (sinks.publish_store, with
+    sinks.recover_store run before each read), so no crash point
+    leaves a partial-but-readable store whose surviving part files
+    still carry merged_bid — the failure mode of the earlier
+    two-phase copy, where a replayed batch saw bid <= prior_bid
+    against a partial store and skipped itself (silent row loss). A
+    batch id ≤ the stored one is a no-op."""
     from ..operators.dwm import uv_daily_sketches
+    from . import sinks
 
     spark = events_stream.sparkSession
 
     def sink(batch: DataFrame, bid: int) -> None:
+        sinks.recover_store(store_path)
         try:
             existing = spark.read.parquet(store_path)
         except Exception:
@@ -153,13 +156,9 @@ def uv_sketch_stream(events_stream: DataFrame, store_path: str,
                            F.sum("pv_ct").alias("pv_ct")))
         else:
             merged = daily
-        # two-phase swap: we cannot overwrite the store while lazily
-        # reading from it
-        tmp = store_path + "._staging"
-        merged.withColumn("merged_bid", F.lit(bid).cast("long")) \
-            .write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(store_path)
-        shutil.rmtree(tmp, ignore_errors=True)
+        sinks.publish_store(
+            merged.withColumn("merged_bid", F.lit(bid).cast("long")),
+            store_path)
 
     q = (events_stream.writeStream.foreachBatch(sink)
          .option("checkpointLocation", checkpoint)
@@ -372,17 +371,17 @@ def heavy_hitter_stream(doc_stream: DataFrame, store_path: str,
     The prune threshold is computed by sorting the ≤ 2·counters-entry
     merged summary — a driver-side top-(k+1) over summary rows, never
     over the corpus. Idempotent replay: the max merged batch id is
-    EMBEDDED in the store as a sentinel row, so the replay guard swaps
-    atomically WITH the data it guards — the earlier post-publish
-    marker file left a crash window (publish done, marker not yet
-    written) in which a replayed batch re-merged into the
-    already-merged store, double-counting and breaking the c ≤ true
-    side of the MG bound. A crash mid-swap still fails loud on the
-    next read (missing sentinel rows ⇒ corrupt store).
+    EMBEDDED in the store as a sentinel row and the store is
+    published by ATOMIC directory rename (sinks.publish_store, with
+    sinks.recover_store run before each read), so no crash point
+    leaves a partial store readable — the earlier two-phase copy
+    could commit a subset of part files that happened to include the
+    sentinel rows, making the missing-sentinel fail-loud check only
+    probabilistic. The sentinel check stays as defense in depth
+    against out-of-band store damage.
     """
-    import shutil
-
     from ..functions.text import tokens
+    from . import sinks
 
     spark = doc_stream.sparkSession
     # both sentinels contain a space: unreachable as tokens
@@ -390,10 +389,10 @@ def heavy_hitter_stream(doc_stream: DataFrame, store_path: str,
     MERGED = "<merged batches>"  # cnt = highest batch id merged in
 
     def sink(batch: DataFrame, bid: int) -> None:
-        jpath = spark._jvm.org.apache.hadoop.fs.Path(store_path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        sinks.recover_store(store_path)
+        import os
         existing = None
-        if fs.exists(jpath):
+        if os.path.exists(store_path):
             existing = spark.read.parquet(store_path)
             meta = {r["term"]: r["cnt"] for r in existing.filter(
                 F.col("term").isin(TOTAL, MERGED)).collect()}
@@ -432,11 +431,7 @@ def heavy_hitter_stream(doc_stream: DataFrame, store_path: str,
             [(TOTAL, n_prior + n_batch), (MERGED, bid)],
             "term string, cnt long")
         out = merged.unionByName(meta_rows)
-        tmp = store_path + "._staging"
-        out.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite") \
-            .parquet(store_path)
-        shutil.rmtree(tmp, ignore_errors=True)
+        sinks.publish_store(out, store_path)
         bc.unpersist()
 
     q = (doc_stream.writeStream.foreachBatch(sink)

@@ -149,6 +149,71 @@ def upsert_dim(batch: DataFrame, dim_path: str, pk: str = "id",
     latest.unpersist()
 
 
+def publish_store(staged_df: DataFrame, store_path: str) -> None:
+    """Atomic full-store publish for the merged-store streams
+    (uv_sketch_stream, heavy_hitter_stream): the earlier two-phase
+    copy (`read staging → overwrite store`) was not atomic — a crash
+    mid-republish left a partial-but-READABLE store in which every
+    surviving part file still carried the constant merged_bid column,
+    so the replayed batch saw `bid <= prior_bid` and skipped itself:
+    silent row loss with no loud failure.
+
+    Directory RENAME is atomic on POSIX (and on HDFS, where
+    FileSystem.rename has the same contract; an object store without
+    atomic rename needs the manifest variant instead — store an
+    expected row count and fail loud on mismatch). Sequence:
+
+      1. write the merged frame to ``store._stage`` (Spark stamps
+         _SUCCESS on job commit — the completeness witness);
+      2. rename the live store aside to ``store._prev``;
+      3. rename the stage in;
+      4. remove ``._prev``.
+
+    Every crash point is recoverable by :func:`recover_store`, which
+    callers run before each read: stage-without-_SUCCESS → discard
+    (store untouched, replay recomputes); store missing + complete
+    stage → finish the rename; store missing + ._prev only → roll
+    back. No state leaves a partial store readable."""
+    import shutil
+
+    stage = store_path + "._stage"
+    prev = store_path + "._prev"
+    shutil.rmtree(stage, ignore_errors=True)
+    staged_df.write.mode("overwrite").parquet(stage)
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        raise RuntimeError(
+            f"staging write for {store_path} committed without "
+            "_SUCCESS; refusing to publish")
+    if os.path.exists(store_path):
+        os.rename(store_path, prev)
+    os.rename(stage, store_path)
+    shutil.rmtree(prev, ignore_errors=True)
+
+
+def recover_store(store_path: str) -> None:
+    """Crash recovery for :func:`publish_store` — call before reading
+    the store. Completes or rolls back an interrupted publish so the
+    reader only ever sees a store that was written whole."""
+    import shutil
+
+    stage = store_path + "._stage"
+    prev = store_path + "._prev"
+    if not os.path.exists(store_path):
+        if os.path.exists(os.path.join(stage, "_SUCCESS")):
+            # crash between rename-aside and rename-in (or mid-
+            # cleanup): the stage is complete — finish the publish
+            os.rename(stage, store_path)
+        elif os.path.exists(prev):
+            # defensive: stage gone but the old store was set aside —
+            # roll back rather than re-seed from nothing
+            os.rename(prev, store_path)
+    # a leftover stage next to a live store means the crash was
+    # before rename-aside: the store is intact, the replayed batch
+    # recomputes — discard the stage either way
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(prev, ignore_errors=True)
+
+
 def compact_table(spark, path: str,
                   target_files_per_partition: int = 1) -> dict:
     """Small-file compaction — the maintenance job behind every

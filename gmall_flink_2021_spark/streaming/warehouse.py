@@ -36,18 +36,22 @@ from . import sinks, stateful
 class Warehouse:
     """Paths + SparkSession for one warehouse instance.
 
-    ``approx_distinct`` (default True — the 100 TB posture) makes the
-    DWS jobs compute their per-window distinct order counts with
-    approx_count_distinct (HyperLogLog++, constant ~kB state per
-    group) instead of exact collect_set sets whose streaming state
-    grows with the true per-group cardinality. Pass False for
-    bit-exact reference parity (the form the reference's Set
-    accumulators compute — fine at per-sku 10 s grain, unbounded for
-    a hot key at corpus scale); the approx error band is gated by
-    tests/test_warehouse.py against the exact batch job."""
+    ``approx_distinct`` (default False — bit-exact reference parity:
+    the Set-accumulator counts the reference's bean/ProductStats.java
+    computes, so existing callers get reference-exact order_ct /
+    paid_order_ct / refund_order_ct without opting into anything).
+    Pass True — the recommended 100 TB deployment posture for
+    high-cardinality keys — to compute the per-window distinct order
+    counts with approx_count_distinct (HyperLogLog++, constant ~kB
+    state per group) instead of exact collect_set sets whose
+    streaming state grows with the true per-group cardinality; the
+    emitted counts are then ESTIMATES, and the error band is gated by
+    tests/test_warehouse.py against the exact batch job. Exact is
+    fine at the reference's per-sku 10 s grain; it is the hot-key
+    state growth at corpus scale that motivates the approx flag."""
 
     def __init__(self, spark: SparkSession, workdir: str,
-                 config_rows: list[dict], approx_distinct: bool = True):
+                 config_rows: list[dict], approx_distinct: bool = False):
         self.spark = spark
         self.work = workdir
         self.approx_distinct = approx_distinct

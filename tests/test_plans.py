@@ -466,18 +466,22 @@ def test_ivfpq_search_is_codeword_dispatch_no_vector_rejoin(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_padding_audit_sorts_are_range_partitioned(spark):
+def test_padding_audit_sorts_are_bucket_partitioned(spark):
     """Both orderings must build global ordinals WITHOUT funneling the
-    corpus through one task: range-partitioned exchanges + partition-
-    local windows, and NO SinglePartition exchange anywhere (the naive
-    global row_number's signature)."""
+    corpus through one task: deterministic order-preserving buckets
+    (hash exchange on _b) + bucket-local windows + broadcast offset
+    join, and NO SinglePartition exchange into a Window (the naive
+    global row_number's signature). Deterministic buckets — not
+    sampled range bounds — so a recompute after cache release cannot
+    collide ordinals."""
     plan = _plan(spark, "padding_waste_audit")
     assert plan.count("Window") >= 2
-    assert "rangepartitioning" in plan.lower()
-    # windows are partition-local (keyed by the range-partition id) —
+    assert "hashpartitioning(_b" in plan
+    assert "BroadcastHashJoin" in plan
+    # the sampled-bounds exchange must be gone entirely
+    assert "rangepartitioning" not in plan.lower()
     # the corpus never funnels through a SinglePartition exchange into
     # a Window (final 1-row aggregates legitimately use one)
-    assert "_pid" in plan
     for i, ln in enumerate(plan.splitlines()):
         if "Exchange SinglePartition" in ln:
             nxt = "\n".join(plan.splitlines()[i:i + 3])

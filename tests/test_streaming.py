@@ -1134,3 +1134,57 @@ def test_merged_store_streams_fail_loud_on_corrupt_store(spark, tmp_path):
                .parquet(esrc))
     with pytest.raises(Exception, match="corrupt"):
         uv_sketch_stream(estream, uv_store, str(tmp_path / "ck_uc"))
+
+
+def test_publish_store_atomic_swap_and_crash_recovery(spark, tmp_path):
+    """publish_store must never leave a partial store readable: every
+    crash point (complete stage + store renamed aside; stage without
+    _SUCCESS; leftover ._prev) is recovered by recover_store into
+    exactly the old or the new store, never a mix. This is the fix
+    for the non-atomic two-phase copy whose partial republish could
+    silently skip a replayed batch (every surviving part file still
+    carried the constant merged_bid)."""
+    import os
+    import shutil
+
+    from gmall_flink_2021_spark.streaming import sinks
+
+    store = str(tmp_path / "store")
+    old = spark.createDataFrame([(1, "old")], "k int, v string")
+    new = spark.createDataFrame([(2, "new")], "k int, v string")
+
+    # normal publish over an existing store: all-new content, no debris
+    sinks.publish_store(old, store)
+    sinks.publish_store(new, store)
+    assert [tuple(r) for r in spark.read.parquet(store).collect()] \
+        == [(2, "new")]
+    assert not os.path.exists(store + "._stage")
+    assert not os.path.exists(store + "._prev")
+
+    # crash between rename-aside and rename-in: store missing, a
+    # complete stage (_SUCCESS present) and ._prev both on disk
+    new.write.mode("overwrite").parquet(store + "._stage")
+    os.rename(store, store + "._prev")
+    shutil.rmtree(store, ignore_errors=True)
+    sinks.recover_store(store)
+    assert [tuple(r) for r in spark.read.parquet(store).collect()] \
+        == [(2, "new")]
+    assert not os.path.exists(store + "._prev")
+
+    # crash mid-STAGE: stage has no _SUCCESS, store intact -> stage
+    # discarded, store untouched
+    os.makedirs(store + "._stage")
+    with open(os.path.join(store + "._stage", "part-partial.parquet"),
+              "wb") as f:
+        f.write(b"\x00partial")
+    sinks.recover_store(store)
+    assert not os.path.exists(store + "._stage")
+    assert [tuple(r) for r in spark.read.parquet(store).collect()] \
+        == [(2, "new")]
+
+    # crash with store renamed aside and stage LOST (no _SUCCESS):
+    # roll the old store back rather than re-seed from nothing
+    os.rename(store, store + "._prev")
+    sinks.recover_store(store)
+    assert [tuple(r) for r in spark.read.parquet(store).collect()] \
+        == [(2, "new")]

@@ -12,12 +12,12 @@ from gmall_flink_2021_spark.streaming.warehouse import Warehouse
 
 def test_warehouse_end_to_end(spark, tmp_path):
     work = str(tmp_path / "wh")
-    # exact reference-parity mode: every streaming==batch comparison
-    # below is bit-exact. The default (approx_distinct=True, the
-    # constant-state 100 TB posture) is covered by
-    # test_warehouse_default_approx_distinct_within_band.
-    wh = Warehouse(spark, work, fx.table_process_rows(),
-                   approx_distinct=False)
+    # default = exact reference-parity mode: every streaming==batch
+    # comparison below is bit-exact. The opt-in constant-state 100 TB
+    # posture (approx_distinct=True) is covered by
+    # test_warehouse_approx_distinct_within_band.
+    wh = Warehouse(spark, work, fx.table_process_rows())
+    assert wh.approx_distinct is False  # documented parity default
     cdc_src.write_changelog_fixture(fx.cdc_rows(),
                                     os.path.join(work, "ods_db"))
     with open(os.path.join(work, "ods_log", "log-0.txt"), "w") as f:
@@ -201,10 +201,11 @@ def test_dim_tables_are_config_driven(spark, tmp_path):
     assert evolved[7]["hex"] is None
 
 
-def test_warehouse_default_approx_distinct_within_band(spark, tmp_path):
-    """The DEFAULT warehouse posture is the constant-state path:
-    approx_distinct=True swaps the per-window distinct order sets for
-    HyperLogLog++ counters. Gate: against the exact batch ProductStats
+def test_warehouse_approx_distinct_within_band(spark, tmp_path):
+    """The OPT-IN 100 TB deployment posture is the constant-state
+    path: approx_distinct=True swaps the per-window distinct order
+    sets for HyperLogLog++ counters (the default stays exact for
+    reference parity). Gate: against the exact batch ProductStats
     every summed metric must be identical (approximation touches ONLY
     the distinct counts) and each distinct count must sit inside the
     approx_count_distinct band (rsd 5% ⇒ ~3σ = 15%, with the ±2
@@ -213,8 +214,9 @@ def test_warehouse_default_approx_distinct_within_band(spark, tmp_path):
     from gmall_flink_2021_spark.operators import gmall_dws
 
     work = str(tmp_path / "wh_approx")
-    wh = Warehouse(spark, work, fx.table_process_rows())
-    assert wh.approx_distinct is True  # the documented default
+    wh = Warehouse(spark, work, fx.table_process_rows(),
+                   approx_distinct=True)
+    assert wh.approx_distinct is True
     cdc_src.write_changelog_fixture(fx.cdc_rows(),
                                     os.path.join(work, "ods_db"))
     with open(os.path.join(work, "ods_log", "log-0.txt"), "w") as f:
