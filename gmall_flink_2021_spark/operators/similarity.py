@@ -107,19 +107,17 @@ def embedding_dups_exhaustive(embeddings: DataFrame,
             .filter(F.col("cos_sim") >= threshold))
 
 
-def ivf_ann(embeddings: DataFrame, n_queries: int = 5, k: int = 3,
-            n_probe: int = 1) -> DataFrame:
-    """IVF-style approximate nearest neighbors: the label column acts
-    as the coarse quantizer's partition assignment. Each query probes
-    its ``n_probe`` nearest centroids and searches only those
-    partitions — the 100 TB path where brute force scans everything,
-    this scans ~1/n_clusters of the corpus.
+def ivf_search(corpus: DataFrame, queries: DataFrame,
+               cents: DataFrame, k: int = 3,
+               n_probe: int = 1) -> DataFrame:
+    """IVF search against a PREBUILT index: ``cents`` is the coarse
+    quantizer (label_centroids output, built once — the serving
+    placement `streaming/jobs.ann_query_stream` exploits), ``queries``
+    is (query_id, vec_q). Each query probes its ``n_probe`` nearest
+    centroids and searches only those label partitions; queries
+    broadcast into the corpus scan, never the reverse.
 
     Returns (query_id, probed label, neighbor_id, rank, cos_sim)."""
-    cents = label_centroids(embeddings)
-    queries = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        as_double("embedding").alias("vec_q"))
     probe_w = Window.partitionBy("query_id").orderBy(
         F.desc("c_sim"), F.asc("label"))
     probes = (queries.join(F.broadcast(cents))
@@ -129,7 +127,7 @@ def ivf_ann(embeddings: DataFrame, n_queries: int = 5, k: int = 3,
               .withColumn("c_rank", F.row_number().over(probe_w))
               .filter(F.col("c_rank") <= n_probe)
               .select("query_id", "vec_q", "label"))
-    cand = embeddings.select(
+    cand = corpus.select(
         "label", F.col("vec_id").alias("neighbor_id"),
         as_double("embedding").alias("vec_n"))
     rank_w = Window.partitionBy("query_id").orderBy(
@@ -140,6 +138,23 @@ def ivf_ann(embeddings: DataFrame, n_queries: int = 5, k: int = 3,
             .withColumn("rank", F.row_number().over(rank_w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("query_id", "label", "neighbor_id", "rank", "cos_sim"))
+
+
+def ivf_ann(embeddings: DataFrame, n_queries: int = 5, k: int = 3,
+            n_probe: int = 1) -> DataFrame:
+    """IVF-style approximate nearest neighbors: the label column acts
+    as the coarse quantizer's partition assignment. Each query probes
+    its ``n_probe`` nearest centroids and searches only those
+    partitions — the 100 TB path where brute force scans everything,
+    this scans ~1/n_clusters of the corpus. (Thin wrapper over
+    :func:`ivf_search` with the index built inline.)
+
+    Returns (query_id, probed label, neighbor_id, rank, cos_sim)."""
+    queries = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        as_double("embedding").alias("vec_q"))
+    return ivf_search(embeddings, queries, label_centroids(embeddings),
+                      k=k, n_probe=n_probe)
 
 
 def norm_histogram(embeddings: DataFrame) -> DataFrame:

@@ -618,6 +618,44 @@ def pq_encode_stream(emb_stream: DataFrame,
     return sub.selectExpr("vec_id", "s", f"({case}) AS code")
 
 
+def ann_query_stream(query_stream: DataFrame, corpus: DataFrame,
+                     out_path: str, checkpoint: str, k: int = 3,
+                     n_probe: int = 1) -> None:
+    """Online ANN serving: the IVF index — per-label centroids (the
+    coarse quantizer) over a STATIC corpus — is built ONCE before the
+    stream starts, then every arriving query vector is answered
+    micro-batch by micro-batch with similarity.ivf_search (probe
+    n_probe nearest centroids, scan only those inverted lists,
+    queries broadcast into the corpus scan). This is the retrieval
+    placement of the batch ivf_ann operator: index residency amortizes
+    across batches (the centroid frame stays persisted for the
+    stream's lifetime) instead of being rebuilt per query set.
+
+    Per-query results depend only on the query vector and the static
+    index, so the union of emitted batches equals the batch operator
+    row-for-row (pinned by test); writes are overwrite-by-batch-id
+    (exactly-once)."""
+    from ..functions.vectors import as_double
+    from ..operators.similarity import ivf_search, label_centroids
+    from . import sinks
+
+    cents = label_centroids(corpus).persist()
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        queries = batch.select(
+            F.col("vec_id").alias("query_id"),
+            as_double("embedding").alias("vec_q"))
+        sinks.write_idempotent(
+            ivf_search(corpus, queries, cents, k=k, n_probe=n_probe),
+            bid, out_path)
+
+    q = (query_stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    cents.unpersist()
+
+
 def uv_native_dedup_stream(events: DataFrame,
                            watermark: str = "1 day") -> DataFrame:
     """O6's UV dedup on Spark's NATIVE watermarked-dedup state

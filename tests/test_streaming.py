@@ -1188,3 +1188,27 @@ def test_publish_store_atomic_swap_and_crash_recovery(spark, tmp_path):
     sinks.recover_store(store)
     assert [tuple(r) for r in spark.read.parquet(store).collect()] \
         == [(2, "new")]
+
+
+def test_ann_query_stream_matches_batch_ivf(spark, tmp_path):
+    """Online ANN serving: a static IVF index (per-label centroids
+    built once, persisted for the stream's lifetime) answering a
+    multi-batch stream of query vectors must reproduce the batch
+    ivf_ann operator row-for-row — per-query results depend only on
+    the query and the index, so batching cannot change them."""
+    from gmall_flink_2021_spark.operators.similarity import ivf_ann
+    from gmall_flink_2021_spark.streaming.jobs import ann_query_stream
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    src = str(tmp_path / "ann_queries")
+    queries.repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = str(tmp_path / "ann_out")
+    ann_query_stream(stream, emb, out, str(tmp_path / "ck_ann"))
+
+    got = {tuple(r) for r in
+           spark.read.parquet(out).drop("batch_id").collect()}
+    want = {tuple(r) for r in ivf_ann(emb, n_queries=5).collect()}
+    assert want and got == want
