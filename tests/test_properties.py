@@ -412,6 +412,28 @@ def test_padding_waste_matches_python_reference(spark, lens):
     assert got["length_sorted"] == ref(by_len)
 
 
+def test_padding_waste_stable_across_recompute_after_release(spark):
+    """Round-4 bug class, pinned closed: the audit's global ordinals
+    must be identical on EVERY recompute, including after its cache
+    is released (the registry wrapper unpersists lazily). The old
+    sampled range partitioning could land on different bounds per
+    action and collide ordinals; deterministic buckets cannot."""
+    from gmall_flink_2021_spark.operators.textstats import (
+        padding_waste_audit)
+
+    rows = [(i, " ".join(["w"] * (i * 7 % 29)), "en", "s", 0)
+            for i in range(400)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = padding_waste_audit(docs)
+    for c in out._ordinal_caches:
+        c.unpersist()  # force the recompute path on every action
+    first = sorted(map(tuple, out.collect()))
+    for _ in range(3):
+        assert sorted(map(tuple, out.collect())) == first
+
+
 def test_minhash_jaccard_candidate_mass_is_linear_in_duplicates(spark):
     """The per-band candidate cap: a cluster of m exact duplicates
     must emit O(m·cap·bands) scored pairs — never the uncapped m²/2 —
