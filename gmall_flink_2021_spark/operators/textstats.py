@@ -1229,3 +1229,154 @@ def hashed_classifier_scores(documents: DataFrame,
         F.col("s").cast("long").alias("logit_micro"),
         F.when(F.col("s") >= threshold_micro, F.lit(1))
         .otherwise(F.lit(0)).cast("long").alias("keep_label"))
+
+
+BPE_N_MERGES = 10  # unrolled identically in the registry oracle SQL
+
+_BPE_PAIRS = (
+    # adjacent symbol pairs of a ';'-terminated symbol string
+    # ("a;b;c;" -> ["a;b;", "b;c;"]); sequence(1, 0) counts DOWN in
+    # Spark, so the under-2-symbols case must be guarded explicitly
+    "case when size(split(sym, ';')) >= 3 then "
+    "transform(sequence(1, size(split(sym, ';')) - 2), "
+    "i -> concat(element_at(split(sym, ';'), i), ';', "
+    "element_at(split(sym, ';'), i + 1), ';')) "
+    "else array() end")
+
+
+def bpe_learn(documents: DataFrame, n_merges: int = BPE_N_MERGES,
+              collect_threshold: int = 200_000):
+    """Iterative BPE tokenizer training, distributed — the full
+    Sennrich et al. (2016) loop, not just the first-round candidate
+    count (bpe_merge_candidates): collapse the corpus ONCE to a
+    (word, count) vocabulary, then run ``n_merges`` rounds of
+    [count adjacent symbol pairs weighted by word count -> pick the
+    most frequent pair (count desc, pair asc — integer-exact ties) ->
+    merge it everywhere in the vocab].
+
+    Words are held as ';'-terminated symbol strings ("a;b;c;") so a
+    merge is ONE literal ``replace`` ("a;b;" -> "ab;") — leftmost
+    non-overlapping replacement is exactly BPE's greedy merge order,
+    and the literal (non-regex) form is bit-identical in Spark and
+    DuckDB, which keeps the whole trainer oracle-checkable. Words
+    containing the separator are excluded from the vocabulary (and
+    encode as atomic symbols downstream) — on a dirty corpus swap the
+    separator for an unused control char.
+
+    Scale shape: pair statistics run over the VOCABULARY (a few
+    million weighted words at 100 TB), never the corpus. A vocabulary
+    under ``collect_threshold`` rows is collected once and trained
+    driver-side (the dup_clusters bounded-collect precedent — n_merges
+    rounds over a few MB beat 2·n_merges scheduled Spark jobs by an
+    order of magnitude); a larger vocabulary trains distributed: per
+    round one map-side-combined pair aggregation + one 1-row argmax
+    collect (the k-means-centroid precedent) + one literal replace,
+    persisted per round so round t never recomputes rounds 1..t-1.
+    Both paths compute byte-identical merges: Python ``str.replace``,
+    Spark ``replace`` and DuckDB ``replace`` all substitute leftmost
+    non-overlapping occurrences, and pair counts enumerate every
+    adjacent position in both paths.
+
+    Returns (merges, vocab): merges as [(step, pair, merged,
+    merge_ct)], vocab as the final (word, ct, sym) frame. The frame
+    carries the surviving persist handle (if any) as ``_learn_cache``
+    — the CALLER must release it (lazily is fine: the recompute path
+    is the deterministic literal-replace chain, no driver state).
+    """
+    words = (documents
+             .select(F.explode(tokens("text")).alias("word"))
+             .filter(~F.col("word").contains(";"))
+             .groupBy("word")
+             .agg(F.count(F.lit(1)).alias("ct")))
+    base = words.select(
+        "word", "ct",
+        F.regexp_replace("word", "(.)", "$1;").alias("sym")).persist()
+    n_vocab = base.count()
+    merges: list[tuple[int, str, str, int]] = []
+    if n_vocab <= collect_threshold:
+        rows = [(r["word"], int(r["ct"]), r["sym"]) for r in base.collect()]
+        base.unpersist()
+        for step in range(1, n_merges + 1):
+            counts: dict[str, int] = {}
+            for _w, ct, sym in rows:
+                arr = sym.split(";")  # trailing '' mirrors split/str_split
+                for i in range(len(arr) - 2):
+                    p = arr[i] + ";" + arr[i + 1] + ";"
+                    counts[p] = counts.get(p, 0) + ct
+            if not counts:
+                break
+            pair, merge_ct = min(counts.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))
+            merged = pair.replace(";", "") + ";"
+            merges.append((step, pair, merged, merge_ct))
+            rows = [(w, ct, sym.replace(pair, merged))
+                    for w, ct, sym in rows]
+        vocab = documents.sparkSession.createDataFrame(
+            rows, "word string, ct long, sym string")
+        vocab._learn_cache = None
+        return merges, vocab
+    vocab = base
+    for step in range(1, n_merges + 1):
+        top = (vocab
+               .select("ct", F.explode(F.expr(_BPE_PAIRS)).alias("pair"))
+               .groupBy("pair")
+               .agg(F.sum("ct").alias("merge_ct"))
+               .orderBy(F.desc("merge_ct"), F.asc("pair"))
+               .limit(1).collect())
+        if not top:  # every word fully merged to one symbol
+            break
+        pair, merge_ct = top[0]["pair"], int(top[0]["merge_ct"])
+        merged = pair.replace(";", "") + ";"
+        merges.append((step, pair, merged, merge_ct))
+        nxt = vocab.select(
+            "word", "ct",
+            F.replace("sym", F.lit(pair), F.lit(merged)).alias("sym")
+        ).persist()
+        nxt.count()  # materialize before dropping the previous round
+        base.unpersist()
+        base = vocab = nxt
+    vocab._learn_cache = base
+    return merges, vocab
+
+
+def bpe_merges(documents: DataFrame,
+               n_merges: int = BPE_N_MERGES,
+               collect_threshold: int = 200_000) -> DataFrame:
+    """The learned BPE merge table: (step, pair, merged, merge_ct)
+    in training order — the artifact a tokenizer ships."""
+    learned, vocab = bpe_learn(documents, n_merges, collect_threshold)
+    if vocab._learn_cache is not None:
+        vocab._learn_cache.unpersist()  # only the merge list is needed
+    spark = documents.sparkSession
+    return spark.createDataFrame(
+        learned, "step long, pair string, merged string, merge_ct long")
+
+
+def bpe_encode_stats(documents: DataFrame,
+                     n_merges: int = BPE_N_MERGES,
+                     collect_threshold: int = 200_000) -> DataFrame:
+    """Corpus encoding under the learned BPE vocabulary: per document
+    the whitespace token count and the BPE symbol count (the number a
+    token-budgeted training run actually pays for). The corpus is
+    NEVER re-segmented row by row: the final vocab maps word ->
+    symbol count, the doc token fan-out joins that map broadcast, and
+    one aggregation yields the per-doc totals — at 100 TB the encode
+    is one scan + one broadcast-hash join, no Python. Words outside
+    the vocabulary (separator-unsafe) count as 1 atomic symbol.
+
+    Release handle: ``_bpe_cache`` (the vocab persist; None on the
+    driver-trained small path, whose vocab is a plain local-relation
+    frame) — unpersisted lazily by the registry wrapper; the
+    recompute path is fully deterministic, no hidden driver state."""
+    _, vocab = bpe_learn(documents, n_merges, collect_threshold)
+    enc = vocab.select(
+        "word",
+        (F.size(F.split("sym", ";")) - 1).cast("long").alias("n_sym"))
+    out = (documents
+           .select("doc_id", F.explode(tokens("text")).alias("word"))
+           .join(F.broadcast(enc), "word", "left")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_tokens"),
+                F.sum(F.coalesce("n_sym", F.lit(1))).alias("n_symbols")))
+    out._bpe_cache = vocab._learn_cache
+    return out

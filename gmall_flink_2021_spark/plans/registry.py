@@ -861,6 +861,28 @@ def q_bpe_merge_candidates(spark, sf):
     return textstats.bpe_merge_candidates(documents)
 
 
+def q_bpe_merges(spark, sf):
+    """Gates: the FULL iterative BPE trainer (Sennrich 2016) — N
+    rounds of vocab-level pair count -> integer-exact argmax (1-row
+    collect, the k-means-centroid precedent) -> literal-replace
+    merge, persisted per round; corpus touched exactly once. The
+    oracle unrolls the identical N rounds as materialized CTEs."""
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.bpe_merges(documents)
+
+
+def q_bpe_encode_stats(spark, sf):
+    """Gates: corpus encoding under the learned BPE vocabulary —
+    per-doc token vs symbol counts via ONE broadcast join of the
+    word -> symbol-count map onto the token fan-out; the corpus is
+    never re-segmented row by row."""
+    (documents,) = _t(spark, sf, "documents")
+    out = textstats.bpe_encode_stats(documents)
+    if out._bpe_cache is not None:  # distributed-path persist only
+        out._bpe_cache.unpersist()  # lazy: recompute-on-reuse
+    return out
+
+
 def q_snapshot_diff(spark, sf):
     """Gates: CDC snapshot reconciliation — full-outer sort-merge join of
     (pk, md5 row digest) scan projections; classifies insert/delete/
@@ -1171,6 +1193,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitter_terms": q_heavy_hitter_terms,
     "unigram_lm_scores": q_unigram_lm_scores,
     "bpe_merge_candidates": q_bpe_merge_candidates,
+    "bpe_merges": q_bpe_merges,
+    "bpe_encode_stats": q_bpe_encode_stats,
     "snapshot_diff": q_snapshot_diff,
     "contrastive_pairs": q_contrastive_pairs,
     "minhash_dedup_marks": q_minhash_dedup_marks,
@@ -3549,6 +3573,65 @@ def _ivfpq_oracle_sql(m: int = 8, w: int = 8, n_queries: int = 5,
         ) WHERE rank <= {k}""")
 
 
+def _bpe_oracle_cte(n: int = textstats.BPE_N_MERGES) -> str:
+    """The iterative BPE trainer unrolled as n materialized-CTE
+    rounds (MATERIALIZED is load-bearing: v{s} and m{s+1} both read
+    v{s-1}, so un-materialized CTE inlining re-expands the chain
+    2^n times). Each round is the byte-identical DuckDB twin of
+    textstats.bpe_learn's Spark round: weighted adjacent-pair count
+    over the vocab, argmax by (count desc, pair asc), literal
+    replace of "a;b;" with "ab;"."""
+    parts = [_TOKS + """,
+        bpe_words AS MATERIALIZED (
+            SELECT word, CAST(count(*) AS BIGINT) AS ct
+            FROM (SELECT unnest(tok) AS word FROM toks)
+            WHERE NOT contains(word, ';')
+            GROUP BY word),
+        v0 AS MATERIALIZED (
+            SELECT word, ct,
+                   regexp_replace(word, '(.)', '\\1;', 'g') AS sym
+            FROM bpe_words)"""]
+    for s in range(1, n + 1):
+        parts.append(f""",
+        m{s} AS MATERIALIZED (
+            SELECT CAST({s} AS BIGINT) AS step, pair,
+                   replace(pair, ';', '') || ';' AS merged,
+                   CAST(sum(ct) AS BIGINT) AS merge_ct
+            FROM (SELECT ct,
+                         unnest([arr[i] || ';' || arr[i+1] || ';'
+                                 for i in range(1, len(arr) - 1)]) AS pair
+                  FROM (SELECT ct, str_split(sym, ';') AS arr
+                        FROM v{s - 1}))
+            GROUP BY pair
+            ORDER BY merge_ct DESC, pair LIMIT 1),
+        v{s} AS MATERIALIZED (
+            SELECT word, ct,
+                   replace(sym, coalesce((SELECT pair FROM m{s}), ''),
+                           coalesce((SELECT merged FROM m{s}), '')) AS sym
+            FROM v{s - 1})""")
+    return "".join(parts)
+
+
+_BPE_N = textstats.BPE_N_MERGES
+ORACLES["bpe_merges"] = (
+    "WITH " + _bpe_oracle_cte()
+    + "\nSELECT step, pair, merged, merge_ct FROM ("
+    + " UNION ALL ".join(f"SELECT * FROM m{s}"
+                         for s in range(1, _BPE_N + 1))
+    + ") ORDER BY step")
+ORACLES["bpe_encode_stats"] = (
+    "WITH " + _bpe_oracle_cte() + f""",
+        enc AS (
+            SELECT word,
+                   CAST(len(str_split(sym, ';')) - 1 AS BIGINT) AS n_sym
+            FROM v{_BPE_N})
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(coalesce(n_sym, 1)) AS BIGINT) AS n_symbols
+        FROM (SELECT doc_id, unnest(tok) AS word FROM toks)
+        LEFT JOIN enc USING (word)
+        GROUP BY doc_id""")
+
 ORACLES["pq_codebook_audit"] = _pq_oracle_sql()
 ORACLES["ivfpq_ann"] = _ivfpq_oracle_sql()
 ORACLES["ivfpq_recall"] = f"""
@@ -3776,6 +3859,8 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     "editdist_verified_pairs": 4,    # capped candidate substrate
     "dup_clusters": 4,               # chain-graph candidates
     "padding_waste_audit": 5,        # deterministic ordinal buckets
+    "bpe_merges": 5,                 # new in round 5
+    "bpe_encode_stats": 5,           # new in round 5
 }
 
 _GRADE_PRIORITY: tuple[str, ...] = (

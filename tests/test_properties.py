@@ -587,3 +587,57 @@ def test_chain_banding_components_equal_on_random_corpora(spark, picks):
     full = components(minhash_band_pairs(docs))
     chain = components(minhash_band_pairs(docs, chain_only=True))
     assert full == chain
+
+
+def test_bpe_driver_and_distributed_paths_agree(spark):
+    """The sub-threshold driver-trained path and the distributed
+    per-round-persist path must learn byte-identical merges and
+    produce identical encode stats (dup_clusters-style hybrid)."""
+    from gmall_flink_2021_spark.operators import textstats as T
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower lowest", "en", "a", 20),
+         (2, "new newer newest low", "en", "a", 20),
+         (3, "wide wider widest newer", "en", "b", 23)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    m_small, v_small = T.bpe_learn(docs, n_merges=6)
+    m_big, v_big = T.bpe_learn(docs, n_merges=6, collect_threshold=0)
+    assert v_small._learn_cache is None
+    assert v_big._learn_cache is not None
+    assert m_small == m_big
+    rows_s = sorted(tuple(r) for r in v_small.collect())
+    rows_b = sorted(tuple(r) for r in v_big.collect())
+    assert rows_s == rows_b
+    v_big._learn_cache.unpersist()
+
+
+def test_bpe_merges_greedy_leftmost_semantics(spark):
+    """'aaaa' under merge (a,a): leftmost non-overlapping replace
+    yields aa|aa (2 symbols), and the first learned merge must be
+    the weighted argmax with (count desc, pair asc) tie-break."""
+    from gmall_flink_2021_spark.operators import textstats as T
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa bb", "en", "a", 12)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    m = T.bpe_merges(docs, n_merges=2).collect()
+    # pair a;a; appears 3 adjacent positions x 2 occurrences = 6
+    assert (m[0]["step"], m[0]["pair"], m[0]["merged"],
+            m[0]["merge_ct"]) == (1, "a;a;", "aa;", 6)
+    enc = {r["doc_id"]: (r["n_tokens"], r["n_symbols"])
+           for r in T.bpe_encode_stats(docs, n_merges=1).collect()}
+    # aaaa -> aa|aa (2 symbols), bb stays b|b (2 symbols)
+    assert enc[1] == (3, 2 + 2 + 2)
+
+
+def test_bpe_encode_counts_bounded_by_chars_and_tokens(spark):
+    """n_tokens <= n_symbols <= total chars for every doc."""
+    from gmall_flink_2021_spark.operators import textstats as T
+    from gmall_flink_2021_spark.plans.registry import _t
+
+    (docs,) = _t(spark, "/root/testdata/sf0.001", "documents")
+    out = T.bpe_encode_stats(docs)
+    bad = out.filter((F.col("n_symbols") < F.col("n_tokens"))).count()
+    assert bad == 0
