@@ -1075,7 +1075,15 @@ def langid_trigram_confusion(documents: DataFrame) -> DataFrame:
     # was 4 corpus fan-outs — profile, vocab, matched, n_tri; now 1:
     # vocab comes from the charset³-bounded profile and n_tri is pure
     # length arithmetic on the scan).
+    # the corpus file may arrive as a single split (tiny row-group
+    # layouts); the ~700x trigram fan-out below must not inherit that
+    # 1-task layout, so spread docs across the cluster BEFORE the
+    # explode — the pre-fan-out shuffle moves only the raw docs
+    sc = documents.sparkSession.sparkContext
+    nparts = max(sc.defaultParallelism,
+                 documents.rdd.getNumPartitions())
     doc_tri = (documents
+               .repartition(nparts, "doc_id")
                .select("doc_id", F.col("lang").alias("label_lang"),
                        F.explode(tris).alias("tri"))
                .persist())
@@ -1125,12 +1133,17 @@ def langid_trigram_confusion(documents: DataFrame) -> DataFrame:
                        + (F.col("n_tri")
                           - F.coalesce("m", F.lit(0)))
                        * F.col("floor_micro")).alias("score")))
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("score"), F.asc("lang_p"))
-    pred = (scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1))
+    # per-doc argmax as a HASH aggregation, not a row_number window:
+    # min(struct(-score, lang)) picks the highest score with ties to
+    # the smallest lang — identical semantics, but partial aggregation
+    # collapses the doc x lang grid map-side and no per-doc sort runs
+    # (window form measured 5.1-6.2 s at sf0.1; this ~halves it)
+    pred = (scored
+            .groupBy("doc_id", "label_lang")
+            .agg(F.min(F.struct((-F.col("score")).alias("ns"),
+                                F.col("lang_p"))).alias("best")))
     out = (pred.groupBy(F.col("label_lang"),
-                        F.col("lang_p").alias("pred_lang"))
+                        F.col("best.lang_p").alias("pred_lang"))
            .agg(F.count(F.lit(1)).alias("ct")))
     # release handle for the shared trigram fan-out (repo convention)
     out._tri_cache = doc_tri
@@ -1380,3 +1393,66 @@ def bpe_encode_stats(documents: DataFrame,
                 F.sum(F.coalesce("n_sym", F.lit(1))).alias("n_symbols")))
     out._bpe_cache = vocab._learn_cache
     return out
+
+
+DSIR_DIM = 4096  # hashed feature buckets (3 md5 nibbles), like CLASSIFIER_DIM
+
+
+def dsir_importance_weights(documents: DataFrame,
+                            dim: int = DSIR_DIM) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023),
+    the hashed-n-gram form: score every document by how much more
+    likely its tokens are under a TARGET distribution than under the
+    RAW corpus distribution — log p_target(doc) − log p_raw(doc) over
+    hashed unigram buckets — so a pretraining pipeline can resample
+    raw data toward a reference domain. The target here is the
+    corpus' lexicographically-first source (data-derived, so the
+    query is stable under driver corpus regeneration); a production
+    run substitutes its reference corpus as the target flag.
+
+    Exactness: both LMs are add-one-smoothed over the SAME fixed
+    ``dim`` buckets; the per-bucket log-likelihood-ratio is
+    fixed-point-rounded ONCE (micro-units), and each document's
+    weight is the exact integer sum of its token occurrences'
+    bucket llrs — bit-identical across engines.
+
+    Scale shape: bucket stats are one map-side-combined conditional
+    aggregation over the token fan-out (4096-row result, broadcast
+    back); scoring is a second fan-out joined to the broadcast llr
+    table + one per-doc sum. No shuffle exceeds O(dim) + one per-doc
+    aggregation regardless of corpus size."""
+    def bucket(col):
+        h = F.md5(col)
+
+        def nib(i: int):
+            a = F.ascii(F.substring(h, i, 1))
+            return F.when(a >= 97, a - 87).otherwise(a - 48)
+
+        return (nib(1) * 256 + nib(2) * 16 + nib(3)).cast("long")
+
+    target = documents.agg(F.min("source").alias("target_src"))
+    toks = (documents
+            .crossJoin(F.broadcast(target))
+            .select("doc_id",
+                    (F.col("source") == F.col("target_src"))
+                    .alias("is_target"),
+                    F.explode(tokens("text")).alias("tok")))
+    feats = toks.select("doc_id", "is_target", bucket(F.col("tok")).alias("b"))
+    stats = (feats
+             .groupBy("b")
+             .agg(F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+                  .alias("ct_t"),
+                  F.count(F.lit(1)).alias("ct_r")))
+    tot = stats.agg(F.sum("ct_t").alias("n_t"), F.sum("ct_r").alias("n_r"))
+    llr = (stats.crossJoin(F.broadcast(tot))
+           .select("b",
+                   F.round((F.log((F.col("ct_t") + 1).cast("double")
+                                  / (F.col("n_t") + F.lit(dim)))
+                            - F.log((F.col("ct_r") + 1).cast("double")
+                                    / (F.col("n_r") + F.lit(dim))))
+                           * 1e6).cast("long").alias("llr_micro")))
+    return (feats
+            .join(F.broadcast(llr), "b")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum("llr_micro").alias("dsir_weight_micro")))

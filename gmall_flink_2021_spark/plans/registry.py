@@ -883,6 +883,14 @@ def q_bpe_encode_stats(spark, sf):
     return out
 
 
+def q_dsir_weights(spark, sf):
+    """Gates: DSIR importance resampling (Xie 2023) — target/raw
+    hashed-unigram LM log-ratio per doc; O(dim) bucket table broadcast
+    both ways, integer-exact per-doc sums."""
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.dsir_importance_weights(documents)
+
+
 def q_snapshot_diff(spark, sf):
     """Gates: CDC snapshot reconciliation — full-outer sort-merge join of
     (pk, md5 row digest) scan projections; classifies insert/delete/
@@ -1195,6 +1203,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merge_candidates": q_bpe_merge_candidates,
     "bpe_merges": q_bpe_merges,
     "bpe_encode_stats": q_bpe_encode_stats,
+    "dsir_weights": q_dsir_weights,
     "snapshot_diff": q_snapshot_diff,
     "contrastive_pairs": q_contrastive_pairs,
     "minhash_dedup_marks": q_minhash_dedup_marks,
@@ -3632,6 +3641,45 @@ ORACLES["bpe_encode_stats"] = (
         LEFT JOIN enc USING (word)
         GROUP BY doc_id""")
 
+ORACLES["dsir_weights"] = f"""
+    WITH {_TOKS},
+    tgt AS (SELECT min(source) AS target_src FROM documents),
+    occ AS (
+        SELECT doc_id, source = (SELECT target_src FROM tgt) AS is_target,
+               t.term
+        FROM toks, unnest(tok) AS t(term)
+    ),
+    feat AS (
+        SELECT doc_id, is_target,
+               CAST((CASE WHEN ascii(substr(md5(term), 1, 1)) >= 97 THEN ascii(substr(md5(term), 1, 1)) - 87 ELSE ascii(substr(md5(term), 1, 1)) - 48 END) * 256 + (CASE WHEN ascii(substr(md5(term), 2, 1)) >= 97 THEN ascii(substr(md5(term), 2, 1)) - 87 ELSE ascii(substr(md5(term), 2, 1)) - 48 END) * 16 + (CASE WHEN ascii(substr(md5(term), 3, 1)) >= 97 THEN ascii(substr(md5(term), 3, 1)) - 87 ELSE ascii(substr(md5(term), 3, 1)) - 48 END) AS BIGINT) AS b
+        FROM occ
+    ),
+    stats AS (
+        SELECT b,
+               CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ct_t,
+               CAST(count(*) AS BIGINT) AS ct_r
+        FROM feat GROUP BY b
+    ),
+    tot AS (
+        SELECT CAST(sum(ct_t) AS BIGINT) AS n_t,
+               CAST(sum(ct_r) AS BIGINT) AS n_r
+        FROM stats
+    ),
+    llr AS (
+        SELECT b,
+               CAST(round((ln(CAST(ct_t + 1 AS DOUBLE) / (n_t + 4096))
+                           - ln(CAST(ct_r + 1 AS DOUBLE) / (n_r + 4096)))
+                          * 1e6) AS BIGINT) AS llr_micro
+        FROM stats, tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(llr_micro) AS BIGINT) AS dsir_weight_micro
+    FROM feat JOIN llr USING (b)
+    GROUP BY doc_id
+"""
+
 ORACLES["pq_codebook_audit"] = _pq_oracle_sql()
 ORACLES["ivfpq_ann"] = _ivfpq_oracle_sql()
 ORACLES["ivfpq_recall"] = f"""
@@ -3861,6 +3909,7 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     "padding_waste_audit": 5,        # deterministic ordinal buckets
     "bpe_merges": 5,                 # new in round 5
     "bpe_encode_stats": 5,           # new in round 5
+    "dsir_weights": 5,               # new in round 5
 }
 
 _GRADE_PRIORITY: tuple[str, ...] = (

@@ -641,3 +641,21 @@ def test_bpe_encode_counts_bounded_by_chars_and_tokens(spark):
     out = T.bpe_encode_stats(docs)
     bad = out.filter((F.col("n_symbols") < F.col("n_tokens"))).count()
     assert bad == 0
+
+
+def test_dsir_weights_favor_target_source(spark):
+    """Importance weights must rank the target source (min(source))
+    above the raw average: docs drawn from the target distribution
+    score a higher mean log-ratio than the corpus at large."""
+    from gmall_flink_2021_spark.operators import textstats as T
+    from gmall_flink_2021_spark.plans.registry import _t
+
+    (docs,) = _t(spark, "/root/testdata/sf0.001", "documents")
+    target = docs.agg(F.min("source")).collect()[0][0]
+    w = T.dsir_importance_weights(docs).join(
+        docs.select("doc_id", "source"), "doc_id")
+    rows = (w.groupBy(F.col("source") == F.lit(target))
+            .agg(F.avg(F.col("dsir_weight_micro")
+                       / F.col("n_tokens")).alias("m")).collect())
+    by = {r[0]: r["m"] for r in rows}
+    assert by[True] > by[False]
