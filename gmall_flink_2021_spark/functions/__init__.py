@@ -14,3 +14,24 @@ def money(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return c.cast("decimal(18,2)")
+
+
+def spread(df, key: str = "doc_id"):
+    """Repartition a frame by ``key`` to at least the cluster's
+    default parallelism BEFORE a heavy per-row fan-out (shingle
+    explode, n-gram hashing, trigram scoring).
+
+    Why: small/tight parquet layouts (single row group) scan as ONE
+    task, and an explode inherits that layout — so a 700x fan-out
+    plus its md5 work runs serially no matter how many cores exist.
+    Repartitioning first moves a shuffle of the RAW rows (cheap)
+    ahead of the fan-out, and because the partitioning key matches
+    the downstream per-doc aggregation key, Catalyst elides the
+    post-fan-out exchange the groupBy would otherwise need — the
+    plan swaps a big shuffle for a small one, at ANY scale. At
+    100 TB the scan already has thousands of splits, so this is
+    usually a no-op (max() keeps the larger side).
+    """
+    sc = df.sparkSession.sparkContext
+    n = max(sc.defaultParallelism, df.rdd.getNumPartitions())
+    return df.repartition(n, key)

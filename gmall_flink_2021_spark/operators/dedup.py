@@ -22,6 +22,7 @@ import warnings
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import spread
 from ..functions.text import (LSH_BANDS, MINHASH_SEEDS, shingles,
                               token_windows, tokens)
 
@@ -52,7 +53,9 @@ def minhash_signatures(documents: DataFrame,
     assert n_hashes == MINHASH_SEEDS, "slicing scheme is fixed at 8"
     tok = tokens("text")
     sh = shingles(tok)
-    expl = documents.select("doc_id", F.explode(sh).alias("s"))
+    # pre-fan-out spread: the shuffle moves raw docs, not hashed
+    # shingles, and feeds the doc_id aggregation below exchange-free
+    expl = spread(documents).select("doc_id", F.explode(sh).alias("s"))
     h1 = F.md5(F.concat(F.lit("0|"), F.col("s")))
     h2 = F.md5(F.concat(F.lit("1|"), F.col("s")))
     hashed = expl.select(
@@ -183,7 +186,7 @@ def simhash_signatures(documents: DataFrame, bits: int = 60) -> DataFrame:
     """
     assert bits % 4 == 0 and bits <= 60, "nibble-built, int64-safe"
     tok = tokens("text")
-    hashed = (documents
+    hashed = (spread(documents)
               .select("doc_id", F.explode(tok).alias("t"))
               .select("doc_id",
                       F.substring(F.md5(F.col("t")), 1, bits // 4)

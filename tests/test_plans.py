@@ -492,11 +492,14 @@ def test_padding_audit_sorts_are_bucket_partitioned(spark):
 def test_langid_profile_broadcasts_and_argmax_is_heap(spark):
     """The trained profile (charset³-bounded) must broadcast into the
     doc-trigram stream (no corpus-side SortMergeJoin against the
-    profile), and the per-doc argmax must push down to a
-    WindowGroupLimit heap."""
+    profile), and the per-doc argmax must be a partial-aggregating
+    min(struct(-score, lang)) hash aggregation — no per-doc sort, no
+    window at all (round 5: replaced the row_number WindowGroupLimit
+    heap, which still sorted the doc x lang grid)."""
     plan = _plan(spark, "langid_trigram")
     assert "BroadcastHashJoin" in plan
-    assert "WindowGroupLimit" in plan
+    assert "Window" not in plan
+    assert "min(best" in plan or "min(struct" in plan or "HashAggregate" in plan
 
 
 def test_expectations_compile_to_one_pass(spark):
