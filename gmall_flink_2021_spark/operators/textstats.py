@@ -1421,36 +1421,62 @@ def dsir_importance_weights(documents: DataFrame,
     back); scoring is a second fan-out joined to the broadcast llr
     table + one per-doc sum. No shuffle exceeds O(dim) + one per-doc
     aggregation regardless of corpus size."""
-    def bucket(col):
-        h = F.md5(col)
+    llr = dsir_llr_table(documents, dim)
+    return dsir_score(documents, llr)
 
-        def nib(i: int):
-            a = F.ascii(F.substring(h, i, 1))
-            return F.when(a >= 97, a - 87).otherwise(a - 48)
 
-        return (nib(1) * 256 + nib(2) * 16 + nib(3)).cast("long")
+def _dsir_bucket(col):
+    h = F.md5(col)
 
+    def nib(i: int):
+        a = F.ascii(F.substring(h, i, 1))
+        return F.when(a >= 97, a - 87).otherwise(a - 48)
+
+    return (nib(1) * 256 + nib(2) * 16 + nib(3)).cast("long")
+
+
+def _dsir_feats(documents: DataFrame) -> DataFrame:
     target = documents.agg(F.min("source").alias("target_src"))
-    toks = (documents
+    return (documents
             .crossJoin(F.broadcast(target))
             .select("doc_id",
                     (F.col("source") == F.col("target_src"))
                     .alias("is_target"),
-                    F.explode(tokens("text")).alias("tok")))
-    feats = toks.select("doc_id", "is_target", bucket(F.col("tok")).alias("b"))
-    stats = (feats
+                    F.explode(tokens("text")).alias("tok"))
+            .select("doc_id", "is_target",
+                    _dsir_bucket(F.col("tok")).alias("b")))
+
+
+def dsir_llr_table(documents: DataFrame, dim: int = DSIR_DIM) -> DataFrame:
+    """The DSIR model artifact: per observed bucket the fixed-point
+    target/raw log-likelihood ratio. Built once from the reference
+    corpus and broadcast into scoring (batch or streaming); a
+    production serving deployment materializes all ``dim`` buckets
+    (add-one smoothing defines an llr for unobserved ones) so
+    never-seen tokens score the floor instead of dropping."""
+    stats = (_dsir_feats(documents)
              .groupBy("b")
              .agg(F.sum(F.when(F.col("is_target"), 1).otherwise(0))
                   .alias("ct_t"),
                   F.count(F.lit(1)).alias("ct_r")))
     tot = stats.agg(F.sum("ct_t").alias("n_t"), F.sum("ct_r").alias("n_r"))
-    llr = (stats.crossJoin(F.broadcast(tot))
-           .select("b",
-                   F.round((F.log((F.col("ct_t") + 1).cast("double")
-                                  / (F.col("n_t") + F.lit(dim)))
-                            - F.log((F.col("ct_r") + 1).cast("double")
-                                    / (F.col("n_r") + F.lit(dim))))
-                           * 1e6).cast("long").alias("llr_micro")))
+    return (stats.crossJoin(F.broadcast(tot))
+            .select("b",
+                    F.round((F.log((F.col("ct_t") + 1).cast("double")
+                                   / (F.col("n_t") + F.lit(dim)))
+                             - F.log((F.col("ct_r") + 1).cast("double")
+                                     / (F.col("n_r") + F.lit(dim))))
+                            * 1e6).cast("long").alias("llr_micro")))
+
+
+def dsir_score(documents: DataFrame, llr: DataFrame) -> DataFrame:
+    """Score documents against a prebuilt llr table: one token
+    fan-out joined to the broadcast table + one per-doc sum. No
+    target flag is needed at scoring time, so no per-(micro)batch
+    min(source) aggregation runs here."""
+    feats = (documents
+             .select("doc_id", F.explode(tokens("text")).alias("tok"))
+             .select("doc_id", _dsir_bucket(F.col("tok")).alias("b")))
     return (feats
             .join(F.broadcast(llr), "b")
             .groupBy("doc_id")

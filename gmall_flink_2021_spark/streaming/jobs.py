@@ -842,3 +842,79 @@ def zscores_from_daily_store(spark, store_path: str,
              .groupBy("event_type", "day")
              .agg(F.sum("cents").alias("cents")))
     return score_daily_cents(daily, trailing, min_prior)
+
+
+def dsir_score_stream(doc_stream: DataFrame, reference_docs: DataFrame,
+                      out_path: str, checkpoint: str) -> None:
+    """Online data selection at ingestion (DSIR): the target/raw
+    log-likelihood-ratio table — built ONCE from the static reference
+    corpus, O(dim) rows, persisted for the stream's lifetime — scores
+    every arriving document micro-batch by micro-batch with
+    textstats.dsir_score (token fan-out joined to the broadcast llr
+    table, integer-exact per-doc sums). Per-doc weights depend only
+    on the doc and the static table, so the union of emitted batches
+    equals the batch operator row-for-row when the reference equals
+    the streamed corpus (pinned by test); writes are
+    overwrite-by-batch-id (exactly-once). Tokens hashing to a bucket
+    the reference never observed are dropped by the inner join — a
+    production deployment materializes all dim buckets (smoothing
+    defines their llr) to score them at the floor instead."""
+    from ..operators.textstats import dsir_llr_table, dsir_score
+    from . import sinks
+
+    llr = dsir_llr_table(reference_docs).persist()
+    llr.count()
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        sinks.write_idempotent(dsir_score(batch, llr), bid, out_path)
+
+    q = (doc_stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    llr.unpersist()
+
+
+def bpe_encode_stream(doc_stream: DataFrame, reference_docs: DataFrame,
+                      out_path: str, checkpoint: str,
+                      n_merges: int | None = None) -> None:
+    """Tokenizer serving: the BPE vocabulary — trained ONCE offline
+    from the static reference corpus (textstats.bpe_learn), reduced
+    to the word -> symbol-count map, persisted for the stream's
+    lifetime — encodes every arriving document micro-batch by
+    micro-batch via one broadcast join onto the token fan-out.
+    Out-of-vocabulary words count 1 atomic symbol, exactly as the
+    batch operator treats separator-unsafe words. Union of emitted
+    batches == batch bpe_encode_stats when the reference equals the
+    streamed corpus (pinned by test); writes are
+    overwrite-by-batch-id (exactly-once)."""
+    from ..operators import textstats
+    from ..functions.text import tokens
+    from . import sinks
+
+    if n_merges is None:
+        n_merges = textstats.BPE_N_MERGES
+    _, vocab = textstats.bpe_learn(reference_docs, n_merges)
+    enc = vocab.select(
+        "word",
+        (F.size(F.split("sym", ";")) - 1).cast("long").alias("n_sym"))
+    enc = enc.persist()
+    enc.count()
+    if vocab._learn_cache is not None:
+        vocab._learn_cache.unpersist()
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        out = (batch
+               .select("doc_id", F.explode(tokens("text")).alias("word"))
+               .join(F.broadcast(enc), "word", "left")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.sum(F.coalesce("n_sym", F.lit(1)))
+                    .alias("n_symbols")))
+        sinks.write_idempotent(out, bid, out_path)
+
+    q = (doc_stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    enc.unpersist()

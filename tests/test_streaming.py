@@ -1212,3 +1212,48 @@ def test_ann_query_stream_matches_batch_ivf(spark, tmp_path):
            spark.read.parquet(out).drop("batch_id").collect()}
     want = {tuple(r) for r in ivf_ann(emb, n_queries=5).collect()}
     assert want and got == want
+
+
+def test_dsir_streaming_matches_batch(spark, tmp_path):
+    """Online data selection: the static llr table (built from the
+    full reference corpus) scoring a multi-batch stream of the same
+    corpus must reproduce batch dsir_importance_weights row-for-row
+    (per-doc integer weights are independent of batching)."""
+    from gmall_flink_2021_spark.operators import textstats
+    from gmall_flink_2021_spark.streaming.jobs import dsir_score_stream
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = str(tmp_path / "docs_dsir")
+    docs.repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = str(tmp_path / "dsir_out")
+    dsir_score_stream(stream, docs, out, str(tmp_path / "ck_dsir"))
+
+    got = {tuple(r) for r in
+           spark.read.parquet(out).drop("batch_id").collect()}
+    want = {tuple(r)
+            for r in textstats.dsir_importance_weights(docs).collect()}
+    assert want and got == want
+
+
+def test_bpe_encode_streaming_matches_batch(spark, tmp_path):
+    """Tokenizer serving: the offline-trained BPE vocabulary encoding
+    a multi-batch stream of the training corpus must reproduce batch
+    bpe_encode_stats row-for-row."""
+    from gmall_flink_2021_spark.operators import textstats
+    from gmall_flink_2021_spark.streaming.jobs import bpe_encode_stream
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = str(tmp_path / "docs_bpe")
+    docs.repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = str(tmp_path / "bpe_out")
+    bpe_encode_stream(stream, docs, out, str(tmp_path / "ck_bpe"))
+
+    got = {tuple(r) for r in
+           spark.read.parquet(out).drop("batch_id").collect()}
+    want = {tuple(r)
+            for r in textstats.bpe_encode_stats(docs).collect()}
+    assert want and got == want
