@@ -37,6 +37,8 @@ QUERIES = [
     # x10 wall is ~90 s — dominated by true Levenshtein work on the
     # replica corpus's real near-dup mass, bounded at cap·bands·n)
     "hashed_classifier_scores", "editdist_verified_pairs",
+    # round 5: full BPE trainer/encoder + DSIR importance weights
+    "bpe_merges", "bpe_encode_stats", "dsir_weights",
 ]
 
 

@@ -523,3 +523,32 @@ def test_hashed_classifier_is_broadcast_scored(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_minhash_signature_shuffle_is_pre_fanout(spark):
+    """spread() must move the only corpus shuffle BEFORE the shingle
+    fan-out: exactly one shuffle Exchange (hashpartitioning on
+    doc_id) on the signature path, positioned BELOW the Generate
+    (explode), and the per-doc min-aggregation must reuse that
+    partitioning — no exchange between the Generate and the final
+    aggregate (the broadcast for the doc_id left-join is exempt)."""
+    import re
+
+    from gmall_flink_2021_spark.operators import dedup
+    from gmall_flink_2021_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sig = dedup.minhash_signatures(docs).filter("h0 is not null")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    plan = sig._jdf.queryExecution().explainString(mode)
+    tree = plan.split("\n\n")[0]
+    shuffles = [int(m.group(1)) for m in
+                re.finditer(r"(?<!Broadcast)Exchange \((\d+)\)", tree)]
+    gens = [int(m.group(1)) for m in
+            re.finditer(r"Generate \((\d+)\)", tree)]
+    assert gens, "explode missing from plan"
+    assert len(shuffles) == 1, tree
+    # leaf-first numbering: the one shuffle must feed the explode
+    assert shuffles[0] < min(gens), tree
+    assert "hashpartitioning(doc_id" in plan
