@@ -243,3 +243,83 @@ def frame_dedup(documents: DataFrame) -> DataFrame:
                  F.countDistinct("doc_id").alias("video_ct"),
                  F.min("doc_id").alias("first_doc"))
             .filter(F.col("occurrence_ct") > 1))
+
+
+EMB_DIM = 8  # stand-in encoder output width
+
+EMBED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("media_type", StringType()),
+    StructField("media_emb", StringType()),  # csv of 8 odd ints
+])
+
+
+def encode_media(media_df: DataFrame) -> DataFrame:
+    """Arrow-batched media encoder STUB: maps each blob to an
+    ``EMB_DIM``-dim integer vector derived from the first md5 nibbles
+    of the payload (2·nibble − 15 — odd, so never the zero vector and
+    cosine denominators never vanish). A real deployment swaps the
+    body for a CLIP/SigLIP image tower over the decoded pixels; the
+    Spark shape — mapInPandas over Arrow record batches, blobs never
+    shuffled, slim vector rows out — is the production shape."""
+    import hashlib
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for m in pdf["media"]:
+                # null payload (e.g. null text upstream) encodes like
+                # the empty blob — a dirty corpus must not kill the job
+                h = hashlib.md5(b"" if m is None else bytes(m)).hexdigest()
+                embs.append(",".join(
+                    str(2 * int(h[i], 16) - 15) for i in range(EMB_DIM)))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "media_emb": embs,
+            })
+
+    return media_df.mapInPandas(fn, EMBED_SCHEMA)
+
+
+def media_text_alignment(documents: DataFrame) -> DataFrame:
+    """Image-text pair curation (the LAION/DataComp CLIP-score gate):
+    every media blob is encoded by the Arrow-batched stub tower, its
+    caption (the doc text) by a JVM-side stand-in text tower (md5
+    nibbles of a salted caption digest), and the pair's cosine
+    alignment decides keep/drop. Scores are exact: both towers emit
+    odd-integer vectors, so dot and squared norms are exact int64
+    and the single double rounding (micro-units) is IEEE-identical
+    across engines.
+
+    Scale shape: the pair join is doc_id-to-doc_id (media and caption
+    derive from the same row here; with a separate media table it is
+    one equi-join), encoding is a narrow Arrow map over the blobs,
+    and scoring is whole-stage-codegen arithmetic — no shuffle except
+    the join, no blob ever crosses the wire."""
+    enc = encode_media(documents_as_media(documents))
+    m = F.split("media_emb", ",").cast("array<long>")
+    cap = F.md5(F.concat(F.lit("cap|"),
+                         F.coalesce(F.col("text"), F.lit(""))))
+
+    def nib(i: int) -> F.Column:
+        a = F.ascii(F.substring(cap, i, 1))
+        v = F.when(a >= 97, a - 87).otherwise(a - 48)
+        return (v * 2 - 15).cast("long")
+
+    t = F.array(*[nib(i + 1) for i in range(EMB_DIM)])
+    dot = F.aggregate(F.zip_with(m, t, lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda acc, v: acc + v)
+    nm = F.aggregate(F.transform(m, lambda x: x * x),
+                     F.lit(0).cast("long"), lambda acc, v: acc + v)
+    nt = F.aggregate(F.transform(t, lambda x: x * x),
+                     F.lit(0).cast("long"), lambda acc, v: acc + v)
+    joined = (documents.select("doc_id", "text")
+              .join(enc, "doc_id"))
+    return (joined
+            .select("doc_id", "media_type",
+                    F.round(dot.cast("double")
+                            / F.sqrt((nm * nt).cast("double")) * 1e6)
+                    .cast("long").alias("align_micro"))
+            .withColumn("keep",
+                        (F.col("align_micro") >= 0).cast("long")))

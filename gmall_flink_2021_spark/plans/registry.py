@@ -301,6 +301,14 @@ def q_customers_without_orders(spark, sf):
     return analytics.customers_without_orders(customer, orders)
 
 
+def q_media_text_alignment(spark, sf):
+    """Gates: CLIP-score-style image-text pair curation — Arrow-batched
+    stub media tower + JVM text tower, exact integer dot/norms, one
+    IEEE-identical micro rounding; the LAION/DataComp filter gate."""
+    (documents,) = _t(spark, sf, "documents")
+    return multimodal.media_text_alignment(documents)
+
+
 def q_media_features(spark, sf):
     """Gates: Arrow-batched mapInPandas typed-metadata extraction over
     binary media columns."""
@@ -1204,6 +1212,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": q_bpe_merges,
     "bpe_encode_stats": q_bpe_encode_stats,
     "dsir_weights": q_dsir_weights,
+    "media_text_alignment": q_media_text_alignment,
     "snapshot_diff": q_snapshot_diff,
     "contrastive_pairs": q_contrastive_pairs,
     "minhash_dedup_marks": q_minhash_dedup_marks,
@@ -3680,6 +3689,43 @@ ORACLES["dsir_weights"] = f"""
     GROUP BY doc_id
 """
 
+ORACLES["media_text_alignment"] = """
+    WITH vecs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               CAST(((CASE WHEN ascii(substr(md5(coalesce(text, '')), 1, 1)) >= 97 THEN ascii(substr(md5(coalesce(text, '')), 1, 1)) - 87 ELSE ascii(substr(md5(coalesce(text, '')), 1, 1)) - 48 END) * 2 - 15) AS BIGINT) AS m0,
+               CAST(((CASE WHEN ascii(substr(md5(coalesce(text, '')), 2, 1)) >= 97 THEN ascii(substr(md5(coalesce(text, '')), 2, 1)) - 87 ELSE ascii(substr(md5(coalesce(text, '')), 2, 1)) - 48 END) * 2 - 15) AS BIGINT) AS m1,
+               CAST(((CASE WHEN ascii(substr(md5(coalesce(text, '')), 3, 1)) >= 97 THEN ascii(substr(md5(coalesce(text, '')), 3, 1)) - 87 ELSE ascii(substr(md5(coalesce(text, '')), 3, 1)) - 48 END) * 2 - 15) AS BIGINT) AS m2,
+               CAST(((CASE WHEN ascii(substr(md5(coalesce(text, '')), 4, 1)) >= 97 THEN ascii(substr(md5(coalesce(text, '')), 4, 1)) - 87 ELSE ascii(substr(md5(coalesce(text, '')), 4, 1)) - 48 END) * 2 - 15) AS BIGINT) AS m3,
+               CAST(((CASE WHEN ascii(substr(md5(coalesce(text, '')), 5, 1)) >= 97 THEN ascii(substr(md5(coalesce(text, '')), 5, 1)) - 87 ELSE ascii(substr(md5(coalesce(text, '')), 5, 1)) - 48 END) * 2 - 15) AS BIGINT) AS m4,
+               CAST(((CASE WHEN ascii(substr(md5(coalesce(text, '')), 6, 1)) >= 97 THEN ascii(substr(md5(coalesce(text, '')), 6, 1)) - 87 ELSE ascii(substr(md5(coalesce(text, '')), 6, 1)) - 48 END) * 2 - 15) AS BIGINT) AS m5,
+               CAST(((CASE WHEN ascii(substr(md5(coalesce(text, '')), 7, 1)) >= 97 THEN ascii(substr(md5(coalesce(text, '')), 7, 1)) - 87 ELSE ascii(substr(md5(coalesce(text, '')), 7, 1)) - 48 END) * 2 - 15) AS BIGINT) AS m6,
+               CAST(((CASE WHEN ascii(substr(md5(coalesce(text, '')), 8, 1)) >= 97 THEN ascii(substr(md5(coalesce(text, '')), 8, 1)) - 87 ELSE ascii(substr(md5(coalesce(text, '')), 8, 1)) - 48 END) * 2 - 15) AS BIGINT) AS m7,
+               CAST(((CASE WHEN ascii(substr(md5('cap|' || coalesce(text, '')), 1, 1)) >= 97 THEN ascii(substr(md5('cap|' || coalesce(text, '')), 1, 1)) - 87 ELSE ascii(substr(md5('cap|' || coalesce(text, '')), 1, 1)) - 48 END) * 2 - 15) AS BIGINT) AS t0,
+               CAST(((CASE WHEN ascii(substr(md5('cap|' || coalesce(text, '')), 2, 1)) >= 97 THEN ascii(substr(md5('cap|' || coalesce(text, '')), 2, 1)) - 87 ELSE ascii(substr(md5('cap|' || coalesce(text, '')), 2, 1)) - 48 END) * 2 - 15) AS BIGINT) AS t1,
+               CAST(((CASE WHEN ascii(substr(md5('cap|' || coalesce(text, '')), 3, 1)) >= 97 THEN ascii(substr(md5('cap|' || coalesce(text, '')), 3, 1)) - 87 ELSE ascii(substr(md5('cap|' || coalesce(text, '')), 3, 1)) - 48 END) * 2 - 15) AS BIGINT) AS t2,
+               CAST(((CASE WHEN ascii(substr(md5('cap|' || coalesce(text, '')), 4, 1)) >= 97 THEN ascii(substr(md5('cap|' || coalesce(text, '')), 4, 1)) - 87 ELSE ascii(substr(md5('cap|' || coalesce(text, '')), 4, 1)) - 48 END) * 2 - 15) AS BIGINT) AS t3,
+               CAST(((CASE WHEN ascii(substr(md5('cap|' || coalesce(text, '')), 5, 1)) >= 97 THEN ascii(substr(md5('cap|' || coalesce(text, '')), 5, 1)) - 87 ELSE ascii(substr(md5('cap|' || coalesce(text, '')), 5, 1)) - 48 END) * 2 - 15) AS BIGINT) AS t4,
+               CAST(((CASE WHEN ascii(substr(md5('cap|' || coalesce(text, '')), 6, 1)) >= 97 THEN ascii(substr(md5('cap|' || coalesce(text, '')), 6, 1)) - 87 ELSE ascii(substr(md5('cap|' || coalesce(text, '')), 6, 1)) - 48 END) * 2 - 15) AS BIGINT) AS t5,
+               CAST(((CASE WHEN ascii(substr(md5('cap|' || coalesce(text, '')), 7, 1)) >= 97 THEN ascii(substr(md5('cap|' || coalesce(text, '')), 7, 1)) - 87 ELSE ascii(substr(md5('cap|' || coalesce(text, '')), 7, 1)) - 48 END) * 2 - 15) AS BIGINT) AS t6,
+               CAST(((CASE WHEN ascii(substr(md5('cap|' || coalesce(text, '')), 8, 1)) >= 97 THEN ascii(substr(md5('cap|' || coalesce(text, '')), 8, 1)) - 87 ELSE ascii(substr(md5('cap|' || coalesce(text, '')), 8, 1)) - 48 END) * 2 - 15) AS BIGINT) AS t7
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, media_type,
+               CAST(round(CAST(m0 * t0 + m1 * t1 + m2 * t2 + m3 * t3 + m4 * t4 + m5 * t5 + m6 * t6 + m7 * t7 AS DOUBLE)
+                          / sqrt(CAST((m0 * m0 + m1 * m1 + m2 * m2 + m3 * m3 + m4 * m4 + m5 * m5 + m6 * m6 + m7 * m7) * (t0 * t0 + t1 * t1 + t2 * t2 + t3 * t3 + t4 * t4 + t5 * t5 + t6 * t6 + t7 * t7) AS DOUBLE))
+                          * 1e6) AS BIGINT) AS align_micro
+        FROM vecs
+    )
+    SELECT doc_id, media_type, align_micro,
+           CAST(CASE WHEN align_micro >= 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS keep
+    FROM scored
+"""
+
 ORACLES["pq_codebook_audit"] = _pq_oracle_sql()
 ORACLES["ivfpq_ann"] = _ivfpq_oracle_sql()
 ORACLES["ivfpq_recall"] = f"""
@@ -3910,6 +3956,7 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     "bpe_merges": 5,                 # new in round 5
     "bpe_encode_stats": 5,           # new in round 5
     "dsir_weights": 5,               # new in round 5
+    "media_text_alignment": 5,       # new in round 5
 }
 
 _GRADE_PRIORITY: tuple[str, ...] = (

@@ -659,3 +659,23 @@ def test_dsir_weights_favor_target_source(spark):
                        / F.col("n_tokens")).alias("m")).collect())
     by = {r[0]: r["m"] for r in rows}
     assert by[True] > by[False]
+
+
+def test_media_text_alignment_is_exact_and_gated(spark):
+    """Alignment scores must be bounded cosines (|micro| <= 1e6),
+    keep must equal the sign gate, and the stub towers must never
+    emit a zero vector (odd-integer components) — so no NaN/null
+    scores exist on any input, including empty text."""
+    from gmall_flink_2021_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(0, "low low lower", "en", "a", 13), (1, "", "en", "a", 0),
+         (2, None, "en", "b", 0)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    rows = multimodal.media_text_alignment(docs).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["align_micro"] is not None
+        assert abs(r["align_micro"]) <= 1_000_000
+        assert r["keep"] == (1 if r["align_micro"] >= 0 else 0)
