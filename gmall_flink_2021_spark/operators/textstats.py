@@ -1077,13 +1077,9 @@ def langid_trigram_confusion(documents: DataFrame) -> DataFrame:
     # length arithmetic on the scan).
     # the corpus file may arrive as a single split (tiny row-group
     # layouts); the ~700x trigram fan-out below must not inherit that
-    # 1-task layout, so spread docs across the cluster BEFORE the
-    # explode — the pre-fan-out shuffle moves only the raw docs
-    sc = documents.sparkSession.sparkContext
-    nparts = max(sc.defaultParallelism,
-                 documents.rdd.getNumPartitions())
-    doc_tri = (documents
-               .repartition(nparts, "doc_id")
+    # 1-task layout — spread() moves only the raw docs
+    from ..functions import spread
+    doc_tri = (spread(documents)
                .select("doc_id", F.col("lang").alias("label_lang"),
                        F.explode(tris).alias("tri"))
                .persist())

@@ -39,6 +39,7 @@ QUERIES = [
     "hashed_classifier_scores", "editdist_verified_pairs",
     # round 5: full BPE trainer/encoder + DSIR importance weights
     "bpe_merges", "bpe_encode_stats", "dsir_weights",
+    "media_text_alignment",
 ]
 
 
