@@ -119,3 +119,32 @@ def test_optimize_layout_produces_disjoint_range_files(spark, tmp_path):
 
     # content integrity: the re-laid-out table is the same multiset
     assert spark.read.parquet(opt).count() == events.count()
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
+    """Z-order vs single-key range sort on (user_id, event_id): the
+    range layout gives tight spans on its sort key but each file
+    spans ~the whole range of the other column; the z-ordered layout
+    must bound BOTH dimensions — its second-dimension per-file span
+    must be a small fraction of the single-key layout's."""
+    from gmall_flink_2021_spark.sources.tables import load_table
+    from gmall_flink_2021_spark.streaming import sinks
+
+    events = load_table(spark, SF_SMOKE, "events") \
+        .select("user_id", "event_id")
+
+    zpath = str(tmp_path / "z")
+    zstats = sinks.zorder_layout(events, zpath, "user_id", "event_id",
+                                 n_partitions=16)
+    rpath = str(tmp_path / "r")
+    sinks.optimize_layout(events, rpath, ["user_id"], n_partitions=16)
+    rspans = sinks._file_spans(rpath, "event_id")
+    lo = min(s[0] for s in rspans)
+    hi = max(s[1] for s in rspans)
+    r_avg_permille = 1000 * (sum(int(s[1]) - int(s[0]) for s in rspans)
+                             // len(rspans)) // max(int(hi) - int(lo), 1)
+    # single-key layout leaves the second dim essentially unpruned
+    assert r_avg_permille >= 800, r_avg_permille
+    # z-order bounds both dims to a fraction of their global range
+    assert zstats["avg_span_permille_b"] <= r_avg_permille // 2, zstats
+    assert zstats["avg_span_permille_a"] <= 500, zstats

@@ -537,6 +537,10 @@ def test_minhash_signature_shuffle_is_pre_fanout(spark):
     from gmall_flink_2021_spark.operators import dedup
     from gmall_flink_2021_spark.sources.tables import load_table
 
+    # a prior test may have persisted an identical sub-plan; a cache
+    # hit rewrites the tree into InMemoryTableScan whose stored AQE
+    # plan prints initial+final trees (duplicate Exchange entries)
+    spark.catalog.clearCache()
     docs = load_table(spark, SF_SMOKE, "documents")
     sig = dedup.minhash_signatures(docs).filter("h0 is not null")
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
