@@ -1257,3 +1257,54 @@ def test_bpe_encode_streaming_matches_batch(spark, tmp_path):
     want = {tuple(r)
             for r in textstats.bpe_encode_stats(docs).collect()}
     assert want and got == want
+
+
+def test_dsir_stream_resume_scores_only_new_files(spark, tmp_path):
+    """Restart semantics for the serving-shaped streams: drain with
+    half the corpus, 'restart' on the same checkpoint with the rest
+    staged, and the second run must score ONLY the new file (offset
+    carried), with the union of both runs equal to the batch operator
+    (the static llr table makes per-doc scores batching-invariant)."""
+    import os
+    import time as _time
+
+    from gmall_flink_2021_spark.operators import textstats
+    from gmall_flink_2021_spark.streaming.jobs import dsir_score_stream
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    parts = [docs.filter(F.col("doc_id") <= hi // 2),
+             docs.filter(F.col("doc_id") > hi // 2)]
+    src = str(tmp_path / "dr_docs")
+    os.makedirs(src)
+    ck = str(tmp_path / "dr_ck")
+    out = str(tmp_path / "dr_out")
+    now = _time.time()
+
+    def stage(i):
+        d = str(tmp_path / f"dr_stage_{i}")
+        parts[i].coalesce(1).write.parquet(d)
+        f = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"part_{i}.parquet")
+        os.rename(os.path.join(d, f), dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    def run():
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .option("latestFirst", "false").parquet(src))
+        dsir_score_stream(stream, docs, out, ck)
+
+    stage(0)
+    run()
+    first_batches = set(os.listdir(out))
+    stage(1)
+    run()
+    second_batches = set(os.listdir(out)) - first_batches
+    assert first_batches == {"batch_id=0"}
+    assert second_batches == {"batch_id=1"}
+    got = {tuple(r) for r in
+           spark.read.parquet(out).drop("batch_id").collect()}
+    want = {tuple(r)
+            for r in textstats.dsir_importance_weights(docs).collect()}
+    assert want and got == want
