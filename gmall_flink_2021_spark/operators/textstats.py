@@ -1478,3 +1478,45 @@ def dsir_score(documents: DataFrame, llr: DataFrame) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.sum("llr_micro").alias("dsir_weight_micro")))
+
+
+def save_bpe_model(merges: list, path: str, spark) -> None:
+    """Persist the learned BPE merge table — the artifact a tokenizer
+    ships (the save_codebooks analog for the text side). Strings and
+    int64 counts on disk: the roundtrip is exact, so an encoder built
+    from the reloaded table is byte-identical to the trainer's."""
+    (spark.createDataFrame(
+        merges, "step long, pair string, merged string, merge_ct long")
+     .coalesce(1).write.mode("overwrite").parquet(path))
+
+
+def load_bpe_model(path: str, spark) -> list:
+    """Inverse of save_bpe_model (training order restored)."""
+    return [(int(r["step"]), r["pair"], r["merged"], int(r["merge_ct"]))
+            for r in spark.read.parquet(path).orderBy("step").collect()]
+
+
+def bpe_apply_merges(documents: DataFrame, merges: list) -> DataFrame:
+    """Encode a corpus under a RELOADED merge table without
+    retraining: rebuild each distinct word's symbol string by
+    replaying the merges in training order over the corpus
+    vocabulary (vocab-sized work, chained literal replaces in one
+    projection), then the same broadcast-join encode as
+    bpe_encode_stats. Byte-identical to encoding with the trainer's
+    own vocabulary (pinned by test)."""
+    vocab = (documents
+             .select(F.explode(tokens("text")).alias("word"))
+             .filter(~F.col("word").contains(";"))
+             .distinct())
+    sym = F.regexp_replace("word", "(.)", "$1;")
+    for _step, pair, merged, _ct in merges:
+        sym = F.replace(sym, F.lit(pair), F.lit(merged))
+    enc = vocab.select(
+        "word",
+        (F.size(F.split(sym, ";")) - 1).cast("long").alias("n_sym"))
+    return (documents
+            .select("doc_id", F.explode(tokens("text")).alias("word"))
+            .join(F.broadcast(enc), "word", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(F.coalesce("n_sym", F.lit(1))).alias("n_symbols")))

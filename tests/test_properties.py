@@ -679,3 +679,21 @@ def test_media_text_alignment_is_exact_and_gated(spark):
         assert r["align_micro"] is not None
         assert abs(r["align_micro"]) <= 1_000_000
         assert r["keep"] == (1 if r["align_micro"] >= 0 else 0)
+
+
+def test_bpe_model_roundtrip_encodes_identically(spark, tmp_path):
+    """The shipped artifact: merges saved to parquet, reloaded, and
+    replayed over the corpus must encode byte-identically to the
+    trainer's own vocabulary (save_codebooks analog for text)."""
+    from gmall_flink_2021_spark.operators import textstats as T
+    from gmall_flink_2021_spark.plans.registry import _t
+
+    (docs,) = _t(spark, "/root/testdata/sf0.001", "documents")
+    merges, vocab = T.bpe_learn(docs)
+    art = str(tmp_path / "bpe_model")
+    T.save_bpe_model(merges, art, spark)
+    reloaded = T.load_bpe_model(art, spark)
+    assert reloaded == merges
+    got = {tuple(r) for r in T.bpe_apply_merges(docs, reloaded).collect()}
+    want = {tuple(r) for r in T.bpe_encode_stats(docs).collect()}
+    assert want and got == want
