@@ -109,13 +109,21 @@ def embedding_dups_exhaustive(embeddings: DataFrame,
 
 def ivf_search(corpus: DataFrame, queries: DataFrame,
                cents: DataFrame, k: int = 3,
-               n_probe: int = 1) -> DataFrame:
+               n_probe: int = 1,
+               exclude_self: bool = True) -> DataFrame:
     """IVF search against a PREBUILT index: ``cents`` is the coarse
     quantizer (label_centroids output, built once — the serving
     placement `streaming/jobs.ann_query_stream` exploits), ``queries``
     is (query_id, vec_q). Each query probes its ``n_probe`` nearest
     centroids and searches only those label partitions; queries
     broadcast into the corpus scan, never the reverse.
+
+    ``exclude_self`` drops the corpus row whose vec_id equals the
+    incoming query_id — correct ONLY when queries are corpus members
+    sharing the id namespace (the ivf_ann / "find my neighbors"
+    shape). Queries numbered independently of the corpus MUST pass
+    False, or an unrelated corpus vector that merely shares the id
+    is silently removed from its top-k.
 
     Returns (query_id, probed label, neighbor_id, rank, cos_sim)."""
     probe_w = Window.partitionBy("query_id").orderBy(
@@ -132,8 +140,12 @@ def ivf_search(corpus: DataFrame, queries: DataFrame,
         as_double("embedding").alias("vec_n"))
     rank_w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id"))
+    if exclude_self:
+        cand_q = F.col("neighbor_id") != F.col("query_id")
+    else:
+        cand_q = F.lit(True)
     return (cand.join(F.broadcast(probes), "label")
-            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .filter(cand_q)
             .withColumn("cos_sim", cosine(F.col("vec_q"), F.col("vec_n")))
             .withColumn("rank", F.row_number().over(rank_w).cast("long"))
             .filter(F.col("rank") <= k)

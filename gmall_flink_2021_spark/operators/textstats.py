@@ -1072,9 +1072,13 @@ def langid_trigram_confusion(documents: DataFrame) -> DataFrame:
     # (profile training and scoring) — PERSISTED, because the two
     # consumers are separate plan branches and would otherwise each
     # re-scan and re-explode the corpus (round 4: this query's cost
-    # was 4 corpus fan-outs — profile, vocab, matched, n_tri; now 1:
-    # vocab comes from the charset³-bounded profile and n_tri is pure
-    # length arithmetic on the scan).
+    # was 4 corpus fan-outs — profile, vocab, matched, n_tri; vocab
+    # now comes from the charset³-bounded profile and n_tri is pure
+    # length arithmetic on the scan). The single-fan-out guarantee
+    # holds for library callers who keep _tri_cache live across the
+    # action; the registry wrapper unpersists it immediately (leak
+    # convention), so that path pays 2 parallel fan-outs instead —
+    # an explicit memory-over-CPU trade, not an accident.
     # the corpus file may arrive as a single split (tiny row-group
     # layouts); the ~700x trigram fan-out below must not inherit that
     # 1-task layout — spread() moves only the raw docs
@@ -1215,18 +1219,12 @@ def hashed_classifier_scores(documents: DataFrame,
     if weights is None:
         weights = classifier_weights(spark, dim)
 
-    h = F.md5(F.col("term"))
-
-    def nib(i: int) -> F.Column:
-        a = F.ascii(F.substring(h, i, 1))
-        return F.when(a >= 97, a - 87).otherwise(a - 48)
-
     toks = (documents
             .select("doc_id", F.explode_outer(tokens("text"))
                     .alias("term"))
             .select("doc_id", "term",
                     F.when(F.col("term").isNotNull(),
-                           nib(1) * 256 + nib(2) * 16 + nib(3))
+                           _md5_bucket(F.col("term")))
                     .cast("long").alias("bucket")))
     scored = (toks.join(F.broadcast(weights), "bucket", "left")
               .groupBy("doc_id")
@@ -1361,6 +1359,31 @@ def bpe_merges(documents: DataFrame,
         learned, "step long, pair string, merged string, merge_ct long")
 
 
+def bpe_vocab_encoder(vocab: DataFrame) -> DataFrame:
+    """(word, n_sym) encode table from a trained vocabulary's
+    ';'-separated symbol strings — the single derivation every encode
+    path (batch stats, merge replay, the serving stream) shares, so
+    OOV/separator semantics cannot drift between them."""
+    return vocab.select(
+        "word",
+        (F.size(F.split("sym", ";")) - 1).cast("long").alias("n_sym"))
+
+
+def encode_with_vocab(documents: DataFrame, enc: DataFrame) -> DataFrame:
+    """Per-doc (n_tokens, n_symbols) under a (word, n_sym) encode
+    table: one token fan-out, one broadcast-hash join, one doc
+    aggregation. Words absent from the table (separator-unsafe /
+    OOV) count as 1 atomic symbol. Shared by bpe_encode_stats,
+    bpe_apply_merges and streaming/jobs.bpe_encode_stream so the
+    serving and batch paths are provably identical."""
+    return (documents
+            .select("doc_id", F.explode(tokens("text")).alias("word"))
+            .join(F.broadcast(enc), "word", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(F.coalesce("n_sym", F.lit(1))).alias("n_symbols")))
+
+
 def bpe_encode_stats(documents: DataFrame,
                      n_merges: int = BPE_N_MERGES,
                      collect_threshold: int = 200_000) -> DataFrame:
@@ -1378,15 +1401,7 @@ def bpe_encode_stats(documents: DataFrame,
     frame) — unpersisted lazily by the registry wrapper; the
     recompute path is fully deterministic, no hidden driver state."""
     _, vocab = bpe_learn(documents, n_merges, collect_threshold)
-    enc = vocab.select(
-        "word",
-        (F.size(F.split("sym", ";")) - 1).cast("long").alias("n_sym"))
-    out = (documents
-           .select("doc_id", F.explode(tokens("text")).alias("word"))
-           .join(F.broadcast(enc), "word", "left")
-           .groupBy("doc_id")
-           .agg(F.count(F.lit(1)).alias("n_tokens"),
-                F.sum(F.coalesce("n_sym", F.lit(1))).alias("n_symbols")))
+    out = encode_with_vocab(documents, bpe_vocab_encoder(vocab))
     out._bpe_cache = vocab._learn_cache
     return out
 
@@ -1421,7 +1436,11 @@ def dsir_importance_weights(documents: DataFrame,
     return dsir_score(documents, llr)
 
 
-def _dsir_bucket(col):
+def _md5_bucket(col):
+    """First-3-md5-nibbles hash bucket, domain [0, 4096) — the ONE
+    derivation behind both CLASSIFIER_DIM (hashed_classifier_scores)
+    and DSIR_DIM (dsir_importance_weights): the oracles of both
+    queries mirror it nibble for nibble, so it must not fork."""
     h = F.md5(col)
 
     def nib(i: int):
@@ -1440,7 +1459,7 @@ def _dsir_feats(documents: DataFrame) -> DataFrame:
                     .alias("is_target"),
                     F.explode(tokens("text")).alias("tok"))
             .select("doc_id", "is_target",
-                    _dsir_bucket(F.col("tok")).alias("b")))
+                    _md5_bucket(F.col("tok")).alias("b")))
 
 
 def dsir_llr_table(documents: DataFrame, dim: int = DSIR_DIM) -> DataFrame:
@@ -1472,7 +1491,7 @@ def dsir_score(documents: DataFrame, llr: DataFrame) -> DataFrame:
     min(source) aggregation runs here."""
     feats = (documents
              .select("doc_id", F.explode(tokens("text")).alias("tok"))
-             .select("doc_id", _dsir_bucket(F.col("tok")).alias("b")))
+             .select("doc_id", _md5_bucket(F.col("tok")).alias("b")))
     return (feats
             .join(F.broadcast(llr), "b")
             .groupBy("doc_id")
@@ -1511,12 +1530,5 @@ def bpe_apply_merges(documents: DataFrame, merges: list) -> DataFrame:
     sym = F.regexp_replace("word", "(.)", "$1;")
     for _step, pair, merged, _ct in merges:
         sym = F.replace(sym, F.lit(pair), F.lit(merged))
-    enc = vocab.select(
-        "word",
-        (F.size(F.split(sym, ";")) - 1).cast("long").alias("n_sym"))
-    return (documents
-            .select("doc_id", F.explode(tokens("text")).alias("word"))
-            .join(F.broadcast(enc), "word", "left")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_tokens"),
-                 F.sum(F.coalesce("n_sym", F.lit(1))).alias("n_symbols")))
+    enc = bpe_vocab_encoder(vocab.select("word", sym.alias("sym")))
+    return encode_with_vocab(documents, enc)

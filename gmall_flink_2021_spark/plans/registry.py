@@ -1005,7 +1005,12 @@ def q_langid_trigram(spark, sf):
     matched+floor scoring, integer argmax) vs lang_id's heuristic."""
     (documents,) = _t(spark, sf, "documents")
     out = textstats.langid_trigram_confusion(documents)
-    out._tri_cache.unpersist()  # lazy: recompute-on-reuse
+    # leak convention: no pinned corpus-sized cache may outlive the
+    # wrapper. The operator has no internal action, so this dead
+    # cache costs one extra (parallel, spread) trigram fan-out at
+    # collect time — accepted; library callers wanting the single
+    # fan-out hold _tri_cache live across their action instead.
+    out._tri_cache.unpersist()
     return out
 
 

@@ -390,9 +390,9 @@ def heavy_hitter_stream(doc_stream: DataFrame, store_path: str,
 
     def sink(batch: DataFrame, bid: int) -> None:
         sinks.recover_store(store_path)
-        import os
+        fs, P = sinks.store_fs(spark, store_path)
         existing = None
-        if os.path.exists(store_path):
+        if fs.exists(P(store_path)):
             existing = spark.read.parquet(store_path)
             meta = {r["term"]: r["cnt"] for r in existing.filter(
                 F.col("term").isin(TOTAL, MERGED)).collect()}
@@ -620,7 +620,8 @@ def pq_encode_stream(emb_stream: DataFrame,
 
 def ann_query_stream(query_stream: DataFrame, corpus: DataFrame,
                      out_path: str, checkpoint: str, k: int = 3,
-                     n_probe: int = 1) -> None:
+                     n_probe: int = 1,
+                     exclude_self: bool = True) -> None:
     """Online ANN serving: the IVF index — per-label centroids (the
     coarse quantizer) over a STATIC corpus — is built ONCE before the
     stream starts, then every arriving query vector is answered
@@ -634,7 +635,9 @@ def ann_query_stream(query_stream: DataFrame, corpus: DataFrame,
     Per-query results depend only on the query vector and the static
     index, so the union of emitted batches equals the batch operator
     row-for-row (pinned by test); writes are overwrite-by-batch-id
-    (exactly-once)."""
+    (exactly-once). ``exclude_self`` is only correct when the query
+    stream's ids live in the corpus id namespace (see ivf_search);
+    externally-numbered query streams must pass False."""
     from ..functions.vectors import as_double
     from ..operators.similarity import ivf_search, label_centroids
     from . import sinks
@@ -646,7 +649,8 @@ def ann_query_stream(query_stream: DataFrame, corpus: DataFrame,
             F.col("vec_id").alias("query_id"),
             as_double("embedding").alias("vec_q"))
         sinks.write_idempotent(
-            ivf_search(corpus, queries, cents, k=k, n_probe=n_probe),
+            ivf_search(corpus, queries, cents, k=k, n_probe=n_probe,
+                       exclude_self=exclude_self),
             bid, out_path)
 
     q = (query_stream.writeStream.foreachBatch(sink)
@@ -889,29 +893,19 @@ def bpe_encode_stream(doc_stream: DataFrame, reference_docs: DataFrame,
     streamed corpus (pinned by test); writes are
     overwrite-by-batch-id (exactly-once)."""
     from ..operators import textstats
-    from ..functions.text import tokens
     from . import sinks
 
     if n_merges is None:
         n_merges = textstats.BPE_N_MERGES
     _, vocab = textstats.bpe_learn(reference_docs, n_merges)
-    enc = vocab.select(
-        "word",
-        (F.size(F.split("sym", ";")) - 1).cast("long").alias("n_sym"))
-    enc = enc.persist()
+    enc = textstats.bpe_vocab_encoder(vocab).persist()
     enc.count()
     if vocab._learn_cache is not None:
         vocab._learn_cache.unpersist()
 
     def sink(batch: DataFrame, bid: int) -> None:
-        out = (batch
-               .select("doc_id", F.explode(tokens("text")).alias("word"))
-               .join(F.broadcast(enc), "word", "left")
-               .groupBy("doc_id")
-               .agg(F.count(F.lit(1)).alias("n_tokens"),
-                    F.sum(F.coalesce("n_sym", F.lit(1)))
-                    .alias("n_symbols")))
-        sinks.write_idempotent(out, bid, out_path)
+        sinks.write_idempotent(
+            textstats.encode_with_vocab(batch, enc), bid, out_path)
 
     q = (doc_stream.writeStream.foreachBatch(sink)
          .option("checkpointLocation", checkpoint)

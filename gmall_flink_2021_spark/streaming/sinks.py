@@ -158,10 +158,13 @@ def publish_store(staged_df: DataFrame, store_path: str) -> None:
     so the replayed batch saw `bid <= prior_bid` and skipped itself:
     silent row loss with no loud failure.
 
-    Directory RENAME is atomic on POSIX (and on HDFS, where
-    FileSystem.rename has the same contract; an object store without
-    atomic rename needs the manifest variant instead — store an
-    expected row count and fail loud on mismatch). Sequence:
+    Directory RENAME is atomic on POSIX and on HDFS (where
+    FileSystem.rename has the same contract) — all path operations
+    here go through Hadoop's FileSystem API, so a store on hdfs://
+    (or any Hadoop-supported filesystem) behaves identically to a
+    local one. An object store without atomic rename (s3a://) needs
+    the manifest variant instead — store an expected row count and
+    fail loud on mismatch. Sequence:
 
       1. write the merged frame to ``store._stage`` (Spark stamps
          _SUCCESS on job commit — the completeness witness);
@@ -174,44 +177,61 @@ def publish_store(staged_df: DataFrame, store_path: str) -> None:
     (store untouched, replay recomputes); store missing + complete
     stage → finish the rename; store missing + ._prev only → roll
     back. No state leaves a partial store readable."""
-    import shutil
-
-    stage = store_path + "._stage"
-    prev = store_path + "._prev"
-    shutil.rmtree(stage, ignore_errors=True)
-    staged_df.write.mode("overwrite").parquet(stage)
-    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+    fs, P = store_fs(staged_df.sparkSession, store_path)
+    stage, prev, store = (P(store_path + "._stage"),
+                          P(store_path + "._prev"), P(store_path))
+    fs.delete(stage, True)
+    staged_df.write.mode("overwrite").parquet(store_path + "._stage")
+    if not fs.exists(P(store_path + "._stage/_SUCCESS")):
         raise RuntimeError(
             f"staging write for {store_path} committed without "
             "_SUCCESS; refusing to publish")
-    if os.path.exists(store_path):
-        os.rename(store_path, prev)
-    os.rename(stage, store_path)
-    shutil.rmtree(prev, ignore_errors=True)
+    # FileSystem.rename reports failure by RETURNING false, not by
+    # raising — an unchecked call would silently skip the publish
+    if fs.exists(store) and not fs.rename(store, prev):
+        raise RuntimeError(f"could not set aside {store_path}")
+    if not fs.rename(stage, store):
+        raise RuntimeError(f"could not publish staging into {store_path}")
+    fs.delete(prev, True)
+
+
+def store_fs(spark, path: str):
+    """(Hadoop FileSystem, Path constructor) for ``path`` — the
+    merged-store streams' path operations must work on any
+    Hadoop-supported filesystem (file:/, hdfs://), not just the
+    driver's local disk, so exists/rename/delete go through the JVM
+    FileSystem API rather than os.path/os.rename."""
+    P = spark._jvm.org.apache.hadoop.fs.Path
+    fs = P(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, P
 
 
 def recover_store(store_path: str) -> None:
     """Crash recovery for :func:`publish_store` — call before reading
     the store. Completes or rolls back an interrupted publish so the
     reader only ever sees a store that was written whole."""
-    import shutil
+    from pyspark.sql import SparkSession
 
-    stage = store_path + "._stage"
-    prev = store_path + "._prev"
-    if not os.path.exists(store_path):
-        if os.path.exists(os.path.join(stage, "_SUCCESS")):
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("recover_store needs an active SparkSession")
+    fs, P = store_fs(spark, store_path)
+    stage, prev, store = (P(store_path + "._stage"),
+                          P(store_path + "._prev"), P(store_path))
+    if not fs.exists(store):
+        if fs.exists(P(store_path + "._stage/_SUCCESS")):
             # crash between rename-aside and rename-in (or mid-
             # cleanup): the stage is complete — finish the publish
-            os.rename(stage, store_path)
-        elif os.path.exists(prev):
+            fs.rename(stage, store)
+        elif fs.exists(prev):
             # defensive: stage gone but the old store was set aside —
             # roll back rather than re-seed from nothing
-            os.rename(prev, store_path)
+            fs.rename(prev, store)
     # a leftover stage next to a live store means the crash was
     # before rename-aside: the store is intact, the replayed batch
     # recomputes — discard the stage either way
-    shutil.rmtree(stage, ignore_errors=True)
-    shutil.rmtree(prev, ignore_errors=True)
+    fs.delete(stage, True)
+    fs.delete(prev, True)
 
 
 def compact_table(spark, path: str,
@@ -390,6 +410,13 @@ def zorder_layout(df: DataFrame, path: str, col_a: str, col_b: str,
     bounds = df.agg(
         F.min(col_a).alias("a_lo"), F.max(col_a).alias("a_hi"),
         F.min(col_b).alias("b_lo"), F.max(col_b).alias("b_hi")).collect()[0]
+    if bounds.a_lo is None or bounds.b_lo is None:
+        # min() is NULL only when the column has no non-null values —
+        # an empty (or not-yet-populated) input; fail loud rather
+        # than TypeError inside the bucket arithmetic
+        raise ValueError(
+            f"zorder_layout: no non-null values in {col_a}/{col_b} "
+            "(empty input?); nothing to lay out")
     n = (1 << bits) - 1
 
     def bucket(col: str, lo, hi) -> F.Column:
@@ -412,10 +439,11 @@ def zorder_layout(df: DataFrame, path: str, col_a: str, col_b: str,
        .drop("_z")
        .write.mode("overwrite").parquet(path))
 
-    out = {"files": len(_file_spans(path, col_a))}
+    out = {}
     for dim, col, lo, hi in (("a", col_a, bounds.a_lo, bounds.a_hi),
                              ("b", col_b, bounds.b_lo, bounds.b_hi)):
-        spans = _file_spans(path, col)
+        spans = _file_spans(path, col)  # one footer pass per dim
+        out.setdefault("files", len(spans))
         width = max(int(hi) - int(lo), 1)
         avg = (sum(int(s[1]) - int(s[0]) for s in spans)
                // max(len(spans), 1))
