@@ -1190,6 +1190,34 @@ def test_publish_store_atomic_swap_and_crash_recovery(spark, tmp_path):
         == [(2, "new")]
 
 
+def test_publish_store_works_on_uri_store_paths(spark, tmp_path):
+    """The store path ops go through Hadoop's FileSystem API, so a
+    store addressed by URI (here file:, standing in for hdfs: which
+    shares the FileSystem contract) publishes and recovers exactly
+    like a bare local path — os.path/os.rename would silently fail
+    the existence probe on any URI and re-seed the store every
+    batch."""
+    import os
+
+    from gmall_flink_2021_spark.streaming import sinks
+
+    store = "file:" + str(tmp_path / "uri_store")
+    local = str(tmp_path / "uri_store")
+    old = spark.createDataFrame([(1, "old")], "k int, v string")
+    new = spark.createDataFrame([(2, "new")], "k int, v string")
+    sinks.publish_store(old, store)
+    sinks.publish_store(new, store)  # second publish must SEE the first
+    assert [tuple(r) for r in spark.read.parquet(store).collect()] \
+        == [(2, "new")]
+    assert not os.path.exists(local + "._stage")
+    assert not os.path.exists(local + "._prev")
+    # recovery path resolves the same FileSystem from the URI
+    os.rename(local, local + "._prev")
+    sinks.recover_store(store)
+    assert [tuple(r) for r in spark.read.parquet(store).collect()] \
+        == [(2, "new")]
+
+
 def test_ann_query_stream_matches_batch_ivf(spark, tmp_path):
     """Online ANN serving: a static IVF index (per-label centroids
     built once, persisted for the stream's lifetime) answering a
