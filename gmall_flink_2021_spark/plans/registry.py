@@ -54,6 +54,16 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [load_table(spark, sf_dir, n) for n in names]
 
 
+def _emb_key(sf_dir: str):
+    """Learned-parameter memo key for the embeddings table (see
+    similarity.py module header): path + per-file size/mtime, so the
+    memo self-invalidates when the data is regenerated in place."""
+    import os
+
+    return similarity.dataset_signature(
+        os.path.join(sf_dir, "embeddings.parquet"))
+
+
 # --------------------------------------------------------------------------
 # Spark-side query callables
 # --------------------------------------------------------------------------
@@ -743,7 +753,7 @@ def q_kmeans_clusters(spark, sf):
     centroid recomputation, vs the oracle's fully-unrolled SQL
     iterations."""
     (embeddings,) = _t(spark, sf, "embeddings")
-    out = similarity.kmeans_clusters(embeddings)
+    out = similarity.kmeans_clusters(embeddings, memo_key=_emb_key(sf))
     out._kmeans_cache.unpersist()  # lazy: recompute-on-reuse
     return out
 
@@ -755,7 +765,8 @@ def q_semdedup_prune(spark, sf):
     under one exact oracle. Threshold 0.35 so the test corpus yields
     pairs (no cos≥0.9 pairs exist in it)."""
     (embeddings,) = _t(spark, sf, "embeddings")
-    out = similarity.semdedup_prune(embeddings, threshold=0.35)
+    out = similarity.semdedup_prune(embeddings, threshold=0.35,
+                                    memo_key=_emb_key(sf))
     out._kmeans_cache.unpersist()
     for c in out._emb_cache:
         c.unpersist()  # lazy: recompute-on-reuse
@@ -812,7 +823,8 @@ def q_pq_codebook_audit(spark, sf):
     runs (zero-shuffle assignment, exact centroid sums) under one
     fully-unrolled SQL oracle."""
     (embeddings,) = _t(spark, sf, "embeddings")
-    out = similarity.pq_codebook_audit(embeddings)
+    out = similarity.pq_codebook_audit(embeddings,
+                                       memo_key=_emb_key(sf))
     for c in out._pq_caches:   # lazy: recompute-on-reuse
         c.unpersist()
     return out
@@ -952,7 +964,7 @@ def q_ivfpq_ann(spark, sf):
     unrolled bit-exact SQL oracle (kmeans chain ∘ m PQ chains ∘
     ranked distance sum)."""
     (embeddings,) = _t(spark, sf, "embeddings")
-    out = similarity.ivfpq_ann(embeddings)
+    out = similarity.ivfpq_ann(embeddings, memo_key=_emb_key(sf))
     for c in out._ivfpq_caches:  # lazy: recompute-on-reuse
         c.unpersist()
     return out
@@ -963,7 +975,7 @@ def q_ivfpq_recall(spark, sf):
     index vs exact top-k, integer permille (the PQ counterpart of
     ann_recall's LSH audit)."""
     (embeddings,) = _t(spark, sf, "embeddings")
-    out = similarity.ivfpq_recall(embeddings)
+    out = similarity.ivfpq_recall(embeddings, memo_key=_emb_key(sf))
     for c in out._ivfpq_caches:  # lazy: recompute-on-reuse
         c.unpersist()
     return out
