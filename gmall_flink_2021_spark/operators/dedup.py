@@ -822,3 +822,84 @@ def split_leakage_check(documents: DataFrame) -> DataFrame:
                    .alias("leak_permille")))
     out._banded_cache = banded
     return out
+
+def incremental_dedup(snapshot: DataFrame, batch: DataFrame) -> DataFrame:
+    """Cross-snapshot novelty gate — the daily-ingest decision of a
+    large-scale pipeline: classify every INCOMING document against the
+    EXISTING corpus snapshot, so only new content proceeds to
+    training. Verdict precedence per batch doc:
+
+      exact_dup  token-normalized content fingerprint already present
+                 in the snapshot (matched_id = lowest such snapshot
+                 doc — same canonical rule as exact_dups)
+      near_dup   any of the LSH band buckets collides with a snapshot
+                 doc (matched_id = lowest colliding snapshot doc);
+      novel      neither.
+
+    ``sig_agree`` audits the match: how many of the 8 minhashes the
+    batch doc shares with its matched snapshot doc (8 = signatures
+    identical, 0 = bucket-collision-only / signature unavailable);
+    NULL for novel docs.
+
+    Within-batch duplicates are intentionally NOT decided here —
+    that is minhash_dedup_marks' first-seen-wins rule; this operator
+    is the CROSS-dataset half of the ingest gate.
+
+    Scale shape: the batch is the SMALL side everywhere — its
+    fingerprints, band keys, and decisions broadcast against the
+    snapshot-side scans, and the snapshot's signature frame is joined
+    only against the matched-id set (semi-filtered first, then
+    broadcast). In production the snapshot side is a persisted
+    signature/bucket store written at ingest time (the
+    minhash_signatures projection — see the BPE/PQ model-persistence
+    pattern), so the daily cost is O(batch + collided buckets), never
+    a snapshot rescan.
+    """
+    fp = F.md5(F.concat_ws(" ", tokens("text")))
+    snap_fp = snapshot.select(F.col("doc_id").alias("snap_id"),
+                              fp.alias("fp"))
+    batch_fp = batch.select("doc_id", fp.alias("fp"))
+    exact = (snap_fp.join(F.broadcast(batch_fp), "fp")
+             .groupBy("doc_id").agg(F.min("snap_id").alias("exact_id")))
+
+    sig_s = minhash_signatures(snapshot).persist()
+    sig_b = minhash_signatures(batch).persist()
+    bands_s = banded_minhash(snapshot,
+                             sig=sig_s.filter(F.col("h0").isNotNull()))
+    bands_b = banded_minhash(batch,
+                             sig=sig_b.filter(F.col("h0").isNotNull()))
+    near = (bands_s.withColumnRenamed("doc_id", "snap_id")
+            .join(F.broadcast(bands_b), ["band", "band_hash"])
+            .groupBy("doc_id").agg(F.min("snap_id").alias("near_id")))
+
+    dec = (batch.select("doc_id")
+           .join(F.broadcast(exact), "doc_id", "left")
+           .join(F.broadcast(near), "doc_id", "left")
+           .select("doc_id",
+                   F.when(F.col("exact_id").isNotNull(),
+                          F.lit("exact_dup"))
+                    .when(F.col("near_id").isNotNull(),
+                          F.lit("near_dup"))
+                    .otherwise(F.lit("novel")).alias("verdict"),
+                   F.coalesce("exact_id", "near_id").alias("matched_id")))
+
+    a = sig_b.select("doc_id",
+                     *[F.col(f"h{j}").alias(f"a{j}") for j in range(8)])
+    b = sig_s.select(F.col("doc_id").alias("matched_id"),
+                     *[F.col(f"h{j}").alias(f"b{j}") for j in range(8)])
+    # the matched-id set is at most |batch| — semi-filter the
+    # snapshot-sized signature frame down to it, then broadcast
+    matched_sigs = b.join(
+        F.broadcast(dec.filter(F.col("matched_id").isNotNull())
+                    .select("matched_id").distinct()), "matched_id")
+    agree = sum(
+        (F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+         for j in range(8)), F.lit(0))
+    out = (dec.join(F.broadcast(a), "doc_id", "left")
+           .join(F.broadcast(matched_sigs), "matched_id", "left")
+           .select("doc_id", "verdict", "matched_id",
+                   F.when(F.col("matched_id").isNull(),
+                          F.lit(None).cast("long"))
+                    .otherwise(agree.cast("long")).alias("sig_agree")))
+    out._inc_caches = [sig_s, sig_b]
+    return out

@@ -1115,6 +1115,22 @@ def q_hashed_classifier_scores(spark, sf):
     return textstats.hashed_classifier_scores(documents)
 
 
+def q_incremental_dedup(spark, sf):
+    """Gates: cross-snapshot novelty gate (the daily-ingest decision) —
+    exact-fingerprint + LSH-band collision of an incoming batch
+    against the existing corpus, batch side broadcast at every join,
+    snapshot signatures semi-filtered to the matched set before the
+    agreement audit. Batch = doc_id % 10 == 7 (a deterministic
+    'today's crawl' slice), snapshot = the rest."""
+    (documents,) = _t(spark, sf, "documents")
+    batch = documents.filter(F.col("doc_id") % 10 == 7)
+    snap = documents.filter(F.col("doc_id") % 10 != 7)
+    out = dedup.incremental_dedup(snap, batch)
+    for c in out._inc_caches:  # lazy: recompute-on-reuse
+        c.unpersist()
+    return out
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -1247,6 +1263,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_provenance": q_dedup_provenance,
     "split_leakage_check": q_split_leakage_check,
     "hashed_classifier_scores": q_hashed_classifier_scores,
+    "incremental_dedup": q_incremental_dedup,
 }
 
 
@@ -3797,6 +3814,47 @@ ORACLES["hashed_classifier_scores"] = f"""
     FROM toks LEFT JOIN sums USING (doc_id)
 """
 
+ORACLES["incremental_dedup"] = f"""
+    WITH {_BANDS},
+    fp AS (
+        SELECT doc_id, md5(array_to_string(tok, ' ')) AS fp FROM toks
+    ),
+    bat AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
+    snp AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 7),
+    ex AS (
+        SELECT bf.doc_id, min(sf.doc_id) AS exact_id
+        FROM fp bf
+        JOIN bat ON bat.doc_id = bf.doc_id
+        JOIN fp sf ON sf.fp = bf.fp
+        JOIN snp ON snp.doc_id = sf.doc_id
+        GROUP BY bf.doc_id
+    ),
+    nr AS (
+        SELECT bb.doc_id, min(sb.doc_id) AS near_id
+        FROM bands bb
+        JOIN bat ON bat.doc_id = bb.doc_id
+        JOIN bands sb ON sb.band = bb.band
+                     AND sb.band_hash = bb.band_hash
+        JOIN snp ON snp.doc_id = sb.doc_id
+        GROUP BY bb.doc_id
+    ),
+    dec AS (
+        SELECT bat.doc_id,
+               CASE WHEN ex.exact_id IS NOT NULL THEN 'exact_dup'
+                    WHEN nr.near_id IS NOT NULL THEN 'near_dup'
+                    ELSE 'novel' END AS verdict,
+               coalesce(ex.exact_id, nr.near_id) AS matched_id
+        FROM bat
+        LEFT JOIN ex ON ex.doc_id = bat.doc_id
+        LEFT JOIN nr ON nr.doc_id = bat.doc_id
+    )
+    SELECT d.doc_id, d.verdict, d.matched_id,
+           CASE WHEN d.matched_id IS NULL THEN NULL
+                ELSE CAST({_MINHASH_MATCH} AS BIGINT) END AS sig_agree
+    FROM dec d
+    LEFT JOIN sig a ON a.doc_id = d.doc_id
+    LEFT JOIN sig b ON b.doc_id = d.matched_id
+"""
 
 
 # ---------------------------------------------------------------------------
