@@ -855,17 +855,45 @@ def incremental_dedup(snapshot: DataFrame, batch: DataFrame) -> DataFrame:
     pattern), so the daily cost is O(batch + collided buckets), never
     a snapshot rescan.
     """
+    snap_fp, sig_s, bands_s = snapshot_index(snapshot)
+    sig_b = minhash_signatures(batch).persist()
+    out = _novelty_classify(batch, snap_fp, sig_s, bands_s, sig_b=sig_b)
+    out._inc_caches = [sig_s, sig_b]
+    return out
+
+
+def snapshot_index(snapshot: DataFrame):
+    """The snapshot-side dedup index of incremental_dedup:
+    (snap_fp, sig_s, bands_s) — content fingerprints, the PERSISTED
+    minhash signature frame (caller unpersists via the sig_s handle),
+    and the LSH band buckets derived from it. In production this is
+    the store written at ingest time and reloaded by every later
+    batch or stream (the BPE/PQ model-persistence pattern)."""
     fp = F.md5(F.concat_ws(" ", tokens("text")))
     snap_fp = snapshot.select(F.col("doc_id").alias("snap_id"),
                               fp.alias("fp"))
+    sig_s = minhash_signatures(snapshot).persist()
+    bands_s = banded_minhash(snapshot,
+                             sig=sig_s.filter(F.col("h0").isNotNull()))
+    return snap_fp, sig_s, bands_s
+
+
+def _novelty_classify(batch: DataFrame, snap_fp: DataFrame,
+                      sig_s: DataFrame, bands_s: DataFrame,
+                      sig_b: DataFrame | None = None) -> DataFrame:
+    """Classification core of incremental_dedup: verdict + matched_id
+    + sig_agree for every `batch` doc against the prebuilt
+    snapshot-side structures. Per-doc output depends only on the doc
+    and the static snapshot, so it is batching-invariant — the
+    streaming form (`streaming/jobs.novelty_gate_stream`) calls this
+    per micro-batch and the union equals the batch operator."""
+    fp = F.md5(F.concat_ws(" ", tokens("text")))
     batch_fp = batch.select("doc_id", fp.alias("fp"))
     exact = (snap_fp.join(F.broadcast(batch_fp), "fp")
              .groupBy("doc_id").agg(F.min("snap_id").alias("exact_id")))
 
-    sig_s = minhash_signatures(snapshot).persist()
-    sig_b = minhash_signatures(batch).persist()
-    bands_s = banded_minhash(snapshot,
-                             sig=sig_s.filter(F.col("h0").isNotNull()))
+    if sig_b is None:
+        sig_b = minhash_signatures(batch)
     bands_b = banded_minhash(batch,
                              sig=sig_b.filter(F.col("h0").isNotNull()))
     near = (bands_s.withColumnRenamed("doc_id", "snap_id")
@@ -895,11 +923,9 @@ def incremental_dedup(snapshot: DataFrame, batch: DataFrame) -> DataFrame:
     agree = sum(
         (F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
          for j in range(8)), F.lit(0))
-    out = (dec.join(F.broadcast(a), "doc_id", "left")
-           .join(F.broadcast(matched_sigs), "matched_id", "left")
-           .select("doc_id", "verdict", "matched_id",
-                   F.when(F.col("matched_id").isNull(),
-                          F.lit(None).cast("long"))
-                    .otherwise(agree.cast("long")).alias("sig_agree")))
-    out._inc_caches = [sig_s, sig_b]
-    return out
+    return (dec.join(F.broadcast(a), "doc_id", "left")
+            .join(F.broadcast(matched_sigs), "matched_id", "left")
+            .select("doc_id", "verdict", "matched_id",
+                    F.when(F.col("matched_id").isNull(),
+                           F.lit(None).cast("long"))
+                     .otherwise(agree.cast("long")).alias("sig_agree")))

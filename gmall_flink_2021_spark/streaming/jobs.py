@@ -912,3 +912,34 @@ def bpe_encode_stream(doc_stream: DataFrame, reference_docs: DataFrame,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     enc.unpersist()
+
+
+def novelty_gate_stream(doc_stream: DataFrame, snapshot: DataFrame,
+                        out_path: str, checkpoint: str) -> None:
+    """Streaming ingest novelty gate: the snapshot-side dedup index
+    (content fingerprints + minhash signatures + LSH band buckets —
+    dedup.snapshot_index, built ONCE and persisted for the stream's
+    lifetime) classifies every arriving document micro-batch as
+    exact_dup / near_dup / novel with the same core as batch
+    incremental_dedup. Verdicts depend only on the doc and the static
+    snapshot, so the union of emitted batches equals the batch
+    operator row-for-row (pinned by test); writes are
+    overwrite-by-batch-id (exactly-once). Within-stream duplicates
+    are intentionally NOT decided here — minhash_dedup_stream owns
+    the first-seen-wins rule; a production ingest runs both gates."""
+    from ..operators import dedup
+    from . import sinks
+
+    snap_fp, sig_s, bands_s = dedup.snapshot_index(snapshot)
+    sig_s.count()
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        sinks.write_idempotent(
+            dedup._novelty_classify(batch, snap_fp, sig_s, bands_s),
+            bid, out_path)
+
+    q = (doc_stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    sig_s.unpersist()
