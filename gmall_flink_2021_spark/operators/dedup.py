@@ -929,3 +929,46 @@ def _novelty_classify(batch: DataFrame, snap_fp: DataFrame,
                     F.when(F.col("matched_id").isNull(),
                            F.lit(None).cast("long"))
                      .otherwise(agree.cast("long")).alias("sig_agree")))
+
+
+def save_snapshot_index(snapshot: DataFrame, path: str) -> None:
+    """Persist the snapshot-side dedup index — (doc_id, fp, h0..h7)
+    per document — as a parquet store, the artifact an ingest
+    pipeline writes ONCE per corpus release and every later novelty
+    check reloads instead of re-tokenizing/re-hashing the corpus
+    text. 100 TB arithmetic: the store is ~80 bytes/doc vs the
+    multi-KB documents themselves, so the daily gate reads ~1/50th
+    of the corpus bytes and never touches text. md5-based values are
+    engine-portable (same persistence discipline as
+    similarity.save_codebooks / textstats BPE merge tables)."""
+    fp = F.md5(F.concat_ws(" ", tokens("text")))
+    sig = minhash_signatures(snapshot)
+    (snapshot.select("doc_id", fp.alias("fp"))
+     .join(sig, "doc_id")
+     .write.mode("overwrite").parquet(path))
+
+
+def snapshot_index_from_store(spark, path: str):
+    """Rebuild (snap_fp, sig_s, bands_s) from a persisted store —
+    drop-in for snapshot_index, zero text reads. The signature frame
+    is persisted (caller unpersists via the sig_s handle) because the
+    banding projection and the agreement join both read it."""
+    store = spark.read.parquet(path)
+    snap_fp = store.select(F.col("doc_id").alias("snap_id"), "fp")
+    sig_s = store.drop("fp").persist()
+    bands_s = banded_minhash(None,
+                             sig=sig_s.filter(F.col("h0").isNotNull()))
+    return snap_fp, sig_s, bands_s
+
+
+def incremental_dedup_from_store(spark, path: str,
+                                 batch: DataFrame) -> DataFrame:
+    """incremental_dedup against a PERSISTED snapshot index: same
+    verdicts, but the snapshot side is the stored
+    fingerprint/signature projection — no corpus text rescan
+    (store-backed == recompute pinned by test)."""
+    snap_fp, sig_s, bands_s = snapshot_index_from_store(spark, path)
+    sig_b = minhash_signatures(batch).persist()
+    out = _novelty_classify(batch, snap_fp, sig_s, bands_s, sig_b=sig_b)
+    out._inc_caches = [sig_s, sig_b]
+    return out

@@ -1364,3 +1364,27 @@ def test_novelty_gate_streaming_matches_batch(spark, tmp_path):
         c.unpersist()
     assert want and got == want
     assert {r[1] for r in want} >= {"novel"}
+
+
+def test_novelty_gate_store_backed_matches_recompute(spark, tmp_path):
+    """Persisted snapshot index: incremental_dedup against the stored
+    fingerprint/signature projection (zero text reads on the snapshot
+    side) must equal the recompute-from-text form row-for-row."""
+    from gmall_flink_2021_spark.operators import dedup
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    snap = docs.filter(F.col("doc_id") % 10 != 7)
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    store = str(tmp_path / "snap_index")
+    dedup.save_snapshot_index(snap, store)
+
+    ref = dedup.incremental_dedup(snap, batch)
+    want = {tuple(r) for r in ref.collect()}
+    for c in ref._inc_caches:
+        c.unpersist()
+
+    got_df = dedup.incremental_dedup_from_store(spark, store, batch)
+    got = {tuple(r) for r in got_df.collect()}
+    for c in got_df._inc_caches:
+        c.unpersist()
+    assert want and got == want
