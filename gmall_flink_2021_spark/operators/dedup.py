@@ -845,15 +845,17 @@ def incremental_dedup(snapshot: DataFrame, batch: DataFrame) -> DataFrame:
     that is minhash_dedup_marks' first-seen-wins rule; this operator
     is the CROSS-dataset half of the ingest gate.
 
-    Scale shape: the batch is the SMALL side everywhere — its
-    fingerprints, band keys, and decisions broadcast against the
-    snapshot-side scans, and the snapshot's signature frame is joined
-    only against the matched-id set (semi-filtered first, then
-    broadcast). In production the snapshot side is a persisted
-    signature/bucket store written at ingest time (the
-    minhash_signatures projection — see the BPE/PQ model-persistence
-    pattern), so the daily cost is O(batch + collided buckets), never
-    a snapshot rescan.
+    Scale shape: every join is an equi-join keyed on fp /
+    (band, band_hash) / doc_id with the batch as the RELATIVELY small
+    side; strategy is left to AQE, which broadcasts the batch frames
+    when they actually fit (the common case — and always true for the
+    streaming form's micro-batches) and falls back to shuffle joins
+    when a multi-TB crawl would OOM a hard broadcast. The snapshot's
+    signature frame is first semi-filtered down to the matched-id set
+    (≤ |batch| rows) before the agreement join. In production the
+    snapshot side is the PERSISTED index (save_snapshot_index — the
+    minhash_signatures + fingerprint projection), so the daily cost
+    is O(batch + collided buckets), never a snapshot text rescan.
     """
     snap_fp, sig_s, bands_s = snapshot_index(snapshot)
     sig_b = minhash_signatures(batch).persist()
@@ -887,9 +889,16 @@ def _novelty_classify(batch: DataFrame, snap_fp: DataFrame,
     and the static snapshot, so it is batching-invariant — the
     streaming form (`streaming/jobs.novelty_gate_stream`) calls this
     per micro-batch and the union equals the batch operator."""
+    # Join strategy is intentionally UNHINTED: the batch side is
+    # *relatively* small (a daily slice vs the corpus) but absolutely
+    # unbounded — at 100 TB a hard broadcast() of a multi-TB crawl
+    # would OOM, while AQE converts these equi-joins to broadcast at
+    # runtime whenever the measured batch actually fits (the common
+    # case, incl. every micro-batch of the streaming form) and keeps
+    # shuffle joins keyed on fp / (band, band_hash) / doc_id otherwise.
     fp = F.md5(F.concat_ws(" ", tokens("text")))
     batch_fp = batch.select("doc_id", fp.alias("fp"))
-    exact = (snap_fp.join(F.broadcast(batch_fp), "fp")
+    exact = (snap_fp.join(batch_fp, "fp")
              .groupBy("doc_id").agg(F.min("snap_id").alias("exact_id")))
 
     if sig_b is None:
@@ -897,12 +906,12 @@ def _novelty_classify(batch: DataFrame, snap_fp: DataFrame,
     bands_b = banded_minhash(batch,
                              sig=sig_b.filter(F.col("h0").isNotNull()))
     near = (bands_s.withColumnRenamed("doc_id", "snap_id")
-            .join(F.broadcast(bands_b), ["band", "band_hash"])
+            .join(bands_b, ["band", "band_hash"])
             .groupBy("doc_id").agg(F.min("snap_id").alias("near_id")))
 
     dec = (batch.select("doc_id")
-           .join(F.broadcast(exact), "doc_id", "left")
-           .join(F.broadcast(near), "doc_id", "left")
+           .join(exact, "doc_id", "left")
+           .join(near, "doc_id", "left")
            .select("doc_id",
                    F.when(F.col("exact_id").isNotNull(),
                           F.lit("exact_dup"))
@@ -918,13 +927,13 @@ def _novelty_classify(batch: DataFrame, snap_fp: DataFrame,
     # the matched-id set is at most |batch| — semi-filter the
     # snapshot-sized signature frame down to it, then broadcast
     matched_sigs = b.join(
-        F.broadcast(dec.filter(F.col("matched_id").isNotNull())
-                    .select("matched_id").distinct()), "matched_id")
+        dec.filter(F.col("matched_id").isNotNull())
+        .select("matched_id").distinct(), "matched_id")
     agree = sum(
         (F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
          for j in range(8)), F.lit(0))
-    return (dec.join(F.broadcast(a), "doc_id", "left")
-            .join(F.broadcast(matched_sigs), "matched_id", "left")
+    return (dec.join(a, "doc_id", "left")
+            .join(matched_sigs, "matched_id", "left")
             .select("doc_id", "verdict", "matched_id",
                     F.when(F.col("matched_id").isNull(),
                            F.lit(None).cast("long"))

@@ -1118,8 +1118,9 @@ def q_hashed_classifier_scores(spark, sf):
 def q_incremental_dedup(spark, sf):
     """Gates: cross-snapshot novelty gate (the daily-ingest decision) —
     exact-fingerprint + LSH-band collision of an incoming batch
-    against the existing corpus, batch side broadcast at every join,
-    snapshot signatures semi-filtered to the matched set before the
+    against the existing corpus; joins unhinted so AQE broadcasts the
+    batch side only when it measures small, and the snapshot
+    signatures are semi-filtered to the matched set before the
     agreement audit. Batch = doc_id % 10 == 7 (a deterministic
     'today's crawl' slice), snapshot = the rest."""
     (documents,) = _t(spark, sf, "documents")
