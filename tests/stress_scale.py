@@ -13,6 +13,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+ONLY = set(sys.argv[2:])  # optional query-name filter
 SRC = "/root/testdata/sf0.1"
 DST = f"/tmp/gmall_stress_x{FACTOR}"
 
@@ -94,7 +95,7 @@ def main():
     print(f"replicate x{FACTOR}: {time.time() - t0:.1f}s", flush=True)
 
     base, big = {}, {}
-    for name in QUERIES:
+    for name in (q for q in QUERIES if not ONLY or q in ONLY):
         t0 = time.time()
         REG[name](spark, SRC).collect()
         base[name] = time.time() - t0
