@@ -747,3 +747,57 @@ def score_daily_cents(daily: DataFrame, trailing: int = 7,
             .select("event_type", "day", "cents",
                     n.cast("long").alias("n_prior"),
                     F.when((n >= min_prior) & (var > 0), z).alias("z")))
+
+
+def winsorized_price_stats(orders: DataFrame, lo_pct: int = 5,
+                           hi_pct: int = 95) -> DataFrame:
+    """Winsorized robust statistics per order priority — the outlier
+    clipping every metrics/training pipeline applies before trusting
+    a mean (a single fat-finger price skews a plain average; clamping
+    to the [p05, p95] band bounds any single row's influence).
+
+    Exactness discipline: prices become integer cents via
+    floor(x*100 + 0.5) (identical IEEE double ops on every engine),
+    thresholds are DISCRETE quantiles — the value at 1-indexed rank
+    ceil(p·n/100) of the ascending sort, computed with pure integer
+    rank arithmetic ((p·n + 99) DIV 100), not interpolated — and the
+    clamped sum is an int64 aggregation, so the whole report is
+    bit-exact with no float tolerance anywhere.
+
+    Scale shape: one per-group sort (the intrinsic cost of EXACT
+    quantiles — rank selection rides the same window pass), then the
+    5-row threshold table broadcasts back onto a second narrow scan
+    for the clamped aggregation. At 100 TB swap the exact rank pass
+    for percentile_approx (mergeable GK sketch, no global sort) — the
+    doc_length_percentiles / _approx pairing, applied to winsorize
+    thresholds."""
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)) \
+        .cast("long")
+    base = orders.select(F.col("o_orderpriority").alias("priority"),
+                         cents.alias("c"))
+    w_ord = Window.partitionBy("priority").orderBy("c")
+    w_all = Window.partitionBy("priority")
+    ranked = (base
+              .withColumn("rn", F.row_number().over(w_ord))
+              .withColumn("n", F.count(F.lit(1)).over(w_all)))
+    # value at rank ceil(p*n/100): row_number permutes only equal
+    # values among themselves, so the value AT a rank is deterministic
+    th = (ranked.groupBy("priority").agg(
+        F.max(F.when(F.col("rn")
+                     == F.expr(f"({lo_pct} * n + 99) DIV 100"),
+                     F.col("c"))).alias("lo_cents"),
+        F.max(F.when(F.col("rn")
+                     == F.expr(f"({hi_pct} * n + 99) DIV 100"),
+                     F.col("c"))).alias("hi_cents")))
+    clamped = F.greatest(F.col("lo_cents"),
+                         F.least(F.col("hi_cents"), F.col("c")))
+    return (base.join(F.broadcast(th), "priority")
+            .groupBy("priority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("lo_cents").alias("lo_cents"),
+                 F.min("hi_cents").alias("hi_cents"),
+                 F.sum((F.col("c") < F.col("lo_cents")).cast("long"))
+                 .alias("clipped_lo_ct"),
+                 F.sum((F.col("c") > F.col("hi_cents")).cast("long"))
+                 .alias("clipped_hi_ct"),
+                 F.sum(clamped).alias("winsorized_sum_cents")))

@@ -1132,6 +1132,16 @@ def q_incremental_dedup(spark, sf):
     return out
 
 
+def q_winsorized_price_stats(spark, sf):
+    """Gates: winsorized robust statistics — exact DISCRETE quantile
+    thresholds via integer rank arithmetic inside one per-group
+    window-sort pass, broadcast back onto a clamped int64
+    aggregation (greatest/least); the outlier-clipping stage of a
+    metrics pipeline, bit-exact end to end."""
+    (orders,) = _t(spark, sf, "orders")
+    return analytics.winsorized_price_stats(orders)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -1265,6 +1275,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_leakage_check": q_split_leakage_check,
     "hashed_classifier_scores": q_hashed_classifier_scores,
     "incremental_dedup": q_incremental_dedup,
+    "winsorized_price_stats": q_winsorized_price_stats,
 }
 
 
@@ -3813,6 +3824,39 @@ ORACLES["hashed_classifier_scores"] = f"""
            CAST(CASE WHEN coalesce(s, 0) >= 0 THEN 1 ELSE 0 END
                 AS BIGINT) AS keep_label
     FROM toks LEFT JOIN sums USING (doc_id)
+"""
+
+ORACLES["winsorized_price_stats"] = """
+    WITH base AS (
+        SELECT o_orderpriority AS priority,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        FROM orders
+    ),
+    ranked AS (
+        SELECT priority, c,
+               row_number() OVER (PARTITION BY priority ORDER BY c)
+                   AS rn,
+               count(*) OVER (PARTITION BY priority) AS n
+        FROM base
+    ),
+    th AS (
+        SELECT priority,
+               max(CASE WHEN rn = (5 * n + 99) // 100 THEN c END)
+                   AS lo_cents,
+               max(CASE WHEN rn = (95 * n + 99) // 100 THEN c END)
+                   AS hi_cents
+        FROM ranked GROUP BY priority
+    )
+    SELECT b.priority, count(*) AS n,
+           min(t.lo_cents) AS lo_cents, min(t.hi_cents) AS hi_cents,
+           CAST(sum(CASE WHEN b.c < t.lo_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS clipped_lo_ct,
+           CAST(sum(CASE WHEN b.c > t.hi_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS clipped_hi_ct,
+           CAST(sum(greatest(t.lo_cents, least(t.hi_cents, b.c)))
+                AS BIGINT) AS winsorized_sum_cents
+    FROM base b JOIN th t USING (priority)
+    GROUP BY b.priority
 """
 
 ORACLES["incremental_dedup"] = f"""

@@ -41,8 +41,8 @@ QUERIES = [
     # round 5: full BPE trainer/encoder + DSIR importance weights
     "bpe_merges", "bpe_encode_stats", "dsir_weights",
     "media_text_alignment",
-    # round 5 (cont.): cross-snapshot novelty gate
-    "incremental_dedup",
+    # round 5 (cont.): cross-snapshot novelty gate, robust stats
+    "incremental_dedup", "winsorized_price_stats",
 ]
 
 
