@@ -556,3 +556,22 @@ def test_minhash_signature_shuffle_is_pre_fanout(spark):
     # leaf-first numbering: the one shuffle must feed the explode
     assert shuffles[0] < min(gens), tree
     assert "hashpartitioning(doc_id" in plan
+
+
+def test_winsorize_sorts_once_and_broadcasts_thresholds(spark):
+    """winsorized_price_stats: exactly ONE sort exchange (the
+    per-group rank pass — exact quantiles' intrinsic cost) and the
+    5-row threshold table broadcast back onto the clamped
+    aggregation, never sort-merged."""
+    plan = _plan(spark, "winsorized_price_stats")
+    assert plan.count("Sort ") <= 2  # window sort (+AQE detail), no 2nd
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_novelty_gate_no_cartesian_and_no_text_on_store_path(spark):
+    """incremental_dedup: every join is an equi-join (no cartesian /
+    nested-loop anywhere in the composed plan)."""
+    plan = _plan(spark, "incremental_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
