@@ -38,6 +38,12 @@ from ..functions.vectors import as_double, cosine, dot, norm
 # every data file — so rewritten/regenerated data invalidates the
 # entry.  Driver memory is O(k·d) floats per entry, capped at
 # _MEMO_MAX entries; SPARK_GRAFT_INDEX_MEMO=0 disables the memo.
+#
+# CONTRACT: the memo key must identify the EXACT input frame.  Pass a
+# memo_key only when the DataFrame is the full, unmodified load of
+# the signed dataset (the registry wrappers' full-table reads); a
+# filtered/transformed frame must pass memo_key=None (the default),
+# or it would poison the cache for every other caller of that key.
 
 _MEMO_MAX = 16
 _centroid_memo: dict = {}

@@ -117,3 +117,51 @@ def test_dataset_signature_changes_on_rewrite(tmp_path, spark):
     s2 = similarity.dataset_signature(p)
     assert s1 != s2
     assert similarity.dataset_signature(str(tmp_path / "nope")) is None
+
+
+def test_novelty_gate_edge_cases(spark):
+    """Empty snapshot -> everything novel; empty batch -> empty
+    output; short (<3 token) docs classify without signatures."""
+    from gmall_flink_2021_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "en", "s1", 22),
+         (2, "xy", "en", "s1", 2)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    empty = docs.filter("doc_id < 0")
+
+    out = dedup.incremental_dedup(empty, docs)
+    rows = {r.doc_id: r.verdict for r in out.collect()}
+    for c in out._inc_caches:
+        c.unpersist()
+    assert rows == {1: "novel", 2: "novel"}
+
+    out2 = dedup.incremental_dedup(docs, empty)
+    assert out2.count() == 0
+    for c in out2._inc_caches:
+        c.unpersist()
+
+    # exact dup of a short doc matches via fingerprint, sig_agree 0
+    batch = spark.createDataFrame(
+        [(9, "xy", "en", "s2", 2)], docs.schema)
+    out3 = dedup.incremental_dedup(docs, batch)
+    r = out3.collect()[0]
+    for c in out3._inc_caches:
+        c.unpersist()
+    assert (r.verdict, r.matched_id, r.sig_agree) == ("exact_dup", 2, 0)
+
+
+def test_winsorize_singleton_group(spark):
+    """A 1-row group: lo == hi == the value, nothing clipped."""
+    from gmall_flink_2021_spark.operators import analytics
+
+    orders = spark.createDataFrame(
+        [(1, 1, "O", 12.34, None, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string")
+    r = analytics.winsorized_price_stats(orders).collect()[0]
+    assert (r.n, r.lo_cents, r.hi_cents, r.clipped_lo_ct,
+            r.clipped_hi_ct, r.winsorized_sum_cents) == (1, 1234, 1234,
+                                                         0, 0, 1234)
