@@ -109,3 +109,52 @@ def validate_by(df: DataFrame, group_col: str,
                        F.explode(F.array(*_verdict_structs(rules)))
                        .alias("r"))
             .select(group_col, "r.*"))
+
+
+def profile_drift(old: DataFrame, new: DataFrame,
+                  cols: list[str]) -> DataFrame:
+    """Column-level profile drift between two snapshots of a table —
+    the monitoring complement of validate(): no pre-written rules,
+    just the per-column statistics (row count, null count, exact
+    distinct count) of both versions side by side with integer drift
+    deltas, so a schema/content regression (a feed that started
+    sending nulls, a cardinality collapse after a bad join upstream)
+    surfaces as a nonzero delta row.
+
+    Shape: each side is UNPIVOTED once (one ``stack`` projection in
+    the scan — k narrow (col, val) rows per input row, NOT the
+    k-way ``expand`` a multi-count-distinct aggregate plans), then
+    ONE (col_name, val)-keyed partial/final aggregation per side and
+    a k-row join. Values compare as strings (Spark's cast is
+    injective per type — full-precision doubles/timestamps), while
+    the oracle counts distinct native values directly: equal counts
+    either way. At 100 TB swap the exact distinct for per-column HLL
+    sketches (uv_sketch_rollup's mergeable path) — same plan shape
+    minus the distinct shuffle.
+
+    Counting discipline: nulls are counted by null_ct and EXCLUDED
+    from distinct_ct (both engines' count-distinct rule);
+    null-permille deltas use integer DIV on greatest(ct, 1)."""
+    k = len(cols)
+    stack_args = ", ".join(
+        f"'{c}', cast({c} as string)" for c in cols)
+
+    def prof(df, tag):
+        un = df.selectExpr(
+            f"stack({k}, {stack_args}) as (col_name, val)")
+        return (un.groupBy("col_name")
+                .agg(F.count(F.lit(1)).alias(f"{tag}_ct"),
+                     F.sum(F.col("val").isNull().cast("long"))
+                     .alias(f"{tag}_null_ct"),
+                     F.countDistinct("val")
+                     .alias(f"{tag}_distinct_ct")))
+
+    joined = prof(old, "old").join(prof(new, "new"), "col_name")
+    return joined.select(
+        "col_name", "old_ct", "new_ct", "old_null_ct", "new_null_ct",
+        "old_distinct_ct", "new_distinct_ct",
+        (F.col("new_distinct_ct") - F.col("old_distinct_ct"))
+        .alias("distinct_delta"),
+        (F.expr("new_null_ct * 1000 DIV greatest(new_ct, 1)")
+         - F.expr("old_null_ct * 1000 DIV greatest(old_ct, 1)"))
+        .alias("null_permille_delta"))

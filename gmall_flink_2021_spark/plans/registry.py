@@ -1132,6 +1132,21 @@ def q_incremental_dedup(spark, sf):
     return out
 
 
+_DRIFT_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
+               "o_totalprice", "o_orderdate", "o_orderpriority")
+
+
+def q_profile_drift(spark, sf):
+    """Gates: snapshot profile monitoring — stack-based unpivot
+    profiling (one scan projection per side, NOT the k-way expand a
+    multi-count-distinct plans), one (col, val)-keyed partial/final
+    aggregation per side, k-row diff join with integer deltas. Old
+    snapshot = orders minus the o_orderkey % 17 == 5 slice."""
+    (orders,) = _t(spark, sf, "orders")
+    old = orders.filter(F.col("o_orderkey") % 17 != 5)
+    return expectations.profile_drift(old, orders, list(_DRIFT_COLS))
+
+
 def q_winsorized_price_stats(spark, sf):
     """Gates: winsorized robust statistics — exact DISCRETE quantile
     thresholds via integer rank arithmetic inside one per-group
@@ -1276,6 +1291,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hashed_classifier_scores": q_hashed_classifier_scores,
     "incremental_dedup": q_incremental_dedup,
     "winsorized_price_stats": q_winsorized_price_stats,
+    "profile_drift": q_profile_drift,
 }
 
 
@@ -3824,6 +3840,28 @@ ORACLES["hashed_classifier_scores"] = f"""
            CAST(CASE WHEN coalesce(s, 0) >= 0 THEN 1 ELSE 0 END
                 AS BIGINT) AS keep_label
     FROM toks LEFT JOIN sums USING (doc_id)
+"""
+
+def _profile_sql(src: str, tag: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, count(*) AS {tag}_ct, "
+        f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS {tag}_null_ct, "
+        f"count(DISTINCT {c}) AS {tag}_distinct_ct FROM {src}"
+        for c in _DRIFT_COLS)
+
+
+ORACLES["profile_drift"] = f"""
+    WITH oldt AS (SELECT * FROM orders WHERE o_orderkey % 17 <> 5),
+    po AS ({_profile_sql('oldt', 'old')}),
+    pn AS ({_profile_sql('orders', 'new')})
+    SELECT po.col_name, old_ct, new_ct, old_null_ct, new_null_ct,
+           old_distinct_ct, new_distinct_ct,
+           new_distinct_ct - old_distinct_ct AS distinct_delta,
+           (new_null_ct * 1000 // greatest(new_ct, 1))
+         - (old_null_ct * 1000 // greatest(old_ct, 1))
+               AS null_permille_delta
+    FROM po JOIN pn USING (col_name)
 """
 
 ORACLES["winsorized_price_stats"] = """

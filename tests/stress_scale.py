@@ -42,7 +42,7 @@ QUERIES = [
     "bpe_merges", "bpe_encode_stats", "dsir_weights",
     "media_text_alignment",
     # round 5 (cont.): cross-snapshot novelty gate, robust stats
-    "incremental_dedup", "winsorized_price_stats",
+    "incremental_dedup", "winsorized_price_stats", "profile_drift",
 ]
 
 
