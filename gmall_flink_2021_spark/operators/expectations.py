@@ -158,3 +158,32 @@ def profile_drift(old: DataFrame, new: DataFrame,
         (F.expr("new_null_ct * 1000 DIV greatest(new_ct, 1)")
          - F.expr("old_null_ct * 1000 DIV greatest(old_ct, 1)"))
         .alias("null_permille_delta"))
+
+
+def profile_sketches(df: DataFrame, cols: list[str]) -> DataFrame:
+    """MERGEABLE per-column profile — (col_name, ct, null_ct, sk):
+    exact additive counters plus a datasketches HLL sketch of the
+    value set. This is profile_drift's 100 TB / streaming substrate:
+    counters sum, and per-shard (or per-micro-batch) sketch rows
+    merge with hll_union_agg — bit-exact while sketches are in sparse
+    mode, within the HLL error band once dense — so no distinct
+    shuffle ever runs over the full corpus (uv_sketch_rollup's
+    discipline applied to column monitoring)."""
+    k = len(cols)
+    stack_args = ", ".join(
+        f"'{c}', cast({c} as string)" for c in cols)
+    un = df.selectExpr(
+        f"stack({k}, {stack_args}) as (col_name, val)")
+    return (un.groupBy("col_name")
+            .agg(F.count(F.lit(1)).alias("ct"),
+                 F.sum(F.col("val").isNull().cast("long"))
+                 .alias("null_ct"),
+                 F.hll_sketch_agg("val").alias("sk")))
+
+
+def profile_estimates(sketches: DataFrame) -> DataFrame:
+    """(col_name, ct, null_ct, distinct_est) readout of a (possibly
+    merged) profile_sketches frame."""
+    return sketches.select(
+        "col_name", "ct", "null_ct",
+        F.hll_sketch_estimate("sk").alias("distinct_est"))

@@ -1147,6 +1147,23 @@ def q_profile_drift(spark, sf):
     return expectations.profile_drift(old, orders, list(_DRIFT_COLS))
 
 
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def q_profile_sketch_report(spark, sf):
+    """Gates: MERGEABLE column profiling — exact additive counters +
+    per-column HLL sketches (stack unpivot, one grouped sketch agg),
+    the no-distinct-shuffle monitoring substrate whose shard/stream
+    merges equal the single-pass profile exactly. Rows-only at the
+    driver (sketch estimates); 3σ accuracy gate in SKETCH_GATES /
+    tests/test_sketch_accuracy.py; streaming merge pinned in
+    tests/test_streaming.py (exact counters, sparse-mode sketches
+    bit-exact, dense estimates banded)."""
+    (documents,) = _t(spark, sf, "documents")
+    return expectations.profile_estimates(
+        expectations.profile_sketches(documents, list(_PROFILE_COLS)))
+
+
 def q_winsorized_price_stats(spark, sf):
     """Gates: winsorized robust statistics — exact DISCRETE quantile
     thresholds via integer rank arithmetic inside one per-group
@@ -1292,6 +1309,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "winsorized_price_stats": q_winsorized_price_stats,
     "profile_drift": q_profile_drift,
+    "profile_sketch_report": q_profile_sketch_report,
 }
 
 
@@ -3954,6 +3972,20 @@ ORACLES["incremental_dedup"] = f"""
 # tests/test_sketch_accuracy.py asserts these per key at sf0.01.
 
 SKETCH_GATES: dict[str, tuple[dict, ...]] = {
+    # hll_sketch_agg (datasketches, default lgConfigK=12): σ ≈
+    # 1.04/√2¹² ≈ 1.6% ⇒ ~3σ band 0.05, per column
+    "profile_sketch_report": (
+        {
+            "keys": ("col_name",),
+            "estimate": "distinct_est",
+            "max_rel_err": 0.05,
+            "exact_sql": " UNION ALL ".join(
+                f"SELECT '{c}' AS col_name, "
+                f"count(DISTINCT CAST({c} AS VARCHAR)) AS exact_ct "
+                f"FROM documents"
+                for c in _PROFILE_COLS),
+        },
+    ),
     # percentile_approx(accuracy=10000): rank error ≤ 1e-4 of the
     # group; the VALUE-relative band below is loose enough for any
     # non-degenerate length distribution (quantile_disc exact ref)

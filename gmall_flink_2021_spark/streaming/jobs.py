@@ -943,3 +943,58 @@ def novelty_gate_stream(doc_stream: DataFrame, snapshot: DataFrame,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     sig_s.unpersist()
+
+
+def profile_sketch_stream(doc_stream: DataFrame, cols: list[str],
+                          store_path: str, checkpoint: str) -> None:
+    """Streaming column-profile monitoring: each micro-batch's
+    per-column (ct, null_ct, HLL sketch) rows are merged into the
+    profile store — counters by sum, sketches by hll_union_agg.
+    Counters merge EXACTLY; sketch estimates agree with the
+    single-pass batch profile within the HLL error band (datasketches
+    sketches near the sparse→dense promotion boundary can differ by a
+    few counts from the single-pass build — low-cardinality columns,
+    still in exact sparse mode, merge bit-identically; both pinned by
+    test). The data-quality readout (expectations.profile_estimates,
+    feeding a drift check against a baseline) never re-scans ingested
+    data.
+    Same replay discipline as uv_sketch_stream: merged_bid embedded
+    in the store, atomic directory-rename publish, replayed batch ids
+    are no-ops."""
+    from ..operators.expectations import profile_sketches
+    from . import sinks
+
+    spark = doc_stream.sparkSession
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        sinks.recover_store(store_path)
+        try:
+            existing = spark.read.parquet(store_path)
+        except Exception:
+            existing = None
+        if existing is not None:
+            prior_bid = existing.agg(F.max("merged_bid")).first()[0]
+            if prior_bid is None:
+                raise RuntimeError(
+                    f"profile store {store_path} is corrupt (no "
+                    "merged_bid); restore or delete the store to "
+                    "re-seed")
+            if bid <= prior_bid:
+                return  # replayed batch: already merged, atomically
+        prof = profile_sketches(batch, cols)
+        if existing is not None:
+            merged = (existing.drop("merged_bid").unionByName(prof)
+                      .groupBy("col_name")
+                      .agg(F.sum("ct").alias("ct"),
+                           F.sum("null_ct").alias("null_ct"),
+                           F.hll_union_agg("sk").alias("sk")))
+        else:
+            merged = prof
+        sinks.publish_store(
+            merged.withColumn("merged_bid", F.lit(bid).cast("long")),
+            store_path)
+
+    q = (doc_stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()

@@ -1388,3 +1388,44 @@ def test_novelty_gate_store_backed_matches_recompute(spark, tmp_path):
     for c in got_df._inc_caches:
         c.unpersist()
     assert want and got == want
+
+
+def test_profile_sketch_streaming_merge_matches_batch(spark, tmp_path):
+    """Mergeable column profiling: the store built by merging 3
+    micro-batches' sketch rows must read out with EXACT counters,
+    bit-identical estimates for sparse-mode (low-cardinality)
+    columns, and estimates within the HLL band of the true distinct
+    count for the high-cardinality ones (datasketches sketches near
+    the sparse→dense promotion boundary may differ by a few counts
+    from the single-pass build)."""
+    from gmall_flink_2021_spark.operators import expectations
+    from gmall_flink_2021_spark.streaming.jobs import (
+        profile_sketch_stream,
+    )
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = str(tmp_path / "prof_docs")
+    docs.repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    store = str(tmp_path / "prof_store")
+    profile_sketch_stream(stream, cols, store,
+                          str(tmp_path / "ck_prof"))
+
+    merged = spark.read.parquet(store)
+    assert merged.agg(F.max("merged_bid")).first()[0] >= 2
+    got = {r.col_name: r for r in expectations.profile_estimates(
+        merged.drop("merged_bid")).collect()}
+    want = {r.col_name: r for r in expectations.profile_estimates(
+        expectations.profile_sketches(docs, cols)).collect()}
+    exact = {c: docs.select(c).na.drop().distinct().count()
+             for c in cols}
+    assert set(got) == set(cols)
+    for c in cols:
+        assert (got[c].ct, got[c].null_ct) == (want[c].ct,
+                                               want[c].null_ct)
+        if exact[c] <= 100:  # sparse mode: merge is bit-exact
+            assert got[c].distinct_est == want[c].distinct_est == exact[c]
+        else:
+            assert abs(got[c].distinct_est - exact[c]) <= 0.05 * exact[c]
