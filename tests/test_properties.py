@@ -697,3 +697,35 @@ def test_bpe_model_roundtrip_encodes_identically(spark, tmp_path):
     got = {tuple(r) for r in T.bpe_apply_merges(docs, reloaded).collect()}
     want = {tuple(r) for r in T.bpe_encode_stats(docs).collect()}
     assert want and got == want
+
+
+@given(prices=st.lists(
+    st.integers(min_value=1, max_value=10_000_000), min_size=1,
+    max_size=60))
+@_slow
+def test_winsorize_matches_python_reference(spark, prices):
+    """winsorized_price_stats against a direct Python reference of
+    the discrete-quantile definition (value at rank ceil(p*n/100) of
+    the ascending sort), on a single group of random cent prices."""
+    import math
+
+    from gmall_flink_2021_spark.operators.analytics import (
+        winsorized_price_stats,
+    )
+
+    rows = [(i, 1, "O", c / 100.0, None, "3-MEDIUM")
+            for i, c in enumerate(prices)]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate timestamp, "
+              "o_orderpriority string")
+    r = winsorized_price_stats(orders).collect()[0]
+
+    s = sorted(prices)
+    n = len(s)
+    lo = s[math.ceil(5 * n / 100) - 1]
+    hi = s[math.ceil(95 * n / 100) - 1]
+    assert (r.n, r.lo_cents, r.hi_cents) == (n, lo, hi)
+    assert r.clipped_lo_ct == sum(1 for c in s if c < lo)
+    assert r.clipped_hi_ct == sum(1 for c in s if c > hi)
+    assert r.winsorized_sum_cents == sum(max(lo, min(hi, c)) for c in s)
