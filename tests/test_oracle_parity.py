@@ -33,7 +33,8 @@ def test_oracles_subset_of_queries():
     # everything except the documented approx ops is oracle-checked
     assert set(QUERIES) - set(ORACLES) == {"unique_visitors_daily_approx",
                                            "uv_sketch_rollup",
-                                           "doc_length_percentiles_approx"}
+                                           "doc_length_percentiles_approx",
+                                           "profile_sketch_report"}
 
 
 def test_entry_contract(spark):
