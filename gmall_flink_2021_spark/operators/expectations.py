@@ -187,3 +187,29 @@ def profile_estimates(sketches: DataFrame) -> DataFrame:
     return sketches.select(
         "col_name", "ct", "null_ct",
         F.hll_sketch_estimate("sk").alias("distinct_est"))
+
+
+def drift_from_profile_stores(old_sketches: DataFrame,
+                              new_sketches: DataFrame) -> DataFrame:
+    """profile_drift computed from two (possibly stream-merged)
+    profile_sketches frames instead of raw table scans — the
+    monitoring loop's readout: compare yesterday's published profile
+    store against today's without touching either snapshot's data.
+    Distinct counts are HLL estimates here (banded, not exact), so
+    the distinct delta is approximate; counters are exact."""
+    o = profile_estimates(old_sketches).select(
+        "col_name", F.col("ct").alias("old_ct"),
+        F.col("null_ct").alias("old_null_ct"),
+        F.col("distinct_est").alias("old_distinct_ct"))
+    n = profile_estimates(new_sketches).select(
+        "col_name", F.col("ct").alias("new_ct"),
+        F.col("null_ct").alias("new_null_ct"),
+        F.col("distinct_est").alias("new_distinct_ct"))
+    return o.join(n, "col_name").select(
+        "col_name", "old_ct", "new_ct", "old_null_ct", "new_null_ct",
+        "old_distinct_ct", "new_distinct_ct",
+        (F.col("new_distinct_ct") - F.col("old_distinct_ct"))
+        .alias("distinct_delta"),
+        (F.expr("new_null_ct * 1000 DIV greatest(new_ct, 1)")
+         - F.expr("old_null_ct * 1000 DIV greatest(old_ct, 1)"))
+        .alias("null_permille_delta"))

@@ -1429,3 +1429,41 @@ def test_profile_sketch_streaming_merge_matches_batch(spark, tmp_path):
             assert got[c].distinct_est == want[c].distinct_est == exact[c]
         else:
             assert abs(got[c].distinct_est - exact[c]) <= 0.05 * exact[c]
+
+
+def test_drift_readout_from_streamed_store(spark, tmp_path):
+    """End-to-end monitoring loop: stream today's docs into a profile
+    store, then read drift against a baseline profile — same schema
+    as batch profile_drift, exact counters, no rescan of either
+    snapshot."""
+    from gmall_flink_2021_spark.operators import expectations
+    from gmall_flink_2021_spark.streaming.jobs import (
+        profile_sketch_stream,
+    )
+
+    cols = ["doc_id", "lang", "source"]
+    docs = load_table(spark, SF_SMOKE, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 7)
+    src = str(tmp_path / "drift_docs")
+    docs.repartition(2).write.parquet(src)
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    store = str(tmp_path / "drift_store")
+    profile_sketch_stream(stream, cols, store,
+                          str(tmp_path / "ck_drift"))
+
+    baseline = expectations.profile_sketches(old, cols)
+    out = expectations.drift_from_profile_stores(
+        baseline, spark.read.parquet(store).drop("merged_bid"))
+    rows = {r.col_name: r for r in out.collect()}
+    assert set(rows) == set(cols)
+    n_old, n_new = old.count(), docs.count()
+    for c in cols:
+        assert (rows[c].old_ct, rows[c].new_ct) == (n_old, n_new)
+        assert rows[c].null_permille_delta == 0
+    # low-cardinality columns: estimates exact -> the REAL drift
+    # (the baseline slice genuinely misses some sources)
+    for c in ("lang", "source"):
+        exact_delta = (docs.select(c).distinct().count()
+                       - old.select(c).distinct().count())
+        assert rows[c].distinct_delta == exact_delta
