@@ -749,6 +749,43 @@ def score_daily_cents(daily: DataFrame, trailing: int = 7,
                     F.when((n >= min_prior) & (var > 0), z).alias("z")))
 
 
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over event types: for
+    every consecutive event pair within a user's timeline (ordered by
+    ts, event_id ties deterministic), count (prev_type → next_type)
+    transitions and each row's within-prev share in permille — the
+    behavior-sequence audit a funnel/recommendation pipeline runs
+    before modeling (which step follows which, where do flows die).
+
+    Integer-exact throughout: counts are longs and the share is
+    truncating integer division (1000·n) DIV row_total — no float
+    ratio anywhere.
+
+    Scale shape: ONE shuffle keyed by user (the lag window — state is
+    a single previous row per user, never the whole timeline), then a
+    map-side-combined aggregation onto a |types|² result; the permille
+    window runs over that tiny aggregate, not the corpus. Extends the
+    reference's per-event funnel (dwm UserJumpDetailApp's CEP pairs,
+    gmall-realtime/.../app/dwm/UserJumpDetailApp.java:60) to the full
+    type×type matrix.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (events
+             .select("user_id", "ts", "event_id", "event_type")
+             .withColumn("prev_type", F.lag("event_type").over(w))
+             .filter(F.col("prev_type").isNotNull())
+             .groupBy("prev_type",
+                      F.col("event_type").alias("next_type"))
+             .agg(F.count(F.lit(1)).alias("transitions")))
+    return (pairs
+            .withColumn("row_total",
+                        F.sum("transitions").over(
+                            Window.partitionBy("prev_type")))
+            .select("prev_type", "next_type", "transitions",
+                    F.expr("(1000 * transitions) DIV row_total")
+                    .cast("long").alias("row_permille")))
+
+
 def winsorized_price_stats(orders: DataFrame, lo_pct: int = 5,
                            hi_pct: int = 95) -> DataFrame:
     """Winsorized robust statistics per order priority — the outlier

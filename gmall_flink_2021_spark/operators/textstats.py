@@ -726,6 +726,75 @@ def unigram_lm_scores(documents: DataFrame,
                          band.alias("lm_band"))
 
 
+# Positive shift applied before fixed-point averaging in
+# perplexity_buckets: must exceed any possible |avg log-prob| in
+# micro-nats. ln(1/total_tokens) at total=1e40 is only -92 nats, so
+# 100 nats covers any corpus that fits in an int64 token count.
+_PPL_SHIFT_MICRO = 100_000_000
+
+
+def perplexity_buckets(documents: DataFrame,
+                       n_buckets: int = 3) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3):
+    within each language, rank documents by average per-token
+    log-probability under the self-trained unigram LM
+    (``unigram_lm_scores``) and split them into equal tiers —
+    head / middle / tail for the default 3 — the split CCNet uses to
+    keep head+middle and drop (or down-sample) the tail when building
+    pretraining corpora.
+
+    Exactness discipline: the ranking key is the FLOOR of the average
+    log-prob in micro-nats, computed with pure integer arithmetic —
+    ``(sum_llr_micro + SHIFT·n_tokens) DIV n_tokens`` with a positive
+    shift so the numerator is always positive and truncating division
+    (Spark ``DIV``) equals flooring division (DuckDB ``//``) on every
+    engine. Ties (same floored average) break on doc_id, so ranks and
+    bucket labels are fully deterministic. Bucket assignment is the
+    integer formula ``(n_buckets·(rank−1)) DIV n_lang`` — bucket sizes
+    differ by at most one, no float percentile anywhere.
+
+    Scale shape: the LM scoring costs one vocab-count shuffle + a
+    broadcast of the V-row log-prob table + one per-doc aggregation
+    (see unigram_lm_scores); the lang join is doc-keyed (dimension
+    row per doc, AQE broadcasts the smaller side); the tier split is
+    one per-language window sort — the intrinsic cost of EXACT
+    per-language ranks, same trade as winsorized_price_stats. At
+    100 TB swap the exact rank pass for percentile_approx cut points
+    per language (mergeable GK sketch, no per-lang global sort) and
+    assign buckets by comparing avg_llr_micro against the two cuts.
+
+    Reference parity note: the reference (gmall-flink-2021) has no
+    LM bucketing — this is a first-class LLM-data-pipeline operator
+    (quality-tier selection before mixture sampling).
+    """
+    from pyspark.sql import Window
+
+    scored = unigram_lm_scores(documents).select(
+        "doc_id", "n_tokens", "sum_llr_micro")
+    langd = scored.join(documents.select("doc_id", "lang"), "doc_id")
+    key = F.expr(f"(sum_llr_micro + {_PPL_SHIFT_MICRO}L * n_tokens)"
+                 " DIV n_tokens")
+    w_ord = Window.partitionBy("lang").orderBy(
+        F.desc("ppl_key"), F.asc("doc_id"))
+    w_all = Window.partitionBy("lang")
+    ranked = (langd
+              .withColumn("ppl_key", key)
+              .withColumn("ppl_rank",
+                          F.row_number().over(w_ord).cast("long"))
+              .withColumn("n_lang", F.count(F.lit(1)).over(w_all)))
+    bucket_id = F.expr(f"({n_buckets} * (ppl_rank - 1)) DIV n_lang")
+    name = (F.when(bucket_id == 0, "head")
+            .when(bucket_id == n_buckets - 1, "tail")
+            .otherwise("middle")) if n_buckets == 3 else \
+        F.concat(F.lit("tier_"), bucket_id.cast("string"))
+    return ranked.select(
+        "doc_id", "lang", "n_tokens", "sum_llr_micro",
+        (F.col("ppl_key") - F.lit(_PPL_SHIFT_MICRO)).cast("long")
+        .alias("avg_llr_micro"),
+        "ppl_rank",
+        name.alias("ppl_bucket"))
+
+
 def bpe_merge_candidates(documents: DataFrame,
                          k: int = 20) -> DataFrame:
     """The first iteration of BPE tokenizer training, distributed:

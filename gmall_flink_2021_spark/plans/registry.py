@@ -873,6 +873,15 @@ def q_unigram_lm_scores(spark, sf):
     return textstats.unigram_lm_scores(documents)
 
 
+def q_perplexity_buckets(spark, sf):
+    """Gates: CCNet head/middle/tail tier split — integer fixed-point
+    average-log-prob ranking (positive-shifted numerator so DIV==//),
+    per-language exact tercile via one window pass, bucket sizes
+    balanced within one by the (3·(rank−1)) DIV n formula."""
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.perplexity_buckets(documents)
+
+
 def q_bpe_merge_candidates(spark, sf):
     """Gates: BPE tokenizer-training iteration 1 — corpus collapsed to a
     weighted word-frequency table before the pair fan-out, so merge
@@ -1174,6 +1183,15 @@ def q_winsorized_price_stats(spark, sf):
     return analytics.winsorized_price_stats(orders)
 
 
+def q_event_transitions(spark, sf):
+    """Gates: first-order Markov transition matrix — single user-keyed
+    lag window (one-row state per user), map-side-combined |types|²
+    aggregation, integer permille shares via DIV over the aggregate's
+    own window."""
+    (events,) = _t(spark, sf, "events")
+    return analytics.event_transitions(events)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -1284,6 +1302,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_codebook_audit": q_pq_codebook_audit,
     "heavy_hitter_terms": q_heavy_hitter_terms,
     "unigram_lm_scores": q_unigram_lm_scores,
+    "perplexity_buckets": q_perplexity_buckets,
     "bpe_merge_candidates": q_bpe_merge_candidates,
     "bpe_merges": q_bpe_merges,
     "bpe_encode_stats": q_bpe_encode_stats,
@@ -1308,6 +1327,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hashed_classifier_scores": q_hashed_classifier_scores,
     "incremental_dedup": q_incremental_dedup,
     "winsorized_price_stats": q_winsorized_price_stats,
+    "event_transitions": q_event_transitions,
     "profile_drift": q_profile_drift,
     "profile_sketch_report": q_profile_sketch_report,
 }
@@ -3267,6 +3287,51 @@ ORACLES: dict[str, str] = {
                     ELSE 'low' END AS lm_band
         FROM scored
     """,
+    # positive-shifted numerator makes DuckDB's flooring // equal to
+    # Spark's truncating DIV; ties on the floored average break on
+    # doc_id in both engines
+    "perplexity_buckets": f"""
+        WITH {_TOKS},
+        t AS (SELECT doc_id, lang, unnest(tok) AS term FROM toks),
+        c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+        v AS (SELECT term, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, term) AS rk
+              FROM c),
+        ll AS (SELECT term,
+                      CAST(round(ln(CAST(cnt AS DOUBLE) / n) * 1e6)
+                           AS BIGINT) AS llr_micro
+               FROM v, tot WHERE rk <= 65536),
+        fl AS (SELECT CAST(round(ln(1.0 / n) * 1e6) AS BIGINT)
+                      AS floor_micro FROM tot),
+        scored AS (
+            SELECT doc_id, any_value(lang) AS lang,
+                   count(*) AS n_tokens,
+                   CAST(sum(coalesce(llr_micro, floor_micro))
+                        AS BIGINT) AS sum_llr_micro
+            FROM t LEFT JOIN ll USING (term), fl
+            GROUP BY doc_id),
+        keyed AS (
+            SELECT *,
+                   (sum_llr_micro + 100000000 * n_tokens) // n_tokens
+                       AS ppl_key
+            FROM scored),
+        r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY ppl_key DESC, doc_id)
+                       AS rn,
+                   count(*) OVER (PARTITION BY lang) AS n_lang
+            FROM keyed)
+        SELECT doc_id, lang, n_tokens, sum_llr_micro,
+               CAST(ppl_key - 100000000 AS BIGINT) AS avg_llr_micro,
+               CAST(rn AS BIGINT) AS ppl_rank,
+               CASE (3 * (rn - 1)) // n_lang
+                    WHEN 0 THEN 'head'
+                    WHEN 2 THEN 'tail'
+                    ELSE 'middle' END AS ppl_bucket
+        FROM r
+    """,
     "bpe_merge_candidates": f"""
         WITH {_TOKS},
         words AS (
@@ -3913,6 +3978,30 @@ ORACLES["winsorized_price_stats"] = """
                 AS BIGINT) AS winsorized_sum_cents
     FROM base b JOIN th t USING (priority)
     GROUP BY b.priority
+"""
+
+# integer permille: both engines compute (1000·n) with int64 then
+# divide by the positive row total — trunc == floor, no float ratio
+ORACLES["event_transitions"] = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type, event_type AS next_type,
+               count(*) AS transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type,
+           CAST(transitions AS BIGINT) AS transitions,
+           CAST((1000 * transitions)
+                // sum(transitions) OVER (PARTITION BY prev_type)
+                AS BIGINT) AS row_permille
+    FROM pairs
 """
 
 ORACLES["incremental_dedup"] = f"""

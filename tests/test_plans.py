@@ -575,3 +575,34 @@ def test_novelty_gate_no_cartesian_and_no_text_on_store_path(spark):
     plan = _plan(spark, "incremental_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_perplexity_buckets_tier_split_shape(spark):
+    """The CCNet tier split inherits the unigram scorer's broadcast
+    shape (vocab log-prob table broadcast, no corpus sort-merge), the
+    doc-keyed lang join stays a hash join, and the tier ranking adds
+    at most two per-language Window passes (group count + rank) on
+    top of the scorer's vocab-bounded top-V rank — three Window nodes
+    total, not one per output metric."""
+    import re
+
+    spark.catalog.clearCache()
+    plan = _plan(spark, "perplexity_buckets")
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Window$", plan, re.M)) == 3
+
+
+def test_event_transitions_is_one_user_shuffle(spark):
+    """The Markov matrix costs ONE corpus shuffle (the per-user lag
+    window); the pair aggregation is partial/final on top of the
+    window's partitioning and the permille share runs over the
+    |types|^2 aggregate — no join, no second corpus exchange."""
+    import re
+
+    spark.catalog.clearCache()
+    plan = _plan(spark, "event_transitions")
+    assert "Join" not in plan or "BroadcastHashJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Window$", plan, re.M)) == 2
+    assert "partial_count" in plan or "HashAggregate" in plan

@@ -729,3 +729,74 @@ def test_winsorize_matches_python_reference(spark, prices):
     assert r.clipped_lo_ct == sum(1 for c in s if c < lo)
     assert r.clipped_hi_ct == sum(1 for c in s if c > hi)
     assert r.winsorized_sum_cents == sum(max(lo, min(hi, c)) for c in s)
+
+
+def test_perplexity_buckets_properties(spark):
+    """Structural invariants of the CCNet tier split on the smoke
+    corpus: per-language ranks are a 1..n permutation, bucket sizes
+    are balanced within one, every head-bucket key >= every
+    middle-bucket key >= every tail-bucket key (ordering by floored
+    average log-prob, ties broken by doc_id), and avg_llr_micro is
+    the exact floor of sum/n recomputed in Python."""
+    from collections import defaultdict
+
+    from gmall_flink_2021_spark.operators.textstats import (
+        perplexity_buckets,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = perplexity_buckets(docs).collect()
+    assert rows
+
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append(r)
+        # exact floor of the average (numerator shifted positive)
+        shift = 100_000_000
+        assert r.avg_llr_micro == (
+            (r.sum_llr_micro + shift * r.n_tokens) // r.n_tokens - shift)
+
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        assert sorted(r.ppl_rank for r in rs) == list(range(1, n + 1))
+        sizes = defaultdict(int)
+        for r in rs:
+            sizes[r.ppl_bucket] += 1
+            # bucket must match the integer formula on the rank
+            want = (3 * (r.ppl_rank - 1)) // n
+            assert order[r.ppl_bucket] == want
+        if n >= 3:
+            assert max(sizes.values()) - min(sizes.values()) <= 1
+        # keys weakly decrease across bucket boundaries
+        key = {r.doc_id: r.avg_llr_micro for r in rs}
+        for better, worse in (("head", "middle"), ("middle", "tail")):
+            b = [key[r.doc_id] for r in rs if r.ppl_bucket == better]
+            w = [key[r.doc_id] for r in rs if r.ppl_bucket == worse]
+            if b and w:
+                assert min(b) >= max(w)
+
+
+def test_event_transitions_conservation(spark):
+    """Flow conservation on the smoke corpus: total transitions equal
+    total events minus one per active user (each user's chain has
+    n_user − 1 links), and every prev row's permille shares sum to
+    1000 within truncation slack (< one unit per cell)."""
+    from collections import defaultdict
+
+    from gmall_flink_2021_spark.operators.analytics import (
+        event_transitions,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = event_transitions(events).collect()
+    n_events = events.count()
+    n_users = events.select("user_id").distinct().count()
+    assert sum(r.transitions for r in rows) == n_events - n_users
+
+    per_prev = defaultdict(lambda: [0, 0])
+    for r in rows:
+        per_prev[r.prev_type][0] += r.row_permille
+        per_prev[r.prev_type][1] += 1
+    for prev, (s, cells) in per_prev.items():
+        assert 1000 - cells < s <= 1000, (prev, s, cells)
