@@ -195,3 +195,48 @@ def page_events_projection(page: DataFrame) -> DataFrame:
         F.col("page.page_id").alias("page_id"),
         F.timestamp_millis(F.col("ts")).alias("et"),
     )
+
+
+# ------------------------------------------- Markov transition stream
+# Streaming form of operators/analytics.event_transitions: per-user
+# single-row state (the last event type seen), transitions emitted as
+# they complete. Equal to the batch matrix when delivery is
+# per-user ts-ordered across micro-batches (an in-order source such
+# as the ts-sorted replay spool); out-of-order arrivals would need a
+# watermark-buffered sort, which the batch form handles for free.
+TRANSITION_IN = StructType([
+    StructField("user_id", LongType()), StructField("ts_us", LongType()),
+    StructField("event_id", LongType()),
+    StructField("event_type", StringType()),
+])
+TRANSITION_OUT = StructType([
+    StructField("user_id", LongType()),
+    StructField("prev_type", StringType()),
+    StructField("next_type", StringType()),
+])
+_TRANSITION_STATE = StructType([StructField("last_type", StringType())])
+
+
+def _transitions_fn(key, pdfs: Iterator[pd.DataFrame],
+                    state: GroupState) -> Iterator[pd.DataFrame]:
+    (last_type,) = state.get if state.exists else (None,)
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for r in pdf.itertuples(index=False):
+            if last_type is not None:
+                out.append((r.user_id, last_type, r.event_type))
+            last_type = r.event_type
+    state.update((last_type,))
+    yield pd.DataFrame(out, columns=["user_id", "prev_type",
+                                     "next_type"])
+
+
+def event_transitions_stream(events: DataFrame) -> DataFrame:
+    """events: (user_id, ts_us micros, event_id, event_type) — emits
+    one row per completed (prev → next) transition; aggregate
+    downstream for the matrix (counts are associative, so per-batch
+    appends sum to exactly the batch operator's `transitions`)."""
+    return (events.groupBy("user_id").applyInPandasWithState(
+        _transitions_fn, TRANSITION_OUT, _TRANSITION_STATE, "append",
+        GroupStateTimeout.NoTimeout))

@@ -1467,3 +1467,57 @@ def test_drift_readout_from_streamed_store(spark, tmp_path):
         exact_delta = (docs.select(c).distinct().count()
                        - old.select(c).distinct().count())
         assert rows[c].distinct_delta == exact_delta
+
+
+def test_event_transitions_streaming_matches_batch(spark, tmp_path):
+    """The stateful Markov stream on a ts-ordered multi-batch replay
+    must reproduce the batch transition matrix exactly: per-user
+    last-type state carries across micro-batches, and transition
+    counts are associative so the appended rows aggregate to the
+    batch operator's `transitions` column. Files are ts-RANGE chunks
+    (equal timestamps kept within one chunk) with increasing mtimes,
+    so the file source delivers per-user in-order — the documented
+    in-order-delivery contract of event_transitions_stream."""
+    import os
+    import shutil
+
+    from gmall_flink_2021_spark.operators.analytics import (
+        event_transitions,
+    )
+    from gmall_flink_2021_spark.streaming.stateful import (
+        event_transitions_stream,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    ts_bounds = (events.orderBy("ts")
+                 .selectExpr("ts").collect())
+    n = len(ts_bounds)
+    q1, q2 = ts_bounds[n // 3].ts, ts_bounds[2 * n // 3].ts
+    src = str(tmp_path / "events_ts_chunks")
+    os.makedirs(src)
+    chunks = [events.filter(F.col("ts") < F.lit(q1)),
+              events.filter((F.col("ts") >= F.lit(q1))
+                            & (F.col("ts") < F.lit(q2))),
+              events.filter(F.col("ts") >= F.lit(q2))]
+    for i, ch in enumerate(chunks):
+        d = str(tmp_path / f"chunk{i}")
+        ch.coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"{i}.parquet")
+        shutil.copy(os.path.join(d, part), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    proj = lambda df: df.select(  # noqa: E731
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id", "event_type")
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = run_to_completion(event_transitions_stream(proj(stream)),
+                            str(tmp_path / "ck_transitions"))
+    got = {(r.prev_type, r.next_type, r.cnt) for r in
+           out.groupBy("prev_type", "next_type")
+              .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    want = {(r.prev_type, r.next_type, r.transitions) for r in
+            event_transitions(events).collect()}
+    assert want and got == want
