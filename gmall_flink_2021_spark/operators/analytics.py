@@ -786,6 +786,66 @@ def event_transitions(events: DataFrame) -> DataFrame:
                     .cast("long").alias("row_permille")))
 
 
+def key_skew_audit(df: DataFrame, key: str, top_k: int = 5) -> DataFrame:
+    """Join-key skew diagnostics — the audit a pipeline runs BEFORE a
+    100 TB shuffle to decide whether a key needs salting (see
+    salted_brand_revenue for the treatment this diagnoses): per-key
+    count distribution (exact p50/p90/p99/max over the key-count
+    table), the ``top_k`` heaviest keys with their permille share of
+    all rows, and the global totals, denormalized onto each heavy-key
+    row so the report is one flat frame.
+
+    Exactness: quantiles are DISCRETE ranks — the count value at
+    1-indexed rank ceil(p·n/100) of the (count, key)-ordered key
+    table, integer rank arithmetic throughout (winsorize's
+    discipline); shares are truncating integer permille.
+
+    Scale shape: ONE corpus shuffle (the per-key count, map-side
+    combined) reduces everything to a |keys|-row aggregate; the rank
+    pass sorts that AGGREGATE, never the corpus, and the top-k is a
+    TakeOrderedAndProject heap. If |keys| is itself corpus-scale
+    (e.g. user ids at 1e10), swap the exact rank pass for
+    percentile_approx over key_ct — same mergeable-sketch trade as
+    doc_length_percentiles_approx.
+    """
+    # two consumers (quantile stats + top-k heap) — persist the
+    # |keys|-row aggregate so the corpus is scanned ONCE; caller
+    # releases via the returned frame's ._counts_cache handle
+    counts = (df.groupBy(F.col(key).cast("long").alias("hot_key"))
+              .agg(F.count(F.lit(1)).alias("key_ct"))).persist()
+    w_ord = Window.orderBy("key_ct", "hot_key")
+    w_all = Window.partitionBy()
+    ranked = (counts
+              .withColumn("rn", F.row_number().over(w_ord))
+              .withColumn("n", F.count(F.lit(1)).over(w_all)))
+    stats = ranked.agg(
+        F.sum("key_ct").alias("total_rows"),
+        F.count(F.lit(1)).alias("distinct_keys"),
+        F.max(F.when(F.col("rn") == F.expr("(50 * n + 99) DIV 100"),
+                     F.col("key_ct"))).alias("p50_ct"),
+        F.max(F.when(F.col("rn") == F.expr("(90 * n + 99) DIV 100"),
+                     F.col("key_ct"))).alias("p90_ct"),
+        F.max(F.when(F.col("rn") == F.expr("(99 * n + 99) DIV 100"),
+                     F.col("key_ct"))).alias("p99_ct"),
+        F.max("key_ct").alias("max_ct"))
+    top = (counts
+           .orderBy(F.desc("key_ct"), F.asc("hot_key"))
+           .limit(top_k)
+           .withColumn("heavy_rank",
+                       F.row_number().over(
+                           Window.orderBy(F.desc("key_ct"),
+                                          F.asc("hot_key")))
+                       .cast("long")))
+    out = (top.crossJoin(F.broadcast(stats))
+           .select("heavy_rank", "hot_key", "key_ct",
+                   F.expr("(1000 * key_ct) DIV total_rows")
+                   .cast("long").alias("share_permille"),
+                   "total_rows", "distinct_keys",
+                   "p50_ct", "p90_ct", "p99_ct", "max_ct"))
+    out._counts_cache = counts
+    return out
+
+
 def winsorized_price_stats(orders: DataFrame, lo_pct: int = 5,
                            hi_pct: int = 95) -> DataFrame:
     """Winsorized robust statistics per order priority — the outlier

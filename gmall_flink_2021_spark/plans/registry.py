@@ -1183,6 +1183,18 @@ def q_winsorized_price_stats(spark, sf):
     return analytics.winsorized_price_stats(orders)
 
 
+def q_key_skew_audit(spark, sf):
+    """Gates: pre-shuffle key-skew diagnostics — one map-side-combined
+    per-key count reduces the corpus to a |keys|-row aggregate; exact
+    discrete quantiles rank that aggregate (never the corpus); heavy
+    keys come off a TakeOrderedAndProject heap with the 1-row global
+    stats broadcast back on."""
+    (lineitem,) = _t(spark, sf, "lineitem")
+    out = analytics.key_skew_audit(lineitem, "l_suppkey")
+    out._counts_cache.unpersist()  # lazy: recompute-on-reuse
+    return out
+
+
 def q_event_transitions(spark, sf):
     """Gates: first-order Markov transition matrix — single user-keyed
     lag window (one-row state per user), map-side-combined |types|²
@@ -1328,6 +1340,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "winsorized_price_stats": q_winsorized_price_stats,
     "event_transitions": q_event_transitions,
+    "key_skew_audit": q_key_skew_audit,
     "profile_drift": q_profile_drift,
     "profile_sketch_report": q_profile_sketch_report,
 }
@@ -3982,6 +3995,50 @@ ORACLES["winsorized_price_stats"] = """
 
 # integer permille: both engines compute (1000·n) with int64 then
 # divide by the positive row total — trunc == floor, no float ratio
+ORACLES["key_skew_audit"] = """
+    WITH counts AS (
+        SELECT CAST(l_suppkey AS BIGINT) AS hot_key,
+               count(*) AS key_ct
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    ranked AS (
+        SELECT hot_key, key_ct,
+               row_number() OVER (ORDER BY key_ct, hot_key) AS rn,
+               count(*) OVER () AS n
+        FROM counts
+    ),
+    stats AS (
+        SELECT CAST(sum(key_ct) AS BIGINT) AS total_rows,
+               count(*) AS distinct_keys,
+               max(CASE WHEN rn = (50 * n + 99) // 100
+                        THEN key_ct END) AS p50_ct,
+               max(CASE WHEN rn = (90 * n + 99) // 100
+                        THEN key_ct END) AS p90_ct,
+               max(CASE WHEN rn = (99 * n + 99) // 100
+                        THEN key_ct END) AS p99_ct,
+               max(key_ct) AS max_ct
+        FROM ranked
+    ),
+    top AS (
+        SELECT hot_key, key_ct,
+               row_number() OVER (ORDER BY key_ct DESC, hot_key)
+                   AS heavy_rank
+        FROM counts
+        ORDER BY key_ct DESC, hot_key
+        LIMIT 5
+    )
+    SELECT CAST(heavy_rank AS BIGINT) AS heavy_rank, hot_key,
+           CAST(key_ct AS BIGINT) AS key_ct,
+           CAST((1000 * key_ct) // total_rows AS BIGINT)
+               AS share_permille,
+           total_rows, CAST(distinct_keys AS BIGINT) AS distinct_keys,
+           CAST(p50_ct AS BIGINT) AS p50_ct,
+           CAST(p90_ct AS BIGINT) AS p90_ct,
+           CAST(p99_ct AS BIGINT) AS p99_ct,
+           CAST(max_ct AS BIGINT) AS max_ct
+    FROM top, stats
+"""
+
 ORACLES["event_transitions"] = """
     WITH seq AS (
         SELECT user_id, event_type,

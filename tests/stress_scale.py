@@ -43,8 +43,9 @@ QUERIES = [
     "media_text_alignment",
     # round 5 (cont.): cross-snapshot novelty gate, robust stats
     "incremental_dedup", "winsorized_price_stats", "profile_drift",
-    # round 5 (cont.): CCNet tier split, Markov transition matrix
-    "perplexity_buckets", "event_transitions",
+    # round 5 (cont.): CCNet tier split, Markov transition matrix,
+    # join-key skew diagnostics
+    "perplexity_buckets", "event_transitions", "key_skew_audit",
 ]
 
 

@@ -606,3 +606,19 @@ def test_event_transitions_is_one_user_shuffle(spark):
     assert "Join" not in plan or "BroadcastHashJoin" not in plan
     assert len(re.findall(r"\(\d+\) Window$", plan, re.M)) == 2
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_key_skew_audit_reduces_before_ranking(spark):
+    """The skew audit must rank the |keys|-row AGGREGATE, never the
+    corpus: partial/final count aggregation below the rank window,
+    heavy keys off a TakeOrderedAndProject heap, the 1-row stats
+    frame broadcast (nested-loop on one row), and no sort-merge
+    join anywhere. The wrapper path releases the shared key-count
+    cache (recompute-on-reuse); library callers keep ._counts_cache
+    for the single-scan form."""
+    spark.catalog.clearCache()
+    plan = _plan(spark, "key_skew_audit")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("HashAggregate") >= 2
