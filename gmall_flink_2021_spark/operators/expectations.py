@@ -213,3 +213,57 @@ def drift_from_profile_stores(old_sketches: DataFrame,
         (F.expr("new_null_ct * 1000 DIV greatest(new_ct, 1)")
          - F.expr("old_null_ct * 1000 DIV greatest(old_ct, 1)"))
         .alias("null_permille_delta"))
+
+
+def fk_orphans(child: DataFrame, fk: str, parent: DataFrame,
+               pk: str, relation: str) -> DataFrame:
+    """One referential-integrity row: how many child rows carry a
+    NULL foreign key, how many reference a parent key that does not
+    exist (orphans), and the integer permille of rows that resolve.
+
+    Scale shape: the child is reduced to a (fk, count) aggregate
+    BEFORE any join — the integrity join runs over |child keys| ×
+    |parent keys| key sets, never raw fact rows; parent keys are
+    deduplicated to a keys-only projection. Join strategy is left to
+    AQE (a nation-sized parent broadcasts, a customer-sized one
+    shuffles key-aggregates — both fine).
+    """
+    fk_counts = (child
+                 .groupBy(F.col(fk).alias("k"))
+                 .agg(F.count(F.lit(1)).alias("ct")))
+    parents = parent.select(F.col(pk).alias("k")).distinct() \
+        .withColumn("hit", F.lit(1))
+    joined = fk_counts.join(parents, "k", "left")
+    return (joined.agg(
+        F.sum("ct").alias("child_rows"),
+        F.coalesce(F.sum(F.when(F.col("k").isNull(), F.col("ct"))),
+                   F.lit(0)).alias("null_fk_ct"),
+        F.coalesce(F.sum(F.when(F.col("k").isNotNull()
+                                & F.col("hit").isNull(), F.col("ct"))),
+                   F.lit(0)).alias("orphan_ct"))
+        .select(F.lit(relation).alias("relation"),
+                "child_rows", "null_fk_ct", "orphan_ct",
+                F.expr("(1000 * (child_rows - null_fk_ct - orphan_ct))"
+                       " DIV child_rows").cast("long")
+                .alias("resolved_permille")))
+
+
+def referential_integrity_audit(
+        relations: list[tuple[DataFrame, str, DataFrame, str, str]],
+) -> DataFrame:
+    """Star-schema referential-integrity report: one row per declared
+    (child, fk, parent, pk) relationship, unioned. The audit every
+    warehouse load runs before trusting joins — an orphaned fact row
+    silently drops from an inner join, and at 100 TB nobody notices
+    0.1% of revenue vanishing without this report.
+
+    Each relationship costs one child scan (reduced map-side to a
+    key-count aggregate) and one parent keys projection; no raw-row
+    joins anywhere. Extends the single-table Deequ-style
+    ``validate`` to cross-table invariants.
+    """
+    out = None
+    for child, fk, parent, pk, name in relations:
+        row = fk_orphans(child, fk, parent, pk, name)
+        out = row if out is None else out.unionByName(row)
+    return out

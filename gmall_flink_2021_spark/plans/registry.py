@@ -1183,6 +1183,35 @@ def q_winsorized_price_stats(spark, sf):
     return analytics.winsorized_price_stats(orders)
 
 
+_RI_RELATIONS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey",
+     "lineitem->orders"),
+    ("orders", "o_custkey", "customer", "c_custkey",
+     "orders->customer"),
+    ("customer", "c_nationkey", "nation", "n_nationkey",
+     "customer->nation"),
+    ("lineitem", "l_partkey", "part", "p_partkey", "lineitem->part"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey",
+     "lineitem->supplier"),
+    ("events", "user_id", "customer", "c_custkey", "events->customer"),
+]
+
+
+def q_referential_integrity(spark, sf):
+    """Gates: cross-table referential-integrity report — each
+    relationship reduces the child to a map-side (fk, count)
+    aggregate before the keys-only parent join (never raw fact rows);
+    null-FK vs orphan split, integer permille resolution."""
+    tables = {}
+    for child, fk, parent, pk, name in _RI_RELATIONS:
+        for t in (child, parent):
+            if t not in tables:
+                (tables[t],) = _t(spark, sf, t)
+    rels = [(tables[c], fk, tables[p], pk, name)
+            for c, fk, p, pk, name in _RI_RELATIONS]
+    return expectations.referential_integrity_audit(rels)
+
+
 def q_key_skew_audit(spark, sf):
     """Gates: pre-shuffle key-skew diagnostics — one map-side-combined
     per-key count reduces the corpus to a |keys|-row aggregate; exact
@@ -1341,6 +1370,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorized_price_stats": q_winsorized_price_stats,
     "event_transitions": q_event_transitions,
     "key_skew_audit": q_key_skew_audit,
+    "referential_integrity": q_referential_integrity,
     "profile_drift": q_profile_drift,
     "profile_sketch_report": q_profile_sketch_report,
 }
@@ -3995,6 +4025,38 @@ ORACLES["winsorized_price_stats"] = """
 
 # integer permille: both engines compute (1000·n) with int64 then
 # divide by the positive row total — trunc == floor, no float ratio
+
+
+def _ri_rel_sql(child, fk, parent, pk, name):
+    """One UNION ALL arm of the referential-integrity oracle —
+    mirrors fk_orphans: child reduced to (fk, count) before the
+    keys-only parent join."""
+    return f"""
+    SELECT '{name}' AS relation,
+           CAST(sum(ct) AS BIGINT) AS child_rows,
+           CAST(coalesce(sum(CASE WHEN k IS NULL THEN ct END), 0)
+                AS BIGINT) AS null_fk_ct,
+           CAST(coalesce(sum(CASE WHEN k IS NOT NULL AND hit IS NULL
+                                  THEN ct END), 0)
+                AS BIGINT) AS orphan_ct,
+           CAST((1000 * (sum(ct)
+                 - coalesce(sum(CASE WHEN k IS NULL THEN ct END), 0)
+                 - coalesce(sum(CASE WHEN k IS NOT NULL
+                                     AND hit IS NULL
+                                     THEN ct END), 0)))
+                // sum(ct) AS BIGINT) AS resolved_permille
+    FROM (SELECT c.k, c.ct, p.hit
+          FROM (SELECT {fk} AS k, count(*) AS ct
+                FROM {child} GROUP BY {fk}) c
+          LEFT JOIN (SELECT DISTINCT {pk} AS k, 1 AS hit
+                     FROM {parent}) p ON c.k = p.k)
+    """
+
+
+ORACLES["referential_integrity"] = " UNION ALL ".join(
+    _ri_rel_sql(c, fk, p, pk, n) for c, fk, p, pk, n in _RI_RELATIONS)
+
+
 ORACLES["key_skew_audit"] = """
     WITH counts AS (
         SELECT CAST(l_suppkey AS BIGINT) AS hot_key,

@@ -622,3 +622,20 @@ def test_key_skew_audit_reduces_before_ranking(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_referential_integrity_joins_key_aggregates(spark):
+    """Every relationship must aggregate the child to (fk, count)
+    BELOW the integrity join — the join inputs are key sets, never
+    raw fact rows: one partial/final aggregate pair per relation
+    under a Union, and no cartesian/nested-loop anywhere."""
+    import re
+
+    spark.catalog.clearCache()
+    plan = _plan(spark, "referential_integrity")
+    assert "Union" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # 6 relations x (partial+final child count, distinct parent,
+    # final report agg) — at least 18 HashAggregates in the tree
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 18

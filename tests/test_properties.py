@@ -800,3 +800,41 @@ def test_event_transitions_conservation(spark):
         per_prev[r.prev_type][1] += 1
     for prev, (s, cells) in per_prev.items():
         assert 1000 - cells < s <= 1000, (prev, s, cells)
+
+
+def test_referential_integrity_catches_planted_orphans(spark):
+    """Plant known integrity damage and assert exact counts: drop a
+    parent-key range (orphans), null out some FKs (null_fk_ct), and
+    check the resolved permille is the integer formula on those
+    numbers — plus a clean relation reports zero damage."""
+    from gmall_flink_2021_spark.operators.expectations import (
+        referential_integrity_audit,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    customer = spark.read.parquet(
+        "/root/testdata/sf0.001/customer.parquet")
+
+    damaged = orders.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(None))
+         .otherwise(F.col("o_custkey")))
+    parents = customer.filter(F.col("c_custkey") % 7 != 0)
+
+    rows = {r.relation: r for r in referential_integrity_audit([
+        (damaged, "o_custkey", parents, "c_custkey", "damaged"),
+        (orders, "o_custkey", customer, "c_custkey", "clean"),
+    ]).collect()}
+
+    n = orders.count()
+    nulls = orders.filter(F.col("o_orderkey") % 10 == 0).count()
+    orphans = (orders
+               .filter(F.col("o_orderkey") % 10 != 0)
+               .filter(F.col("o_custkey") % 7 == 0).count())
+    d = rows["damaged"]
+    assert (d.child_rows, d.null_fk_ct, d.orphan_ct) == (n, nulls,
+                                                         orphans)
+    assert d.resolved_permille == (1000 * (n - nulls - orphans)) // n
+    c = rows["clean"]
+    assert (c.null_fk_ct, c.orphan_ct, c.resolved_permille) == (0, 0,
+                                                                1000)
