@@ -786,6 +786,55 @@ def event_transitions(events: DataFrame) -> DataFrame:
                     .cast("long").alias("row_permille")))
 
 
+def rolling_active_users(events: DataFrame,
+                         window_days: int = 7) -> DataFrame:
+    """Exact rolling N-day active users (WAU when N=7) per day, plus
+    same-day actives and the DAU/WAU stickiness ratio in integer
+    permille — the product-analytics rollup the reference's DWS layer
+    serves daily (VisitorStats day grain,
+    gmall-realtime/.../app/dws/VisitorStatsApp.java), extended to the
+    sliding-distinct form Spark has no native window frame for
+    (COUNT(DISTINCT) OVER RANGE is unsupported — and at scale would
+    hold the whole window's user set per day anyway).
+
+    The scalable formulation is contribution expansion: dedupe to
+    (user, active_day) once, fan each row out to the ≤N window days
+    it contributes to, dedupe (user, window_day), count per day. Both
+    shuffles are linear·N with map-side combine; no per-day user-set
+    state, no self-join of days. Trailing days past the last observed
+    day are trimmed (they'd report windows that haven't closed).
+    Counts and the permille ratio are integer-exact.
+    """
+    user_days = (events
+                 .select("user_id",
+                         F.date_trunc("DAY", "ts").alias("day"))
+                 .distinct())
+    expanded = user_days.select(
+        "user_id",
+        F.explode(F.sequence(
+            F.col("day"),
+            F.col("day") + F.expr(f"interval {window_days - 1} days"),
+            F.expr("interval 1 day"))).alias("day"))
+    rolling = (expanded
+               .groupBy("user_id", "day").agg(F.lit(1))
+               .groupBy("day")
+               .agg(F.count(F.lit(1)).alias("rolling_users")))
+    daily = (user_days.groupBy("day")
+             .agg(F.count(F.lit(1)).alias("day_users")))
+    maxday = user_days.agg(F.max("day").alias("max_day"))
+    return (rolling
+            .crossJoin(F.broadcast(maxday))
+            .filter(F.col("day") <= F.col("max_day"))
+            .join(daily, "day", "left")
+            .select("day",
+                    F.coalesce("day_users", F.lit(0)).cast("long")
+                    .alias("day_users"),
+                    "rolling_users",
+                    F.expr("(1000 * coalesce(day_users, 0))"
+                           " DIV rolling_users").cast("long")
+                    .alias("stickiness_permille")))
+
+
 def key_skew_audit(df: DataFrame, key: str, top_k: int = 5) -> DataFrame:
     """Join-key skew diagnostics — the audit a pipeline runs BEFORE a
     100 TB shuffle to decide whether a key needs salting (see

@@ -1212,6 +1212,15 @@ def q_referential_integrity(spark, sf):
     return expectations.referential_integrity_audit(rels)
 
 
+def q_rolling_active_users(spark, sf):
+    """Gates: exact sliding-window distinct (7-day rolling actives) —
+    contribution expansion instead of per-day user-set state: two
+    linear·N map-side-combined shuffles, trailing open windows
+    trimmed, integer DAU/WAU stickiness."""
+    (events,) = _t(spark, sf, "events")
+    return analytics.rolling_active_users(events)
+
+
 def q_key_skew_audit(spark, sf):
     """Gates: pre-shuffle key-skew diagnostics — one map-side-combined
     per-key count reduces the corpus to a |keys|-row aggregate; exact
@@ -1370,6 +1379,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorized_price_stats": q_winsorized_price_stats,
     "event_transitions": q_event_transitions,
     "key_skew_audit": q_key_skew_audit,
+    "rolling_active_users": q_rolling_active_users,
     "referential_integrity": q_referential_integrity,
     "profile_drift": q_profile_drift,
     "profile_sketch_report": q_profile_sketch_report,
@@ -4056,6 +4066,38 @@ def _ri_rel_sql(child, fk, parent, pk, name):
 ORACLES["referential_integrity"] = " UNION ALL ".join(
     _ri_rel_sql(c, fk, p, pk, n) for c, fk, p, pk, n in _RI_RELATIONS)
 
+
+# generate_series over DATE yields timestamps in DuckDB — cast back;
+# Spark's sequence(date, date) yields dates natively
+# day is TIMESTAMP on both sides (the repo's date_trunc convention:
+# pandas stringifies Spark DATE and DuckDB DATE differently, so date
+# outputs stay timestamps)
+ORACLES["rolling_active_users"] = """
+    WITH ud AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        FROM events
+    ),
+    expanded AS (
+        SELECT DISTINCT user_id,
+               unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                      INTERVAL 1 DAY)) AS day
+        FROM ud
+    ),
+    rolling AS (
+        SELECT day, count(*) AS rolling_users
+        FROM expanded GROUP BY day
+    ),
+    daily AS (
+        SELECT day, count(*) AS day_users FROM ud GROUP BY day
+    )
+    SELECT r.day,
+           CAST(coalesce(d.day_users, 0) AS BIGINT) AS day_users,
+           CAST(r.rolling_users AS BIGINT) AS rolling_users,
+           CAST((1000 * coalesce(d.day_users, 0)) // r.rolling_users
+                AS BIGINT) AS stickiness_permille
+    FROM rolling r LEFT JOIN daily d ON r.day = d.day
+    WHERE r.day <= (SELECT max(day) FROM ud)
+"""
 
 ORACLES["key_skew_audit"] = """
     WITH counts AS (

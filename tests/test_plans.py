@@ -639,3 +639,19 @@ def test_referential_integrity_joins_key_aggregates(spark):
     # 6 relations x (partial+final child count, distinct parent,
     # final report agg) — at least 18 HashAggregates in the tree
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 18
+
+
+def test_rolling_active_users_expands_bounded(spark):
+    """The sliding distinct must be contribution expansion (a
+    length-7 sequence Generate over the deduped user-day table), not
+    a day-range self-join or per-day user-set windows: Generate node
+    present, no CartesianProduct, no Window over the corpus, and
+    both distincts are partial/final hash aggregates."""
+    import re
+
+    spark.catalog.clearCache()
+    plan = _plan(spark, "rolling_active_users")
+    assert "Generate" in plan and "explode" in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Window$", plan, re.M)) == 0
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 4
