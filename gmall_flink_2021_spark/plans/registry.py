@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..operators import (
     analytics,
+    bucketing,
     expectations,
     dedup,
     dwm,
@@ -1212,6 +1213,15 @@ def q_referential_integrity(spark, sf):
     return expectations.referential_integrity_audit(rels)
 
 
+def q_zorder_stats(spark, sf):
+    """Gates: Morton-curve layout audit — integer grid scaling over a
+    broadcast 1-row extrema frame, pure shift/mask interleave, fixed
+    -stride code buckets, per-bucket min/max envelopes + 2-D probe
+    pruning flags; the measurable form of OPTIMIZE ZORDER."""
+    (orders,) = _t(spark, sf, "orders")
+    return bucketing.zorder_stats(orders)
+
+
 def q_rolling_active_users(spark, sf):
     """Gates: exact sliding-window distinct (7-day rolling actives) —
     contribution expansion instead of per-day user-set state: two
@@ -1380,6 +1390,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_transitions": q_event_transitions,
     "key_skew_audit": q_key_skew_audit,
     "rolling_active_users": q_rolling_active_users,
+    "zorder_stats": q_zorder_stats,
     "referential_integrity": q_referential_integrity,
     "profile_drift": q_profile_drift,
     "profile_sketch_report": q_profile_sketch_report,
@@ -4097,6 +4108,44 @@ ORACLES["rolling_active_users"] = """
                 AS BIGINT) AS stickiness_permille
     FROM rolling r LEFT JOIN daily d ON r.day = d.day
     WHERE r.day <= (SELECT max(day) FROM ud)
+"""
+
+ORACLES["zorder_stats"] = """
+    WITH ext AS (
+        SELECT min(o_custkey) AS ck_min, max(o_custkey) AS ck_max,
+               min(date_diff('day', TIMESTAMP '1995-01-01',
+                             o_orderdate)) AS d_min,
+               max(date_diff('day', TIMESTAMP '1995-01-01',
+                             o_orderdate)) AS d_max
+        FROM orders
+    ),
+    scaled AS (
+        SELECT o_custkey AS ck,
+               date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+                   AS d,
+               ((o_custkey - ck_min) * 255)
+                   // greatest(ck_max - ck_min, 1) AS x,
+               ((date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+                 - d_min) * 255)
+                   // greatest(d_max - d_min, 1) AS y
+        FROM orders, ext
+    ),
+    coded AS (
+        SELECT ck, d, ((((x >> 0) & 1) << 1) + (((y >> 0) & 1) << 0) + (((x >> 1) & 1) << 3) + (((y >> 1) & 1) << 2) + (((x >> 2) & 1) << 5) + (((y >> 2) & 1) << 4) + (((x >> 3) & 1) << 7) + (((y >> 3) & 1) << 6) + (((x >> 4) & 1) << 9) + (((y >> 4) & 1) << 8) + (((x >> 5) & 1) << 11) + (((y >> 5) & 1) << 10) + (((x >> 6) & 1) << 13) + (((y >> 6) & 1) << 12) + (((x >> 7) & 1) << 15) + (((y >> 7) & 1) << 14)) AS z FROM scaled
+    ),
+    bucketed AS (
+        SELECT CAST(z // 2048 AS BIGINT) AS bucket, ck, d
+        FROM coded
+    )
+    SELECT bucket, count(*) AS n_rows,
+           min(ck) AS min_ck, max(ck) AS max_ck,
+           CAST(min(d) AS BIGINT) AS min_day,
+           CAST(max(d) AS BIGINT) AS max_day,
+           CAST(CASE WHEN min(ck) <= 200 AND max(ck) >= 100
+                      AND min(d) <= 500 AND max(d) >= 400
+                     THEN 1 ELSE 0 END AS BIGINT) AS probe_hit
+    FROM bucketed
+    GROUP BY bucket
 """
 
 ORACLES["key_skew_audit"] = """

@@ -46,7 +46,7 @@ QUERIES = [
     # round 5 (cont.): CCNet tier split, Markov transition matrix,
     # join-key skew diagnostics
     "perplexity_buckets", "event_transitions", "key_skew_audit",
-    "referential_integrity", "rolling_active_users",
+    "referential_integrity", "rolling_active_users", "zorder_stats",
 ]
 
 

@@ -655,3 +655,19 @@ def test_rolling_active_users_expands_bounded(spark):
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"\(\d+\) Window$", plan, re.M)) == 0
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 4
+
+
+def test_zorder_stats_is_two_scans_no_joins(spark):
+    """The layout audit costs the extrema scan (1-row broadcast back
+    via nested loop) plus one code-projection scan into a
+    partial/final bucket aggregate — shift/mask algebra only, no
+    real join, no window, no shuffle beyond the n_buckets-row
+    aggregate."""
+    import re
+
+    spark.catalog.clearCache()
+    plan = _plan(spark, "zorder_stats")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Window$", plan, re.M)) == 0
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2

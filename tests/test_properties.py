@@ -874,3 +874,37 @@ def test_rolling_active_users_matches_bruteforce(spark):
     # covered by the oracle parity test
     assert {d: got[d] for d in want} == want
     assert len(want) > 0
+
+
+def test_zorder_prunes_better_than_natural_layout(spark):
+    """The point of the Morton layout: for a 2-D probe rectangle,
+    min/max pruning over z-order buckets must skip strictly more
+    buckets than the same bucket count over the natural (orderkey)
+    layout, where neither dimension clusters. Also sanity: bucket
+    row counts sum to the table and every envelope contains its
+    bucket's rows."""
+    from gmall_flink_2021_spark.operators.bucketing import zorder_stats
+
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    z = zorder_stats(orders).collect()
+    assert sum(r.n_rows for r in z) == orders.count()
+    z_hits = sum(r.probe_hit for r in z)
+    assert 0 < z_hits < len(z)
+
+    # natural layout: same bucket count, keyed by row order
+    day = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+    n = orders.count()
+    stride = (n + 31) // 32
+    nat = (orders
+           .select(F.col("o_custkey").alias("ck"), day.alias("d"),
+                   F.expr(f"(o_orderkey * 32) DIV {4 * n}")
+                   .alias("bucket"))
+           .groupBy("bucket")
+           .agg(F.min("ck").alias("min_ck"), F.max("ck").alias("max_ck"),
+                F.min("d").alias("min_day"),
+                F.max("d").alias("max_day"))).collect()
+    nat_hits = sum(
+        1 for r in nat
+        if r.min_ck <= 200 and r.max_ck >= 100
+        and r.min_day <= 500 and r.max_day >= 400)
+    assert z_hits < nat_hits, (z_hits, nat_hits)
