@@ -786,6 +786,49 @@ def event_transitions(events: DataFrame) -> DataFrame:
                     .cast("long").alias("row_permille")))
 
 
+def gap_fill_daily(events: DataFrame) -> DataFrame:
+    """Dense daily series per event type with gap filling and
+    last-observation-carried-forward — the regularization step before
+    any drift/z-score/forecast consumer (daily_value_zscores assumes
+    a dense index; real feeds have holes, and a silently missing day
+    reads as 'no change' instead of 'no data' without this).
+
+    Per type, a calendar spine spans the CORPUS day range (shared
+    extent, so every series aligns); missing days join to null and
+    are emitted with ``n_events = 0``, ``is_gap = 1`` and
+    ``locf_events`` carrying the last observed count (0 before the
+    first observation). Counts are integers end to end.
+
+    Scale shape: the corpus collapses to a (type, day) count
+    aggregate first (map-side combined); the spine is |types|·|days|
+    rows built from a broadcast 1-row extent; the LOCF window sorts
+    the AGGREGATE per type, never raw events.
+    """
+    day = F.date_trunc("DAY", "ts")
+    daily = (events
+             .groupBy(F.col("event_type"), day.alias("day"))
+             .agg(F.count(F.lit(1)).alias("n_obs")))
+    ext = events.agg(F.min(day).alias("d_min"),
+                     F.max(day).alias("d_max"))
+    spine = (events.select("event_type").distinct()
+             .crossJoin(F.broadcast(ext))
+             .select("event_type",
+                     F.explode(F.sequence(
+                         F.col("d_min"), F.col("d_max"),
+                         F.expr("interval 1 day"))).alias("day")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (spine
+            .join(daily, ["event_type", "day"], "left")
+            .select("event_type", "day",
+                    F.coalesce("n_obs", F.lit(0)).cast("long")
+                    .alias("n_events"),
+                    F.col("n_obs").isNull().cast("long").alias("is_gap"),
+                    F.coalesce(F.last("n_obs", ignorenulls=True).over(w),
+                               F.lit(0)).cast("long")
+                    .alias("locf_events")))
+
+
 def rolling_active_users(events: DataFrame,
                          window_days: int = 7) -> DataFrame:
     """Exact rolling N-day active users (WAU when N=7) per day, plus

@@ -1213,6 +1213,15 @@ def q_referential_integrity(spark, sf):
     return expectations.referential_integrity_audit(rels)
 
 
+def q_gap_fill_daily(spark, sf):
+    """Gates: dense calendar spine + LOCF regularization — corpus
+    collapsed to a (type, day) aggregate before any window; spine is
+    |types|·|days| rows off a broadcast 1-row extent; integer counts
+    and gap flags end to end."""
+    (events,) = _t(spark, sf, "events")
+    return analytics.gap_fill_daily(events)
+
+
 def q_zorder_stats(spark, sf):
     """Gates: Morton-curve layout audit — integer grid scaling over a
     broadcast 1-row extrema frame, pure shift/mask interleave, fixed
@@ -1391,6 +1400,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "key_skew_audit": q_key_skew_audit,
     "rolling_active_users": q_rolling_active_users,
     "zorder_stats": q_zorder_stats,
+    "gap_fill_daily": q_gap_fill_daily,
     "referential_integrity": q_referential_integrity,
     "profile_drift": q_profile_drift,
     "profile_sketch_report": q_profile_sketch_report,
@@ -4146,6 +4156,37 @@ ORACLES["zorder_stats"] = """
                      THEN 1 ELSE 0 END AS BIGINT) AS probe_hit
     FROM bucketed
     GROUP BY bucket
+"""
+
+ORACLES["gap_fill_daily"] = """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               count(*) AS n_obs
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    ext AS (
+        SELECT min(date_trunc('day', ts)) AS d_min,
+               max(date_trunc('day', ts)) AS d_max
+        FROM events
+    ),
+    spine AS (
+        SELECT t.event_type, g.day
+        FROM (SELECT DISTINCT event_type FROM events) t,
+             (SELECT unnest(generate_series(d_min, d_max,
+                                            INTERVAL 1 DAY)) AS day
+              FROM ext) g
+    )
+    SELECT s.event_type, s.day,
+           CAST(coalesce(d.n_obs, 0) AS BIGINT) AS n_events,
+           CAST(CASE WHEN d.n_obs IS NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS is_gap,
+           CAST(coalesce(last_value(d.n_obs IGNORE NULLS) OVER (
+                    PARTITION BY s.event_type ORDER BY s.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                0) AS BIGINT) AS locf_events
+    FROM spine s
+    LEFT JOIN daily d
+      ON s.event_type = d.event_type AND s.day = d.day
 """
 
 ORACLES["key_skew_audit"] = """

@@ -671,3 +671,17 @@ def test_zorder_stats_is_two_scans_no_joins(spark):
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"\(\d+\) Window$", plan, re.M)) == 0
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2
+
+
+def test_gap_fill_window_runs_over_aggregate(spark):
+    """The LOCF window must sort the (type, day) AGGREGATE, not raw
+    events: the corpus collapses through a partial/final count pair
+    before the spine join, the 1-row extent broadcasts, and exactly
+    one Window node exists."""
+    import re
+
+    spark.catalog.clearCache()
+    plan = _plan(spark, "gap_fill_daily")
+    assert len(re.findall(r"\(\d+\) Window$", plan, re.M)) == 1
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2

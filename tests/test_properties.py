@@ -908,3 +908,46 @@ def test_zorder_prunes_better_than_natural_layout(spark):
         if r.min_ck <= 200 and r.max_ck >= 100
         and r.min_day <= 500 and r.max_day >= 400)
     assert z_hits < nat_hits, (z_hits, nat_hits)
+
+
+def test_gap_fill_daily_dense_and_locf(spark):
+    """The filled series must be DENSE (every type × every day in
+    the corpus extent exactly once), agree with the raw daily counts
+    where data exists, flag gaps, and carry the last observed count
+    forward across them (0 before first observation) — checked
+    against a direct Python recomputation on a corpus with planted
+    holes (every 3rd day of one type removed)."""
+    import datetime
+    from collections import defaultdict
+
+    from gmall_flink_2021_spark.operators.analytics import (
+        gap_fill_daily,
+    )
+
+    events = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet")
+    holey = events.filter(
+        ~((F.col("event_type") == "click")
+          & (F.dayofmonth("ts") % 3 == 0)))
+    rows = gap_fill_daily(holey).collect()
+
+    raw = defaultdict(int)
+    for r in holey.select("event_type",
+                          F.to_date("ts").alias("d")).collect():
+        raw[(r.event_type, r.d)] += 1
+    types = {t for t, _ in raw}
+    days = sorted({d for _, d in raw})
+    span = [(days[0] + datetime.timedelta(days=i))
+            for i in range((days[-1] - days[0]).days + 1)]
+    assert len(rows) == len(types) * len(span)
+    got = {(r.event_type, r.day.date()):
+           (r.n_events, r.is_gap, r.locf_events) for r in rows}
+    for t in types:
+        last = 0
+        for d in span:
+            n = raw.get((t, d), 0)
+            present = (t, d) in raw
+            if present:
+                last = n
+            assert got[(t, d)] == (n, 0 if present else 1, last), \
+                (t, d, got[(t, d)], (n, present, last))
