@@ -786,6 +786,61 @@ def event_transitions(events: DataFrame) -> DataFrame:
                     .cast("long").alias("row_permille")))
 
 
+def part_cooccurrence(lineitem: DataFrame, top_k: int = 20) -> DataFrame:
+    """Market-basket co-occurrence mining: the ``top_k`` part pairs
+    most often bought together in one order, with exact counts and an
+    integer-permille lift (observed co-rate vs the independence
+    expectation) — the 'frequently bought together' serving query.
+
+    Scale shape: NO self-join of the fact table. Each order's part
+    set is collected once (baskets are small — TPC-H orders hold ≤7
+    lineitems, so the within-array pair fan-out is bounded by
+    |basket|², a constant), pairs explode from the array, and one
+    map-side-combined count keyed by (part_a, part_b) follows. The
+    lift join runs AFTER the top-k heap, against |parts|-row count
+    aggregates with the k-row side broadcast. A self-join formulation
+    (the oracle's shape) would shuffle the fact table twice and
+    blow up on any skewed basket; the array form caps the fan-out at
+    the basket-size bound by construction.
+
+    Integer-exact: lift_permille = (1000·pair_ct·n_baskets) DIV
+    (ct_a·ct_b); ties at the top-k boundary break on (a, b).
+    """
+    # baskets feeds the pair fan-out, the per-part counts and the
+    # basket total — persist so the fact table is scanned ONCE;
+    # caller releases via ._baskets_cache (recompute-on-reuse)
+    baskets = lineitem.select("l_orderkey", "l_partkey").distinct() \
+        .persist()
+    arr = (baskets.groupBy("l_orderkey")
+           .agg(F.sort_array(F.collect_set("l_partkey"))
+                .alias("parts")))
+    pairs = (arr
+             .select(F.explode(F.flatten(F.expr(
+                 "transform(parts, (a, i) -> "
+                 "transform(slice(parts, i + 2, size(parts)), "
+                 "b -> struct(a, b)))"))).alias("p"))
+             .select(F.col("p.a").alias("part_a"),
+                     F.col("p.b").alias("part_b")))
+    top = (pairs.groupBy("part_a", "part_b")
+           .agg(F.count(F.lit(1)).alias("pair_ct"))
+           .orderBy(F.desc("pair_ct"), "part_a", "part_b")
+           .limit(top_k))
+    part_ct = (baskets.groupBy(F.col("l_partkey").alias("pk"))
+               .agg(F.count(F.lit(1)).alias("pct")))
+    n_baskets = arr.agg(F.count(F.lit(1)).alias("nb"))
+    out = (part_ct
+           .join(F.broadcast(top.crossJoin(F.broadcast(n_baskets))),
+                 F.col("pk") == F.col("part_a"))
+           .select("part_a", "part_b", "pair_ct", "nb",
+                   F.col("pct").alias("ct_a"))
+           .join(part_ct, F.col("pk") == F.col("part_b"))
+           .select("part_a", "part_b", "pair_ct",
+                   F.expr("(1000 * pair_ct * nb) DIV (ct_a * pct)")
+                   .cast("long").alias("lift_permille")))
+    out._baskets_cache = baskets
+    return out
+
+
 def gap_fill_daily(events: DataFrame) -> DataFrame:
     """Dense daily series per event type with gap filling and
     last-observation-carried-forward — the regularization step before

@@ -1213,6 +1213,17 @@ def q_referential_integrity(spark, sf):
     return expectations.referential_integrity_audit(rels)
 
 
+def q_part_cooccurrence(spark, sf):
+    """Gates: basket co-occurrence without a fact self-join — per-
+    order part arrays with a |basket|²-bounded pair fan-out, map-side
+    pair counts, lift joined only AFTER the top-k heap with the k-row
+    side broadcast."""
+    (lineitem,) = _t(spark, sf, "lineitem")
+    out = analytics.part_cooccurrence(lineitem)
+    out._baskets_cache.unpersist()  # lazy: recompute-on-reuse
+    return out
+
+
 def q_gap_fill_daily(spark, sf):
     """Gates: dense calendar spine + LOCF regularization — corpus
     collapsed to a (type, day) aggregate before any window; spine is
@@ -1401,6 +1412,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_active_users": q_rolling_active_users,
     "zorder_stats": q_zorder_stats,
     "gap_fill_daily": q_gap_fill_daily,
+    "part_cooccurrence": q_part_cooccurrence,
     "referential_integrity": q_referential_integrity,
     "profile_drift": q_profile_drift,
     "profile_sketch_report": q_profile_sketch_report,
@@ -4187,6 +4199,36 @@ ORACLES["gap_fill_daily"] = """
     FROM spine s
     LEFT JOIN daily d
       ON s.event_type = d.event_type AND s.day = d.day
+"""
+
+ORACLES["part_cooccurrence"] = """
+    WITH b AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    p AS (
+        SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+               count(*) AS pair_ct
+        FROM b x JOIN b y
+          ON x.l_orderkey = y.l_orderkey
+         AND x.l_partkey < y.l_partkey
+        GROUP BY x.l_partkey, y.l_partkey
+    ),
+    top AS (
+        SELECT * FROM p
+        ORDER BY pair_ct DESC, part_a, part_b
+        LIMIT 20
+    ),
+    pc AS (
+        SELECT l_partkey, count(*) AS pct FROM b GROUP BY l_partkey
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS nb FROM b)
+    SELECT t.part_a, t.part_b, CAST(t.pair_ct AS BIGINT) AS pair_ct,
+           CAST((1000 * t.pair_ct * n.nb) // (pa.pct * pb.pct)
+                AS BIGINT) AS lift_permille
+    FROM top t
+    JOIN pc pa ON pa.l_partkey = t.part_a
+    JOIN pc pb ON pb.l_partkey = t.part_b
+    CROSS JOIN n
 """
 
 ORACLES["key_skew_audit"] = """

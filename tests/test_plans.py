@@ -685,3 +685,16 @@ def test_gap_fill_window_runs_over_aggregate(spark):
     assert len(re.findall(r"\(\d+\) Window$", plan, re.M)) == 1
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2
+
+
+def test_part_cooccurrence_avoids_fact_self_join(spark):
+    """Basket mining must fan pairs out of per-order arrays
+    (Generate over collect_set), take the top-k off a heap, and keep
+    every join a hash join against bounded frames — never a
+    sort-merge self-join of the fact table."""
+    spark.catalog.clearCache()
+    plan = _plan(spark, "part_cooccurrence")
+    assert "Generate" in plan and "explode" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
