@@ -247,6 +247,33 @@ def uv_rollup_from_daily(daily: DataFrame) -> DataFrame:
                     .alias("month_uv_est")))
 
 
+def rolling_uv_sketches(events: DataFrame,
+                        window_days: int = 7) -> DataFrame:
+    """Approximate rolling N-day active users from mergeable per-day
+    HLL sketches — the 1e9-user form of
+    analytics.rolling_active_users: at that cardinality even the
+    contribution-expansion exact path shuffles N·|user-days| rows,
+    while sketches reduce each day to a 4 KB register array and every
+    rolling window to a union of ≤N of them. This is the same
+    sketch-once/roll-up-many contract as uv_sketch_rollup, applied to
+    a sliding frame: the union runs as a RANGE window (interval
+    N−1 days preceding) over the O(days) sketch table, so calendar
+    gaps still union exactly the days inside the window, and the
+    incremental streaming store (streaming/jobs.uv_sketch_stream)
+    feeds the identical rollup because HLL registers are per-item
+    maxes. No SQL oracle (sketch encodings); the driver records
+    rows-only and tests/test_sketch_accuracy.py gates both estimates
+    against exact distinct counts at ~3σ (registry.SKETCH_GATES)."""
+    daily = uv_daily_sketches(events)
+    w = (Window.orderBy(F.unix_timestamp(F.col("day")))
+         .rangeBetween(-(window_days - 1) * 86_400, 0))
+    return (daily.select(
+        "day",
+        F.hll_sketch_estimate("sk").alias("day_uv_est"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
+        .alias("rolling_uv_est")))
+
+
 def uv_sketch_rollup(events: DataFrame) -> DataFrame:
     """Mergeable-sketch rollup: per-day HLL sketches of user_id
     (``hll_sketch_agg``) re-aggregated to a monthly estimate with

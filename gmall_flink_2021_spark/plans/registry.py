@@ -1242,6 +1242,16 @@ def q_zorder_stats(spark, sf):
     return bucketing.zorder_stats(orders)
 
 
+def q_rolling_active_users_approx(spark, sf):
+    """Gates: sliding-window distinct at 1e9-user scale — per-day HLL
+    sketches unioned over a RANGE window (interval N−1 days), O(days)
+    sketch rows after one corpus pass; rows-only at the driver
+    (sketch estimates); 3σ accuracy gate in SKETCH_GATES /
+    tests/test_sketch_accuracy.py against the exact expansion."""
+    (events,) = _t(spark, sf, "events")
+    return dwm.rolling_uv_sketches(events)
+
+
 def q_rolling_active_users(spark, sf):
     """Gates: exact sliding-window distinct (7-day rolling actives) —
     contribution expansion instead of per-day user-set state: two
@@ -1410,6 +1420,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_transitions": q_event_transitions,
     "key_skew_audit": q_key_skew_audit,
     "rolling_active_users": q_rolling_active_users,
+    "rolling_active_users_approx": q_rolling_active_users_approx,
     "zorder_stats": q_zorder_stats,
     "gap_fill_daily": q_gap_fill_daily,
     "part_cooccurrence": q_part_cooccurrence,
@@ -4395,6 +4406,42 @@ SKETCH_GATES: dict[str, tuple[dict, ...]] = {
                             AS TIMESTAMP) AS day,
                        count(DISTINCT user_id) AS exact_ct
                 FROM events GROUP BY 1
+            """,
+        },
+    ),
+    "rolling_active_users_approx": (
+        {
+            "keys": ("day",),
+            "estimate": "day_uv_est",
+            "max_rel_err": 0.05,
+            "exact_sql": """
+                SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                            AS TIMESTAMP) AS day,
+                       count(DISTINCT user_id) AS exact_ct
+                FROM events GROUP BY 1
+            """,
+        },
+        {
+            "keys": ("day",),
+            "estimate": "rolling_uv_est",
+            "max_rel_err": 0.05,
+            "exact_sql": """
+                WITH ud AS (
+                    SELECT DISTINCT user_id,
+                           date_trunc('day', CAST(ts AS TIMESTAMP))
+                               AS day
+                    FROM events
+                ),
+                expanded AS (
+                    SELECT DISTINCT user_id,
+                           unnest(generate_series(
+                               day, day + INTERVAL 6 DAY,
+                               INTERVAL 1 DAY)) AS day
+                    FROM ud
+                )
+                SELECT CAST(day AS TIMESTAMP) AS day,
+                       count(*) AS exact_ct
+                FROM expanded GROUP BY day
             """,
         },
     ),

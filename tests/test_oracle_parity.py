@@ -34,7 +34,8 @@ def test_oracles_subset_of_queries():
     assert set(QUERIES) - set(ORACLES) == {"unique_visitors_daily_approx",
                                            "uv_sketch_rollup",
                                            "doc_length_percentiles_approx",
-                                           "profile_sketch_report"}
+                                           "profile_sketch_report",
+                                           "rolling_active_users_approx"}
 
 
 def test_entry_contract(spark):

@@ -698,3 +698,20 @@ def test_part_cooccurrence_avoids_fact_self_join(spark):
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rolling_uv_sketch_union_runs_over_daily_sketches(spark):
+    """The approx rolling-UV path must scan the corpus once into the
+    per-day sketch aggregate (partial/final pair) and run the union
+    as ONE range window over the O(days) sketch rows — no expansion
+    of raw rows, no join."""
+    import re
+
+    spark.catalog.clearCache()
+    plan = _plan(spark, "rolling_active_users_approx")
+    assert len(re.findall(r"\(\d+\) Window$", plan, re.M)) == 1
+    assert "Generate" not in plan
+    assert "Join" not in plan
+    # sketch buffers aggregate via ObjectHashAggregate (not codegen
+    # HashAggregate) — still a partial/final pair
+    assert len(re.findall(r"\(\d+\) ObjectHashAggregate", plan)) >= 2
