@@ -786,6 +786,85 @@ def event_transitions(events: DataFrame) -> DataFrame:
                     .cast("long").alias("row_permille")))
 
 
+def trade_pagerank(nation: DataFrame, customer: DataFrame,
+                   supplier: DataFrame, orders: DataFrame,
+                   lineitem: DataFrame, iters: int = 3) -> DataFrame:
+    """PageRank-style trade centrality over the nation trade graph:
+    revenue flows supplier-nation → customer-nation (bilateral_trade's
+    edges, collapsed over years), and a fixed number of
+    weight-proportional rank iterations scores which nations sit at
+    the center of the flow — the iterative-graph-analytics shape
+    (joins + aggregations per round) on top of one fact scan.
+
+    Exactness: edge weights are exact decimal revenue summed then
+    taken as integer cents; ranks start at 1e6 and every update is
+    pure integer arithmetic — contribution = (r·w) DIV w_out per
+    edge, new rank = 150000 + (850·inflow) DIV 1000 — so the result
+    is bit-identical on any engine and the oracle can unroll the same
+    ``iters`` rounds as CTEs. (Damping mass lost to integer floors
+    and dangling redistribution are deliberately NOT modeled — this
+    is a centrality score with PageRank's shape, not a stochastic
+    matrix; the simplification is part of the contract.)
+
+    Scale shape: the fact scan aggregates to a ≤|nations|² edge list
+    (map-side combined, broadcast dimension chain — bilateral_trade's
+    plan); every iteration then joins |edges|-sized frames. At 100 TB
+    the data pass is the single edge aggregation; iteration cost is
+    graph-sized, not corpus-sized. Real billion-node graphs swap the
+    driver loop for the same joins checkpointed per round.
+    """
+    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                          - money("l_discount"))
+    cust_n = (customer.select("c_custkey", "c_nationkey")
+              .join(F.broadcast(nation), F.col("c_nationkey")
+                    == nation.n_nationkey)
+              .select("c_custkey", F.col("n_name").alias("dst")))
+    supp_n = (supplier.select("s_suppkey", "s_nationkey")
+              .join(F.broadcast(nation), F.col("s_nationkey")
+                    == nation.n_nationkey)
+              .select("s_suppkey", F.col("n_name").alias("src")))
+    edges = (lineitem
+             .join(orders.select("o_orderkey", "o_custkey"),
+                   lineitem.l_orderkey == F.col("o_orderkey"))
+             .join(F.broadcast(cust_n),
+                   F.col("o_custkey") == cust_n.c_custkey)
+             .join(F.broadcast(supp_n),
+                   lineitem.l_suppkey == supp_n.s_suppkey)
+             .filter(F.col("src") != F.col("dst"))
+             .groupBy("src", "dst")
+             .agg(F.floor(F.sum(revenue) * 100).cast("long")
+                  .alias("w"))).persist()
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    e2 = edges.join(outw, "src")
+    nodes = nation.select(F.col("n_name").alias("node"))
+    ranks = nodes.select("node", F.lit(1_000_000).cast("long")
+                         .alias("rank_micro"))
+    for _ in range(iters):
+        contrib = (e2.join(ranks, e2.src == ranks.node)
+                   .select(F.col("dst").alias("node"),
+                           F.expr("(rank_micro * w) DIV wout")
+                           .alias("c")))
+        inflow = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (nodes.join(inflow, "node", "left")
+                 .select("node",
+                         F.expr("150000 + (850 * coalesce(s, 0))"
+                                " DIV 1000").cast("long")
+                         .alias("rank_micro")))
+    degs = (edges.groupBy(F.col("dst").alias("node"))
+            .agg(F.count(F.lit(1)).alias("in_edges"))
+            .join(edges.groupBy(F.col("src").alias("node"))
+                  .agg(F.count(F.lit(1)).alias("out_edges")),
+                  "node", "full"))
+    out = (ranks.join(degs, "node", "left")
+           .select("node", "rank_micro",
+                   F.coalesce("in_edges", F.lit(0)).cast("long")
+                   .alias("in_edges"),
+                   F.coalesce("out_edges", F.lit(0)).cast("long")
+                   .alias("out_edges")))
+    out._edges_cache = edges
+    return out
+
+
 def part_cooccurrence(lineitem: DataFrame, top_k: int = 20) -> DataFrame:
     """Market-basket co-occurrence mining: the ``top_k`` part pairs
     most often bought together in one order, with exact counts and an

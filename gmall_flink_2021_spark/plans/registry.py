@@ -1213,6 +1213,18 @@ def q_referential_integrity(spark, sf):
     return expectations.referential_integrity_audit(rels)
 
 
+def q_trade_pagerank(spark, sf):
+    """Gates: iterative graph analytics on an aggregated edge list —
+    one fact scan builds the <=|nations|^2 weighted graph (broadcast
+    dim chain), then fixed integer-exact rank iterations join
+    graph-sized frames only; unrolled-CTE oracle (BPE precedent)."""
+    tabs = _t(spark, sf, "nation", "customer", "supplier", "orders",
+              "lineitem")
+    out = analytics.trade_pagerank(*tabs)
+    out._edges_cache.unpersist()  # lazy: recompute-on-reuse
+    return out
+
+
 def q_part_cooccurrence(spark, sf):
     """Gates: basket co-occurrence without a fact self-join — per-
     order part arrays with a |basket|²-bounded pair fan-out, map-side
@@ -1424,6 +1436,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_stats": q_zorder_stats,
     "gap_fill_daily": q_gap_fill_daily,
     "part_cooccurrence": q_part_cooccurrence,
+    "trade_pagerank": q_trade_pagerank,
     "referential_integrity": q_referential_integrity,
     "profile_drift": q_profile_drift,
     "profile_sketch_report": q_profile_sketch_report,
@@ -4240,6 +4253,83 @@ ORACLES["part_cooccurrence"] = """
     JOIN pc pa ON pa.l_partkey = t.part_a
     JOIN pc pb ON pb.l_partkey = t.part_b
     CROSS JOIN n
+"""
+
+ORACLES["trade_pagerank"] = f"""
+    WITH edges AS MATERIALIZED (
+        SELECT sn.src, cn.dst,
+               CAST(floor(sum({_DISC}) * 100) AS BIGINT) AS w
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN (SELECT c_custkey, n_name AS dst
+              FROM customer JOIN nation ON c_nationkey = n_nationkey)
+             cn ON o_custkey = cn.c_custkey
+        JOIN (SELECT s_suppkey, n_name AS src
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+             sn ON l_suppkey = sn.s_suppkey
+        WHERE sn.src <> cn.dst
+        GROUP BY sn.src, cn.dst
+    ),
+    e2 AS MATERIALIZED (
+        SELECT e.src, e.dst, e.w, o.wout
+        FROM edges e
+        JOIN (SELECT src, sum(w) AS wout FROM edges GROUP BY src) o
+          ON e.src = o.src
+    ),
+    r0 AS MATERIALIZED (SELECT n_name AS node, CAST(1000000 AS BIGINT) AS rank_micro FROM nation),
+    c0 AS MATERIALIZED (
+        SELECT e.dst AS node,
+               CAST((r.rank_micro * e.w) // e.wout AS BIGINT) AS c
+        FROM e2 e JOIN r0 r ON e.src = r.node
+    ),
+    r1 AS MATERIALIZED (
+        SELECT n.n_name AS node,
+               CAST(150000 + (850 * coalesce(s.s, 0)) // 1000
+                    AS BIGINT) AS rank_micro
+        FROM nation n
+        LEFT JOIN (SELECT node, sum(c) AS s FROM c0 GROUP BY node) s
+          ON n.n_name = s.node
+    ),
+    c1 AS MATERIALIZED (
+        SELECT e.dst AS node,
+               CAST((r.rank_micro * e.w) // e.wout AS BIGINT) AS c
+        FROM e2 e JOIN r1 r ON e.src = r.node
+    ),
+    r2 AS MATERIALIZED (
+        SELECT n.n_name AS node,
+               CAST(150000 + (850 * coalesce(s.s, 0)) // 1000
+                    AS BIGINT) AS rank_micro
+        FROM nation n
+        LEFT JOIN (SELECT node, sum(c) AS s FROM c1 GROUP BY node) s
+          ON n.n_name = s.node
+    ),
+    c2 AS MATERIALIZED (
+        SELECT e.dst AS node,
+               CAST((r.rank_micro * e.w) // e.wout AS BIGINT) AS c
+        FROM e2 e JOIN r2 r ON e.src = r.node
+    ),
+    r3 AS MATERIALIZED (
+        SELECT n.n_name AS node,
+               CAST(150000 + (850 * coalesce(s.s, 0)) // 1000
+                    AS BIGINT) AS rank_micro
+        FROM nation n
+        LEFT JOIN (SELECT node, sum(c) AS s FROM c2 GROUP BY node) s
+          ON n.n_name = s.node
+    ),
+    degs AS (
+        SELECT coalesce(i.node, o.node) AS node,
+               coalesce(i.in_edges, 0) AS in_edges,
+               coalesce(o.out_edges, 0) AS out_edges
+        FROM (SELECT dst AS node, count(*) AS in_edges
+              FROM edges GROUP BY dst) i
+        FULL JOIN (SELECT src AS node, count(*) AS out_edges
+                   FROM edges GROUP BY src) o
+          ON i.node = o.node
+    )
+    SELECT r.node, r.rank_micro,
+           CAST(coalesce(d.in_edges, 0) AS BIGINT) AS in_edges,
+           CAST(coalesce(d.out_edges, 0) AS BIGINT) AS out_edges
+    FROM r3 r LEFT JOIN degs d ON r.node = d.node
 """
 
 ORACLES["key_skew_audit"] = """

@@ -715,3 +715,15 @@ def test_rolling_uv_sketch_union_runs_over_daily_sketches(spark):
     # sketch buffers aggregate via ObjectHashAggregate (not codegen
     # HashAggregate) — still a partial/final pair
     assert len(re.findall(r"\(\d+\) ObjectHashAggregate", plan)) >= 2
+
+
+def test_trade_pagerank_iterates_on_graph_not_corpus(spark):
+    """The fact table must feed ONE edge aggregation through the
+    broadcast dimension chain; the three rank rounds then join
+    graph-sized frames only — no cartesian, no corpus re-shuffle via
+    sort-merge inside the loop (the persisted edge list anchors every
+    round)."""
+    spark.catalog.clearCache()
+    plan = _plan(spark, "trade_pagerank")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan

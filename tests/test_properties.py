@@ -951,3 +951,48 @@ def test_gap_fill_daily_dense_and_locf(spark):
                 last = n
             assert got[(t, d)] == (n, 0 if present else 1, last), \
                 (t, d, got[(t, d)], (n, present, last))
+
+
+def test_trade_pagerank_matches_python_reference(spark):
+    """The distributed rank loop must equal an exact Python replay of
+    the same integer recurrence from the same edge list (collect the
+    ≤|nations|² edges once, iterate (r·w) DIV wout and
+    150000 + (850·inflow) DIV 1000), and sink nodes with no inbound
+    trade must sit at exactly the damping floor."""
+    from gmall_flink_2021_spark.operators.analytics import (
+        trade_pagerank,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tabs = [spark.read.parquet(f"{sf}/{t}.parquet")
+            for t in ("nation", "customer", "supplier", "orders",
+                      "lineitem")]
+    out = trade_pagerank(*tabs)
+    rows = out.collect()
+    edges = [(r.src, r.dst, r.w) for r in out._edges_cache.collect()]
+    out._edges_cache.unpersist()
+
+    nodes = {r.n_name for r in tabs[0].select("n_name").collect()}
+    wout = {}
+    for s, d, w in edges:
+        wout[s] = wout.get(s, 0) + w
+    ranks = {n: 1_000_000 for n in nodes}
+    for _ in range(3):
+        inflow = {}
+        for s, d, w in edges:
+            inflow[d] = inflow.get(d, 0) + (ranks[s] * w) // wout[s]
+        ranks = {n: 150_000 + (850 * inflow.get(n, 0)) // 1000
+                 for n in nodes}
+    got = {r.node: (r.rank_micro, r.in_edges, r.out_edges)
+           for r in rows}
+    in_deg = {}
+    out_deg = {}
+    for s, d, w in edges:
+        in_deg[d] = in_deg.get(d, 0) + 1
+        out_deg[s] = out_deg.get(s, 0) + 1
+    assert set(got) == nodes
+    for n in nodes:
+        assert got[n] == (ranks[n], in_deg.get(n, 0),
+                          out_deg.get(n, 0)), n
+        if in_deg.get(n, 0) == 0:
+            assert got[n][0] == 150_000
