@@ -264,7 +264,18 @@ def rolling_uv_sketches(events: DataFrame,
     maxes. No SQL oracle (sketch encodings); the driver records
     rows-only and tests/test_sketch_accuracy.py gates both estimates
     against exact distinct counts at ~3σ (registry.SKETCH_GATES)."""
-    daily = uv_daily_sketches(events)
+    return rolling_uv_from_daily(uv_daily_sketches(events),
+                                 window_days)
+
+
+def rolling_uv_from_daily(daily: DataFrame,
+                          window_days: int = 7) -> DataFrame:
+    """Rolling rollup over an existing daily-sketch table — the read
+    half shared by the batch path above and the incrementally
+    maintained streaming store (streaming/jobs.uv_sketch_stream):
+    because HLL union is the store's merge op AND the rollup op, the
+    streamed store rolls up EXACTLY equal to the batch single-pass
+    sketches (asserted, not approximately, in test_streaming)."""
     w = (Window.orderBy(F.unix_timestamp(F.col("day")))
          .rangeBetween(-(window_days - 1) * 86_400, 0))
     return (daily.select(

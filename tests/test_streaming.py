@@ -1521,3 +1521,28 @@ def test_event_transitions_streaming_matches_batch(spark, tmp_path):
     want = {(r.prev_type, r.next_type, r.transitions) for r in
             event_transitions(events).collect()}
     assert want and got == want
+
+
+def test_rolling_uv_from_streamed_store_matches_batch(spark, tmp_path):
+    """The rolling N-day UV read off the incrementally union-merged
+    streaming sketch store must equal the batch operator EXACTLY
+    (HLL registers are per-item maxes: merge of micro-batch sketches
+    == single-pass sketch, so the window union over the store is
+    bit-equivalent)."""
+    from gmall_flink_2021_spark.operators import dwm
+    from gmall_flink_2021_spark.streaming.jobs import uv_sketch_stream
+
+    events = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "events_multi")
+    events.repartition(4).write.parquet(src)
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    store = str(tmp_path / "uv_daily_store")
+    uv_sketch_stream(stream, store, str(tmp_path / "ck_roll_uv"))
+
+    got = {(str(r.day), r.day_uv_est, r.rolling_uv_est) for r in
+           dwm.rolling_uv_from_daily(
+               spark.read.parquet(store)).collect()}
+    want = {(str(r.day), r.day_uv_est, r.rolling_uv_est) for r in
+            dwm.rolling_uv_sketches(events).collect()}
+    assert want and got == want
