@@ -808,10 +808,15 @@ def trade_pagerank(nation: DataFrame, customer: DataFrame,
 
     Scale shape: the fact scan aggregates to a ≤|nations|² edge list
     (map-side combined, broadcast dimension chain — bilateral_trade's
-    plan); every iteration then joins |edges|-sized frames. At 100 TB
-    the data pass is the single edge aggregation; iteration cost is
-    graph-sized, not corpus-sized. Real billion-node graphs swap the
-    driver loop for the same joins checkpointed per round.
+    plan), which is BOUNDED BY SCHEMA at 25² rows no matter the
+    corpus size — so it is collected once and the rank recurrence
+    runs driver-side (the dup_clusters / BPE sub-threshold
+    precedent: one bounded collect, exact Python loop, local result
+    frame). At 100 TB the only data pass is the single edge
+    aggregation. A billion-NODE graph — where the edge list is not
+    schema-bounded — swaps the driver loop for the same joins as
+    distributed frames checkpointed per round; this operator's graph
+    never is.
     """
     revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
                                           - money("l_discount"))
@@ -833,35 +838,31 @@ def trade_pagerank(nation: DataFrame, customer: DataFrame,
              .filter(F.col("src") != F.col("dst"))
              .groupBy("src", "dst")
              .agg(F.floor(F.sum(revenue) * 100).cast("long")
-                  .alias("w"))).persist()
-    outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
-    e2 = edges.join(outw, "src")
-    nodes = nation.select(F.col("n_name").alias("node"))
-    ranks = nodes.select("node", F.lit(1_000_000).cast("long")
-                         .alias("rank_micro"))
+                  .alias("w")))
+    # ONE action over the corpus; output bounded at |nations|² rows
+    edge_rows = [(r.src, r.dst, r.w) for r in edges.collect()]
+    nodes = sorted(r.n_name for r in
+                   nation.select("n_name").collect())
+    wout: dict[str, int] = {}
+    in_deg: dict[str, int] = {}
+    out_deg: dict[str, int] = {}
+    for s, d, w in edge_rows:
+        wout[s] = wout.get(s, 0) + w
+        in_deg[d] = in_deg.get(d, 0) + 1
+        out_deg[s] = out_deg.get(s, 0) + 1
+    ranks = {n: 1_000_000 for n in nodes}
     for _ in range(iters):
-        contrib = (e2.join(ranks, e2.src == ranks.node)
-                   .select(F.col("dst").alias("node"),
-                           F.expr("(rank_micro * w) DIV wout")
-                           .alias("c")))
-        inflow = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        ranks = (nodes.join(inflow, "node", "left")
-                 .select("node",
-                         F.expr("150000 + (850 * coalesce(s, 0))"
-                                " DIV 1000").cast("long")
-                         .alias("rank_micro")))
-    degs = (edges.groupBy(F.col("dst").alias("node"))
-            .agg(F.count(F.lit(1)).alias("in_edges"))
-            .join(edges.groupBy(F.col("src").alias("node"))
-                  .agg(F.count(F.lit(1)).alias("out_edges")),
-                  "node", "full"))
-    out = (ranks.join(degs, "node", "left")
-           .select("node", "rank_micro",
-                   F.coalesce("in_edges", F.lit(0)).cast("long")
-                   .alias("in_edges"),
-                   F.coalesce("out_edges", F.lit(0)).cast("long")
-                   .alias("out_edges")))
-    out._edges_cache = edges
+        inflow: dict[str, int] = {}
+        for s, d, w in edge_rows:
+            inflow[d] = inflow.get(d, 0) + (ranks[s] * w) // wout[s]
+        ranks = {n: 150_000 + (850 * inflow.get(n, 0)) // 1000
+                 for n in nodes}
+    spark = nation.sparkSession
+    out = spark.createDataFrame(
+        [(n, ranks[n], in_deg.get(n, 0), out_deg.get(n, 0))
+         for n in nodes],
+        "node string, rank_micro long, in_edges long, out_edges long")
+    out._edges_frame = edges  # recomputable lineage, for audits/tests
     return out
 
 

@@ -1214,15 +1214,14 @@ def q_referential_integrity(spark, sf):
 
 
 def q_trade_pagerank(spark, sf):
-    """Gates: iterative graph analytics on an aggregated edge list —
-    one fact scan builds the <=|nations|^2 weighted graph (broadcast
-    dim chain), then fixed integer-exact rank iterations join
-    graph-sized frames only; unrolled-CTE oracle (BPE precedent)."""
+    """Gates: iterative graph analytics on a schema-bounded edge list
+    — one fact scan builds the <=|nations|^2 weighted graph
+    (broadcast dim chain), collected once (dup_clusters/BPE bounded-
+    collect precedent) for the exact integer driver-side rank
+    recurrence; unrolled-CTE oracle."""
     tabs = _t(spark, sf, "nation", "customer", "supplier", "orders",
               "lineitem")
-    out = analytics.trade_pagerank(*tabs)
-    out._edges_cache.unpersist()  # lazy: recompute-on-reuse
-    return out
+    return analytics.trade_pagerank(*tabs)
 
 
 def q_part_cooccurrence(spark, sf):

@@ -718,12 +718,16 @@ def test_rolling_uv_sketch_union_runs_over_daily_sketches(spark):
 
 
 def test_trade_pagerank_iterates_on_graph_not_corpus(spark):
-    """The fact table must feed ONE edge aggregation through the
-    broadcast dimension chain; the three rank rounds then join
-    graph-sized frames only — no cartesian, no corpus re-shuffle via
-    sort-merge inside the loop (the persisted edge list anchors every
-    round)."""
+    """The fact table feeds ONE edge aggregation (broadcast dimension
+    chain — asserted on the recomputable edge lineage the operator
+    exposes); the rank recurrence then runs on the bounded collect,
+    so the RESULT is a local relation with zero exchanges."""
     spark.catalog.clearCache()
-    plan = _plan(spark, "trade_pagerank")
-    assert plan.count("BroadcastHashJoin") >= 4
-    assert "CartesianProduct" not in plan
+    df = QUERIES["trade_pagerank"](spark, SF_SMOKE)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode         .fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "Exchange" not in plan
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+    eplan = df._edges_frame._jdf.queryExecution().explainString(mode)
+    assert eplan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in eplan

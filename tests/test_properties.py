@@ -969,8 +969,7 @@ def test_trade_pagerank_matches_python_reference(spark):
                       "lineitem")]
     out = trade_pagerank(*tabs)
     rows = out.collect()
-    edges = [(r.src, r.dst, r.w) for r in out._edges_cache.collect()]
-    out._edges_cache.unpersist()
+    edges = [(r.src, r.dst, r.w) for r in out._edges_frame.collect()]
 
     nodes = {r.n_name for r in tabs[0].select("n_name").collect()}
     wout = {}
