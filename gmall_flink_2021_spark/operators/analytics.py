@@ -786,6 +786,65 @@ def event_transitions(events: DataFrame) -> DataFrame:
                     .cast("long").alias("row_permille")))
 
 
+def scd2_dim_join(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Effective-dated (SCD-type-2) dimension enrichment — the
+    read side of the warehouse's dim-upsert story (K4,
+    streaming/sinks.upsert_dim writes versioned dims; this is how a
+    fact scan consumes them): each lineitem is joined to the order-
+    status version in effect ON ITS SHIP DATE, then revenue rolls up
+    by effective status. Versions are derived deterministically here
+    (v1 = the order's status from o_orderdate; v2 = status 'X' from
+    o_orderdate + 365 days for o_orderkey % 5 == 0 — snapshot_diff's
+    mutation rule), so the operator doubles as the documented recipe
+    for any real SCD2 table with (key, eff_from, attrs) rows.
+
+    Scale shape: the as-of semantics use the union + carry-forward
+    window (purchase_attribution's formulation) — versions tagged
+    side 0, facts side 1, ONE shuffle keyed by order with
+    last(status) carried over (eff_from/ship-date, side) order — so a
+    dim with many versions per key never pair-joins against the
+    fact table (the inequality-join form the oracle uses is ≤
+    |versions/key|·|facts| and blows up when versions accumulate;
+    the merge form is linear in rows whatever the version count).
+    Revenue is floor-cents of exact decimal sums.
+    """
+    v1 = orders.select(F.col("o_orderkey").alias("k"),
+                       F.col("o_orderstatus").alias("status"),
+                       F.col("o_orderdate").alias("t"))
+    v2 = (orders.filter(F.col("o_orderkey") % 5 == 0)
+          .select(F.col("o_orderkey").alias("k"), F.lit("X").alias("status"),
+                  (F.col("o_orderdate")
+                   + F.expr("interval 365 days")).alias("t")))
+    versions = v1.unionByName(v2).select(
+        "k", "t", F.lit(0).alias("side"), "status",
+        F.lit(None).cast("double").alias("px"),
+        F.lit(None).cast("double").alias("dc"))
+    facts = lineitem.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_shipdate").alias("t"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("string").alias("status"),
+        F.col("l_extendedprice").alias("px"),
+        F.col("l_discount").alias("dc"))
+    w = (Window.partitionBy("k").orderBy("t", "side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    revenue = money("px") * (F.lit(1).cast("decimal(18,2)")
+                             - money("dc"))
+    # facts shipping before their key's first version (the synthetic
+    # corpus has many) are their own data-quality category rather
+    # than silently inheriting anything
+    return (versions.unionByName(facts)
+            .withColumn("eff_status",
+                        F.last("status", ignorenulls=True).over(w))
+            .filter(F.col("side") == 1)
+            .groupBy(F.coalesce("eff_status", F.lit("pre-order"))
+                     .alias("eff_status"))
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.countDistinct("k").alias("order_ct"),
+                 F.floor(F.sum(revenue) * 100).cast("long")
+                 .alias("revenue_cents")))
+
+
 def trade_pagerank(nation: DataFrame, customer: DataFrame,
                    supplier: DataFrame, orders: DataFrame,
                    lineitem: DataFrame, iters: int = 3) -> DataFrame:

@@ -1213,6 +1213,16 @@ def q_referential_integrity(spark, sf):
     return expectations.referential_integrity_audit(rels)
 
 
+def q_scd2_dim_join(spark, sf):
+    """Gates: effective-dated SCD2 enrichment — union + carry-forward
+    window (ONE order-keyed shuffle, linear whatever the per-key
+    version count; the inequality-join form the oracle uses grows
+    with versions·facts), pre-first-version facts kept as their own
+    category, floor-cents decimal revenue."""
+    orders, lineitem = _t(spark, sf, "orders", "lineitem")
+    return analytics.scd2_dim_join(orders, lineitem)
+
+
 def q_trade_pagerank(spark, sf):
     """Gates: iterative graph analytics on a schema-bounded edge list
     — one fact scan builds the <=|nations|^2 weighted graph
@@ -1436,6 +1446,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gap_fill_daily": q_gap_fill_daily,
     "part_cooccurrence": q_part_cooccurrence,
     "trade_pagerank": q_trade_pagerank,
+    "scd2_dim_join": q_scd2_dim_join,
     "referential_integrity": q_referential_integrity,
     "profile_drift": q_profile_drift,
     "profile_sketch_report": q_profile_sketch_report,
@@ -4329,6 +4340,40 @@ ORACLES["trade_pagerank"] = f"""
            CAST(coalesce(d.in_edges, 0) AS BIGINT) AS in_edges,
            CAST(coalesce(d.out_edges, 0) AS BIGINT) AS out_edges
     FROM r3 r LEFT JOIN degs d ON r.node = d.node
+"""
+
+ORACLES["scd2_dim_join"] = f"""
+    WITH v AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               o_orderdate AS eff_from
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'X', o_orderdate + INTERVAL 365 DAY
+        FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    pairs AS (
+        SELECT DISTINCT l_orderkey AS k, l_shipdate AS t
+        FROM lineitem
+    ),
+    cand AS (
+        SELECT p.k, p.t, v.status, v.eff_from
+        FROM pairs p
+        LEFT JOIN v ON v.k = p.k AND v.eff_from <= p.t
+    ),
+    eff AS (
+        SELECT k, t, status FROM (
+            SELECT k, t, status,
+                   row_number() OVER (PARTITION BY k, t
+                                      ORDER BY eff_from DESC) AS rn
+            FROM cand) WHERE rn = 1
+    )
+    SELECT coalesce(e.status, 'pre-order') AS eff_status,
+           count(*) AS n_items,
+           count(DISTINCT l.l_orderkey) AS order_ct,
+           CAST(floor(sum({_DISC}) * 100) AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN eff e ON e.k = l.l_orderkey AND e.t = l.l_shipdate
+    GROUP BY coalesce(e.status, 'pre-order')
 """
 
 ORACLES["key_skew_audit"] = """

@@ -731,3 +731,17 @@ def test_trade_pagerank_iterates_on_graph_not_corpus(spark):
     eplan = df._edges_frame._jdf.queryExecution().explainString(mode)
     assert eplan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in eplan
+
+
+def test_scd2_join_is_merge_not_inequality_join(spark):
+    """The effective-dated enrichment must plan as the union +
+    carry-forward merge: exactly one Window over the order-keyed
+    union and NO join operator at all — the inequality-join
+    formulation (the oracle's) would grow with versions x facts."""
+    import re
+
+    spark.catalog.clearCache()
+    plan = _plan(spark, "scd2_dim_join")
+    assert len(re.findall(r"\(\d+\) Window$", plan, re.M)) == 1
+    assert "Join" not in plan
+    assert "Union" in plan

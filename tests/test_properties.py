@@ -995,3 +995,36 @@ def test_trade_pagerank_matches_python_reference(spark):
                           out_deg.get(n, 0)), n
         if in_deg.get(n, 0) == 0:
             assert got[n][0] == 150_000
+
+
+def test_scd2_dim_join_version_boundaries(spark):
+    """Planted SCD2 boundaries: a fact shipping before the first
+    version is 'pre-order', on/after v1 but before v2 takes v1's
+    status, exactly ON v2's effective date (inclusive) and after
+    take 'X'."""
+    import datetime
+
+    from gmall_flink_2021_spark.operators.analytics import scd2_dim_join
+
+    base = datetime.datetime(2000, 1, 1)
+    orders = spark.createDataFrame(
+        [(5, 1, "O", 100.0, base, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string")
+    mk = lambda days, ln: (5, 1, 1, ln, 1.0, 100.0, 0.0, 0.0,  # noqa: E731
+                           "N", "O",
+                           base + datetime.timedelta(days=days))
+    lineitem = spark.createDataFrame(
+        [mk(-1, 1),    # before v1 -> pre-order
+         mk(0, 2),     # on v1 (inclusive) -> 'O'
+         mk(364, 3),   # before v2 -> 'O'
+         mk(365, 4),   # exactly on v2 -> 'X'
+         mk(400, 5)],  # after v2 -> 'X'
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber long, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp")
+    got = {r.eff_status: r.n_items
+           for r in scd2_dim_join(orders, lineitem).collect()}
+    assert got == {"pre-order": 1, "O": 2, "X": 2}
