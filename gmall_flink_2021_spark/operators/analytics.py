@@ -808,11 +808,34 @@ def scd2_dim_join(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     the merge form is linear in rows whatever the version count).
     Revenue is floor-cents of exact decimal sums.
     """
+    enriched = scd2_enrich(orders, lineitem)
+    revenue = money("px") * (F.lit(1).cast("decimal(18,2)")
+                             - money("dc"))
+    return (enriched
+            .groupBy("eff_status")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.countDistinct("k").alias("order_ct"),
+                 F.floor(F.sum(revenue) * 100).cast("long")
+                 .alias("revenue_cents")))
+
+
+def scd2_enrich(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Per-row half of scd2_dim_join: each fact row tagged with the
+    dimension version in effect on its ship date, via the union +
+    carry-forward merge (one order-keyed shuffle). Facts shipping
+    before their key's first version (the synthetic corpus has many)
+    get the explicit 'pre-order' category rather than silently
+    inheriting anything. Also the per-micro-batch kernel of
+    streaming/jobs.scd2_enrich_stream — effective status depends
+    only on the fact row and the static version table, so batching
+    cannot change any row's assignment (Flink's temporal-table-join
+    semantics, FOR SYSTEM_TIME AS OF, on a static dim)."""
     v1 = orders.select(F.col("o_orderkey").alias("k"),
                        F.col("o_orderstatus").alias("status"),
                        F.col("o_orderdate").alias("t"))
     v2 = (orders.filter(F.col("o_orderkey") % 5 == 0)
-          .select(F.col("o_orderkey").alias("k"), F.lit("X").alias("status"),
+          .select(F.col("o_orderkey").alias("k"),
+                  F.lit("X").alias("status"),
                   (F.col("o_orderdate")
                    + F.expr("interval 365 days")).alias("t")))
     versions = v1.unionByName(v2).select(
@@ -828,21 +851,13 @@ def scd2_dim_join(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         F.col("l_discount").alias("dc"))
     w = (Window.partitionBy("k").orderBy("t", "side")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    revenue = money("px") * (F.lit(1).cast("decimal(18,2)")
-                             - money("dc"))
-    # facts shipping before their key's first version (the synthetic
-    # corpus has many) are their own data-quality category rather
-    # than silently inheriting anything
     return (versions.unionByName(facts)
             .withColumn("eff_status",
                         F.last("status", ignorenulls=True).over(w))
             .filter(F.col("side") == 1)
-            .groupBy(F.coalesce("eff_status", F.lit("pre-order"))
-                     .alias("eff_status"))
-            .agg(F.count(F.lit(1)).alias("n_items"),
-                 F.countDistinct("k").alias("order_ct"),
-                 F.floor(F.sum(revenue) * 100).cast("long")
-                 .alias("revenue_cents")))
+            .select("k", "t", "px", "dc",
+                    F.coalesce("eff_status", F.lit("pre-order"))
+                    .alias("eff_status")))
 
 
 def trade_pagerank(nation: DataFrame, customer: DataFrame,

@@ -998,3 +998,27 @@ def profile_sketch_stream(doc_stream: DataFrame, cols: list[str],
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+def scd2_enrich_stream(fact_stream: DataFrame, orders: DataFrame,
+                       out_path: str, checkpoint: str) -> None:
+    """Streaming temporal-table join (Flink's FOR SYSTEM_TIME AS OF,
+    gmall's async dim lookup family) against a STATIC versioned
+    dimension: every micro-batch of lineitem facts is tagged with the
+    order-status version in effect on its ship date via the same
+    union + carry-forward merge as the batch operator
+    (operators/analytics.scd2_enrich). Effective status depends only
+    on the fact row and the static version table, so the union of
+    emitted batches equals the batch enrich row-for-row; writes are
+    overwrite-by-batch-id (exactly-once)."""
+    from ..operators.analytics import scd2_enrich
+    from . import sinks
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        sinks.write_idempotent(scd2_enrich(orders, batch), bid,
+                               out_path)
+
+    q = (fact_stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()

@@ -1546,3 +1546,30 @@ def test_rolling_uv_from_streamed_store_matches_batch(spark, tmp_path):
     want = {(str(r.day), r.day_uv_est, r.rolling_uv_est) for r in
             dwm.rolling_uv_sketches(events).collect()}
     assert want and got == want
+
+
+def test_scd2_enrich_streaming_matches_batch(spark, tmp_path):
+    """The stream-static temporal join must reproduce the batch
+    effective-status assignment exactly on a multi-batch fact replay
+    (per-row effectivity depends only on the row and the static
+    version table, so batching is invisible)."""
+    from gmall_flink_2021_spark.operators.analytics import scd2_enrich
+    from gmall_flink_2021_spark.streaming.jobs import scd2_enrich_stream
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    lineitem = load_table(spark, SF_SMOKE, "lineitem")
+    src = str(tmp_path / "lineitem_multi")
+    lineitem.repartition(3).write.parquet(src)
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = str(tmp_path / "scd2_out")
+    scd2_enrich_stream(stream, orders, out,
+                       str(tmp_path / "ck_scd2"))
+
+    agg = lambda df: {  # noqa: E731
+        (r.eff_status, r.n): None for r in
+        df.groupBy("eff_status").agg(F.count(F.lit(1)).alias("n"))
+          .collect()}
+    got = agg(spark.read.parquet(out))
+    want = agg(scd2_enrich(orders, lineitem))
+    assert want and got == want
