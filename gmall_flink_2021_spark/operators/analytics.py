@@ -786,6 +786,58 @@ def event_transitions(events: DataFrame) -> DataFrame:
                     .cast("long").alias("row_permille")))
 
 
+def session_path_ngrams(events: DataFrame, n: int = 3,
+                        top_k: int = 20,
+                        gap: str = "30 minutes") -> DataFrame:
+    """Most common n-step user paths: events are sessionized (same
+    gap rule as ``sessionize``), each session's event-type sequence
+    is shingled into order-preserving n-grams ('view>click>purchase'),
+    and the corpus-wide top-``top_k`` paths are ranked by exact count
+    — the 'common paths' report behind funnel design, one level up
+    from event_transitions' bigram matrix (paths keep ORDER WITHIN
+    SESSION, transitions span sessions and lose it).
+
+    Scale shape: one user-keyed window pass assigns session ids (two
+    stacked windows, same shuffle), sessions collapse to ordered
+    type arrays (bounded by session length — the n-gram fan-out is
+    |session|−n+1 per session, never a self-join), and the count is
+    map-side combined into a |distinct paths| aggregate with the
+    top-k off a heap. Ties at the boundary break on the path string.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sess = (events
+            .select("user_id", "ts", "event_id", "event_type")
+            .withColumn("prev_ts", F.lag("ts").over(w))
+            .withColumn("is_new",
+                        F.when(F.col("prev_ts").isNull()
+                               | (F.col("ts") > F.expr(
+                                   f"prev_ts + interval {gap}")),
+                               1).otherwise(0))
+            .withColumn("sess", F.sum("is_new").over(cum)))
+    arrs = (sess
+            .groupBy("user_id", "sess")
+            .agg(F.array_sort(F.collect_list(
+                F.struct("ts", "event_id", "event_type"))).alias("ev"))
+            .select(F.expr("transform(ev, x -> x.event_type)")
+                    .alias("types")))
+    grams = (arrs
+             .filter(F.size("types") >= n)
+             .select(F.explode(F.expr(
+                 f"transform(sequence(0, size(types) - {n}), i -> "
+                 f"concat_ws('>', {', '.join(f'types[i + {j}]' for j in range(n))}))"))
+                 .alias("path")))
+    return (grams.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("path_ct"))
+            .orderBy(F.desc("path_ct"), "path")
+            .limit(top_k)
+            .withColumn("path_rank",
+                        F.row_number().over(
+                            Window.orderBy(F.desc("path_ct"), "path"))
+                        .cast("long")))
+
+
 def scd2_dim_join(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Effective-dated (SCD-type-2) dimension enrichment — the
     read side of the warehouse's dim-upsert story (K4,

@@ -1213,6 +1213,15 @@ def q_referential_integrity(spark, sf):
     return expectations.referential_integrity_audit(rels)
 
 
+def q_session_path_ngrams(spark, sf):
+    """Gates: order-preserving path mining — session ids from one
+    user-keyed window shuffle, per-session array shingles (fan-out
+    bounded by session length, no self-join), map-side path counts,
+    top-k heap."""
+    (events,) = _t(spark, sf, "events")
+    return analytics.session_path_ngrams(events)
+
+
 def q_scd2_dim_join(spark, sf):
     """Gates: effective-dated SCD2 enrichment — union + carry-forward
     window (ONE order-keyed shuffle, linear whatever the per-key
@@ -1447,6 +1456,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_cooccurrence": q_part_cooccurrence,
     "trade_pagerank": q_trade_pagerank,
     "scd2_dim_join": q_scd2_dim_join,
+    "session_path_ngrams": q_session_path_ngrams,
     "referential_integrity": q_referential_integrity,
     "profile_drift": q_profile_drift,
     "profile_sketch_report": q_profile_sketch_report,
@@ -4374,6 +4384,43 @@ ORACLES["scd2_dim_join"] = f"""
     FROM lineitem l
     JOIN eff e ON e.k = l.l_orderkey AND e.t = l.l_shipdate
     GROUP BY coalesce(e.status, 'pre-order')
+"""
+
+ORACLES["session_path_ngrams"] = """
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s2 AS (
+        SELECT *,
+               sum(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+        FROM seq
+    ),
+    arr AS (
+        SELECT list(event_type ORDER BY ts, event_id) AS t
+        FROM s2 GROUP BY user_id, sess
+    ),
+    tri AS (
+        SELECT unnest(list_transform(range(1, len(t) - 1),
+                   i -> t[i] || '>' || t[i+1] || '>' || t[i+2]))
+                   AS path
+        FROM arr WHERE len(t) >= 3
+    ),
+    counted AS (
+        SELECT path, count(*) AS path_ct FROM tri GROUP BY path
+        ORDER BY path_ct DESC, path
+        LIMIT 20
+    )
+    SELECT path, CAST(path_ct AS BIGINT) AS path_ct,
+           CAST(row_number() OVER (ORDER BY path_ct DESC, path)
+                AS BIGINT) AS path_rank
+    FROM counted
 """
 
 ORACLES["key_skew_audit"] = """

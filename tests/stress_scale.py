@@ -48,7 +48,7 @@ QUERIES = [
     "perplexity_buckets", "event_transitions", "key_skew_audit",
     "referential_integrity", "rolling_active_users", "zorder_stats",
     "gap_fill_daily", "part_cooccurrence", "rolling_active_users_approx",
-    "trade_pagerank", "scd2_dim_join",
+    "trade_pagerank", "scd2_dim_join", "session_path_ngrams",
 ]
 
 

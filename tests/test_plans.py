@@ -745,3 +745,18 @@ def test_scd2_join_is_merge_not_inequality_join(spark):
     assert len(re.findall(r"\(\d+\) Window$", plan, re.M)) == 1
     assert "Join" not in plan
     assert "Union" in plan
+
+
+def test_session_paths_fan_out_from_arrays(spark):
+    """Path mining must shingle per-session arrays (Generate over the
+    collect_list aggregate — fan-out bounded by session length),
+    rank sessions in ONE user-keyed window pass pair, and take the
+    top-k off a heap; never a sequence self-join."""
+    import re
+
+    spark.catalog.clearCache()
+    plan = _plan(spark, "session_path_ngrams")
+    assert "Generate" in plan and "explode" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Window$", plan, re.M)) <= 3

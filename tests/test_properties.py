@@ -1028,3 +1028,41 @@ def test_scd2_dim_join_version_boundaries(spark):
     got = {r.eff_status: r.n_items
            for r in scd2_dim_join(orders, lineitem).collect()}
     assert got == {"pre-order": 1, "O": 2, "X": 2}
+
+
+def test_session_path_ngrams_matches_python_reference(spark):
+    """Paths recomputed directly in Python from the raw events
+    (30-minute gap sessionization, ordered trigram shingles, exact
+    counts) must contain the operator's top-20 with identical counts
+    and deterministic rank ordering."""
+    import datetime
+    from collections import Counter, defaultdict
+
+    from gmall_flink_2021_spark.operators.analytics import (
+        session_path_ngrams,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = sorted(
+        [(r.user_id, r.ts, r.event_id, r.event_type)
+         for r in events.select("user_id", "ts", "event_id",
+                                "event_type").collect()],
+        key=lambda x: (x[0], x[1], x[2]))
+    gap = datetime.timedelta(minutes=30)
+    sessions = defaultdict(list)
+    last = {}
+    sid = {}
+    for u, ts, eid, et in rows:
+        if u not in last or ts > last[u] + gap:
+            sid[u] = sid.get(u, 0) + 1
+        last[u] = ts
+        sessions[(u, sid[u])].append(et)
+    counts = Counter()
+    for types in sessions.values():
+        for i in range(len(types) - 2):
+            counts[">".join(types[i:i + 3])] += 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r.path, r.path_ct) for r in
+           session_path_ngrams(events)
+           .orderBy("path_rank").collect()]
+    assert got == want
