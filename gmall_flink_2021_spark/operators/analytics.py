@@ -372,6 +372,51 @@ def purchase_attribution(events: DataFrame) -> DataFrame:
                     .alias("gap_sec")))
 
 
+def linear_attribution(events: DataFrame) -> DataFrame:
+    """Multi-touch (linear) attribution — the complement of
+    ``purchase_attribution``'s last-touch rule: every view credits
+    the user's NEXT purchase at-or-after it, and each purchase splits
+    credit equally across its attributed views (integer permille
+    share per touch). Views after a user's final purchase stay
+    unconverted and purchases with no prior views since the previous
+    purchase report zero touches.
+
+    Scale shape: the same union + carry-forward merge as the as-of
+    family, run in REVERSE time order (purchases sort before views at
+    equal timestamps so a view on the purchase instant converts):
+    ONE user-keyed shuffle, single-row carry state, then a
+    map-side-combined count per purchase — no view×purchase pair
+    join at any window size.
+    """
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("side"),
+        F.col("event_id").alias("pid"))
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("pid"))
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.desc("ts"), F.asc("side"), F.desc("event_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    merged = (buys.unionByName(views)
+              .withColumn("next_pid",
+                          F.last("pid", ignorenulls=True).over(w)))
+    touches = (merged
+               .filter((F.col("side") == 1)
+                       & F.col("next_pid").isNotNull())
+               .groupBy(F.col("next_pid").alias("pid"))
+               .agg(F.count(F.lit(1)).alias("n_touch")))
+    return (buys.select("user_id", "ts",
+                        F.col("event_id").alias("purchase_event_id"),
+                        "pid")
+            .join(touches, "pid", "left")
+            .select("purchase_event_id", "user_id", "ts",
+                    F.coalesce("n_touch", F.lit(0)).cast("long")
+                    .alias("n_touch"),
+                    F.expr("CASE WHEN coalesce(n_touch, 0) > 0"
+                           " THEN 1000 DIV n_touch ELSE 0 END")
+                    .cast("long").alias("touch_share_permille")))
+
+
 PRICE_TIERS = [("budget", 0.0, 100_000.0),
                ("mid", 100_000.0, 250_000.0),
                ("premium", 250_000.0, 1e12)]

@@ -1213,6 +1213,15 @@ def q_referential_integrity(spark, sf):
     return expectations.referential_integrity_audit(rels)
 
 
+def q_linear_attribution(spark, sf):
+    """Gates: multi-touch attribution — REVERSE-order union + carry-
+    forward merge (one user-keyed shuffle, single-row state; no
+    view×purchase pair join), equal-split integer permille credit
+    per purchase."""
+    (events,) = _t(spark, sf, "events")
+    return analytics.linear_attribution(events)
+
+
 def q_session_path_ngrams(spark, sf):
     """Gates: order-preserving path mining — session ids from one
     user-keyed window shuffle, per-session array shingles (fan-out
@@ -1457,6 +1466,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trade_pagerank": q_trade_pagerank,
     "scd2_dim_join": q_scd2_dim_join,
     "session_path_ngrams": q_session_path_ngrams,
+    "linear_attribution": q_linear_attribution,
     "referential_integrity": q_referential_integrity,
     "profile_drift": q_profile_drift,
     "profile_sketch_report": q_profile_sketch_report,
@@ -4421,6 +4431,39 @@ ORACLES["session_path_ngrams"] = """
            CAST(row_number() OVER (ORDER BY path_ct DESC, path)
                 AS BIGINT) AS path_rank
     FROM counted
+"""
+
+ORACLES["linear_attribution"] = """
+    WITH b AS (
+        SELECT user_id, ts, event_id, 0 AS side,
+               event_id AS pid
+        FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT user_id, ts, event_id, 1 AS side,
+               CAST(NULL AS BIGINT) AS pid
+        FROM events WHERE event_type = 'view'
+    ),
+    m AS (
+        SELECT *,
+               last_value(pid IGNORE NULLS) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, side ASC, event_id DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS next_pid
+        FROM (SELECT * FROM b UNION ALL SELECT * FROM v)
+    ),
+    touches AS (
+        SELECT next_pid AS pid, count(*) AS n_touch
+        FROM m WHERE side = 1 AND next_pid IS NOT NULL
+        GROUP BY next_pid
+    )
+    SELECT b.event_id AS purchase_event_id, b.user_id, b.ts,
+           CAST(coalesce(t.n_touch, 0) AS BIGINT) AS n_touch,
+           CAST(CASE WHEN coalesce(t.n_touch, 0) > 0
+                     THEN 1000 // t.n_touch ELSE 0 END
+                AS BIGINT) AS touch_share_permille
+    FROM b LEFT JOIN touches t ON t.pid = b.pid
 """
 
 ORACLES["key_skew_audit"] = """

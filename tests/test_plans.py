@@ -760,3 +760,18 @@ def test_session_paths_fan_out_from_arrays(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan
     assert len(re.findall(r"\(\d+\) Window$", plan, re.M)) <= 3
+
+
+def test_linear_attribution_is_merge_not_pair_join(spark):
+    """Multi-touch credit must come from the reverse carry-forward
+    merge: one Window over the user-keyed union, the only join the
+    purchase←touch-count equi-join on the aggregate — never a
+    view×purchase inequality join (no nested loop, no cartesian)."""
+    import re
+
+    spark.catalog.clearCache()
+    plan = _plan(spark, "linear_attribution")
+    assert len(re.findall(r"\(\d+\) Window$", plan, re.M)) == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Union" in plan

@@ -1066,3 +1066,48 @@ def test_session_path_ngrams_matches_python_reference(spark):
            session_path_ngrams(events)
            .orderBy("path_rank").collect()]
     assert got == want
+
+
+def test_linear_attribution_conservation_and_consistency(spark):
+    """Attribution invariants on the smoke corpus, against a direct
+    Python recomputation: every view before a user's final purchase
+    is attributed exactly once (conservation), per-purchase touch
+    counts match, a view ON the purchase instant converts to that
+    purchase, and the share is the integer split."""
+    from collections import Counter
+
+    from gmall_flink_2021_spark.operators.analytics import (
+        linear_attribution,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = [(r.user_id, r.ts, r.event_id, r.event_type) for r in
+            events.filter(F.col("event_type").isin("view", "purchase"))
+                  .collect()]
+    # replay the reverse merge in Python: scan each user's timeline
+    # DESC by (ts, side, event_id DESC), carrying the nearest
+    # following purchase
+    by_user = {}
+    for u, ts, eid, et in rows:
+        by_user.setdefault(u, []).append((ts, 0 if et == "purchase"
+                                          else 1, eid))
+    want = Counter()
+    total_views = 0
+    attributed = 0
+    for u, evs in by_user.items():
+        carry = None
+        for ts, side, eid in sorted(
+                evs, key=lambda x: (x[0], -x[1], x[2]), reverse=True):
+            if side == 0:
+                carry = eid
+            else:
+                total_views += 1
+                if carry is not None:
+                    want[carry] += 1
+                    attributed += 1
+    got = {r.purchase_event_id: (r.n_touch, r.touch_share_permille)
+           for r in linear_attribution(events).collect()}
+    assert sum(n for n, _ in got.values()) == attributed <= total_views
+    for pid, (n, share) in got.items():
+        assert n == want.get(pid, 0)
+        assert share == (1000 // n if n else 0)
