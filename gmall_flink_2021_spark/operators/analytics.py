@@ -372,6 +372,59 @@ def purchase_attribution(events: DataFrame) -> DataFrame:
                     .alias("gap_sec")))
 
 
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """RFM customer segmentation — the classic CRM rollup: each
+    ordering customer scored by Recency (days from their last order
+    to the corpus' latest order date), Frequency (order count) and
+    Monetary (total spend in floor-cents), each metric cut into
+    exact quartiles (1 = best: most recent / most frequent / highest
+    spend), customers grouped into 'R#F#M#' segments with counts and
+    total spend. Extends customer_value_quartiles' single-metric
+    NTILE to the three-axis grid a campaign pipeline keys on.
+
+    Exactness discipline: quartiles use the integer rank formula
+    ((4·(rank−1)) DIV n) + 1 over a deterministic (metric, custkey)
+    order — winsorize's discipline, no percentile interpolation;
+    spend is floor-cents of exact decimal sums.
+
+    Scale shape: one corpus scan reduces orders to a per-customer
+    aggregate (map-side combined); the three rank windows sort that
+    |customers|-row AGGREGATE, never raw orders; the segment rollup
+    is a second small aggregation. At 1e9 customers swap the exact
+    rank passes for percentile_approx cuts, as winsorize documents.
+    """
+    per_cust = (orders
+                .groupBy(F.col("o_custkey").alias("ck"))
+                .agg(F.max("o_orderdate").alias("last_order"),
+                     F.count(F.lit(1)).alias("freq"),
+                     F.floor(F.sum(money("o_totalprice")) * 100)
+                     .cast("long").alias("spend_cents")))
+    maxd = per_cust.agg(F.max("last_order").alias("corpus_last"))
+    base = (per_cust.crossJoin(F.broadcast(maxd))
+            .select("ck", "freq", "spend_cents",
+                    F.datediff("corpus_last", "last_order")
+                    .cast("long").alias("recency_days")))
+    scored = (base
+              .withColumn("nn", F.count(F.lit(1)).over(
+                  Window.partitionBy()))
+              .withColumn("r_rn", F.row_number().over(
+                  Window.orderBy(F.asc("recency_days"), F.asc("ck"))))
+              .withColumn("f_rn", F.row_number().over(
+                  Window.orderBy(F.desc("freq"), F.asc("ck"))))
+              .withColumn("m_rn", F.row_number().over(
+                  Window.orderBy(F.desc("spend_cents"), F.asc("ck"))))
+              .select("ck", "spend_cents",
+                      F.expr("(4 * (r_rn - 1)) DIV nn + 1").alias("r_q"),
+                      F.expr("(4 * (f_rn - 1)) DIV nn + 1").alias("f_q"),
+                      F.expr("(4 * (m_rn - 1)) DIV nn + 1")
+                      .alias("m_q")))
+    return (scored
+            .groupBy(F.concat(F.lit("R"), "r_q", F.lit("F"), "f_q",
+                              F.lit("M"), "m_q").alias("segment"))
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum("spend_cents").alias("segment_spend_cents")))
+
+
 def linear_attribution(events: DataFrame) -> DataFrame:
     """Multi-touch (linear) attribution — the complement of
     ``purchase_attribution``'s last-touch rule: every view credits

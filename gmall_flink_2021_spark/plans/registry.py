@@ -1213,6 +1213,15 @@ def q_referential_integrity(spark, sf):
     return expectations.referential_integrity_audit(rels)
 
 
+def q_rfm_segments(spark, sf):
+    """Gates: three-axis exact-quartile segmentation — orders reduced
+    once to a per-customer aggregate; the rank windows sort that
+    aggregate, never raw orders; integer rank-quartile formula, no
+    percentile interpolation."""
+    (orders,) = _t(spark, sf, "orders")
+    return analytics.rfm_segments(orders)
+
+
 def q_linear_attribution(spark, sf):
     """Gates: multi-touch attribution — REVERSE-order union + carry-
     forward merge (one user-keyed shuffle, single-row state; no
@@ -1467,6 +1476,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_dim_join": q_scd2_dim_join,
     "session_path_ngrams": q_session_path_ngrams,
     "linear_attribution": q_linear_attribution,
+    "rfm_segments": q_rfm_segments,
     "referential_integrity": q_referential_integrity,
     "profile_drift": q_profile_drift,
     "profile_sketch_report": q_profile_sketch_report,
@@ -4464,6 +4474,38 @@ ORACLES["linear_attribution"] = """
                      THEN 1000 // t.n_touch ELSE 0 END
                 AS BIGINT) AS touch_share_permille
     FROM b LEFT JOIN touches t ON t.pid = b.pid
+"""
+
+ORACLES["rfm_segments"] = """
+    WITH per_cust AS (
+        SELECT o_custkey AS ck, max(o_orderdate) AS last_order,
+               count(*) AS freq,
+               CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                          * 100) AS BIGINT) AS spend_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    base AS (
+        SELECT ck, freq, spend_cents,
+               CAST(date_diff('day', last_order,
+                              (SELECT max(last_order) FROM per_cust))
+                    AS BIGINT) AS recency_days
+        FROM per_cust
+    ),
+    scored AS (
+        SELECT ck, spend_cents,
+               (4 * (row_number() OVER (ORDER BY recency_days, ck)
+                     - 1)) // count(*) OVER () + 1 AS r_q,
+               (4 * (row_number() OVER (ORDER BY freq DESC, ck)
+                     - 1)) // count(*) OVER () + 1 AS f_q,
+               (4 * (row_number() OVER (ORDER BY spend_cents DESC, ck)
+                     - 1)) // count(*) OVER () + 1 AS m_q
+        FROM base
+    )
+    SELECT 'R' || r_q || 'F' || f_q || 'M' || m_q AS segment,
+           count(*) AS n_customers,
+           CAST(sum(spend_cents) AS BIGINT) AS segment_spend_cents
+    FROM scored
+    GROUP BY 1
 """
 
 ORACLES["key_skew_audit"] = """

@@ -49,7 +49,7 @@ QUERIES = [
     "referential_integrity", "rolling_active_users", "zorder_stats",
     "gap_fill_daily", "part_cooccurrence", "rolling_active_users_approx",
     "trade_pagerank", "scd2_dim_join", "session_path_ngrams",
-    "linear_attribution",
+    "linear_attribution", "rfm_segments",
 ]
 
 

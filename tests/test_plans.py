@@ -775,3 +775,17 @@ def test_linear_attribution_is_merge_not_pair_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Union" in plan
+
+
+def test_rfm_windows_rank_the_customer_aggregate(spark):
+    """The three rank windows must sort the per-customer AGGREGATE
+    (orders reduced once through a partial/final pair), never raw
+    orders; the corpus-extent frame broadcasts (1-row nested loop);
+    no cartesian."""
+    import re
+
+    spark.catalog.clearCache()
+    plan = _plan(spark, "rfm_segments")
+    assert len(re.findall(r"\(\d+\) Window$", plan, re.M)) <= 4
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2

@@ -1111,3 +1111,34 @@ def test_linear_attribution_conservation_and_consistency(spark):
     for pid, (n, share) in got.items():
         assert n == want.get(pid, 0)
         assert share == (1000 // n if n else 0)
+
+
+def test_rfm_segments_quartile_balance(spark):
+    """Each RFM axis must cut customers into four groups balanced
+    within one, segment counts must sum to the ordering-customer
+    total, and total spend must be conserved across segments."""
+    from collections import defaultdict
+
+    from gmall_flink_2021_spark.operators.analytics import rfm_segments
+
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    segs = rfm_segments(orders).collect()
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r.n_customers for r in segs) == n_cust
+
+    axis = {a: defaultdict(int) for a in "RFM"}
+    for r in segs:
+        # segment like 'R1F2M4'
+        parts = dict(zip(r.segment[::2], r.segment[1::2]))
+        for a in "RFM":
+            axis[a][int(parts[a])] += r.n_customers
+    for a in "RFM":
+        sizes = [axis[a].get(q, 0) for q in (1, 2, 3, 4)]
+        assert max(sizes) - min(sizes) <= 1, (a, sizes)
+
+    import duckdb
+    want = duckdb.connect().execute(
+        "select cast(floor(sum(cast(o_totalprice as decimal(18,2)))"
+        " * 100) as bigint) from read_parquet("
+        "'/root/testdata/sf0.01/orders.parquet')").fetchone()[0]
+    assert sum(r.segment_spend_cents for r in segs) == want
