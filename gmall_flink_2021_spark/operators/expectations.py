@@ -235,7 +235,7 @@ def fk_orphans(child: DataFrame, fk: str, parent: DataFrame,
         .withColumn("hit", F.lit(1))
     joined = fk_counts.join(parents, "k", "left")
     return (joined.agg(
-        F.sum("ct").alias("child_rows"),
+        F.coalesce(F.sum("ct"), F.lit(0)).alias("child_rows"),
         F.coalesce(F.sum(F.when(F.col("k").isNull(), F.col("ct"))),
                    F.lit(0)).alias("null_fk_ct"),
         F.coalesce(F.sum(F.when(F.col("k").isNotNull()
@@ -244,7 +244,7 @@ def fk_orphans(child: DataFrame, fk: str, parent: DataFrame,
         .select(F.lit(relation).alias("relation"),
                 "child_rows", "null_fk_ct", "orphan_ct",
                 F.expr("(1000 * (child_rows - null_fk_ct - orphan_ct))"
-                       " DIV child_rows").cast("long")
+                       " DIV greatest(child_rows, 1)").cast("long")
                 .alias("resolved_permille")))
 
 

