@@ -4,10 +4,14 @@ The reference's only text operator is the IK Chinese tokenizer UDTF
 (gmall-realtime/.../app/udf/KeywordUDTF.java:11-24 +
 utils/KeywordUtil.java:12-31), used as LATERAL TABLE in
 KeywordStatsApp.java:63-64. We generalize to a deterministic
-whitespace tokenizer (JVM-side split + explode — no Python UDF in the
-hot path) and add the text-pipeline primitives a large-scale
-training-data pipeline needs: shingling, MinHash, fingerprints,
-quality metrics.
+CJK-aware tokenizer (JVM-side regexp + split + explode — no Python
+UDF in the hot path): whitespace segmentation for non-Han text, and
+Han-run codepoint BIGRAMS for CJK script — the classic
+public-knowledge overlapping-bigram ("CJK analyzer") fallback for
+Chinese, where whitespace segmentation would otherwise yield one
+token per search phrase. On top of that sit the text-pipeline
+primitives a large-scale training-data pipeline needs: shingling,
+MinHash, fingerprints, quality metrics.
 
 Hashing is md5-based because md5 is available and bit-identical in
 both Spark and DuckDB, which keeps every one of these operators
@@ -32,17 +36,58 @@ SHINGLE_N = 3
 # fold is overflow-free in both Spark (Java long) and DuckDB (BIGINT).
 FP_MOD = 10 ** 12
 
+# CJK Unified Ideographs (U+4E00-U+9FFF, the BMP Han block the
+# reference's IK segmenter targets). Literal characters — not \\u
+# escapes — so the same pattern string is valid in Java regex (Spark)
+# and RE2 (DuckDB) alike.
+HAN_LO, HAN_HI = chr(0x4E00), chr(0x9FFF)
+HAN_ANY = f"[{HAN_LO}-{HAN_HI}]"
+HAN_RUN = f"({HAN_ANY}+)"
+HAN_ONLY = f"^{HAN_ANY}+$"
+
+
+def _ws_tokens(c: Column) -> Column:
+    """Plain whitespace split, empty tokens dropped."""
+    return F.filter(F.split(c, " "), lambda t: F.length(t) > 0)
+
+
+def _han_bigrams(t: Column) -> Column:
+    """Expand one segment: a multi-char Han run becomes its
+    overlapping codepoint bigrams; anything else passes through."""
+    return F.when(
+        t.rlike(HAN_ONLY) & (F.length(t) > 1),
+        F.transform(F.sequence(F.lit(1), F.length(t) - 1),
+                    lambda i: t.substr(i, F.lit(2)))
+    ).otherwise(F.array(t))
+
 
 def tokens(text_col: Column | str) -> Column:
-    """Whitespace tokenizer; drops empty tokens (U1 analog).
+    """Deterministic CJK-aware tokenizer (U1 analog): whitespace
+    segmentation, plus Han runs expanded to overlapping codepoint
+    bigrams (single Han chars kept whole) — the public-knowledge
+    CJK-analyzer stand-in for the reference's IK smart-mode segmenter
+    (utils/KeywordUtil.java:12-31). Mirrored bit-for-bit by the
+    DuckDB oracle fragment ``plans/registry._TOKS`` and the UDTF in
+    :func:`register_tokenizer_udtf`.
 
     Null text tokenizes to an empty array rather than null: every
     downstream ``F.size`` would otherwise return -1 for null input and
     silently corrupt token counts/ratios on a real (dirtier) corpus.
+
+    Scale shape: documents without Han script (one ``rlike`` gate per
+    document, CASE short-circuits in codegen) take the original plain
+    split — the CJK machinery (run isolation + per-segment expansion)
+    runs only on rows that need it. Everything stays JVM-side inside
+    whole-stage codegen.
     """
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.filter(F.split(F.coalesce(c, F.lit("")), " "),
-                    lambda t: F.length(t) > 0)
+    c = F.coalesce(
+        F.col(text_col) if isinstance(text_col, str) else text_col,
+        F.lit(""))
+    # isolate Han runs as their own segments ("abc中文def" →
+    # "abc 中文 def"), then expand each Han segment to bigrams
+    spaced = F.regexp_replace(c, HAN_RUN, " $1 ")
+    expanded = F.flatten(F.transform(_ws_tokens(spaced), _han_bigrams))
+    return F.when(c.rlike(HAN_ANY), expanded).otherwise(_ws_tokens(c))
 
 
 def shingles(tok: Column, n: int = SHINGLE_N) -> Column:
@@ -89,18 +134,30 @@ def register_tokenizer_udtf(spark, name: str = "ik_analyze") -> None:
         SELECT d.doc_id, t.keyword
         FROM docs d, LATERAL ik_analyze(d.text) t
     The reference's IK segmenter (Chinese, smart mode) is replaced by
-    the engine's deterministic whitespace segmentation — swap the body
-    for jieba when available.
+    the engine's deterministic CJK-aware segmentation (whitespace +
+    Han-run codepoint bigrams, identical to :func:`tokens` — parity
+    pinned by test) — swap the body for jieba when available.
     """
+    import re
+
     from pyspark.sql.functions import udtf
+
+    han_run = re.compile(HAN_RUN)
+    han_only = re.compile(HAN_ONLY)
 
     @udtf(returnType="keyword: string")
     class Tokenize:
         def eval(self, text: str):  # noqa: D102
-            if text:
-                for t in text.split(" "):
-                    if t:
-                        yield (t,)
+            if not text:
+                return
+            for t in han_run.sub(r" \1 ", text).split(" "):
+                if not t:
+                    continue
+                if len(t) > 1 and han_only.match(t):
+                    for i in range(len(t) - 1):
+                        yield (t[i:i + 2],)
+                else:
+                    yield (t,)
 
     spark.udtf.register(name, Tokenize)
 

@@ -1488,10 +1488,30 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # --------------------------------------------------------------------------
 
 # Shared CTE fragments for the text queries.
-_TOKS = """
+
+# Mirror of functions/text.tokens: whitespace split + Han-run
+# (U+4E00-U+9FFF) codepoint bigrams. Literal Han characters in the
+# pattern so RE2 (DuckDB) and Java regex (Spark) parse identically.
+_HAN = f"[{chr(0x4E00)}-{chr(0x9FFF)}]"
+
+
+def _tok_expr(col: str) -> str:
+    """DuckDB expression producing the engine's token array for a
+    text column — bit-for-bit tokens() (functions/text.py)."""
+    return f"""flatten(list_transform(
+        list_filter(string_split(
+            regexp_replace(coalesce({col}, ''), '({_HAN}+)', ' \\1 ', 'g'),
+            ' '), t -> len(t) > 0),
+        t -> CASE WHEN len(t) > 1 AND regexp_matches(t, '^{_HAN}+$')
+                  THEN list_transform(range(1, len(t)),
+                                      i -> substring(t, i, 2))
+                  ELSE [t] END))"""
+
+
+_TOKS = f"""
 toks AS (
     SELECT doc_id, lang, source, n_chars,
-           list_filter(string_split(coalesce(text, ''), ' '), t -> len(t) > 0) AS tok
+           {_tok_expr('text')} AS tok
     FROM documents
 )"""
 
@@ -2846,13 +2866,12 @@ ORACLES: dict[str, str] = {
               FROM scored)
         WHERE rank <= 3
     """,
-    "bpe_token_stats": """
+    "bpe_token_stats": f"""
         SELECT source, count(*) AS doc_ct,
                CAST(sum(len(regexp_extract_all(
                    text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
                    AS bpe_token_ct,
-               CAST(sum(len(list_filter(string_split(coalesce(text, ''), ' '),
-                                        t -> len(t) > 0))) AS BIGINT)
+               CAST(sum(len({_tok_expr('text')})) AS BIGINT)
                    AS ws_token_ct
         FROM documents
         GROUP BY source
