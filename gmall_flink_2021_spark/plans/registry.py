@@ -4861,6 +4861,7 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     "bpe_encode_stats": 5,           # new in round 5
     "dsir_weights": 5,               # new in round 5
     "media_text_alignment": 5,       # new in round 5
+    "keyword_stats": 6,              # CJK bigram tokenizer
 }
 
 _GRADE_PRIORITY: tuple[str, ...] = (

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    LongType, StringType, StructField, StructType)
+    ArrayType, LongType, StringType, StructField, StructType)
 
 JUMP_TIMEOUT_MS = 10_000  # UserJumpDetailApp.java:92-94 (within 10 s)
 
@@ -198,12 +198,19 @@ def page_events_projection(page: DataFrame) -> DataFrame:
 
 
 # ------------------------------------------- Markov transition stream
-# Streaming form of operators/analytics.event_transitions: per-user
-# single-row state (the last event type seen), transitions emitted as
-# they complete. Equal to the batch matrix when delivery is
-# per-user ts-ordered across micro-batches (an in-order source such
-# as the ts-sorted replay spool); out-of-order arrivals would need a
-# watermark-buffered sort, which the batch form handles for free.
+# Streaming form of operators/analytics.event_transitions with
+# WATERMARK-BUFFERED per-user ordering: arrivals are held in per-key
+# state until the event-time watermark passes them, then emitted in
+# (ts, event_id) order — so out-of-order delivery across micro-batches
+# (a real Kafka fan-in) produces exactly the batch matrix, not
+# whichever transitions the arrival order happened to suggest.
+# Buffered tails flush via EventTimeTimeout as the watermark advances;
+# like every watermarked operator, a bounded replay's final rows sit
+# behind the last watermark until a later event (heartbeat/sentinel)
+# moves it — standard Structured Streaming practice, exercised by the
+# tests. Rows arriving later than the watermark (ts already emitted
+# past) are dropped — O10 late-data semantics, same as the engine's
+# windowed aggregations.
 TRANSITION_IN = StructType([
     StructField("user_id", LongType()), StructField("ts_us", LongType()),
     StructField("event_id", LongType()),
@@ -214,29 +221,74 @@ TRANSITION_OUT = StructType([
     StructField("prev_type", StringType()),
     StructField("next_type", StringType()),
 ])
-_TRANSITION_STATE = StructType([StructField("last_type", StringType())])
+_TRANSITION_STATE = StructType([
+    StructField("last_type", StringType()),
+    StructField("last_ts_us", LongType()),
+    StructField("last_eid", LongType()),
+    StructField("buf_ts", ArrayType(LongType())),
+    StructField("buf_eid", ArrayType(LongType())),
+    StructField("buf_type", ArrayType(StringType())),
+])
 
 
 def _transitions_fn(key, pdfs: Iterator[pd.DataFrame],
                     state: GroupState) -> Iterator[pd.DataFrame]:
-    (last_type,) = state.get if state.exists else (None,)
-    out = []
+    if state.exists:
+        last_type, last_ts, last_eid, bts, beid, btyp = state.get
+        buf = list(zip(bts, beid, btyp))
+    else:
+        last_type, last_ts, last_eid, buf = None, -1, -1, []
     for pdf in pdfs:
-        pdf = pdf.sort_values(["ts_us", "event_id"])
         for r in pdf.itertuples(index=False):
+            buf.append((int(r.ts_us), int(r.event_id), r.event_type))
+    # emit strictly BELOW the watermark: a future arrival is
+    # guaranteed ts >= wm, so nothing can ever sort before an
+    # emitted row (ties broken by event_id, guarded via last_eid)
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    buf.sort()
+    out, keep = [], []
+    for ts, eid, typ in buf:
+        if ts >= wm_us:
+            keep.append((ts, eid, typ))
+        elif ts < last_ts or (ts == last_ts and eid <= last_eid):
+            continue           # late beyond the emitted frontier: drop
+        else:
             if last_type is not None:
-                out.append((r.user_id, last_type, r.event_type))
-            last_type = r.event_type
-    state.update((last_type,))
+                out.append((key[0], last_type, typ))
+            last_type, last_ts, last_eid = typ, ts, eid
+    state.update((last_type, last_ts, last_eid,
+                  [k[0] for k in keep], [k[1] for k in keep],
+                  [k[2] for k in keep]))
+    if keep:
+        # fire once the watermark passes the newest buffered row:
+        # timeout triggers when wm_ms > t_ms, and wm_ms > ts_us//1000
+        # implies wm_us > ts_us; +1 because Spark requires the
+        # timeout to sit strictly beyond the current watermark (a
+        # buffered row can share the watermark's exact ms)
+        state.setTimeoutTimestamp(keep[-1][0] // 1000 + 1)
     yield pd.DataFrame(out, columns=["user_id", "prev_type",
                                      "next_type"])
 
 
-def event_transitions_stream(events: DataFrame) -> DataFrame:
+def event_transitions_stream(events: DataFrame,
+                             delay: str = "0 seconds") -> DataFrame:
     """events: (user_id, ts_us micros, event_id, event_type) — emits
-    one row per completed (prev → next) transition; aggregate
-    downstream for the matrix (counts are associative, so per-batch
-    appends sum to exactly the batch operator's `transitions`)."""
-    return (events.groupBy("user_id").applyInPandasWithState(
+    one row per completed (prev → next) transition in event-time
+    order regardless of arrival order; aggregate downstream for the
+    matrix (counts are associative, so per-batch appends sum to
+    exactly the batch operator's `transitions`).
+
+    ``delay`` is the out-of-orderness bound (withWatermark syntax);
+    the default 0 trusts the source's max-seen ts, i.e. buffers only
+    across micro-batch boundaries.
+
+    Scale shape: state per key is one (type, ts, eid) frontier plus
+    the watermark-lag buffer — bounded by delay × per-user event
+    rate, not history; flush work is linear in buffered rows.
+    """
+    wm = (events
+          .withColumn("et", F.timestamp_micros(F.col("ts_us")))
+          .withWatermark("et", delay))
+    return (wm.groupBy("user_id").applyInPandasWithState(
         _transitions_fn, TRANSITION_OUT, _TRANSITION_STATE, "append",
-        GroupStateTimeout.NoTimeout))
+        GroupStateTimeout.EventTimeTimeout))

@@ -1469,23 +1469,69 @@ def test_drift_readout_from_streamed_store(spark, tmp_path):
         assert rows[c].distinct_delta == exact_delta
 
 
-def test_event_transitions_streaming_matches_batch(spark, tmp_path):
-    """The stateful Markov stream on a ts-ordered multi-batch replay
-    must reproduce the batch transition matrix exactly: per-user
-    last-type state carries across micro-batches, and transition
-    counts are associative so the appended rows aggregate to the
-    batch operator's `transitions` column. Files are ts-RANGE chunks
-    (equal timestamps kept within one chunk) with increasing mtimes,
-    so the file source delivers per-user in-order — the documented
-    in-order-delivery contract of event_transitions_stream."""
+def _stream_transition_counts(spark, tmp_path, chunk_dfs, schema_src,
+                              delay="0 seconds"):
+    """Write chunks as single parquet files with increasing mtimes,
+    replay with maxFilesPerTrigger=1 through the watermark-buffered
+    transition stream, and return the aggregated (prev, next, ct)
+    set (sentinel user -1, the watermark heartbeat, filtered out)."""
     import os
     import shutil
 
-    from gmall_flink_2021_spark.operators.analytics import (
-        event_transitions,
-    )
     from gmall_flink_2021_spark.streaming.stateful import (
         event_transitions_stream,
+    )
+
+    src = str(tmp_path / "events_chunks")
+    os.makedirs(src)
+    for i, ch in enumerate(chunk_dfs):
+        d = str(tmp_path / f"chunk{i}")
+        ch.coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"{i}.parquet")
+        shutil.copy(os.path.join(d, part), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+    stream = (spark.readStream.schema(schema_src.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = run_to_completion(event_transitions_stream(stream, delay),
+                            str(tmp_path / "ck_transitions"))
+    return {(r.prev_type, r.next_type, r.cnt) for r in
+            out.filter(F.col("user_id") >= 0)
+               .groupBy("prev_type", "next_type")
+               .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+
+
+def _ts_proj(df):
+    return df.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id", "event_type")
+
+
+def _sentinel_chunk(spark, after_df):
+    """One max-ts heartbeat row for sentinel user -1: advances the
+    global watermark past every real event so the final no-data batch
+    fires the EventTimeTimeout flush for all buffered keys. Must
+    clear max(ts) by MORE than the watermark delay — the final
+    watermark is sentinel_ts - delay and timeout flushes need it
+    strictly past the newest buffered row."""
+    top = after_df.agg(F.max("ts_us").alias("m")).collect()[0].m
+    return spark.createDataFrame(
+        [(-1, int(top) + 60_000_000, 0, "view")],
+        "user_id long, ts_us long, event_id long, event_type string")
+
+
+def test_event_transitions_streaming_matches_batch(spark, tmp_path):
+    """The stateful Markov stream on a ts-ordered multi-batch replay
+    must reproduce the batch transition matrix exactly: per-user
+    ordering state carries across micro-batches, and transition
+    counts are associative so the appended rows aggregate to the
+    batch operator's `transitions` column. Files are ts-RANGE chunks
+    (equal timestamps kept within one chunk) with increasing mtimes;
+    a final sentinel heartbeat advances the watermark so the buffered
+    tail flushes."""
+    from gmall_flink_2021_spark.operators.analytics import (
+        event_transitions,
     )
 
     events = load_table(spark, SF_SMOKE, "events")
@@ -1493,33 +1539,73 @@ def test_event_transitions_streaming_matches_batch(spark, tmp_path):
                  .selectExpr("ts").collect())
     n = len(ts_bounds)
     q1, q2 = ts_bounds[n // 3].ts, ts_bounds[2 * n // 3].ts
-    src = str(tmp_path / "events_ts_chunks")
-    os.makedirs(src)
-    chunks = [events.filter(F.col("ts") < F.lit(q1)),
-              events.filter((F.col("ts") >= F.lit(q1))
-                            & (F.col("ts") < F.lit(q2))),
-              events.filter(F.col("ts") >= F.lit(q2))]
-    for i, ch in enumerate(chunks):
-        d = str(tmp_path / f"chunk{i}")
-        ch.coalesce(1).write.parquet(d)
-        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
-        dst = os.path.join(src, f"{i}.parquet")
-        shutil.copy(os.path.join(d, part), dst)
-        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
-
-    proj = lambda df: df.select(  # noqa: E731
-        "user_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
-        "event_id", "event_type")
-    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
-              .option("maxFilesPerTrigger", 1).parquet(src))
-    out = run_to_completion(event_transitions_stream(proj(stream)),
-                            str(tmp_path / "ck_transitions"))
-    got = {(r.prev_type, r.next_type, r.cnt) for r in
-           out.groupBy("prev_type", "next_type")
-              .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    proj = _ts_proj(events)
+    chunks = [_ts_proj(events.filter(F.col("ts") < F.lit(q1))),
+              _ts_proj(events.filter((F.col("ts") >= F.lit(q1))
+                                     & (F.col("ts") < F.lit(q2)))),
+              _ts_proj(events.filter(F.col("ts") >= F.lit(q2))),
+              _sentinel_chunk(spark, proj)]
+    got = _stream_transition_counts(spark, tmp_path, chunks, proj)
     want = {(r.prev_type, r.next_type, r.transitions) for r in
             event_transitions(events).collect()}
+    assert want and got == want
+
+
+def test_event_transitions_stream_out_of_order_arrival(spark, tmp_path):
+    """Out-of-order delivery ACROSS micro-batches (the round-6 fix):
+    arrival order is event time perturbed by a bounded displacement
+    (±5 s) smaller than the watermark delay (10 s) — the reordering a
+    multi-partition Kafka fan-in produces — then chunked into
+    micro-batches in ARRIVAL order, so a user's earlier event
+    routinely lands one or two batches after a later one. The
+    watermark-buffered ordering must still reproduce the batch
+    transition matrix exactly."""
+    import random
+
+    from gmall_flink_2021_spark.operators.analytics import (
+        event_transitions,
+    )
+
+    rng = random.Random(42)
+    types = ["view", "click", "cart", "purchase"]
+    base = 1_600_000_000_000_000
+    rows = []
+    eid = 0
+    for u in range(40):
+        t = 0
+        for _ in range(rng.randint(2, 12)):
+            t += rng.randint(1, 3)  # 1-3 s steps: swaps are common
+            rows.append((u, base + t * 1_000_000, eid,
+                         rng.choice(types)))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "user_id long, ts_us long, event_id long, "
+              "event_type string")
+
+    # arrival order = ts + uniform(±5 s) displacement; chunk that
+    # order into 5 micro-batches
+    arrival = sorted(
+        rows, key=lambda r: r[1] + rng.randint(-5, 5) * 1_000_000)
+    n_chunks = 5
+    schema = "user_id long, ts_us long, event_id long, event_type string"
+    chunks = [spark.createDataFrame(
+        arrival[len(arrival) * i // n_chunks:
+                len(arrival) * (i + 1) // n_chunks], schema)
+        for i in range(n_chunks)]
+    # sanity: the arrival really is intra-user out of order
+    by_user_arrival = {}
+    for r in arrival:
+        by_user_arrival.setdefault(r[0], []).append(r[1])
+    assert any(ts != sorted(ts) for ts in by_user_arrival.values())
+    chunks.append(_sentinel_chunk(spark, events))
+
+    got = _stream_transition_counts(spark, tmp_path, chunks, events,
+                                    delay="10 seconds")
+    batch_in = events.select(
+        "user_id", F.timestamp_micros("ts_us").alias("ts"),
+        "event_id", "event_type")
+    want = {(r.prev_type, r.next_type, r.transitions) for r in
+            event_transitions(batch_in).collect()}
     assert want and got == want
 
 
