@@ -216,7 +216,8 @@ def simhash_signatures(documents: DataFrame, bits: int = 60) -> DataFrame:
 
 def ngram_jaccard_pairs(documents: DataFrame, top_n: int = 50,
                         max_df: int = 1000,
-                        max_sh_per_doc: int = 32) -> DataFrame:
+                        max_sh_per_doc: int = 32,
+                        max_docs: int = 1_000_000) -> DataFrame:
     """Top near-duplicate pairs by word-3-gram Jaccard similarity,
     computed via an inverted shingle index (explode → self-join →
     count), never all-pairs. Join keys are 64-bit xxhash64 of the
@@ -250,7 +251,16 @@ def ngram_jaccard_pairs(documents: DataFrame, top_n: int = 50,
     The returned frame exposes ``_ngram_caches`` (the persisted
     shingle arrays + capped index); callers that materialize the
     result can unpersist both to release executor storage — bench.py
-    uses clearCache(), long-lived sessions should use the handle."""
+    uses clearCache(), long-lived sessions should use the handle.
+
+    IN-CODE FENCE: refuses corpora beyond ``max_docs`` documents with
+    a loud error naming ``minhash_band_pairs`` — the caps make join
+    volume linear in n_docs, but the full-Jaccard inverted index is
+    still the AUDIT form and its constant factor (df window +
+    per-doc rank over every shingle) has no business at 100 TB. The
+    guard count runs on the already-persisted shingle frame the
+    operator needs anyway. Raise ``max_docs`` explicitly for a
+    deliberate larger audit."""
     tok = tokens("text")
     sh = F.array_distinct(shingles(tok))
     # one materialization of the shingle arrays feeds the inverted
@@ -258,6 +268,15 @@ def ngram_jaccard_pairs(documents: DataFrame, top_n: int = 50,
     docs = (documents.select("doc_id", sh.alias("sh"))
             .filter(F.size("sh") > 0)
             .persist())
+    n_docs = docs.count()
+    if n_docs > max_docs:
+        docs.unpersist()
+        raise RuntimeError(
+            f"ngram_jaccard_pairs: corpus has {n_docs} documents "
+            f"(> max_docs={max_docs}); this full-Jaccard inverted "
+            f"index is the audit form — use minhash_band_pairs "
+            f"(banded MinHash LSH) as the production near-dup path, "
+            f"or pass a larger max_docs for a deliberate audit.")
     sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
     raw = docs.select("doc_id", F.explode("sh").alias("s"))
     # df over the raw shingle string (same grouping as the hash key,

@@ -152,7 +152,8 @@ def label_centroid_similarity(embeddings: DataFrame) -> DataFrame:
 
 
 def embedding_dups_exhaustive(embeddings: DataFrame,
-                              threshold: float = 0.35) -> DataFrame:
+                              threshold: float = 0.35,
+                              max_block_rows: int = 20_000) -> DataFrame:
     """EXHAUSTIVE AUDIT FORM — not the production near-dup path.
     Embedding-cosine near-duplicate pairs blocked only by the label
     column: every intra-block pair is scored, O(block²) per label.
@@ -160,7 +161,28 @@ def embedding_dups_exhaustive(embeddings: DataFrame,
     (block² blowup), so this form exists to audit the recall of the
     default ``embedding_dups`` (LSH-blocked) on a sampled block, not
     to run over a 100 TB corpus. Use ``embedding_dups`` by default.
+
+    IN-CODE FENCE: refuses any label block larger than
+    ``max_block_rows`` (20k rows ⇒ ~2·10⁸ scored pairs per block —
+    already minutes of audit work) with a loud error naming the
+    production alternate. The guard is one map-side-combined
+    (label, count) aggregate — negligible next to the block² join it
+    protects against. Raise ``max_block_rows`` explicitly for a
+    deliberate larger audit; there is no way to hit the quadratic
+    path by accident.
     """
+    biggest = (embeddings.groupBy("label")
+               .agg(F.count(F.lit(1)).alias("ct"))
+               .agg(F.max("ct").alias("m")).collect()[0].m) or 0
+    if biggest > max_block_rows:
+        raise RuntimeError(
+            f"embedding_dups_exhaustive: largest label block has "
+            f"{biggest} rows (> max_block_rows={max_block_rows}); "
+            f"this audit form scores O(block²) pairs and must not "
+            f"run at this scale — use embedding_dups (banded "
+            f"hyperplane LSH, linear) as the production near-dup "
+            f"path, or pass a larger max_block_rows for a "
+            f"deliberate audit.")
     a = (embeddings.select("label", F.col("vec_id").alias("vec_a"),
                            as_double("embedding").alias("va"))
          .withColumn("na", norm(F.col("va"))))

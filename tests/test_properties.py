@@ -1142,3 +1142,31 @@ def test_rfm_segments_quartile_balance(spark):
         " * 100) as bigint) from read_parquet("
         "'/root/testdata/sf0.01/orders.parquet')").fetchone()[0]
     assert sum(r.segment_spend_cents for r in segs) == want
+
+
+def test_audit_form_guards_trip_beyond_documented_bounds(spark):
+    """The two deliberately-superlinear audit forms must REFUSE
+    at-scale inputs in code, not just in docs: each raises a loud
+    RuntimeError naming its linear production alternate once the
+    input exceeds the documented bound, and runs fine just under it
+    (or with the bound explicitly raised)."""
+    import pytest
+
+    from gmall_flink_2021_spark.operators import dedup, similarity
+
+    emb = spark.range(12).select(
+        F.lit("blk").alias("label"), F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("double"),
+                F.lit(1.0)).alias("embedding"))
+    with pytest.raises(RuntimeError, match="embedding_dups"):
+        similarity.embedding_dups_exhaustive(emb, max_block_rows=10)
+    # under the bound: runs
+    assert similarity.embedding_dups_exhaustive(
+        emb, threshold=-1.0, max_block_rows=12).count() == 66
+
+    docs = spark.range(8).select(
+        F.col("id").alias("doc_id"),
+        F.lit("a b c d e f").alias("text"))
+    with pytest.raises(RuntimeError, match="minhash_band_pairs"):
+        dedup.ngram_jaccard_pairs(docs, max_docs=5)
+    assert dedup.ngram_jaccard_pairs(docs, max_docs=8).count() > 0
