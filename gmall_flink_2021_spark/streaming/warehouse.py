@@ -161,9 +161,18 @@ class Warehouse:
                                 RuntimeWarning, stacklevel=2)
                             cols.append(pk)
                     else:
-                        inferred = self.spark.read.json(
-                            srows.select("data").rdd.map(lambda r: r[0]))
-                        cols = sorted(inferred.columns)
+                        # cold fallback for a spec with NO column
+                        # list: derive column NAMES from the JSON
+                        # payloads with a DataFrame-only key scan
+                        # (json_object_keys + explode + distinct) —
+                        # no .rdd hop, no driver-side schema
+                        # inference; types are irrelevant here since
+                        # the projection below extracts strings via
+                        # get_json_object either way
+                        cols = sorted(
+                            r.k for r in srows.select(
+                                F.explode(F.json_object_keys("data"))
+                                .alias("k")).distinct().collect())
                         if pk not in cols:
                             # payload genuinely lacks the pk: skip this
                             # spec (merging on an all-null key would

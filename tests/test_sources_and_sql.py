@@ -156,6 +156,49 @@ def test_kafka_builder_contracts(spark):
     assert k.route_topic(df).columns == ["value"]
 
 
+def test_kafka_value_decode_and_routed_roundtrip(spark, tmp_path):
+    """Schema-level round-trip of the S1→K2 path without a broker
+    (environmental gap — no broker exists in this sandbox; every
+    semantic below is what the wire path would carry):
+
+    1. decode_value on a Kafka-SHAPED frame (binary key/value, topic,
+       partition, offset — the exact columns the kafka source emits)
+       must UTF-8-decode values bit-exactly, including CJK payloads;
+    2. the routed projection fed through the file analog
+       (streaming/sinks.write_routed) must land every record under
+       its route directory — same per-record routing contract the
+       kafka sink's `topic` column honors."""
+    import os
+
+    from gmall_flink_2021_spark.sources import kafka as k
+    from gmall_flink_2021_spark.streaming.sinks import write_routed
+
+    payloads = ['{"id":1,"name":"苹果手机"}', '{"id":2}', "plain"]
+    topics = ["dwd_order_info", "dwd_order_detail", "dwd_order_info"]
+    kafka_shaped = spark.createDataFrame(
+        [(None, p.encode("utf-8"), t, 0, i, None, 0)
+         for i, (p, t) in enumerate(zip(payloads, topics))],
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp, timestampType int")
+    decoded = k.decode_value(kafka_shaped)
+    assert decoded.columns == ["value"]
+    assert dict(decoded.dtypes) == {"value": "string"}
+    assert [r.value for r in decoded.orderBy(F.lit(1)).collect()] \
+        == payloads or sorted(
+            r.value for r in decoded.collect()) == sorted(payloads)
+
+    routed = k.route_topic(
+        kafka_shaped.select(
+            F.col("topic").alias("sink_table"),
+            F.col("value").cast("string").alias("value")),
+        topic_col="sink_table")
+    out = str(tmp_path / "routed")
+    write_routed(routed, 0, out, route_col="topic")
+    got = {(r.topic, r.value) for r in
+           spark.read.parquet(os.path.join(out, "batch_id=0")).collect()}
+    assert got == set(zip(topics, payloads))
+
+
 def test_micros_reads_unaffected_by_nanos_flag(spark, tmp_path):
     """Session-conf hygiene for the nanosAsLong flag: after a
     nanos-encoded streaming query has run (the flag is session-global

@@ -200,6 +200,28 @@ def test_dim_tables_are_config_driven(spark, tmp_path):
     assert evolved[8]["hex"] == "#001f3f"
     assert evolved[7]["hex"] is None
 
+    # cold fallback: a spec with NO column list derives column names
+    # from the JSON payload itself (reference keeps such records
+    # unfiltered, TableProcessFunction.java:62-68) — exercised via
+    # the DataFrame-only json_object_keys scan, no .rdd hop
+    wh.add_config_rows([{
+        "source_table": "base_material", "operate_type": "insert",
+        "sink_type": "hbase", "sink_table": "dim_base_material",
+        "sink_columns": None, "sink_pk": "id", "sink_extend": None}])
+    with open(os.path.join(work, "ods_db", "changelog-3.jsonl"), "w") as f:
+        f.write(json.dumps({
+            "database": "gmall2021", "table": "base_material",
+            "type": "insert",
+            "data": json.dumps({"id": 3, "material_name": "cotton",
+                                "extra": "kept"}),
+            "before_data": "{}"}) + "\n")
+    wh.run_base_db()
+    mat = wh.dim("dim_base_material")
+    assert sorted(mat.columns) == ["extra", "id", "material_name"]
+    row = mat.collect()[0]
+    assert (row["id"], row["material_name"], row["extra"]) \
+        == (3, "cotton", "kept")
+
 
 def test_warehouse_approx_distinct_within_band(spark, tmp_path):
     """The OPT-IN 100 TB deployment posture is the constant-state
