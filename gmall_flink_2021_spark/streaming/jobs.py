@@ -707,12 +707,14 @@ def with_row_audit(df: DataFrame, name: str = "row_audit") -> DataFrame:
 
 def first_visit_processor():
     """The StatefulProcessor class behind ``uv_tws_stream``, exposed
-    via a factory so its per-key LOGIC is unit-testable with a fake
-    state handle even where the transformWithState runtime cannot
-    start (its state-server wire format needs a working
-    google.protobuf, which this sandbox lacks — the end-to-end test
-    skips there; tests/test_streaming.py drives this class directly
-    as the pure-Python fallback check)."""
+    via a factory so its per-key LOGIC is also unit-testable with a
+    fake state handle where the transformWithState runtime cannot
+    start (its state-server wire format needs a google.protobuf
+    runtime and the RocksDB state store provider). In THIS sandbox
+    both are satisfied — protobuf via the .pb_vendor shim wired in
+    tests/conftest.py — so the end-to-end streaming==batch test runs
+    for real; the fake-handle test remains as the pure-Python check
+    of the per-key logic."""
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor
 
@@ -755,7 +757,11 @@ def uv_tws_stream(events: DataFrame) -> DataFrame:
                 FirstVisit(),
                 outputStructType="day string, user_id long",
                 outputMode="Append",
-                timeMode="ProcessingTime"))
+                # the processor registers NO timers; declaring
+                # ProcessingTime makes shouldRunAnotherBatch always
+                # true (timers could fire anytime) and the query
+                # no-data-batches forever under availableNow
+                timeMode="None"))
 
 
 def quality_gated_sink(stream: DataFrame, rules: list, out_path: str,

@@ -782,9 +782,11 @@ def test_transform_with_state_dedup_matches_batch_distinct(spark, tmp_path):
     exactly the batch DISTINCT (day, user_id) set — same contract as
     the explicit-TTL and engine-managed forms. The transformWithState
     protocol needs a working protobuf runtime (its state-server wire
-    format); this sandbox ships a broken google.protobuf, so the test
-    skips where the API cannot physically run — the operator itself
-    is complete and exercised wherever protobuf is intact."""
+    format) — conftest vendors one from the gcloud bundle where the
+    container ships none — and the RocksDB state store provider
+    (column families; the default HDFS-backed provider refuses),
+    which is the provider a production transformWithState deployment
+    runs anyway."""
     import pytest
 
     try:
@@ -794,10 +796,22 @@ def test_transform_with_state_dedup_matches_batch_distinct(spark, tmp_path):
                     "transformWithState state server cannot start")
     from gmall_flink_2021_spark.streaming.jobs import uv_tws_stream
 
-    stream = read_events_stream(spark, SF_SMOKE)
-    out = run_to_completion(uv_tws_stream(stream),
-                            str(tmp_path / "ck_tws"))
-    got = {tuple(r) for r in out.collect()}
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        stream = read_events_stream(spark, SF_SMOKE)
+        out = run_to_completion(uv_tws_stream(stream),
+                                str(tmp_path / "ck_tws"))
+        got = {tuple(r) for r in out.collect()}
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
 
     events = load_table(spark, SF_SMOKE, "events")
     want = {tuple(r) for r in
