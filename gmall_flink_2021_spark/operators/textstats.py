@@ -1613,3 +1613,85 @@ def bpe_apply_merges(documents: DataFrame, merges: list) -> DataFrame:
         sym = F.replace(sym, F.lit(pair), F.lit(merged))
     enc = bpe_vocab_encoder(vocab.select("word", sym.alias("sym")))
     return encode_with_vocab(documents, enc)
+
+
+def script_mix_stats(documents: DataFrame) -> DataFrame:
+    """Per-source script composition: how much of each source's text
+    is Han ideographs vs ASCII letters vs digits vs whitespace vs
+    everything else — the first profile a multilingual pretraining
+    pipeline runs (it decides which tokenizer/filters each slice
+    needs, and catches mislabeled-language slices outright).
+
+    Integer-exact: per-class char counts are length(text) minus the
+    length after deleting that class (one regexp_replace per class,
+    all portable to the DuckDB oracle), permilles are truncating
+    integer DIV over the summed totals.
+
+    Scale shape: pure per-row column expressions folded into the scan
+    + one map-side-combined groupBy(source) — no shuffle beyond the
+    |sources|-row aggregate, no UDF.
+    """
+    from ..functions.text import HAN_ANY
+
+    t = F.coalesce(F.col("text"), F.lit(""))
+    total = F.length(t)
+
+    def class_ct(pattern: str) -> F.Column:
+        return total - F.length(F.regexp_replace(t, pattern, ""))
+
+    per_doc = documents.select(
+        "source",
+        total.alias("n"),
+        class_ct(HAN_ANY).alias("han"),
+        class_ct("[A-Za-z]").alias("latin"),
+        class_ct("[0-9]").alias("digit"),
+        class_ct(" ").alias("space"))
+    agg = (per_doc.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("doc_ct"),
+                F.sum("n").alias("char_ct"),
+                F.sum("han").alias("han_ct"),
+                F.sum("latin").alias("latin_ct"),
+                F.sum("digit").alias("digit_ct"),
+                F.sum("space").alias("space_ct")))
+    denom = "greatest(char_ct, 1)"
+    return agg.select(
+        "source", "doc_ct", "char_ct",
+        F.expr(f"(1000 * han_ct) DIV {denom}").alias("han_permille"),
+        F.expr(f"(1000 * latin_ct) DIV {denom}").alias("latin_permille"),
+        F.expr(f"(1000 * digit_ct) DIV {denom}").alias("digit_permille"),
+        F.expr(f"(1000 * space_ct) DIV {denom}").alias("space_permille"),
+        F.expr(f"(1000 * (char_ct - han_ct - latin_ct - digit_ct"
+               f" - space_ct)) DIV {denom}").alias("other_permille"))
+
+
+def token_fertility_stats(documents: DataFrame) -> DataFrame:
+    """Per-language tokenizer fertility: tokens produced per 1000
+    characters under the engine tokenizer vs a plain whitespace
+    split. The fertility ratio is THE go/no-go metric when choosing a
+    tokenizer for a language slice (a CJK slice under a whitespace
+    tokenizer shows fertility collapsing toward one token per phrase
+    — exactly the failure the engine's Han-bigram path fixes, and
+    this report makes that visible per lang instead of anecdotally).
+
+    Integer-exact permille counts; one scan + one tiny aggregate,
+    same shape as token_stats.
+    """
+    tok = tokens("text")
+    ws = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+                  lambda x: F.length(x) > 0)
+    per_doc = documents.select(
+        "lang",
+        F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+        F.size(tok).alias("n_tok"),
+        F.size(ws).alias("n_ws"))
+    agg = (per_doc.groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("doc_ct"),
+                F.sum("n_chars").alias("char_ct"),
+                F.sum("n_tok").alias("token_ct"),
+                F.sum("n_ws").alias("ws_token_ct")))
+    return agg.select(
+        "lang", "doc_ct", "char_ct", "token_ct", "ws_token_ct",
+        F.expr("(1000 * token_ct) DIV greatest(char_ct, 1)")
+        .alias("tokens_per_kchar"),
+        F.expr("(1000 * token_ct) DIV greatest(ws_token_ct, 1)")
+        .alias("fertility_vs_ws_permille"))

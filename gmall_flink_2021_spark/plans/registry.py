@@ -226,6 +226,20 @@ def q_token_stats(spark, sf):
     return textstats.token_stats(documents)
 
 
+def q_script_mix_stats(spark, sf):
+    """Gates: per-source script composition (Han/Latin/digit/space/
+    other char classes), integer permilles, one scan + tiny agg."""
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.script_mix_stats(documents)
+
+
+def q_token_fertility_stats(spark, sf):
+    """Gates: tokenizer fertility per lang — engine (CJK-aware)
+    tokens vs plain whitespace split per 1000 chars."""
+    (documents,) = _t(spark, sf, "documents")
+    return textstats.token_fertility_stats(documents)
+
+
 def q_quality_scores(spark, sf):
     """Gates: per-doc array-statistic projections (TTR, stopword ratio)
     with no shuffle."""
@@ -1353,6 +1367,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_jaccard_pairs": q_minhash_jaccard_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "token_stats": q_token_stats,
+    "script_mix_stats": q_script_mix_stats,
+    "token_fertility_stats": q_token_fertility_stats,
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
@@ -2161,6 +2177,59 @@ ORACLES: dict[str, str] = {
                CAST(sum(n_chars) AS BIGINT) AS char_ct
         FROM toks
         GROUP BY source
+    """,
+    "script_mix_stats": f"""
+        WITH per AS (
+            SELECT source,
+                   len(coalesce(text, '')) AS n,
+                   len(coalesce(text, '')) - len(regexp_replace(
+                       coalesce(text, ''), '{_HAN}', '', 'g')) AS han,
+                   len(coalesce(text, '')) - len(regexp_replace(
+                       coalesce(text, ''), '[A-Za-z]', '', 'g')) AS latin,
+                   len(coalesce(text, '')) - len(regexp_replace(
+                       coalesce(text, ''), '[0-9]', '', 'g')) AS digit,
+                   len(coalesce(text, '')) - len(regexp_replace(
+                       coalesce(text, ''), ' ', '', 'g')) AS space
+            FROM documents
+        ), agg AS (
+            SELECT source, count(*) AS doc_ct,
+                   CAST(sum(n) AS BIGINT) AS char_ct,
+                   CAST(sum(han) AS BIGINT) AS han_ct,
+                   CAST(sum(latin) AS BIGINT) AS latin_ct,
+                   CAST(sum(digit) AS BIGINT) AS digit_ct,
+                   CAST(sum(space) AS BIGINT) AS space_ct
+            FROM per GROUP BY source
+        )
+        SELECT source, doc_ct, char_ct,
+               (1000 * han_ct) // greatest(char_ct, 1) AS han_permille,
+               (1000 * latin_ct) // greatest(char_ct, 1) AS latin_permille,
+               (1000 * digit_ct) // greatest(char_ct, 1) AS digit_permille,
+               (1000 * space_ct) // greatest(char_ct, 1) AS space_permille,
+               (1000 * (char_ct - han_ct - latin_ct - digit_ct - space_ct))
+                   // greatest(char_ct, 1) AS other_permille
+        FROM agg
+    """,
+    "token_fertility_stats": f"""
+        WITH per AS (
+            SELECT lang,
+                   coalesce(n_chars, 0) AS n_chars,
+                   len({_tok_expr('text')}) AS n_tok,
+                   len(list_filter(string_split(coalesce(text, ''), ' '),
+                                   t -> len(t) > 0)) AS n_ws
+            FROM documents
+        ), agg AS (
+            SELECT lang, count(*) AS doc_ct,
+                   CAST(sum(n_chars) AS BIGINT) AS char_ct,
+                   CAST(sum(n_tok) AS BIGINT) AS token_ct,
+                   CAST(sum(n_ws) AS BIGINT) AS ws_token_ct
+            FROM per GROUP BY lang
+        )
+        SELECT lang, doc_ct, char_ct, token_ct, ws_token_ct,
+               (1000 * token_ct) // greatest(char_ct, 1)
+                   AS tokens_per_kchar,
+               (1000 * token_ct) // greatest(ws_token_ct, 1)
+                   AS fertility_vs_ws_permille
+        FROM agg
     """,
     "quality_scores": f"""
         WITH {_TOKS}
@@ -4862,6 +4931,8 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     "dsir_weights": 5,               # new in round 5
     "media_text_alignment": 5,       # new in round 5
     "keyword_stats": 6,              # CJK bigram tokenizer
+    "script_mix_stats": 6,           # new in round 6
+    "token_fertility_stats": 6,      # new in round 6
 }
 
 _GRADE_PRIORITY: tuple[str, ...] = (

@@ -123,3 +123,41 @@ def test_keyword_stats_oracle_green_on_chinese_corpus(spark):
     # sanity: the shared bigram 手机 ("phone") out-counts any phrase
     top = {r.keyword: r.ct for r in keyword_stats(docs).collect()}
     assert top["手机"] == 3
+
+
+def test_script_mix_and_fertility_on_mixed_corpus(spark):
+    """The two CJK-profiling reports must match the DuckDB oracle on
+    a mixed Han/ASCII corpus, and the fertility report must expose
+    the CJK tokenizer's token multiplication (bigrams > whitespace
+    tokens on a zh slice — the signal a whitespace-only tokenizer
+    would erase)."""
+    import duckdb
+
+    from gmall_flink_2021_spark.operators import textstats
+    from gmall_flink_2021_spark.plans.registry import ORACLES
+    from .parity import compare
+
+    rows = [(1, "中文文档 example text", "zh", "mixed", 18),
+            (2, "pure ascii words here", "en", "web", 21),
+            (3, "数字123和空格", "zh", "mixed", 9),
+            (4, None, "en", "web", 0)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR, "
+                "lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+    con.executemany("INSERT INTO documents VALUES (?,?,?,?,?)", rows)
+
+    assert not compare(textstats.script_mix_stats(docs),
+                       ORACLES["script_mix_stats"], con)
+    assert not compare(textstats.token_fertility_stats(docs),
+                       ORACLES["token_fertility_stats"], con)
+    fert = {r.lang: r for r in
+            textstats.token_fertility_stats(docs).collect()}
+    assert fert["zh"].fertility_vs_ws_permille > 1000  # bigrams multiply
+    assert fert["en"].fertility_vs_ws_permille == 1000  # ascii unchanged
+    mix = {r.source: r for r in
+           textstats.script_mix_stats(docs).collect()}
+    assert mix["mixed"].han_permille > 0
+    assert mix["web"].han_permille == 0
