@@ -50,6 +50,8 @@ QUERIES = [
     "gap_fill_daily", "part_cooccurrence", "rolling_active_users_approx",
     "trade_pagerank", "scd2_dim_join", "session_path_ngrams",
     "linear_attribution", "rfm_segments",
+    # round 6: CJK-aware tokenizer downstream + profiling reports
+    "keyword_stats", "script_mix_stats", "token_fertility_stats",
 ]
 
 
