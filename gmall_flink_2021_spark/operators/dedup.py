@@ -1000,3 +1000,64 @@ def incremental_dedup_from_store(spark, path: str,
     out = _novelty_classify(batch, snap_fp, sig_s, bands_s, sig_b=sig_b)
     out._inc_caches = [sig_s, sig_b]
     return out
+
+
+def cross_source_dup_matrix(documents: DataFrame) -> DataFrame:
+    """Which sources duplicate which: for every unordered source pair
+    (source_a < source_b), how many distinct content fingerprints
+    appear in BOTH (exact) and how many LSH candidate doc pairs span
+    the two (near-dup) — the provenance matrix a multi-source
+    pretraining mix is audited with (how much of the curated slice is
+    already in the crawl, which feeds double-count the same
+    upstream).
+
+    Scale shape, exact axis: ONE corpus shuffle onto fingerprints
+    (same fingerprint as ``exact_dups``) collecting the distinct
+    source set per fingerprint (bounded by |sources|, not copies),
+    then pair fan-out via an indexed transform over that tiny array —
+    never a corpus self-join (the oracle deliberately keeps the naive
+    hashed self-join form). Near-dup axis: the standard banded-LSH
+    candidate join (`minhash_band_pairs`) with two broadcast-sized
+    source lookups; output is |sources|² rows max.
+
+    Exposes ``_banded_cache`` like the other LSH consumers; the
+    registry wrapper unpersists it lazily.
+    """
+    tok = tokens("text")
+    fp = F.md5(F.concat_ws(" ", tok))
+    per_fp = (documents
+              .filter(F.size(tok) > 0)
+              .groupBy(fp.alias("fp"))
+              .agg(F.array_sort(F.collect_set("source")).alias("srcs")))
+    fan = F.expr("""
+        flatten(transform(srcs, (a, i) ->
+            transform(slice(srcs, i + 2, size(srcs)),
+                      b -> struct(a AS source_a, b AS source_b))))
+    """)
+    exact = (per_fp
+             .filter(F.size("srcs") >= 2)
+             .select(F.explode(fan).alias("p"))
+             .groupBy(F.col("p.source_a").alias("source_a"),
+                      F.col("p.source_b").alias("source_b"))
+             .agg(F.count(F.lit(1)).alias("exact_dup_groups")))
+
+    pairs = minhash_band_pairs(documents)
+    src = documents.select("doc_id", "source")
+    near = (pairs
+            .join(src.select(F.col("doc_id").alias("doc_a"),
+                             F.col("source").alias("sa")), "doc_a")
+            .join(src.select(F.col("doc_id").alias("doc_b"),
+                             F.col("source").alias("sb")), "doc_b")
+            .filter(F.col("sa") != F.col("sb"))
+            .groupBy(F.least("sa", "sb").alias("source_a"),
+                     F.greatest("sa", "sb").alias("source_b"))
+            .agg(F.count(F.lit(1)).alias("neardup_pairs")))
+
+    out = (exact.join(near, ["source_a", "source_b"], "full")
+           .select("source_a", "source_b",
+                   F.coalesce("exact_dup_groups", F.lit(0))
+                   .alias("exact_dup_groups"),
+                   F.coalesce("neardup_pairs", F.lit(0))
+                   .alias("neardup_pairs")))
+    out._banded_cache = pairs._banded_cache
+    return out

@@ -226,6 +226,17 @@ def q_token_stats(spark, sf):
     return textstats.token_stats(documents)
 
 
+def q_cross_source_dup_matrix(spark, sf):
+    """Gates: per-fingerprint source-set aggregation + indexed-array
+    pair fan-out (|sources|² output, never a corpus self-join — the
+    oracle deliberately keeps the naive hashed self-join form) merged
+    with the banded-LSH cross-source candidate counts."""
+    (documents,) = _t(spark, sf, "documents")
+    out = dedup.cross_source_dup_matrix(documents)
+    out._banded_cache.unpersist()  # lazy: recompute-on-reuse
+    return out
+
+
 def q_script_mix_stats(spark, sf):
     """Gates: per-source script composition (Han/Latin/digit/space/
     other char classes), integer permilles, one scan + tiny agg."""
@@ -1369,6 +1380,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": q_token_stats,
     "script_mix_stats": q_script_mix_stats,
     "token_fertility_stats": q_token_fertility_stats,
+    "cross_source_dup_matrix": q_cross_source_dup_matrix,
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
@@ -2177,6 +2189,42 @@ ORACLES: dict[str, str] = {
                CAST(sum(n_chars) AS BIGINT) AS char_ct
         FROM toks
         GROUP BY source
+    """,
+    "cross_source_dup_matrix": f"""
+        WITH {_BANDS},
+        hashed AS (
+            SELECT DISTINCT md5(array_to_string(tok, ' ')) AS h, source
+            FROM toks WHERE len(tok) > 0
+        ),
+        exact AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS exact_dup_groups
+            FROM hashed a JOIN hashed b USING (h)
+            WHERE a.source < b.source
+            GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+            FROM bands l
+            JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
+            WHERE l.doc_id < r.doc_id
+        ),
+        near AS (
+            SELECT least(sa.source, sb.source) AS source_a,
+                   greatest(sa.source, sb.source) AS source_b,
+                   count(*) AS neardup_pairs
+            FROM cand p
+            JOIN documents sa ON p.doc_a = sa.doc_id
+            JOIN documents sb ON p.doc_b = sb.doc_id
+            WHERE sa.source != sb.source
+            GROUP BY 1, 2
+        )
+        SELECT source_a, source_b,
+               CAST(coalesce(exact_dup_groups, 0) AS BIGINT)
+                   AS exact_dup_groups,
+               CAST(coalesce(neardup_pairs, 0) AS BIGINT)
+                   AS neardup_pairs
+        FROM exact FULL JOIN near USING (source_a, source_b)
     """,
     "script_mix_stats": f"""
         WITH per AS (
@@ -4933,6 +4981,7 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     "keyword_stats": 6,              # CJK bigram tokenizer
     "script_mix_stats": 6,           # new in round 6
     "token_fertility_stats": 6,      # new in round 6
+    "cross_source_dup_matrix": 6,    # new in round 6
 }
 
 _GRADE_PRIORITY: tuple[str, ...] = (

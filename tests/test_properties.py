@@ -1170,3 +1170,41 @@ def test_audit_form_guards_trip_beyond_documented_bounds(spark):
     with pytest.raises(RuntimeError, match="minhash_band_pairs"):
         dedup.ngram_jaccard_pairs(docs, max_docs=5)
     assert dedup.ngram_jaccard_pairs(docs, max_docs=8).count() > 0
+
+
+def test_cross_source_dup_matrix_seeded(spark):
+    """Provenance matrix on a seeded corpus: exact shared
+    fingerprints and LSH cross-source candidates both counted per
+    unordered source pair, matching the DuckDB oracle through the
+    driver-equivalent harness (testdata has no exact cross-source
+    dups, so the exact axis is pinned here)."""
+    import duckdb
+
+    from gmall_flink_2021_spark.operators import dedup
+    from gmall_flink_2021_spark.plans.registry import ORACLES
+    from .parity import compare
+
+    rows = [(1, "the same exact text", "crawl", "en", 19),
+            (2, "the same exact text", "curated", "en", 19),
+            (3, "the same exact text", "wiki", "en", 19),
+            (4, "another shared doc", "crawl", "en", 18),
+            (5, "another shared doc", "wiki", "en", 18),
+            (6, "unique to crawl", "crawl", "en", 15),
+            (7, "", "wiki", "en", 0)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, "
+              "n_chars long")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR, "
+                "source VARCHAR, lang VARCHAR, n_chars BIGINT)")
+    con.executemany("INSERT INTO documents VALUES (?,?,?,?,?)", rows)
+
+    out = dedup.cross_source_dup_matrix(docs)
+    assert not compare(out, ORACLES["cross_source_dup_matrix"], con)
+    got = sorted(tuple(r) for r in out.collect())
+    out._banded_cache.unpersist()
+    # 'the same exact text' spans all three sources (3 pairs);
+    # 'another shared doc' spans crawl+wiki (so crawl-wiki has 2)
+    assert got == [("crawl", "curated", 1, 1),
+                   ("crawl", "wiki", 2, 2),
+                   ("curated", "wiki", 1, 1)]
