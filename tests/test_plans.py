@@ -789,3 +789,43 @@ def test_rfm_windows_rank_the_customer_aggregate(spark):
     assert len(re.findall(r"\(\d+\) Window$", plan, re.M)) <= 4
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2
+
+
+def _tree_nodes(plan: str) -> list[str]:
+    """Node names from the formatted explain's tree section (each node
+    also reappears in the details section, so raw substring counts
+    double-count)."""
+    import re
+
+    return re.findall(r"\(\d+\) ([A-Za-z]+)", plan)
+
+
+def test_script_mix_is_scan_plus_one_partial_agg(spark):
+    """script_mix_stats: char-class counting must fold into the scan
+    (pure projections) with one partial+final aggregate pair and a
+    single exchange — no joins, no window, no UDF."""
+    nodes = _tree_nodes(_plan(spark, "script_mix_stats"))
+    assert nodes.count("HashAggregate") == 2  # partial + final
+    assert nodes.count("Exchange") == 1
+    assert not any("Join" in n or "Window" in n or "Python" in n
+                   for n in nodes), nodes
+
+
+def test_token_fertility_is_scan_plus_one_partial_agg(spark):
+    nodes = _tree_nodes(_plan(spark, "token_fertility_stats"))
+    assert nodes.count("HashAggregate") == 2
+    assert nodes.count("Exchange") == 1
+    assert not any("Join" in n for n in nodes), nodes
+
+
+def test_cross_source_matrix_has_no_cartesian_and_prunes_scans(spark):
+    """cross_source_dup_matrix: the exact axis must be an aggregation
+    (array fan-out), not a hashed-corpus self-join; the only joins are
+    the LSH band equi-join and the two source lookups, and no
+    cartesian/broadcast-NLJ anywhere. Every documents scan must read
+    at most (doc_id, text, source)."""
+    plan = _plan(spark, "cross_source_dup_matrix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for ln in [x for x in plan.splitlines() if "ReadSchema" in x]:
+        assert ln.count(":") - 1 <= 3, ln
