@@ -804,6 +804,7 @@ def test_script_mix_is_scan_plus_one_partial_agg(spark):
     """script_mix_stats: char-class counting must fold into the scan
     (pure projections) with one partial+final aggregate pair and a
     single exchange — no joins, no window, no UDF."""
+    spark.catalog.clearCache()  # avoid InMemoryTableScan rewrites
     nodes = _tree_nodes(_plan(spark, "script_mix_stats"))
     assert nodes.count("HashAggregate") == 2  # partial + final
     assert nodes.count("Exchange") == 1
@@ -812,6 +813,7 @@ def test_script_mix_is_scan_plus_one_partial_agg(spark):
 
 
 def test_token_fertility_is_scan_plus_one_partial_agg(spark):
+    spark.catalog.clearCache()  # avoid InMemoryTableScan rewrites
     nodes = _tree_nodes(_plan(spark, "token_fertility_stats"))
     assert nodes.count("HashAggregate") == 2
     assert nodes.count("Exchange") == 1
@@ -824,6 +826,7 @@ def test_cross_source_matrix_has_no_cartesian_and_prunes_scans(spark):
     the LSH band equi-join and the two source lookups, and no
     cartesian/broadcast-NLJ anywhere. Every documents scan must read
     at most (doc_id, text, source)."""
+    spark.catalog.clearCache()  # avoid InMemoryTableScan rewrites
     plan = _plan(spark, "cross_source_dup_matrix")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
