@@ -1061,3 +1061,48 @@ def cross_source_dup_matrix(documents: DataFrame) -> DataFrame:
                    .alias("neardup_pairs")))
     out._banded_cache = pairs._banded_cache
     return out
+
+
+def dedup_threshold_calibration(documents: DataFrame,
+                                per_band_cap: int = 4) -> DataFrame:
+    """Threshold-calibration curve for the near-dup pipeline: pair
+    counts per signature-match level (0..8 matching MinHash
+    components) over the capped LSH candidates — the histogram a
+    dedup stage reads to PICK its similarity cutoff (the mass thins
+    out between background collisions and true near-dups; the elbow
+    is the threshold). One tiny 9-row aggregate on top of the
+    production scorer `minhash_jaccard_pairs`, so the cost and the
+    O(corpus·cap) candidate bound are exactly the scorer's.
+
+    Exposes the scorer's ``_sig_cache``/``_banded_cache`` handles."""
+    scored = minhash_jaccard_pairs(documents, per_band_cap=per_band_cap)
+    out = (scored
+           .groupBy("matching_components")
+           .agg(F.count(F.lit(1)).alias("pair_ct"))
+           .select("matching_components",
+                   (F.col("matching_components").cast("double")
+                    / F.lit(float(MINHASH_SEEDS))).alias("est_jaccard"),
+                   "pair_ct"))
+    out._sig_cache = scored._sig_cache
+    out._banded_cache = scored._banded_cache
+    return out
+
+
+def near_dup_rate_by_source(documents: DataFrame) -> DataFrame:
+    """Per-source duplication pressure: of each source's documents,
+    how many are first-seen vs marked duplicate by the online LSH
+    ingestion rule (`minhash_dedup_marks`), as an integer permille —
+    the per-feed report that tells a pipeline which upstream to
+    deprioritize before paying to process it. One broadcast-sized
+    source join + a |sources|-row aggregate over the marks."""
+    marks = minhash_dedup_marks(documents)
+    out = (marks
+           .join(documents.select("doc_id", "source"), "doc_id")
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("doc_ct"),
+                F.sum("is_dup").alias("dup_ct"))
+           .select("source", "doc_ct", "dup_ct",
+                   F.expr("(1000 * dup_ct) DIV greatest(doc_ct, 1)")
+                   .alias("dup_permille")))
+    out._banded_cache = marks._banded_cache
+    return out

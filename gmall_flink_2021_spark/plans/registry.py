@@ -237,6 +237,25 @@ def q_cross_source_dup_matrix(spark, sf):
     return out
 
 
+def q_dedup_threshold_calibration(spark, sf):
+    """Gates: 9-row match-level histogram on the capped-candidate
+    scorer (threshold-picking curve; cost == the scorer's)."""
+    (documents,) = _t(spark, sf, "documents")
+    out = dedup.dedup_threshold_calibration(documents)
+    out._sig_cache.unpersist()     # lazy: recompute-on-reuse
+    out._banded_cache.unpersist()
+    return out
+
+
+def q_near_dup_rate_by_source(spark, sf):
+    """Gates: per-source dup-permille over the online LSH marks
+    (which upstream feed to deprioritize)."""
+    (documents,) = _t(spark, sf, "documents")
+    out = dedup.near_dup_rate_by_source(documents)
+    out._banded_cache.unpersist()  # lazy: recompute-on-reuse
+    return out
+
+
 def q_script_mix_stats(spark, sf):
     """Gates: per-source script composition (Han/Latin/digit/space/
     other char classes), integer permilles, one scan + tiny agg."""
@@ -1381,6 +1400,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "script_mix_stats": q_script_mix_stats,
     "token_fertility_stats": q_token_fertility_stats,
     "cross_source_dup_matrix": q_cross_source_dup_matrix,
+    "dedup_threshold_calibration": q_dedup_threshold_calibration,
+    "near_dup_rate_by_source": q_near_dup_rate_by_source,
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
@@ -2136,6 +2157,52 @@ ORACLES: dict[str, str] = {
         FROM pairs
         JOIN sig a ON pairs.doc_a = a.doc_id
         JOIN sig b ON pairs.doc_b = b.doc_id
+    """,
+    "dedup_threshold_calibration": f"""
+        WITH {_BANDS},
+        led AS (
+            SELECT doc_id AS doc_a,
+                   [lead(doc_id, 1) OVER w, lead(doc_id, 2) OVER w,
+                    lead(doc_id, 3) OVER w, lead(doc_id, 4) OVER w]
+                   AS succ
+            FROM bands
+            WINDOW w AS (PARTITION BY band, band_hash ORDER BY doc_id)
+        ),
+        pairs AS (
+            SELECT DISTINCT doc_a, t.doc_b
+            FROM led, unnest(succ) AS t(doc_b)
+            WHERE t.doc_b IS NOT NULL
+        ),
+        scored AS (
+            SELECT CAST({_MINHASH_MATCH} AS BIGINT) AS matching_components
+            FROM pairs
+            JOIN sig a ON pairs.doc_a = a.doc_id
+            JOIN sig b ON pairs.doc_b = b.doc_id
+        )
+        SELECT matching_components,
+               CAST(matching_components AS DOUBLE) / 8.0 AS est_jaccard,
+               count(*) AS pair_ct
+        FROM scored
+        GROUP BY matching_components
+    """,
+    "near_dup_rate_by_source": f"""
+        WITH {_BANDS},
+        buckets AS (
+            SELECT band, band_hash, min(doc_id) AS first_doc
+            FROM bands GROUP BY band, band_hash),
+        coll AS (
+            SELECT b.doc_id, min(k.first_doc) AS earliest_prior
+            FROM bands b
+            JOIN buckets k ON b.band = k.band AND b.band_hash = k.band_hash
+            WHERE k.first_doc < b.doc_id
+            GROUP BY b.doc_id)
+        SELECT d.source,
+               count(*) AS doc_ct,
+               CAST(count(c.earliest_prior) AS BIGINT) AS dup_ct,
+               (1000 * count(c.earliest_prior)) // greatest(count(*), 1)
+                   AS dup_permille
+        FROM documents d LEFT JOIN coll c ON d.doc_id = c.doc_id
+        GROUP BY d.source
     """,
     "ngram_jaccard_pairs": f"""
         WITH {_SHINGLES},
@@ -4982,6 +5049,8 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     "script_mix_stats": 6,           # new in round 6
     "token_fertility_stats": 6,      # new in round 6
     "cross_source_dup_matrix": 6,    # new in round 6
+    "dedup_threshold_calibration": 6,  # new in round 6
+    "near_dup_rate_by_source": 6,    # new in round 6
 }
 
 _GRADE_PRIORITY: tuple[str, ...] = (

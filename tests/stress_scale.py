@@ -52,7 +52,8 @@ QUERIES = [
     "linear_attribution", "rfm_segments",
     # round 6: CJK-aware tokenizer downstream + profiling reports
     "keyword_stats", "script_mix_stats", "token_fertility_stats",
-    "cross_source_dup_matrix",
+    "cross_source_dup_matrix", "dedup_threshold_calibration",
+    "near_dup_rate_by_source",
 ]
 
 

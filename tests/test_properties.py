@@ -1208,3 +1208,46 @@ def test_cross_source_dup_matrix_seeded(spark):
     assert got == [("crawl", "curated", 1, 1),
                    ("crawl", "wiki", 2, 2),
                    ("curated", "wiki", 1, 1)]
+
+
+def test_dedup_calibration_and_source_rate_seeded(spark):
+    """Threshold-calibration histogram + per-source dup permille on a
+    seeded corpus with known structure: three exact copies of one doc
+    (pairs at 8/8 matching components; later two marked dup) and
+    unrelated singletons (no pairs, no marks)."""
+    import duckdb
+
+    from gmall_flink_2021_spark.operators import dedup
+    from gmall_flink_2021_spark.plans.registry import ORACLES
+    from .parity import compare
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(1, base, "feed_a", "en", len(base)),
+            (2, base, "feed_a", "en", len(base)),
+            (3, base, "feed_b", "en", len(base)),
+            (4, "one totally different document body here", "feed_b",
+             "en", 40),
+            (5, "and yet another unrelated text entirely", "feed_b",
+             "en", 39)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, "
+              "n_chars long")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR, "
+                "source VARCHAR, lang VARCHAR, n_chars BIGINT)")
+    con.executemany("INSERT INTO documents VALUES (?,?,?,?,?)", rows)
+
+    cal = dedup.dedup_threshold_calibration(docs)
+    assert not compare(cal, ORACLES["dedup_threshold_calibration"], con)
+    got = {r.matching_components: r.pair_ct for r in cal.collect()}
+    cal._sig_cache.unpersist()
+    cal._banded_cache.unpersist()
+    assert got == {8: 3}  # the three copies pair only at 8/8
+
+    rate = dedup.near_dup_rate_by_source(docs)
+    assert not compare(rate, ORACLES["near_dup_rate_by_source"], con)
+    by_src = {r.source: (r.doc_ct, r.dup_ct, r.dup_permille)
+              for r in rate.collect()}
+    rate._banded_cache.unpersist()
+    # doc 1 is first-seen; doc 2 (feed_a) and doc 3 (feed_b) are dups
+    assert by_src == {"feed_a": (2, 1, 500), "feed_b": (3, 1, 333)}
