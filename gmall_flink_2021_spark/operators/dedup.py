@@ -1016,9 +1016,15 @@ def cross_source_dup_matrix(documents: DataFrame) -> DataFrame:
     source set per fingerprint (bounded by |sources|, not copies),
     then pair fan-out via an indexed transform over that tiny array —
     never a corpus self-join (the oracle deliberately keeps the naive
-    hashed self-join form). Near-dup axis: the standard banded-LSH
-    candidate join (`minhash_band_pairs`) with two broadcast-sized
-    source lookups; output is |sources|² rows max.
+    hashed self-join form). Near-dup axis: the CAPPED banded-LSH
+    candidates (`capped_band_pairs`, ≤ cap·bands·n pairs at ANY
+    duplication level — the same linear substrate as the production
+    scorer; an uncapped bucket self-join would go m²/2 on a
+    duplicated corpus, the blowup the fenced audit forms exist to
+    avoid) joined to two doc_id-keyed source projections; output is
+    |sources|² rows max. ``neardup_pairs`` therefore counts capped
+    candidates — a volume indicator, not an exhaustive enumeration
+    (the cap rule is doc_id-deterministic and oracle-mirrored).
 
     Exposes ``_banded_cache`` like the other LSH consumers; the
     registry wrapper unpersists it lazily.
@@ -1041,7 +1047,7 @@ def cross_source_dup_matrix(documents: DataFrame) -> DataFrame:
                       F.col("p.source_b").alias("source_b"))
              .agg(F.count(F.lit(1)).alias("exact_dup_groups")))
 
-    pairs = minhash_band_pairs(documents)
+    pairs = capped_band_pairs(documents)
     src = documents.select("doc_id", "source")
     near = (pairs
             .join(src.select(F.col("doc_id").alias("doc_a"),
@@ -1093,8 +1099,11 @@ def near_dup_rate_by_source(documents: DataFrame) -> DataFrame:
     how many are first-seen vs marked duplicate by the online LSH
     ingestion rule (`minhash_dedup_marks`), as an integer permille —
     the per-feed report that tells a pipeline which upstream to
-    deprioritize before paying to process it. One broadcast-sized
-    source join + a |sources|-row aggregate over the marks."""
+    deprioritize before paying to process it. Cost: the marks
+    pipeline plus ONE doc_id-keyed shuffle join of the per-doc marks
+    against a two-column (doc_id, source) projection, then a
+    |sources|-row aggregate — linear, but the join is corpus-sized,
+    not broadcast."""
     marks = minhash_dedup_marks(documents)
     out = (marks
            .join(documents.select("doc_id", "source"), "doc_id")

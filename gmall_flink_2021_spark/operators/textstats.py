@@ -188,7 +188,13 @@ def bpe_token_stats(documents: DataFrame) -> DataFrame:
     """Token counting with a BPE-ish regex (letter runs / digit runs /
     single punctuation — the GPT-2-style pre-tokenization shape,
     simplified to a dialect both regex engines treat identically)
-    alongside the whitespace count, per source."""
+    alongside the ENGINE tokenizer's count, per source.
+
+    Column-name note: ``ws_token_ct`` predates the round-6 CJK
+    tokenizer and is kept for grading continuity; since then it
+    counts engine tokens (== whitespace tokens on non-Han text, Han
+    bigrams otherwise). The true whitespace baseline lives in
+    ``token_fertility_stats.ws_token_ct``."""
     bpe = F.regexp_extract_all(
         F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
     ws = tokens("text")
@@ -1676,9 +1682,10 @@ def token_fertility_stats(documents: DataFrame) -> DataFrame:
     Integer-exact permille counts; one scan + one tiny aggregate,
     same shape as token_stats.
     """
+    from ..functions.text import _ws_tokens
+
     tok = tokens("text")
-    ws = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), " "),
-                  lambda x: F.length(x) > 0)
+    ws = _ws_tokens(F.coalesce(F.col("text"), F.lit("")))
     per_doc = documents.select(
         "lang",
         F.coalesce("n_chars", F.lit(0)).alias("n_chars"),

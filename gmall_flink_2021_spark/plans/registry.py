@@ -1539,9 +1539,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # Shared CTE fragments for the text queries.
 
 # Mirror of functions/text.tokens: whitespace split + Han-run
-# (U+4E00-U+9FFF) codepoint bigrams. Literal Han characters in the
-# pattern so RE2 (DuckDB) and Java regex (Spark) parse identically.
-_HAN = f"[{chr(0x4E00)}-{chr(0x9FFF)}]"
+# (U+4E00-U+9FFF) codepoint bigrams. THE SAME pattern constant as the
+# engine (literal Han chars, valid in RE2 and Java regex alike) —
+# imported, not re-derived, so a block change can never fork the
+# oracle from the tokenizer.
+from ..functions.text import HAN_ANY as _HAN  # noqa: E402
 
 
 def _tok_expr(col: str) -> str:
@@ -2270,11 +2272,18 @@ ORACLES: dict[str, str] = {
             WHERE a.source < b.source
             GROUP BY 1, 2
         ),
+        led AS (
+            SELECT doc_id AS doc_a,
+                   [lead(doc_id, 1) OVER w, lead(doc_id, 2) OVER w,
+                    lead(doc_id, 3) OVER w, lead(doc_id, 4) OVER w]
+                   AS succ
+            FROM bands
+            WINDOW w AS (PARTITION BY band, band_hash ORDER BY doc_id)
+        ),
         cand AS (
-            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-            FROM bands l
-            JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
-            WHERE l.doc_id < r.doc_id
+            SELECT DISTINCT doc_a, t.doc_b
+            FROM led, unnest(succ) AS t(doc_b)
+            WHERE t.doc_b IS NOT NULL
         ),
         near AS (
             SELECT least(sa.source, sb.source) AS source_a,
@@ -4343,18 +4352,19 @@ def _ri_rel_sql(child, fk, parent, pk, name):
     keys-only parent join."""
     return f"""
     SELECT '{name}' AS relation,
-           CAST(sum(ct) AS BIGINT) AS child_rows,
+           CAST(coalesce(sum(ct), 0) AS BIGINT) AS child_rows,
            CAST(coalesce(sum(CASE WHEN k IS NULL THEN ct END), 0)
                 AS BIGINT) AS null_fk_ct,
            CAST(coalesce(sum(CASE WHEN k IS NOT NULL AND hit IS NULL
                                   THEN ct END), 0)
                 AS BIGINT) AS orphan_ct,
-           CAST((1000 * (sum(ct)
+           CAST((1000 * (coalesce(sum(ct), 0)
                  - coalesce(sum(CASE WHEN k IS NULL THEN ct END), 0)
                  - coalesce(sum(CASE WHEN k IS NOT NULL
                                      AND hit IS NULL
                                      THEN ct END), 0)))
-                // sum(ct) AS BIGINT) AS resolved_permille
+                // greatest(coalesce(sum(ct), 0), 1)
+                AS BIGINT) AS resolved_permille
     FROM (SELECT c.k, c.ct, p.hit
           FROM (SELECT {fk} AS k, count(*) AS ct
                 FROM {child} GROUP BY {fk}) c

@@ -436,8 +436,10 @@ def zorder_layout(df: DataFrame, path: str, col_a: str, col_b: str,
         # at bucket boundaries and fork the layout key from the
         # graded bucket formula
         rng = max(int(hi) - int(lo), 1)
+        # backticks: a non-identifier column name (`a-b`) must stay a
+        # column reference, not parse as an expression
         return F.expr(
-            f"((CAST({col} AS BIGINT) - {int(lo)}) * {n}) DIV {rng}")
+            f"((CAST(`{col}` AS BIGINT) - {int(lo)}) * {n}) DIV {rng}")
 
     ba, bb = bucket(col_a, bounds.a_lo, bounds.a_hi), \
         bucket(col_b, bounds.b_lo, bounds.b_hi)

@@ -260,12 +260,17 @@ def _transitions_fn(key, pdfs: Iterator[pd.DataFrame],
                   [k[0] for k in keep], [k[1] for k in keep],
                   [k[2] for k in keep]))
     if keep:
-        # fire once the watermark passes the newest buffered row:
-        # timeout triggers when wm_ms > t_ms, and wm_ms > ts_us//1000
+        # fire as soon as the watermark passes the OLDEST buffered
+        # row (keep is sorted): each firing flushes whatever became
+        # final and re-arms at the new oldest — a key whose old
+        # transitions are already finalized by the global watermark
+        # emits them promptly instead of waiting for its own newest
+        # event to age out (or for new per-key data). Timeout
+        # triggers when wm_ms > t_ms, and wm_ms > ts_us//1000
         # implies wm_us > ts_us; +1 because Spark requires the
         # timeout to sit strictly beyond the current watermark (a
-        # buffered row can share the watermark's exact ms)
-        state.setTimeoutTimestamp(keep[-1][0] // 1000 + 1)
+        # buffered row can share the watermark's exact ms).
+        state.setTimeoutTimestamp(keep[0][0] // 1000 + 1)
     yield pd.DataFrame(out, columns=["user_id", "prev_type",
                                      "next_type"])
 

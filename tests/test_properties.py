@@ -1251,3 +1251,27 @@ def test_dedup_calibration_and_source_rate_seeded(spark):
     rate._banded_cache.unpersist()
     # doc 1 is first-seen; doc 2 (feed_a) and doc 3 (feed_b) are dups
     assert by_src == {"feed_a": (2, 1, 500), "feed_b": (3, 1, 333)}
+
+
+def test_fk_orphans_empty_child_matches_oracle_form(spark):
+    """The empty-child hardening must hold on BOTH sides: Spark
+    fk_orphans returns a defined (0,0,0,0) row, and the registry's
+    oracle arm (same SQL shape) produces the identical row on an
+    empty child — the exact case the round-6 coalesce/greatest fix
+    targets."""
+    import duckdb
+
+    from gmall_flink_2021_spark.operators.expectations import fk_orphans
+    from gmall_flink_2021_spark.plans.registry import _ri_rel_sql
+
+    child = spark.createDataFrame([], "fk long, x string")
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    row = fk_orphans(child, "fk", parent, "pk", "empty_rel").collect()[0]
+    assert tuple(row) == ("empty_rel", 0, 0, 0, 0)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c(fk BIGINT, x VARCHAR)")
+    con.execute("CREATE TABLE p(pk BIGINT); INSERT INTO p VALUES (1),(2)")
+    orow = con.execute(
+        _ri_rel_sql("c", "fk", "p", "pk", "empty_rel")).fetchone()
+    assert tuple(orow) == ("empty_rel", 0, 0, 0, 0)
