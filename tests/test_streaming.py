@@ -1673,3 +1673,71 @@ def test_scd2_enrich_streaming_matches_batch(spark, tmp_path):
     got = agg(spark.read.parquet(out))
     want = agg(scd2_enrich(orders, lineitem))
     assert want and got == want
+
+
+def test_event_transitions_flush_promptly_not_only_at_end(spark, tmp_path):
+    """The round-6 timer fix pinned: a key whose old events are
+    finalized by the GLOBAL watermark must emit its transitions at
+    the next watermark advance (EventTimeTimeout armed at the OLDEST
+    buffered row), not wait for its own newest event to age out or
+    for the stream to end. User 1 sends two early events and then
+    goes silent; other users keep advancing the watermark. With the
+    per-batch foreachBatch capture, user 1's transition must appear
+    BEFORE the final batch."""
+    import os
+
+    from gmall_flink_2021_spark.streaming.stateful import (
+        event_transitions_stream,
+    )
+
+    schema = "user_id long, ts_us long, event_id long, event_type string"
+    base = 1_600_000_000_000_000
+    s = 1_000_000
+    chunks = [
+        # batch 0: user 1's whole (short) life + user 2 activity
+        [(1, base + 1 * s, 0, "view"), (1, base + 2 * s, 1, "click"),
+         (2, base + 3 * s, 2, "view")],
+        # batch 1: only user 2, far ahead: watermark passes user 1
+        [(2, base + 60 * s, 3, "click")],
+        # batch 2: further ahead still (lets batch-1 timeouts fire)
+        [(2, base + 120 * s, 4, "cart")],
+        # batch 3: sentinel tail flush
+        [(-1, base + 600 * s, 5, "view")],
+    ]
+    import shutil
+    src = str(tmp_path / "chunks")
+    os.makedirs(src)
+    for i, cr in enumerate(chunks):
+        d = str(tmp_path / f"c{i}")
+        spark.createDataFrame(cr, schema).coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"{i}.parquet")
+        shutil.copy(os.path.join(d, part), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    stream = (spark.readStream
+              .schema(spark.createDataFrame(chunks[0], schema).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out_dir = str(tmp_path / "per_batch")
+
+    def capture(batch, bid):
+        batch.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"bid={bid}"))
+
+    q = (event_transitions_stream(stream).writeStream
+         .foreachBatch(capture)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    emitted = {}  # (user, prev, next) -> first batch id
+    bids = sorted(int(d.split("=")[1]) for d in os.listdir(out_dir))
+    for bid in bids:
+        p = os.path.join(out_dir, f"bid={bid}")
+        for r in spark.read.parquet(p).collect():
+            emitted.setdefault((r.user_id, r.prev_type, r.next_type), bid)
+    u1 = emitted.get((1, "view", "click"))
+    assert u1 is not None, emitted
+    # must flush strictly before the last batch (old behavior: only
+    # the sentinel's no-data batch at the very end flushed user 1)
+    assert u1 < bids[-1], (u1, bids, emitted)
