@@ -189,6 +189,40 @@ def profile_estimates(sketches: DataFrame) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("distinct_est"))
 
 
+def profile_accuracy_audit(df: DataFrame, cols: list[str],
+                           band: float = 0.08) -> DataFrame:
+    """Driver-gradeable accuracy audit of the per-column HLL profile
+    (profile_sketches): the same single stack-unpivot feeds BOTH the
+    sketch aggregation and an exact count-distinct aggregation, and
+    the output carries only exact-reproducible columns — the additive
+    counters, the exact distinct count, and an in-engine within-band
+    verdict on the sketch estimate — so a SQL oracle grades it and an
+    out-of-band estimate fails the hash. Band: datasketches
+    lgConfigK=12 ⇒ σ≈1.6%; 0.08 ≈ 5σ (the 3σ gate stays in
+    tests/test_sketch_accuracy.py — see dwm.uv_accuracy_audit for why
+    the graded verdict alarms wider). The exact-distinct shuffle is
+    the audit's certification cost; the monitoring path itself stays
+    sketch-only (profile_sketches / drift_from_profile_stores)."""
+    k = len(cols)
+    stack_args = ", ".join(
+        f"'{c}', cast({c} as string)" for c in cols)
+    un = df.selectExpr(
+        f"stack({k}, {stack_args}) as (col_name, val)")
+    agg = (un.groupBy("col_name")
+           .agg(F.count(F.lit(1)).alias("ct"),
+                F.sum(F.col("val").isNull().cast("long"))
+                .alias("null_ct"),
+                F.countDistinct("val").alias("distinct_exact"),
+                F.hll_sketch_estimate(F.hll_sketch_agg("val"))
+                .alias("distinct_est")))
+    in_band = (F.abs(F.col("distinct_est") - F.col("distinct_exact"))
+               <= band * F.col("distinct_exact"))
+    return agg.select(
+        "col_name", "ct", "null_ct",
+        F.col("distinct_exact").cast("long").alias("distinct_exact"),
+        in_band.cast("long").alias("distinct_in_band"))
+
+
 def drift_from_profile_stores(old_sketches: DataFrame,
                               new_sketches: DataFrame) -> DataFrame:
     """profile_drift computed from two (possibly stream-merged)

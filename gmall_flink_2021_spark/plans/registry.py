@@ -401,10 +401,14 @@ def q_video_frame_samples(spark, sf):
 
 
 def q_unique_visitors_daily_approx(spark, sf):
-    """Gates: HyperLogLog approx_count_distinct (no oracle; 3-sigma gate in
-    test_sketch_accuracy)."""
+    """Gates: HyperLogLog approx_count_distinct, graded as an accuracy
+    AUDIT — exact counters + an in-engine ~4σ within-band verdict on
+    the estimate, so the driver hash-checks it against a real SQL
+    oracle (round 7; previously rows-only). The raw estimate form
+    stays in SKETCH_ESTIMATE_QUERIES for the 3σ gate in
+    test_sketch_accuracy."""
     (events,) = _t(spark, sf, "events")
-    return dwm.unique_visitors_daily_approx(events)
+    return dwm.uv_accuracy_audit(events)
 
 
 def q_promo_revenue_share(spark, sf):
@@ -1212,10 +1216,13 @@ def q_profile_sketch_report(spark, sf):
     driver (sketch estimates); 3σ accuracy gate in SKETCH_GATES /
     tests/test_sketch_accuracy.py; streaming merge pinned in
     tests/test_streaming.py (exact counters, sparse-mode sketches
-    bit-exact, dense estimates banded)."""
+    bit-exact, dense estimates banded). Round 7: graded as an accuracy
+    AUDIT — exact counters + exact distinct + ~5σ in-band verdict,
+    hash-checked against a SQL oracle (previously rows-only); the
+    estimate form stays in SKETCH_ESTIMATE_QUERIES."""
     (documents,) = _t(spark, sf, "documents")
-    return expectations.profile_estimates(
-        expectations.profile_sketches(documents, list(_PROFILE_COLS)))
+    return expectations.profile_accuracy_audit(
+        documents, list(_PROFILE_COLS))
 
 
 def q_winsorized_price_stats(spark, sf):
@@ -1337,11 +1344,13 @@ def q_zorder_stats(spark, sf):
 def q_rolling_active_users_approx(spark, sf):
     """Gates: sliding-window distinct at 1e9-user scale — per-day HLL
     sketches unioned over a RANGE window (interval N−1 days), O(days)
-    sketch rows after one corpus pass; rows-only at the driver
-    (sketch estimates); 3σ accuracy gate in SKETCH_GATES /
-    tests/test_sketch_accuracy.py against the exact expansion."""
+    sketch rows after one corpus pass — graded as an accuracy AUDIT
+    against the exact contribution expansion (round 7: exact counters
+    + ~5σ in-band verdicts, hash-checked; previously rows-only). The
+    estimate form stays in SKETCH_ESTIMATE_QUERIES for the 3σ gate in
+    test_sketch_accuracy and the plan pin in test_plans."""
     (events,) = _t(spark, sf, "events")
-    return dwm.rolling_uv_sketches(events)
+    return dwm.rolling_uv_accuracy_audit(events)
 
 
 def q_rolling_active_users(spark, sf):
@@ -1599,8 +1608,14 @@ bands AS (
 ) + """
 )"""
 
+# shared with the engine so a seed-count change can never fork the
+# oracle's est_jaccard denominator silently (it is asserted == 8 by
+# the fixed slicing scheme in operators/dedup.minhash_signatures)
+from ..functions.text import MINHASH_SEEDS as _N_MINHASH  # noqa: E402
+
 _MINHASH_MATCH = " + ".join(
-    f"CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END" for j in range(8))
+    f"CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END"
+    for j in range(_N_MINHASH))
 
 _DISC = ("(CAST(l_extendedprice AS DECIMAL(18,2)) * "
          "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))")
@@ -2155,7 +2170,7 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_a, doc_b,
                CAST({_MINHASH_MATCH} AS BIGINT) AS matching_components,
-               CAST({_MINHASH_MATCH} AS DOUBLE) / 8.0 AS est_jaccard
+               CAST({_MINHASH_MATCH} AS DOUBLE) / {_N_MINHASH}.0 AS est_jaccard
         FROM pairs
         JOIN sig a ON pairs.doc_a = a.doc_id
         JOIN sig b ON pairs.doc_b = b.doc_id
@@ -2182,7 +2197,7 @@ ORACLES: dict[str, str] = {
             JOIN sig b ON pairs.doc_b = b.doc_id
         )
         SELECT matching_components,
-               CAST(matching_components AS DOUBLE) / 8.0 AS est_jaccard,
+               CAST(matching_components AS DOUBLE) / {_N_MINHASH}.0 AS est_jaccard,
                count(*) AS pair_ct
         FROM scored
         GROUP BY matching_components
@@ -4409,6 +4424,56 @@ ORACLES["rolling_active_users"] = """
     WHERE r.day <= (SELECT max(day) FROM ud)
 """
 
+# --- sketch-audit oracles (round 7) ------------------------------
+# The audit forms emit only exact-reproducible columns plus in-engine
+# within-band verdicts (literal pass on the oracle side): if an HLL
+# estimate drifts out of its documented band, the engine emits 0 and
+# the driver hash goes red. Bands are wider than the 3σ test gates on
+# purpose (multiple-comparisons discipline — see dwm.uv_accuracy_audit).
+
+ORACLES["unique_visitors_daily_approx"] = """
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                AS TIMESTAMP) AS day,
+           CAST(count(*) AS BIGINT) AS pv_ct,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS uv_exact,
+           CAST(1 AS BIGINT) AS uv_in_band
+    FROM events GROUP BY 1
+"""
+
+ORACLES["rolling_active_users_approx"] = """
+    WITH ud AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        FROM events
+    ),
+    expanded AS (
+        SELECT DISTINCT user_id,
+               unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                      INTERVAL 1 DAY)) AS day
+        FROM ud
+    ),
+    rolling AS (
+        SELECT day, count(*) AS rolling_uv_ct
+        FROM expanded GROUP BY day
+    ),
+    daily AS (
+        SELECT day, count(*) AS day_uv_ct FROM ud GROUP BY day
+    )
+    SELECT CAST(d.day AS TIMESTAMP) AS day,
+           CAST(d.day_uv_ct AS BIGINT) AS day_uv_ct,
+           CAST(r.rolling_uv_ct AS BIGINT) AS rolling_uv_ct,
+           CAST(1 AS BIGINT) AS day_in_band,
+           CAST(1 AS BIGINT) AS rolling_in_band
+    FROM daily d JOIN rolling r ON d.day = r.day
+"""
+
+ORACLES["profile_sketch_report"] = " UNION ALL ".join(
+    f"SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS ct, "
+    f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS null_ct, "
+    f"CAST(count(DISTINCT {c}) AS BIGINT) AS distinct_exact, "
+    f"CAST(1 AS BIGINT) AS distinct_in_band FROM documents"
+    for c in _PROFILE_COLS)
+
 ORACLES["zorder_stats"] = """
     WITH ext AS (
         SELECT min(o_custkey) AS ck_min, max(o_custkey) AS ck_max,
@@ -4951,6 +5016,23 @@ SKETCH_GATES: dict[str, tuple[dict, ...]] = {
 }
 
 
+# Raw ESTIMATE forms of the sketch queries whose registry entry is the
+# round-7 driver-gradeable audit form (exact counters + in-band
+# verdicts): the 3σ accuracy gates in tests/test_sketch_accuracy.py
+# and the plan pins in tests/test_plans.py run against these, so the
+# tight-band evidence survives the grading upgrade.
+SKETCH_ESTIMATE_QUERIES: dict[
+        str, Callable[[SparkSession, str], DataFrame]] = {
+    "unique_visitors_daily_approx": lambda spark, sf:
+        dwm.unique_visitors_daily_approx(_t(spark, sf, "events")[0]),
+    "rolling_active_users_approx": lambda spark, sf:
+        dwm.rolling_uv_sketches(_t(spark, sf, "events")[0]),
+    "profile_sketch_report": lambda spark, sf:
+        expectations.profile_estimates(expectations.profile_sketches(
+            _t(spark, sf, "documents")[0], list(_PROFILE_COLS))),
+}
+
+
 # ---------------------------------------------------------------------------
 # Output normalization (the driver-hash contract)
 # ---------------------------------------------------------------------------
@@ -5045,22 +5127,19 @@ def _doubled_sql(sql: str, cols: tuple[str, ...]) -> str:
 # staleness cannot know about in-flight changes. Append on change;
 # entries expire automatically once confirmed.
 _CHANGED_THIS_ROUND: dict[str, int] = {
-    "hashed_classifier_scores": 4,   # new in round 4
-    "contrastive_pairs": 4,          # nulls-last ranking fix
-    "minhash_jaccard_pairs": 4,      # per-bucket candidate cap
-    "editdist_verified_pairs": 4,    # capped candidate substrate
-    "dup_clusters": 4,               # chain-graph candidates
-    "padding_waste_audit": 5,        # deterministic ordinal buckets
-    "bpe_merges": 5,                 # new in round 5
-    "bpe_encode_stats": 5,           # new in round 5
-    "dsir_weights": 5,               # new in round 5
-    "media_text_alignment": 5,       # new in round 5
-    "keyword_stats": 6,              # CJK bigram tokenizer
-    "script_mix_stats": 6,           # new in round 6
-    "token_fertility_stats": 6,      # new in round 6
-    "cross_source_dup_matrix": 6,    # new in round 6
-    "dedup_threshold_calibration": 6,  # new in round 6
-    "near_dup_rate_by_source": 6,    # new in round 6
+    # (rounds 4-6 entries all confirmed green by their round's
+    # artifact — expired, removed)
+    # round 7: sketch queries upgraded from rows-only estimates to
+    # driver-gradeable audit forms (exact counters + in-band verdicts
+    # with real oracles). NOTE the window arithmetic: the registry
+    # holds 151 queries against a 50/round grading window, so a full
+    # ≤3-round rotation needs ≥151/3 ≈ 50.3 slots/round — it is
+    # over-subscribed by construction; these 3 promotions (one of
+    # which was due for re-grade anyway) push 3 stale-r4 queries to
+    # round 8, where they sort first.
+    "unique_visitors_daily_approx": 7,
+    "rolling_active_users_approx": 7,
+    "profile_sketch_report": 7,
 }
 
 _GRADE_PRIORITY: tuple[str, ...] = (

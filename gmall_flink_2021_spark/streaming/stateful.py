@@ -231,52 +231,76 @@ _TRANSITION_STATE = StructType([
 ])
 
 
-def _transitions_fn(key, pdfs: Iterator[pd.DataFrame],
-                    state: GroupState) -> Iterator[pd.DataFrame]:
-    if state.exists:
-        last_type, last_ts, last_eid, bts, beid, btyp = state.get
-        buf = list(zip(bts, beid, btyp))
-    else:
-        last_type, last_ts, last_eid, buf = None, -1, -1, []
-    for pdf in pdfs:
-        for r in pdf.itertuples(index=False):
-            buf.append((int(r.ts_us), int(r.event_id), r.event_type))
-    # emit strictly BELOW the watermark: a future arrival is
-    # guaranteed ts >= wm, so nothing can ever sort before an
-    # emitted row (ties broken by event_id, guarded via last_eid)
-    wm_us = state.getCurrentWatermarkMs() * 1000
-    buf.sort()
-    out, keep = [], []
-    for ts, eid, typ in buf:
-        if ts >= wm_us:
-            keep.append((ts, eid, typ))
-        elif ts < last_ts or (ts == last_ts and eid <= last_eid):
-            continue           # late beyond the emitted frontier: drop
+def _make_transitions_fn(idle_ttl_us: int | None):
+    def _transitions_fn(key, pdfs: Iterator[pd.DataFrame],
+                        state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_type, last_ts, last_eid, bts, beid, btyp = state.get
+            buf = list(zip(bts, beid, btyp))
         else:
-            if last_type is not None:
-                out.append((key[0], last_type, typ))
-            last_type, last_ts, last_eid = typ, ts, eid
-    state.update((last_type, last_ts, last_eid,
-                  [k[0] for k in keep], [k[1] for k in keep],
-                  [k[2] for k in keep]))
-    if keep:
-        # fire as soon as the watermark passes the OLDEST buffered
-        # row (keep is sorted): each firing flushes whatever became
-        # final and re-arms at the new oldest — a key whose old
-        # transitions are already finalized by the global watermark
-        # emits them promptly instead of waiting for its own newest
-        # event to age out (or for new per-key data). Timeout
-        # triggers when wm_ms > t_ms, and wm_ms > ts_us//1000
-        # implies wm_us > ts_us; +1 because Spark requires the
-        # timeout to sit strictly beyond the current watermark (a
-        # buffered row can share the watermark's exact ms).
-        state.setTimeoutTimestamp(keep[0][0] // 1000 + 1)
-    yield pd.DataFrame(out, columns=["user_id", "prev_type",
-                                     "next_type"])
+            last_type, last_ts, last_eid, buf = None, -1, -1, []
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                buf.append((int(r.ts_us), int(r.event_id),
+                            r.event_type))
+        # emit strictly BELOW the watermark: a future arrival is
+        # guaranteed ts >= wm, so nothing can ever sort before an
+        # emitted row (ties broken by event_id, guarded via last_eid)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        buf.sort()
+        out, keep = [], []
+        for ts, eid, typ in buf:
+            if ts >= wm_us:
+                keep.append((ts, eid, typ))
+            elif ts < last_ts or (ts == last_ts and eid <= last_eid):
+                continue       # late beyond the emitted frontier: drop
+            else:
+                if last_type is not None:
+                    out.append((key[0], last_type, typ))
+                last_type, last_ts, last_eid = typ, ts, eid
+        if (not keep and idle_ttl_us is not None and last_ts >= 0
+                and wm_us >= last_ts + idle_ttl_us):
+            # idle TTL: the key's buffer is drained and its frontier
+            # has seen no event for idle_ttl — drop the state row
+            # entirely (a revival loses exactly its first transition)
+            state.remove()
+            yield pd.DataFrame(out, columns=["user_id", "prev_type",
+                                             "next_type"])
+            return
+        state.update((last_type, last_ts, last_eid,
+                      [k[0] for k in keep], [k[1] for k in keep],
+                      [k[2] for k in keep]))
+        if keep:
+            # fire as soon as the watermark passes the OLDEST buffered
+            # row (keep is sorted): each firing flushes whatever became
+            # final and re-arms at the new oldest — a key whose old
+            # transitions are already finalized by the global watermark
+            # emits them promptly instead of waiting for its own newest
+            # event to age out (or for new per-key data). Timeout
+            # triggers when wm_ms > t_ms, and wm_ms > ts_us//1000
+            # implies wm_us > ts_us; +1 because Spark requires the
+            # timeout to sit strictly beyond the current watermark (a
+            # buffered row can share the watermark's exact ms).
+            state.setTimeoutTimestamp(keep[0][0] // 1000 + 1)
+        elif idle_ttl_us is not None and last_ts >= 0:
+            # re-arm so the removal above actually fires on a later
+            # (possibly no-data) batch once the watermark ages past
+            # the frontier by the TTL
+            state.setTimeoutTimestamp((last_ts + idle_ttl_us) // 1000
+                                      + 1)
+        yield pd.DataFrame(out, columns=["user_id", "prev_type",
+                                         "next_type"])
+
+    return _transitions_fn
+
+
+# default (no-TTL) form, kept importable for tests/documentation
+_transitions_fn = _make_transitions_fn(None)
 
 
 def event_transitions_stream(events: DataFrame,
-                             delay: str = "0 seconds") -> DataFrame:
+                             delay: str = "0 seconds",
+                             idle_ttl: str | None = None) -> DataFrame:
     """events: (user_id, ts_us micros, event_id, event_type) — emits
     one row per completed (prev → next) transition in event-time
     order regardless of arrival order; aggregate downstream for the
@@ -288,12 +312,31 @@ def event_transitions_stream(events: DataFrame,
     across micro-batch boundaries.
 
     Scale shape: state per key is one (type, ts, eid) frontier plus
-    the watermark-lag buffer — bounded by delay × per-user event
-    rate, not history; flush work is linear in buffered rows.
+    the watermark-lag buffer — the BUFFER is bounded by delay ×
+    per-user event rate, not history (asserted under adversarial
+    hot-key skew in tests/test_streaming.py), but the FRONTIER row
+    itself lives for the life of the query by default: exact batch
+    parity requires remembering each key's last emitted event, so
+    total state grows with distinct-key cardinality. On an unbounded
+    real keyspace pass ``idle_ttl`` (event-time interval, e.g.
+    "30 days"): a key whose frontier has seen no event for that long
+    is dropped entirely, trading exactly ONE lost transition on the
+    key's revival for O(active keys) state.
     """
+    ttl_us = None
+    if idle_ttl is not None:
+        import re as _re
+        m = _re.fullmatch(
+            r"\s*(\d+)\s*(second|minute|hour|day)s?\s*", idle_ttl)
+        if not m:
+            raise ValueError(f"idle_ttl: cannot parse {idle_ttl!r}")
+        unit_us = {"second": 1, "minute": 60, "hour": 3600,
+                   "day": 86400}[m.group(2)] * 1_000_000
+        ttl_us = int(m.group(1)) * unit_us
     wm = (events
           .withColumn("et", F.timestamp_micros(F.col("ts_us")))
           .withWatermark("et", delay))
     return (wm.groupBy("user_id").applyInPandasWithState(
-        _transitions_fn, TRANSITION_OUT, _TRANSITION_STATE, "append",
+        _make_transitions_fn(ttl_us), TRANSITION_OUT,
+        _TRANSITION_STATE, "append",
         GroupStateTimeout.EventTimeTimeout))

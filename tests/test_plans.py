@@ -10,11 +10,15 @@ from gmall_flink_2021_spark.plans.registry import QUERIES
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
-def _plan(spark, name: str) -> str:
-    df = QUERIES[name](spark, SF_SMOKE)
+def _formatted(df) -> str:
+    spark = df.sparkSession
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
         .fromString("formatted")
     return df._jdf.queryExecution().explainString(mode)
+
+
+def _plan(spark, name: str) -> str:
+    return _formatted(QUERIES[name](spark, SF_SMOKE))
 
 
 def test_dim_joins_are_broadcast(spark):
@@ -708,7 +712,14 @@ def test_rolling_uv_sketch_union_runs_over_daily_sketches(spark):
     import re
 
     spark.catalog.clearCache()
-    plan = _plan(spark, "rolling_active_users_approx")
+    # the registry entry is now the audit form (which joins the exact
+    # expansion on purpose); the pinned 100 TB serving path is the raw
+    # estimate form
+    from gmall_flink_2021_spark.plans.registry import (
+        SKETCH_ESTIMATE_QUERIES)
+    df = SKETCH_ESTIMATE_QUERIES["rolling_active_users_approx"](
+        spark, SF_SMOKE)
+    plan = _formatted(df)
     assert len(re.findall(r"\(\d+\) Window$", plan, re.M)) == 1
     assert "Generate" not in plan
     assert "Join" not in plan

@@ -12,7 +12,8 @@ import sys
 
 import pytest
 
-from gmall_flink_2021_spark.plans.registry import QUERIES, SKETCH_GATES
+from gmall_flink_2021_spark.plans.registry import (
+    QUERIES, SKETCH_ESTIMATE_QUERIES, SKETCH_GATES)
 
 SF = "/root/testdata/sf0.01"
 
@@ -76,7 +77,10 @@ def test_embedding_dups_recall_on_synthetic_near_dups(spark):
 
 @pytest.mark.parametrize("name", sorted(SKETCH_GATES))
 def test_sketch_estimates_within_error_band(spark, duck, name):
-    result = QUERIES[name](spark, SF).toPandas()
+    # queries upgraded to driver-graded audit forms keep their raw
+    # estimate form in SKETCH_ESTIMATE_QUERIES — the 3σ gate runs there
+    fn = SKETCH_ESTIMATE_QUERIES.get(name, QUERIES.get(name))
+    result = fn(spark, SF).toPandas()
     assert len(result) > 0
     for gate in SKETCH_GATES[name]:
         exact = duck.execute(gate["exact_sql"]).df()
