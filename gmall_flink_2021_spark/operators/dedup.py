@@ -1105,13 +1105,25 @@ def near_dup_rate_by_source(documents: DataFrame) -> DataFrame:
     |sources|-row aggregate — linear, but the join is corpus-sized,
     not broadcast."""
     marks = minhash_dedup_marks(documents)
-    out = (marks
-           .join(documents.select("doc_id", "source"), "doc_id")
-           .groupBy("source")
-           .agg(F.count(F.lit(1)).alias("doc_ct"),
-                F.sum("is_dup").alias("dup_ct"))
-           .select("source", "doc_ct", "dup_ct",
-                   F.expr("(1000 * dup_ct) DIV greatest(doc_ct, 1)")
-                   .alias("dup_permille")))
+    out = near_dup_rate_readout(
+        marks.join(documents.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("doc_ct"),
+             F.sum("is_dup").alias("dup_ct")))
     out._banded_cache = marks._banded_cache
     return out
+
+
+def near_dup_rate_readout(partials: DataFrame) -> DataFrame:
+    """Final per-source dup-rate report from (possibly
+    stream-appended) (source, doc_ct, dup_ct) partials: counts are
+    additive across micro-batches because each batch's marks are
+    final the moment they are computed (the grow-only index rule
+    never revisits a decision), so sum-then-permille equals the batch
+    report. Output contract identical to near_dup_rate_by_source."""
+    return (partials.groupBy("source")
+            .agg(F.sum("doc_ct").cast("long").alias("doc_ct"),
+                 F.sum("dup_ct").cast("long").alias("dup_ct"))
+            .select("source", "doc_ct", "dup_ct",
+                    F.expr("(1000 * dup_ct) DIV greatest(doc_ct, 1)")
+                    .alias("dup_permille")))

@@ -1635,8 +1635,19 @@ def script_mix_stats(documents: DataFrame) -> DataFrame:
 
     Scale shape: pure per-row column expressions folded into the scan
     + one map-side-combined groupBy(source) — no shuffle beyond the
-    |sources|-row aggregate, no UDF.
+    |sources|-row aggregate, no UDF. Split as partials → readout so
+    the streaming form (jobs.script_mix_stream) appends the identical
+    counter partials per micro-batch.
     """
+    return script_mix_readout(script_mix_partials(documents))
+
+
+def script_mix_partials(documents: DataFrame) -> DataFrame:
+    """Additive per-source counter partials of script_mix_stats — the
+    micro-batch emission of streaming/jobs.script_mix_stream: every
+    column is a sum/count, so partials from any corpus split
+    re-aggregate (script_mix_readout) to exactly the single-pass
+    report."""
     from ..functions.text import HAN_ANY
 
     t = F.coalesce(F.col("text"), F.lit(""))
@@ -1652,13 +1663,24 @@ def script_mix_stats(documents: DataFrame) -> DataFrame:
         class_ct("[A-Za-z]").alias("latin"),
         class_ct("[0-9]").alias("digit"),
         class_ct(" ").alias("space"))
-    agg = (per_doc.groupBy("source")
-           .agg(F.count(F.lit(1)).alias("doc_ct"),
-                F.sum("n").alias("char_ct"),
-                F.sum("han").alias("han_ct"),
-                F.sum("latin").alias("latin_ct"),
-                F.sum("digit").alias("digit_ct"),
-                F.sum("space").alias("space_ct")))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("doc_ct"),
+                 F.sum("n").alias("char_ct"),
+                 F.sum("han").alias("han_ct"),
+                 F.sum("latin").alias("latin_ct"),
+                 F.sum("digit").alias("digit_ct"),
+                 F.sum("space").alias("space_ct")))
+
+
+def script_mix_readout(partials: DataFrame) -> DataFrame:
+    """Final report from (possibly stream-appended) script-mix
+    partials: sum the counters per source, THEN derive the integer
+    permilles — ratios of sums, never sums of ratios. Output contract
+    identical to script_mix_stats (the graded batch form)."""
+    agg = (partials.groupBy("source")
+           .agg(*[F.sum(c).cast("long").alias(c)
+                  for c in ("doc_ct", "char_ct", "han_ct", "latin_ct",
+                            "digit_ct", "space_ct")]))
     denom = "greatest(char_ct, 1)"
     return agg.select(
         "source", "doc_ct", "char_ct",
@@ -1680,8 +1702,17 @@ def token_fertility_stats(documents: DataFrame) -> DataFrame:
     this report makes that visible per lang instead of anecdotally).
 
     Integer-exact permille counts; one scan + one tiny aggregate,
-    same shape as token_stats.
+    same shape as token_stats. Split as partials → readout so the
+    streaming form (jobs.token_fertility_stream) appends the
+    identical counter partials per micro-batch.
     """
+    return token_fertility_readout(token_fertility_partials(documents))
+
+
+def token_fertility_partials(documents: DataFrame) -> DataFrame:
+    """Additive per-lang counter partials of token_fertility_stats —
+    every column is a sum/count, so micro-batch partials re-aggregate
+    (token_fertility_readout) to exactly the single-pass report."""
     from ..functions.text import _ws_tokens
 
     tok = tokens("text")
@@ -1691,11 +1722,21 @@ def token_fertility_stats(documents: DataFrame) -> DataFrame:
         F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
         F.size(tok).alias("n_tok"),
         F.size(ws).alias("n_ws"))
-    agg = (per_doc.groupBy("lang")
-           .agg(F.count(F.lit(1)).alias("doc_ct"),
-                F.sum("n_chars").alias("char_ct"),
-                F.sum("n_tok").alias("token_ct"),
-                F.sum("n_ws").alias("ws_token_ct")))
+    return (per_doc.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("doc_ct"),
+                 F.sum("n_chars").alias("char_ct"),
+                 F.sum("n_tok").alias("token_ct"),
+                 F.sum("n_ws").alias("ws_token_ct")))
+
+
+def token_fertility_readout(partials: DataFrame) -> DataFrame:
+    """Final report from (possibly stream-appended) fertility
+    partials: sum counters per lang, then the integer permilles —
+    output contract identical to token_fertility_stats."""
+    agg = (partials.groupBy("lang")
+           .agg(*[F.sum(c).cast("long").alias(c)
+                  for c in ("doc_ct", "char_ct", "token_ct",
+                            "ws_token_ct")]))
     return agg.select(
         "lang", "doc_ct", "char_ct", "token_ct", "ws_token_ct",
         F.expr("(1000 * token_ct) DIV greatest(char_ct, 1)")

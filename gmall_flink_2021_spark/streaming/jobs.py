@@ -582,6 +582,75 @@ def corpus_funnel_stream(doc_stream: DataFrame, out_path: str,
     q.awaitTermination()
 
 
+def script_mix_stream(doc_stream: DataFrame, out_path: str,
+                      checkpoint: str) -> None:
+    """Streaming per-source script profiling: each micro-batch
+    appends its additive counter partials
+    (textstats.script_mix_partials); the cumulative report is
+    textstats.script_mix_readout over the store — equal to the batch
+    script_mix_stats on any corpus split (counters are per-doc and
+    associative; no state). Exactly-once via overwrite-by-batchId."""
+    from ..operators.textstats import script_mix_partials
+    from . import sinks
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        sinks.write_idempotent(script_mix_partials(batch), bid,
+                               out_path)
+
+    q = (doc_stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def token_fertility_stream(doc_stream: DataFrame, out_path: str,
+                           checkpoint: str) -> None:
+    """Streaming per-lang tokenizer-fertility profiling — same
+    additive-partials contract as script_mix_stream, with
+    textstats.token_fertility_partials / token_fertility_readout."""
+    from ..operators.textstats import token_fertility_partials
+    from . import sinks
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        sinks.write_idempotent(token_fertility_partials(batch), bid,
+                               out_path)
+
+    q = (doc_stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def near_dup_rate_stream(doc_stream: DataFrame, out_path: str,
+                         state_path: str, checkpoint: str) -> None:
+    """Streaming per-source duplication pressure: each micro-batch's
+    docs are marked against the grow-only MinHash bucket index (the
+    shared _batch_dedup_marks body, i.e. the minhash_dedup_stream
+    ingestion rule), reduced to (source, doc_ct, dup_ct) partials and
+    appended; dedup.near_dup_rate_readout over the store equals the
+    batch near_dup_rate_by_source when arrival order is doc_id order
+    (same caveat as corpus_funnel_stream). Exactly-once via
+    overwrite-by-batchId on both partials and index."""
+    from . import sinks
+
+    def sink(batch: DataFrame, bid: int) -> None:
+        marks, new_b, banded = _batch_dedup_marks(batch, bid,
+                                                  state_path)
+        partial = (marks.select("doc_id", "is_dup")
+                   .join(batch.select("doc_id", "source"), "doc_id")
+                   .groupBy("source")
+                   .agg(F.count(F.lit(1)).alias("doc_ct"),
+                        F.sum("is_dup").alias("dup_ct")))
+        sinks.write_idempotent(partial, bid, out_path)
+        sinks.write_idempotent(new_b, bid, state_path)
+        banded.unpersist()
+
+    q = (doc_stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
 def pq_encode_stream(emb_stream: DataFrame,
                      codebooks: dict, m: int = 8,
                      dim: int = 64) -> DataFrame:

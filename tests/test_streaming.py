@@ -1909,3 +1909,97 @@ def test_event_transitions_idle_ttl_drops_frontier(spark, tmp_path):
     want[("cart", "view")] -= 1
     want = +want
     assert got == want, (got, want)
+
+
+def _stage_doc_chunks(spark, tmp_path, docs, tag, n_chunks=3):
+    """Split docs into doc_id-ordered chunks staged as one parquet
+    file each with increasing mtimes (maxFilesPerTrigger=1 replay)."""
+    import os
+    import time as _time
+
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    cuts = [hi * (i + 1) // n_chunks for i in range(n_chunks - 1)]
+    bounds = [None] + cuts + [None]
+    src = str(tmp_path / f"{tag}_docs")
+    os.makedirs(src)
+    now = _time.time()
+    for i in range(n_chunks):
+        part = docs
+        if bounds[i] is not None:
+            part = part.filter(F.col("doc_id") > bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("doc_id") <= bounds[i + 1])
+        stage = str(tmp_path / f"{tag}_stage_{i}")
+        part.coalesce(1).write.parquet(stage)
+        f = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"part_{i}.parquet")
+        os.rename(os.path.join(stage, f), dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+    return (spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false").parquet(src))
+
+
+def test_script_mix_streaming_partials_sum_to_batch(spark, tmp_path):
+    """Per-source script-mix counters are per-doc and associative, so
+    the readout over 3 appended micro-batch partials must equal the
+    batch report EXACTLY (permilles are ratios of summed counters)."""
+    from gmall_flink_2021_spark.operators import textstats
+    from gmall_flink_2021_spark.streaming.jobs import script_mix_stream
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    stream = _stage_doc_chunks(spark, tmp_path, docs, "sm")
+    out = str(tmp_path / "sm_out")
+    script_mix_stream(stream, out, str(tmp_path / "ck_sm"))
+
+    got = {tuple(map(str, r)) for r in textstats.script_mix_readout(
+        spark.read.parquet(out)).collect()}
+    want = {tuple(map(str, r)) for r in
+            textstats.script_mix_stats(docs).collect()}
+    assert want and got == want
+
+
+def test_token_fertility_streaming_partials_sum_to_batch(spark,
+                                                         tmp_path):
+    """Per-lang fertility counters (engine tokenizer + whitespace
+    baseline) are additive; readout over appended partials == batch."""
+    from gmall_flink_2021_spark.operators import textstats
+    from gmall_flink_2021_spark.streaming.jobs import (
+        token_fertility_stream,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    stream = _stage_doc_chunks(spark, tmp_path, docs, "tf")
+    out = str(tmp_path / "tf_out")
+    token_fertility_stream(stream, out, str(tmp_path / "ck_tf"))
+
+    got = {tuple(map(str, r)) for r in textstats.token_fertility_readout(
+        spark.read.parquet(out)).collect()}
+    want = {tuple(map(str, r)) for r in
+            textstats.token_fertility_stats(docs).collect()}
+    assert want and got == want
+
+
+def test_near_dup_rate_streaming_matches_batch(spark, tmp_path):
+    """Streaming per-source dup-rate over the grow-only MinHash index
+    must equal the batch near_dup_rate_by_source when arrival order
+    is doc_id order: each batch's marks are final on arrival (the
+    index only grows), so the (source, doc_ct, dup_ct) partials sum
+    to the batch counts."""
+    from gmall_flink_2021_spark.operators import dedup
+    from gmall_flink_2021_spark.streaming.jobs import (
+        near_dup_rate_stream,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    stream = _stage_doc_chunks(spark, tmp_path, docs, "ndr")
+    out = str(tmp_path / "ndr_out")
+    near_dup_rate_stream(stream, out, str(tmp_path / "ndr_state"),
+                         str(tmp_path / "ck_ndr"))
+
+    got = {tuple(map(str, r)) for r in dedup.near_dup_rate_readout(
+        spark.read.parquet(out)).collect()}
+    batch_out = dedup.near_dup_rate_by_source(docs)
+    want = {tuple(map(str, r)) for r in batch_out.collect()}
+    batch_out._banded_cache.unpersist()
+    assert want and got == want
