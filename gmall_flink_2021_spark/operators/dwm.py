@@ -312,6 +312,40 @@ def uv_rollup_from_daily(daily: DataFrame) -> DataFrame:
                     .alias("month_uv_est")))
 
 
+def uv_rollup_accuracy_audit(events: DataFrame,
+                             band: float = 0.08) -> DataFrame:
+    """Accuracy audit of the day→month sketch rollup
+    (uv_sketch_rollup): exact per-day and per-month distinct counts
+    computed from ONE deduped (user, day) frame, joined onto the
+    sketch estimates, emitting exact counters + in-engine ~5σ in-band
+    verdicts (driver-gradeable; see uv_accuracy_audit for the band
+    discipline). The month verdict certifies the WINDOW-UNIONED
+    estimate — exactly the merge path the sparse→dense HLL boundary
+    can bend — against the exact count, so a drift there flips the
+    bit and fails the driver hash."""
+    est = uv_sketch_rollup(events)
+    ud = (events.select(F.date_trunc("DAY", F.col("ts")).alias("day"),
+                        "user_id").distinct())
+    daily = ud.groupBy("day").agg(
+        F.count(F.lit(1)).alias("day_uv_ct"))
+    monthly = (ud.select(F.date_trunc("MONTH", F.col("day"))
+                         .alias("month"), "user_id").distinct()
+               .groupBy("month")
+               .agg(F.count(F.lit(1)).alias("month_uv_ct")))
+    day_ok = (F.abs(F.col("daily_uv_est") - F.col("day_uv_ct"))
+              <= band * F.col("day_uv_ct"))
+    month_ok = (F.abs(F.col("month_uv_est") - F.col("month_uv_ct"))
+                <= band * F.col("month_uv_ct"))
+    return (est.join(daily, "day").join(monthly, "month")
+            .select("day", "pv_ct",
+                    F.col("day_uv_ct").cast("long").alias("day_uv_ct"),
+                    day_ok.cast("long").alias("day_in_band"),
+                    "month",
+                    F.col("month_uv_ct").cast("long")
+                    .alias("month_uv_ct"),
+                    month_ok.cast("long").alias("month_in_band")))
+
+
 def rolling_uv_sketches(events: DataFrame,
                         window_days: int = 7) -> DataFrame:
     """Approximate rolling N-day active users from mergeable per-day

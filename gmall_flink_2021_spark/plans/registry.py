@@ -773,10 +773,12 @@ def q_customer_value_quartiles(spark, sf):
 
 def q_uv_sketch_rollup(spark, sf):
     """Gates: HLL sketch union rollup as a window over daily sketches
-    (single events scan, plan-pinned)."""
+    (single events scan, plan-pinned) — graded as an accuracy AUDIT
+    (round 8: exact day/month distinct counters + in-band verdicts
+    against a real oracle; previously rows-only). Estimate form stays
+    in SKETCH_ESTIMATE_QUERIES for the 3σ gate and the plan pin."""
     (events,) = _t(spark, sf, "events")
-    return dwm.uv_sketch_rollup(events)
-
+    return dwm.uv_rollup_accuracy_audit(events)
 
 
 def q_pii_redaction(spark, sf):
@@ -824,10 +826,12 @@ def q_semdedup_prune(spark, sf):
 
 def q_doc_length_percentiles_approx(spark, sf):
     """Gates: mergeable quantile sketch (percentile_approx / GK) — the
-    no-global-sort scale path of the length profile; accuracy-gated
-    against exact quantiles (SKETCH_GATES), rows-only at the driver."""
+    no-global-sort scale path of the length profile — graded as an
+    accuracy AUDIT (round 8: exact integer-rank percentiles +
+    in-band verdicts, hash-checked; previously rows-only). Estimate
+    form stays in SKETCH_ESTIMATE_QUERIES for the 3σ gate."""
     (documents,) = _t(spark, sf, "documents")
-    return textstats.doc_length_percentiles_approx(documents)
+    return textstats.doc_length_percentile_audit(documents)
 
 
 def q_editdist_verified_pairs(spark, sf):
@@ -4466,6 +4470,52 @@ ORACLES["rolling_active_users_approx"] = """
     FROM daily d JOIN rolling r ON d.day = r.day
 """
 
+ORACLES["uv_sketch_rollup"] = """
+    WITH d AS (
+        SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+               count(*) AS pv_ct,
+               count(DISTINCT user_id) AS day_uv_ct
+        FROM events GROUP BY 1
+    ),
+    m AS (
+        SELECT date_trunc('month', CAST(ts AS TIMESTAMP)) AS month,
+               count(DISTINCT user_id) AS month_uv_ct
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(d.day AS TIMESTAMP) AS day,
+           CAST(d.pv_ct AS BIGINT) AS pv_ct,
+           CAST(d.day_uv_ct AS BIGINT) AS day_uv_ct,
+           CAST(1 AS BIGINT) AS day_in_band,
+           CAST(date_trunc('month', d.day) AS TIMESTAMP) AS month,
+           CAST(m.month_uv_ct AS BIGINT) AS month_uv_ct,
+           CAST(1 AS BIGINT) AS month_in_band
+    FROM d JOIN m ON date_trunc('month', d.day) = m.month
+"""
+
+# exact percentiles use the repo's integer rank rule (value at
+# 1-indexed rank (p*n+99)//100 of the per-lang sorted lengths) —
+# winsorized_price_stats' discipline, identical on both engines
+ORACLES["doc_length_percentiles_approx"] = """
+    WITH ranked AS (
+        SELECT lang, coalesce(n_chars, 0) AS v,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY coalesce(n_chars, 0)) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    SELECT lang, CAST(max(n) AS BIGINT) AS doc_ct,
+           CAST(max(CASE WHEN rn = (50 * n + 99) // 100 THEN v END)
+                AS BIGINT) AS p50_exact,
+           CAST(1 AS BIGINT) AS p50_in_band,
+           CAST(max(CASE WHEN rn = (90 * n + 99) // 100 THEN v END)
+                AS BIGINT) AS p90_exact,
+           CAST(1 AS BIGINT) AS p90_in_band,
+           CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN v END)
+                AS BIGINT) AS p99_exact,
+           CAST(1 AS BIGINT) AS p99_in_band
+    FROM ranked GROUP BY lang
+"""
+
 ORACLES["profile_sketch_report"] = " UNION ALL ".join(
     f"SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS ct, "
     f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
@@ -5030,6 +5080,11 @@ SKETCH_ESTIMATE_QUERIES: dict[
     "profile_sketch_report": lambda spark, sf:
         expectations.profile_estimates(expectations.profile_sketches(
             _t(spark, sf, "documents")[0], list(_PROFILE_COLS))),
+    "uv_sketch_rollup": lambda spark, sf:
+        dwm.uv_sketch_rollup(_t(spark, sf, "events")[0]),
+    "doc_length_percentiles_approx": lambda spark, sf:
+        textstats.doc_length_percentiles_approx(
+            _t(spark, sf, "documents")[0]),
 }
 
 
@@ -5140,6 +5195,12 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     "unique_visitors_daily_approx": 7,
     "rolling_active_users_approx": 7,
     "profile_sketch_report": 7,
+    # landed in round 7 but scheduled to GRADE in round 8 (their r6
+    # green is the freshest tier, and round 7's window is already
+    # over-subscribed by the three above) — the max_round guard in
+    # _finalize keeps a future-round entry from eating earlier slots
+    "uv_sketch_rollup": 8,
+    "doc_length_percentiles_approx": 8,
 }
 
 _GRADE_PRIORITY: tuple[str, ...] = (
@@ -5246,9 +5307,12 @@ def _finalize(
         # that the change is confirmed and normal staleness rotation
         # resumes (a stale promotion entry cannot waste window slots
         # in later rounds, and a pre-change green row cannot expire
-        # the promotion early)
+        # the promotion early). A change stamped for a FUTURE round
+        # (chg > max_round + 1) stays dormant until that round
+        # arrives, so landing code early cannot eat earlier windows.
         changed = [n for n, chg in _CHANGED_THIS_ROUND.items()
-                   if n in queries and latest.get(n, 0) < chg]
+                   if n in queries and latest.get(n, 0) < chg
+                   and _max_round >= chg - 1]
         order = changed + [n for n in base if n not in changed]
     q = {n: _doubled(queries[n]) for n in order}
     o = {}

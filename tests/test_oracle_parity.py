@@ -31,11 +31,10 @@ def test_query_matches_oracle(spark, duck, name):
 def test_oracles_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
     # everything except the documented approx ops is oracle-checked
-    # round 7: the UV/rolling/profile sketch queries now grade as
-    # audit forms with real oracles; only the two remaining estimate
-    # queries stay rows-only (scheduled for the same upgrade in r8)
-    assert set(QUERIES) - set(ORACLES) == {"uv_sketch_rollup",
-                                           "doc_length_percentiles_approx"}
+    # round 7: every sketch query now grades as an audit form (exact
+    # counters + in-band verdicts) with a real oracle — nothing in
+    # the registry is rows-only anymore
+    assert set(QUERIES) - set(ORACLES) == set()
 
 
 def test_entry_contract(spark):
