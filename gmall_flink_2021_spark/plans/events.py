@@ -1,0 +1,348 @@
+"""Plans: gmall event/warehouse-layer queries (dws/dwm + SQL surface) (queries + mirrored DuckDB oracles)."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import (
+    analytics,
+    bucketing,
+    expectations,
+    dedup,
+    dwm,
+    dws,
+    multimodal,
+    serving,
+    similarity,
+    textstats,
+)
+from ..session import harden
+from ..sources.tables import load_table
+
+from ._base import (  # noqa: F401
+    _t)
+from ._sql import (  # noqa: F401
+    _TOKS)
+
+def q_order_wide_stats(spark, sf):
+    """Gates: the J3 dim-enrichment chain: three broadcast lookups
+    replacing async dim IO."""
+    orders, customer, nation, region = _t(spark, sf, "orders", "customer",
+                                          "nation", "region")
+    return dwm.order_wide_stats(orders, customer, nation, region)
+
+def q_visitor_stats_window(spark, sf):
+    """Gates: A2/A3 tumbling event-time window with stt/edt stamps; the
+    streaming==batch anchor."""
+    (events,) = _t(spark, sf, "events")
+    return dws.visitor_stats_window(events)
+
+def q_event_stats_daily(spark, sf):
+    """Gates: P6/T2 sparse-projection union reduced in ONE shuffle (union
+    before groupBy)."""
+    (events,) = _t(spark, sf, "events")
+    return dws.event_stats_daily(events)
+
+def q_keyword_stats(spark, sf):
+    """Gates: U1 tokenizer explode feeding a count + top-N (UDTF-equivalent
+    in codegen)."""
+    (documents,) = _t(spark, sf, "documents")
+    return dws.keyword_stats(documents)
+
+def q_province_stats_sql(spark, sf):
+    """Gates: the pure spark.sql surface: tumble-analog group agg with
+    COUNT(DISTINCT) over joined views."""
+    orders, customer, nation = _t(spark, sf, "orders", "customer", "nation")
+    return dws.province_stats_sql(spark, orders, customer, nation)
+
+def q_unique_visitors_daily(spark, sf):
+    """Gates: O6 exact per-day distinct (the ValueState-dedup batch
+    oracle)."""
+    (events,) = _t(spark, sf, "events")
+    return dwm.unique_visitors_daily(events)
+
+def q_first_visits(spark, sf):
+    """Gates: O6 row-level first-event-per-(user,day) via ordered window
+    row_number."""
+    (events,) = _t(spark, sf, "events")
+    return dwm.first_visits(events)
+
+def q_is_new_repair(spark, sf):
+    """Gates: O5 flag repair: per-user min-day window comparison."""
+    (events,) = _t(spark, sf, "events")
+    return dwm.is_new_repair(events)
+
+def q_user_jump_stats(spark, sf):
+    """Gates: O4 bounce detection via lead() over user sessions (CEP
+    timeout path included)."""
+    (events,) = _t(spark, sf, "events")
+    return dwm.user_jump_stats(events)
+
+def q_click_purchase_join(spark, sf):
+    """Gates: J1 symmetric interval join (+/-5 s) as a range-predicate
+    equi-join."""
+    (events,) = _t(spark, sf, "events")
+    return dwm.click_purchase_join(events)
+
+def q_unique_visitors_daily_approx(spark, sf):
+    """Gates: HyperLogLog approx_count_distinct, graded as an accuracy
+    AUDIT — exact counters + an in-engine ~4σ within-band verdict on
+    the estimate, so the driver hash-checks it against a real SQL
+    oracle (round 7; previously rows-only). The raw estimate form
+    stays in SKETCH_ESTIMATE_QUERIES for the 3σ gate in
+    test_sketch_accuracy."""
+    (events,) = _t(spark, sf, "events")
+    return dwm.uv_accuracy_audit(events)
+
+def q_purchase_click_window_join(spark, sf):
+    """Gates: J2 asymmetric interval join (-15 min..0)."""
+    (events,) = _t(spark, sf, "events")
+    return dwm.purchase_click_window_join(events)
+
+def q_visitor_stats_sliding(spark, sf):
+    """Gates: hopping window planned as ONE Expand, no extra shuffle vs
+    tumbling (plan-pinned)."""
+    (events,) = _t(spark, sf, "events")
+    return dws.visitor_stats_sliding(events)
+
+def q_uv_sketch_rollup(spark, sf):
+    """Gates: HLL sketch union rollup as a window over daily sketches
+    (single events scan, plan-pinned) — graded as an accuracy AUDIT
+    (round 8: exact day/month distinct counters + in-band verdicts
+    against a real oracle; previously rows-only). Estimate form stays
+    in SKETCH_ESTIMATE_QUERIES for the 3σ gate and the plan pin."""
+    (events,) = _t(spark, sf, "events")
+    return dwm.uv_rollup_accuracy_audit(events)
+
+def q_rolling_active_users_approx(spark, sf):
+    """Gates: sliding-window distinct at 1e9-user scale — per-day HLL
+    sketches unioned over a RANGE window (interval N−1 days), O(days)
+    sketch rows after one corpus pass — graded as an accuracy AUDIT
+    against the exact contribution expansion (round 7: exact counters
+    + ~5σ in-band verdicts, hash-checked; previously rows-only). The
+    estimate form stays in SKETCH_ESTIMATE_QUERIES for the 3σ gate in
+    test_sketch_accuracy and the plan pin in test_plans."""
+    (events,) = _t(spark, sf, "events")
+    return dwm.rolling_uv_accuracy_audit(events)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "order_wide_stats": q_order_wide_stats,
+    "visitor_stats_window": q_visitor_stats_window,
+    "event_stats_daily": q_event_stats_daily,
+    "keyword_stats": q_keyword_stats,
+    "province_stats_sql": q_province_stats_sql,
+    "unique_visitors_daily": q_unique_visitors_daily,
+    "first_visits": q_first_visits,
+    "is_new_repair": q_is_new_repair,
+    "user_jump_stats": q_user_jump_stats,
+    "click_purchase_join": q_click_purchase_join,
+    "unique_visitors_daily_approx": q_unique_visitors_daily_approx,
+    "purchase_click_window_join": q_purchase_click_window_join,
+    "visitor_stats_sliding": q_visitor_stats_sliding,
+    "uv_sketch_rollup": q_uv_sketch_rollup,
+    "rolling_active_users_approx": q_rolling_active_users_approx,
+}
+
+ORACLES: dict[str, str] = {
+    "order_wide_stats": """
+        SELECT r_name AS region_name, n_name AS nation_name,
+               c_mktsegment AS mktsegment,
+               count(*) AS order_ct,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS order_amount,
+               count(DISTINCT o_custkey) AS customer_ct
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2, 3
+    """,
+    "visitor_stats_window": """
+        SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS stt,
+               time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
+                   + INTERVAL '10 minutes' AS edt,
+               event_type,
+               count(*) AS pv_ct,
+               count(DISTINCT user_id) AS uv_ct,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS value_sum
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    "event_stats_daily": """
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+               CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view_ct,
+               CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click_ct,
+               CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup_ct,
+               CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error_ct,
+               CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase_ct,
+               CAST(coalesce(sum(CAST(value AS DECIMAL(18,2)))
+                    FILTER (WHERE event_type = 'purchase'), 0) AS DECIMAL(18,2)) AS purchase_amount
+        FROM events
+        GROUP BY 1
+    """,
+    "keyword_stats": f"""
+        WITH {_TOKS}
+        SELECT keyword, CAST(ct AS BIGINT) AS ct FROM (
+            SELECT kw.keyword AS keyword, count(*) AS ct
+            FROM toks, unnest(tok) AS kw(keyword)
+            GROUP BY 1
+        )
+        ORDER BY ct DESC, keyword
+        LIMIT 20
+    """,
+    "province_stats_sql": """
+        SELECT CAST(date_trunc('day', o.o_orderdate) AS TIMESTAMP) AS stt,
+               n.n_name AS province_name,
+               count(DISTINCT o.o_custkey) AS customer_ct,
+               count(*) AS order_count,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS order_amount
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    """,
+    "unique_visitors_daily": """
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+               count(DISTINCT user_id) AS uv_ct,
+               count(*) AS pv_ct
+        FROM events
+        GROUP BY 1
+    """,
+    "first_visits": """
+        SELECT day, user_id, event_id, ts FROM (
+            SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+                   user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                   row_number() OVER (
+                       PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+                       ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "is_new_repair": """
+        SELECT event_id, user_id,
+               CASE WHEN date_trunc('day', CAST(ts AS TIMESTAMP))
+                         = min(date_trunc('day', CAST(ts AS TIMESTAMP)))
+                           OVER (PARTITION BY user_id)
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    """,
+    "user_jump_stats": """
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+               count(*) AS uj_ct
+        FROM (
+            SELECT CAST(ts AS TIMESTAMP) AS ts,
+                   lead(CAST(ts AS TIMESTAMP)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+            FROM events
+        )
+        WHERE next_ts IS NULL OR next_ts > ts + INTERVAL '10 minutes'
+        GROUP BY 1
+    """,
+    "click_purchase_join": """
+        SELECT c.user_id AS user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               CAST(c.ts AS TIMESTAMP) AS click_ts,
+               CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+               CAST(p.value AS DECIMAL(18,2)) AS amount
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+         AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL '10 minutes'
+    """,
+    "purchase_click_window_join": """
+        SELECT p.user_id AS user_id,
+               p.event_id AS purchase_id,
+               c.event_id AS click_id,
+               CAST(p.ts AS TIMESTAMP) AS p_ts,
+               CAST(c.ts AS TIMESTAMP) AS c_ts,
+               CAST(p.value AS DECIMAL(18,2)) AS amount
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND CAST(c.ts AS TIMESTAMP)
+             >= CAST(p.ts AS TIMESTAMP) - INTERVAL '15 minutes'
+         AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+    """,
+    "visitor_stats_sliding": """
+        SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+                   - k * INTERVAL '5 minutes' AS stt,
+               time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+                   - k * INTERVAL '5 minutes' + INTERVAL '10 minutes' AS edt,
+               event_type,
+               count(*) AS pv_ct,
+               count(DISTINCT user_id) AS uv_ct,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                   AS value_sum
+        FROM events CROSS JOIN (VALUES (0), (1)) offsets(k)
+        GROUP BY 1, 2, 3
+    """,
+}
+
+
+# --- sketch-audit oracles (round 7) ------------------------------
+# The audit forms emit only exact-reproducible columns plus in-engine
+# within-band verdicts (literal pass on the oracle side): if an HLL
+# estimate drifts out of its documented band, the engine emits 0 and
+# the driver hash goes red. Bands are wider than the 3σ test gates on
+# purpose (multiple-comparisons discipline — see dwm.uv_accuracy_audit).
+
+ORACLES["unique_visitors_daily_approx"] = """
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                AS TIMESTAMP) AS day,
+           CAST(count(*) AS BIGINT) AS pv_ct,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS uv_exact,
+           CAST(1 AS BIGINT) AS uv_in_band
+    FROM events GROUP BY 1
+"""
+
+ORACLES["rolling_active_users_approx"] = """
+    WITH ud AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        FROM events
+    ),
+    expanded AS (
+        SELECT DISTINCT user_id,
+               unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                      INTERVAL 1 DAY)) AS day
+        FROM ud
+    ),
+    rolling AS (
+        SELECT day, count(*) AS rolling_uv_ct
+        FROM expanded GROUP BY day
+    ),
+    daily AS (
+        SELECT day, count(*) AS day_uv_ct FROM ud GROUP BY day
+    )
+    SELECT CAST(d.day AS TIMESTAMP) AS day,
+           CAST(d.day_uv_ct AS BIGINT) AS day_uv_ct,
+           CAST(r.rolling_uv_ct AS BIGINT) AS rolling_uv_ct,
+           CAST(1 AS BIGINT) AS day_in_band,
+           CAST(1 AS BIGINT) AS rolling_in_band
+    FROM daily d JOIN rolling r ON d.day = r.day
+"""
+
+ORACLES["uv_sketch_rollup"] = """
+    WITH d AS (
+        SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+               count(*) AS pv_ct,
+               count(DISTINCT user_id) AS day_uv_ct
+        FROM events GROUP BY 1
+    ),
+    m AS (
+        SELECT date_trunc('month', CAST(ts AS TIMESTAMP)) AS month,
+               count(DISTINCT user_id) AS month_uv_ct
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(d.day AS TIMESTAMP) AS day,
+           CAST(d.pv_ct AS BIGINT) AS pv_ct,
+           CAST(d.day_uv_ct AS BIGINT) AS day_uv_ct,
+           CAST(1 AS BIGINT) AS day_in_band,
+           CAST(date_trunc('month', d.day) AS TIMESTAMP) AS month,
+           CAST(m.month_uv_ct AS BIGINT) AS month_uv_ct,
+           CAST(1 AS BIGINT) AS month_in_band
+    FROM d JOIN m ON date_trunc('month', d.day) = m.month
+"""

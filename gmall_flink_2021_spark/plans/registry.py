@@ -50,4899 +50,28 @@ from ..session import harden
 from ..sources.tables import load_table
 
 
-def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
-    harden(spark)
-    return [load_table(spark, sf_dir, n) for n in names]
+from . import analytics as _p_analytics
+from . import dedup as _p_dedup
+from . import events as _p_events
+from . import quality as _p_quality
+from . import relational as _p_relational
+from . import similarity as _p_similarity
+from . import text as _p_text
+from ._base import _PROFILE_COLS, _t  # noqa: F401
+from ._sql import _ri_rel_sql, _tok_expr  # noqa: F401
+from .events import q_visitor_stats_window  # noqa: F401  (driver entry)
+
+_FAMILY_MODULES = (_p_relational, _p_events, _p_dedup, _p_similarity,
+                   _p_text, _p_analytics, _p_quality)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+for _m in _FAMILY_MODULES:
+    for _k in _m.QUERIES:
+        assert _k not in QUERIES, f"duplicate registry entry {_k}"
+    QUERIES.update(_m.QUERIES)
+    ORACLES.update(_m.ORACLES)
 
-
-def _emb_key(sf_dir: str):
-    """Learned-parameter memo key for the embeddings table (see
-    similarity.py module header): path + per-file size/mtime, so the
-    memo self-invalidates when the data is regenerated in place."""
-    import os
-
-    return similarity.dataset_signature(
-        os.path.join(sf_dir, "embeddings.parquet"))
-
-
-# --------------------------------------------------------------------------
-# Spark-side query callables
-# --------------------------------------------------------------------------
-
-def q_pricing_summary(spark, sf):
-    """Gates: single-scan partial/final hash aggregate with exact decimal
-    sums (TPC-H Q1 shape; plan-pinned partial+final pair)."""
-    (lineitem,) = _t(spark, sf, "lineitem")
-    return serving.pricing_summary(lineitem)
-
-
-def q_segment_revenue(spark, sf):
-    """Gates: two-hop broadcast dim chain (customer, orders) into one fact-
-    side shuffle keyed by segment."""
-    customer, orders, lineitem = _t(spark, sf, "customer", "orders",
-                                    "lineitem")
-    return serving.segment_revenue(customer, orders, lineitem)
-
-
-def q_region_revenue(spark, sf):
-    """Gates: the Q5-style three-hop dim chain (region to nation to
-    customer) broadcast into a single lineitem aggregation."""
-    region, nation, customer, orders, lineitem = _t(
-        spark, sf, "region", "nation", "customer", "orders", "lineitem")
-    return serving.region_nation_revenue(region, nation, customer, orders,
-                                         lineitem)
-
-
-def q_top_brands(spark, sf):
-    """Gates: broadcast dim join feeding TakeOrderedAndProject top-N (no
-    global sort; plan-pinned)."""
-    lineitem, part = _t(spark, sf, "lineitem", "part")
-    return serving.top_brands(lineitem, part)
-
-
-def q_gmv_daily(spark, sf):
-    """Gates: date_trunc groupBy combining a decimal sum with countDistinct
-    in one aggregate."""
-    (orders,) = _t(spark, sf, "orders")
-    return serving.gmv_daily(orders)
-
-
-def q_props_stats(spark, sf):
-    """Gates: map-column element access (P7) inside a SQL aggregation."""
-    (events,) = _t(spark, sf, "events")
-    return serving.props_stats(events)
-
-
-def q_order_wide_stats(spark, sf):
-    """Gates: the J3 dim-enrichment chain: three broadcast lookups
-    replacing async dim IO."""
-    orders, customer, nation, region = _t(spark, sf, "orders", "customer",
-                                          "nation", "region")
-    return dwm.order_wide_stats(orders, customer, nation, region)
-
-
-def q_visitor_stats_window(spark, sf):
-    """Gates: A2/A3 tumbling event-time window with stt/edt stamps; the
-    streaming==batch anchor."""
-    (events,) = _t(spark, sf, "events")
-    return dws.visitor_stats_window(events)
-
-
-def q_event_stats_daily(spark, sf):
-    """Gates: P6/T2 sparse-projection union reduced in ONE shuffle (union
-    before groupBy)."""
-    (events,) = _t(spark, sf, "events")
-    return dws.event_stats_daily(events)
-
-
-def q_keyword_stats(spark, sf):
-    """Gates: U1 tokenizer explode feeding a count + top-N (UDTF-equivalent
-    in codegen)."""
-    (documents,) = _t(spark, sf, "documents")
-    return dws.keyword_stats(documents)
-
-
-def q_province_stats_sql(spark, sf):
-    """Gates: the pure spark.sql surface: tumble-analog group agg with
-    COUNT(DISTINCT) over joined views."""
-    orders, customer, nation = _t(spark, sf, "orders", "customer", "nation")
-    return dws.province_stats_sql(spark, orders, customer, nation)
-
-
-def q_unique_visitors_daily(spark, sf):
-    """Gates: O6 exact per-day distinct (the ValueState-dedup batch
-    oracle)."""
-    (events,) = _t(spark, sf, "events")
-    return dwm.unique_visitors_daily(events)
-
-
-def q_first_visits(spark, sf):
-    """Gates: O6 row-level first-event-per-(user,day) via ordered window
-    row_number."""
-    (events,) = _t(spark, sf, "events")
-    return dwm.first_visits(events)
-
-
-def q_is_new_repair(spark, sf):
-    """Gates: O5 flag repair: per-user min-day window comparison."""
-    (events,) = _t(spark, sf, "events")
-    return dwm.is_new_repair(events)
-
-
-def q_user_jump_stats(spark, sf):
-    """Gates: O4 bounce detection via lead() over user sessions (CEP
-    timeout path included)."""
-    (events,) = _t(spark, sf, "events")
-    return dwm.user_jump_stats(events)
-
-
-def q_click_purchase_join(spark, sf):
-    """Gates: J1 symmetric interval join (+/-5 s) as a range-predicate
-    equi-join."""
-    (events,) = _t(spark, sf, "events")
-    return dwm.click_purchase_join(events)
-
-
-def q_exact_dups(spark, sf):
-    """Gates: hash aggregation on an md5 content fingerprint (16-byte group
-    key, not raw text)."""
-    (documents,) = _t(spark, sf, "documents")
-    return dedup.exact_dups(documents)
-
-
-def q_minhash_signatures(spark, sf):
-    """Gates: explode-once MinHash: 2 md5s sliced 8 ways, one map-side-
-    combined shuffle."""
-    (documents,) = _t(spark, sf, "documents")
-    return dedup.minhash_signatures(documents)
-
-
-def q_minhash_band_pairs(spark, sf):
-    """Gates: LSH banding: per-band equi-join candidate generation
-    (bucketed, never all-pairs)."""
-    (documents,) = _t(spark, sf, "documents")
-    return dedup.minhash_band_pairs(documents)
-
-
-def q_minhash_jaccard_pairs(spark, sf):
-    """Gates: signature-estimated Jaccard scoring joined back onto LSH
-    candidates — near-dup scoring with NO re-read of the raw text (the
-    production scorer that replaces exact n-gram counting at scale)."""
-    (documents,) = _t(spark, sf, "documents")
-    return dedup.minhash_jaccard_pairs(documents)
-
-
-def q_ngram_jaccard_pairs(spark, sf):
-    """Gates: df-capped + per-doc-budgeted inverted-index self-join (join
-    volume linear in corpus; plan-pinned df filter)."""
-    (documents,) = _t(spark, sf, "documents")
-    return dedup.ngram_jaccard_pairs(documents)
-
-
-def q_token_stats(spark, sf):
-    """Gates: whitespace-split token counting via array sizes (split stays
-    in whole-stage codegen)."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.token_stats(documents)
-
-
-def q_cross_source_dup_matrix(spark, sf):
-    """Gates: per-fingerprint source-set aggregation + indexed-array
-    pair fan-out (|sources|² output, never a corpus self-join — the
-    oracle deliberately keeps the naive hashed self-join form) merged
-    with the banded-LSH cross-source candidate counts."""
-    (documents,) = _t(spark, sf, "documents")
-    out = dedup.cross_source_dup_matrix(documents)
-    out._banded_cache.unpersist()  # lazy: recompute-on-reuse
-    return out
-
-
-def q_dedup_threshold_calibration(spark, sf):
-    """Gates: 9-row match-level histogram on the capped-candidate
-    scorer (threshold-picking curve; cost == the scorer's)."""
-    (documents,) = _t(spark, sf, "documents")
-    out = dedup.dedup_threshold_calibration(documents)
-    out._sig_cache.unpersist()     # lazy: recompute-on-reuse
-    out._banded_cache.unpersist()
-    return out
-
-
-def q_near_dup_rate_by_source(spark, sf):
-    """Gates: per-source dup-permille over the online LSH marks
-    (which upstream feed to deprioritize)."""
-    (documents,) = _t(spark, sf, "documents")
-    out = dedup.near_dup_rate_by_source(documents)
-    out._banded_cache.unpersist()  # lazy: recompute-on-reuse
-    return out
-
-
-def q_script_mix_stats(spark, sf):
-    """Gates: per-source script composition (Han/Latin/digit/space/
-    other char classes), integer permilles, one scan + tiny agg."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.script_mix_stats(documents)
-
-
-def q_token_fertility_stats(spark, sf):
-    """Gates: tokenizer fertility per lang — engine (CJK-aware)
-    tokens vs plain whitespace split per 1000 chars."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.token_fertility_stats(documents)
-
-
-def q_quality_scores(spark, sf):
-    """Gates: per-doc array-statistic projections (TTR, stopword ratio)
-    with no shuffle."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.quality_scores(documents)
-
-
-def q_lang_id(spark, sf):
-    """Gates: n-gram-heuristic language id + label confusion counts."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.lang_id(documents)
-
-
-def q_fingerprints(spark, sf):
-    """Gates: deterministic rolling-hash document fingerprints (replayable
-    identity)."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.fingerprints(documents)
-
-
-def q_knn_bruteforce(spark, sf):
-    """Gates: broadcast query set against a corpus that never shuffles;
-    per-query window top-k."""
-    (embeddings,) = _t(spark, sf, "embeddings")
-    return similarity.knn_bruteforce(embeddings)
-
-
-def q_simhash_signatures(spark, sf):
-    """Gates: 60 conditional bit-vote sums recombined after one doc_id
-    shuffle."""
-    (documents,) = _t(spark, sf, "documents")
-    return dedup.simhash_signatures(documents)
-
-
-def q_label_centroid_similarity(spark, sf):
-    """Gates: posexplode centroid aggregation broadcast back over the
-    corpus."""
-    (embeddings,) = _t(spark, sf, "embeddings")
-    return similarity.label_centroid_similarity(embeddings)
-
-
-def q_ivf_ann(spark, sf):
-    """Gates: IVF probing: candidate scan restricted to assigned centroid
-    partitions."""
-    (embeddings,) = _t(spark, sf, "embeddings")
-    return similarity.ivf_ann(embeddings)
-
-
-def q_top_orders_per_segment(spark, sf):
-    """Gates: per-group top-N via row_number OVER partitioned window."""
-    customer, orders = _t(spark, sf, "customer", "orders")
-    return analytics.top_orders_per_segment(customer, orders)
-
-
-def q_gmv_daily_delta(spark, sf):
-    """Gates: lag + running-sum window chain over an aggregate
-    (delta/cumulative in one pass)."""
-    (orders,) = _t(spark, sf, "orders")
-    return analytics.gmv_daily_delta(orders)
-
-
-def q_sessionize(spark, sf):
-    """Gates: gap-based sessionization: lag + conditional cumulative sum."""
-    (events,) = _t(spark, sf, "events")
-    return analytics.sessionize(events)
-
-
-def q_priority_rollup(spark, sf):
-    """Gates: ROLLUP grouping sets with grouping-null semantics."""
-    (orders,) = _t(spark, sf, "orders")
-    return analytics.priority_rollup(orders)
-
-
-def q_revenue_forecast(spark, sf):
-    """Gates: predicate pushdown + column pruning reaching the parquet scan
-    (plan-pinned)."""
-    (lineitem,) = _t(spark, sf, "lineitem")
-    return analytics.revenue_forecast(lineitem)
-
-
-def q_customers_without_orders(spark, sf):
-    """Gates: left-anti join (NOT EXISTS shape)."""
-    customer, orders = _t(spark, sf, "customer", "orders")
-    return analytics.customers_without_orders(customer, orders)
-
-
-def q_media_text_alignment(spark, sf):
-    """Gates: CLIP-score-style image-text pair curation — Arrow-batched
-    stub media tower + JVM text tower, exact integer dot/norms, one
-    IEEE-identical micro rounding; the LAION/DataComp filter gate."""
-    (documents,) = _t(spark, sf, "documents")
-    return multimodal.media_text_alignment(documents)
-
-
-def q_media_features(spark, sf):
-    """Gates: Arrow-batched mapInPandas typed-metadata extraction over
-    binary media columns."""
-    (documents,) = _t(spark, sf, "documents")
-    return multimodal.media_features(documents)
-
-
-def q_embedding_dups_exhaustive(spark, sf):
-    """Gates: the exhaustive block² AUDIT form used to measure the LSH
-    path's recall on a sampled block; the default near-dup path is
-    `embedding_dups_lsh` (label × hyperplane bucket)."""
-    (embeddings,) = _t(spark, sf, "embeddings")
-    return similarity.embedding_dups_exhaustive(embeddings)
-
-
-def q_late_shipment_priority(spark, sf):
-    """Gates: EXISTS semi-join with date-interval arithmetic in the
-    predicate."""
-    orders, lineitem = _t(spark, sf, "orders", "lineitem")
-    return analytics.late_shipment_priority(orders, lineitem)
-
-
-def q_funnel_conversion(spark, sf):
-    """Gates: ordered 3-stage funnel: dependent min-ts joins with strict
-    event-time ordering."""
-    (events,) = _t(spark, sf, "events")
-    return analytics.funnel_conversion(events)
-
-
-def q_video_frame_samples(spark, sf):
-    """Gates: deterministic frame sampling via posexplode over per-row
-    frame counts."""
-    (documents,) = _t(spark, sf, "documents")
-    return multimodal.video_frame_samples(documents)
-
-
-def q_unique_visitors_daily_approx(spark, sf):
-    """Gates: HyperLogLog approx_count_distinct, graded as an accuracy
-    AUDIT — exact counters + an in-engine ~4σ within-band verdict on
-    the estimate, so the driver hash-checks it against a real SQL
-    oracle (round 7; previously rows-only). The raw estimate form
-    stays in SKETCH_ESTIMATE_QUERIES for the 3σ gate in
-    test_sketch_accuracy."""
-    (events,) = _t(spark, sf, "events")
-    return dwm.uv_accuracy_audit(events)
-
-
-def q_promo_revenue_share(spark, sf):
-    """Gates: conditional aggregation share-of-total (Q14 shape) in one
-    scan."""
-    lineitem, part = _t(spark, sf, "lineitem", "part")
-    return serving.promo_revenue_share(lineitem, part)
-
-
-def q_disjunctive_revenue(spark, sf):
-    """Gates: OR-of-conjunctions predicate (Q19) pushed into one scan."""
-    lineitem, part = _t(spark, sf, "lineitem", "part")
-    return serving.disjunctive_revenue(lineitem, part)
-
-
-def q_top_supplier_per_nation(spark, sf):
-    """Gates: per-group top-1 via window over a broadcast dim join."""
-    supplier, nation = _t(spark, sf, "supplier", "nation")
-    return serving.top_supplier_per_nation(supplier, nation)
-
-
-def q_quantization_error(spark, sf):
-    """Gates: per-element dequant fold with max_abs materialized ONCE
-    (plan-pinned against O(d^2) re-inlining)."""
-    (embeddings,) = _t(spark, sf, "embeddings")
-    return similarity.quantization_error(embeddings)
-
-
-def q_dedup_summary(spark, sf):
-    """Gates: LSH components to one left flag-join + aggregate; plan-pinned
-    NO forced broadcast (AQE decides)."""
-    (documents,) = _t(spark, sf, "documents")
-    return dedup.dedup_summary(documents)
-
-
-def q_native_session_windows(spark, sf):
-    """Gates: the native session_window() operator (gap-merged windows in
-    the engine)."""
-    (events,) = _t(spark, sf, "events")
-    return analytics.native_session_windows(events)
-
-
-def q_lsh_ann(spark, sf):
-    """Gates: hyperplane-sign bucket equi-join ANN (partition-pruning-ready
-    candidate generation)."""
-    (embeddings,) = _t(spark, sf, "embeddings")
-    return similarity.lsh_ann(embeddings)
-
-
-def q_bpe_token_stats(spark, sf):
-    """Gates: regexp_extract_all BPE-ish pre-tokenization (regex path, vs
-    token_stats' split path)."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.bpe_token_stats(documents)
-
-
-def q_doc_top_terms(spark, sf):
-    """Gates: per-doc top-k terms via window over exploded tokens."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.doc_top_terms(documents)
-
-
-def q_purchase_click_window_join(spark, sf):
-    """Gates: J2 asymmetric interval join (-15 min..0)."""
-    (events,) = _t(spark, sf, "events")
-    return dwm.purchase_click_window_join(events)
-
-
-def q_salted_brand_revenue(spark, sf):
-    """Gates: the explicit salted skew join — identical semantics to a
-    plain equi-join (the oracle is the plain join), so the skew
-    machinery itself sits behind the correctness gate."""
-    from ..operators.skew import salted_join
-
-    lineitem, part = _t(spark, sf, "lineitem", "part")
-    joined = salted_join(
-        lineitem.select("l_partkey", "l_extendedprice", "l_discount"),
-        part.select(F.col("p_partkey").alias("l_partkey"), "p_brand"),
-        "l_partkey")
-    revenue = (F.col("l_extendedprice").cast("decimal(18,2)")
-               * (F.lit(1).cast("decimal(18,2)")
-                  - F.col("l_discount").cast("decimal(18,2)")))
-    return (joined.groupBy("p_brand")
-            .agg(F.sum(revenue).cast("decimal(18,2)").alias("revenue"),
-                 F.count(F.lit(1)).alias("item_ct")))
-
-
-def q_media_resize(spark, sf):
-    """Gates: Arrow-batched mapInPandas resize plumbing (stubbed decode,
-    real batch shape)."""
-    (documents,) = _t(spark, sf, "documents")
-    return multimodal.media_resize(documents)
-
-
-def q_stratified_sample(spark, sf):
-    """Gates: per-stratum deterministic hash sampling (exact quotas,
-    replayable)."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.stratified_sample(documents)
-
-
-def q_doc_length_percentiles(spark, sf):
-    """Gates: per-source percentile aggregation over document lengths."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.doc_length_percentiles(documents)
-
-
-def q_price_tier_stats(spark, sf):
-    """Gates: literal interval table joined by BroadcastNestedLoopJoin
-    range predicate (plan-pinned)."""
-    (orders,) = _t(spark, sf, "orders")
-    return analytics.price_tier_stats(orders)
-
-
-def q_region_segment_cube(spark, sf):
-    """Gates: CUBE grouping sets over a dim chain."""
-    region, nation, customer, orders = _t(spark, sf, "region", "nation",
-                                          "customer", "orders")
-    return analytics.region_segment_cube(region, nation, customer, orders)
-
-
-def q_dup_clusters(spark, sf):
-    """Gates: connected components: bounded local union-find with
-    distributed min-label fallback."""
-    (documents,) = _t(spark, sf, "documents")
-    return dedup.dup_clusters(documents)
-
-
-def q_dedup_keep_best(spark, sf):
-    """Gates: argmax-per-group spanning a composed pipeline — window
-    top-1 by quality over the connected-components output joined to a
-    corpus projection (the actionable keep/drop form of dup_clusters)."""
-    (documents,) = _t(spark, sf, "documents")
-    return dedup.dedup_keep_best(documents)
-
-
-def q_purchase_attribution(spark, sf):
-    """Gates: as-of attribution join via union + carry-forward last-value
-    window (no range join)."""
-    (events,) = _t(spark, sf, "events")
-    return analytics.purchase_attribution(events)
-
-
-def q_hourly_activity_pivot(spark, sf):
-    """Gates: pivot() to 24 hour columns (wide aggregate)."""
-    (events,) = _t(spark, sf, "events")
-    return analytics.hourly_activity_pivot(events)
-
-
-def q_retention_cohorts(spark, sf):
-    """Gates: cohort self-join producing a day-offset retention matrix."""
-    (events,) = _t(spark, sf, "events")
-    return analytics.retention_cohorts(events)
-
-
-def q_norm_histogram(spark, sf):
-    """Gates: floor-bucketed double histogram combining count with
-    countDistinct."""
-    (embeddings,) = _t(spark, sf, "embeddings")
-    return similarity.norm_histogram(embeddings)
-
-
-def q_term_df_stats(spark, sf):
-    """Gates: corpus document-frequency distribution via exploded distinct
-    terms."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.term_df_stats(documents)
-
-
-def q_order_count_distribution(spark, sf):
-    """Gates: two-level aggregation: per-key counts re-aggregated into a
-    histogram."""
-    customer, orders = _t(spark, sf, "customer", "orders")
-    return analytics.order_count_distribution(customer, orders)
-
-
-def q_large_volume_customers(spark, sf):
-    """Gates: HAVING-filtered aggregate subquery joined back to facts (Q18
-    shape)."""
-    customer, orders, lineitem = _t(spark, sf, "customer", "orders",
-                                    "lineitem")
-    return analytics.large_volume_customers(customer, orders, lineitem)
-
-
-def q_bilateral_trade(spark, sf):
-    """Gates: the same dim table broadcast twice under different aliases
-    (customer and supplier nations)."""
-    nation, customer, supplier, orders, lineitem = _t(
-        spark, sf, "nation", "customer", "supplier", "orders", "lineitem")
-    return analytics.bilateral_trade(nation, customer, supplier, orders,
-                                     lineitem)
-
-
-def q_top_revenue_supplier(spark, sf):
-    """Gates: scalar-max aggregate subquery with an exact-decimal equality
-    join back (Q15 shape)."""
-    supplier, lineitem = _t(spark, sf, "supplier", "lineitem")
-    return analytics.top_revenue_supplier(supplier, lineitem)
-
-
-def q_small_qty_part_revenue(spark, sf):
-    """Gates: per-key scalar-average subquery join (Q17 shape)."""
-    part, lineitem = _t(spark, sf, "part", "lineitem")
-    return analytics.small_qty_part_revenue(part, lineitem)
-
-
-def q_high_balance_inactive_customers(spark, sf):
-    """Gates: anti-join plus global-average scalar filter (Q22 shape)."""
-    nation, customer, orders = _t(spark, sf, "nation", "customer",
-                                  "orders")
-    return analytics.high_balance_inactive_customers(nation, customer,
-                                                     orders)
-
-
-def q_nation_year_revenue(spark, sf):
-    """Gates: multi-dim chain with year extraction; plan-pinned double-
-    broadcast, no sort-merge."""
-    nation, supplier, orders, lineitem = _t(
-        spark, sf, "nation", "supplier", "orders", "lineitem")
-    return analytics.nation_year_revenue(nation, supplier, orders,
-                                         lineitem)
-
-
-def q_corpus_filter(spark, sf):
-    """Gates: multi-predicate quality filtering with per-source retention
-    stats."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.corpus_filter(documents)
-
-
-def q_train_val_split(spark, sf):
-    """Gates: content-hash modulo split (deterministic, replayable)."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.train_val_split(documents)
-
-
-def q_returnflag_priority_stats(spark, sf):
-    """Gates: fact-fact join aggregated along two independent dimensions."""
-    orders, lineitem = _t(spark, sf, "orders", "lineitem")
-    return analytics.returnflag_priority_stats(orders, lineitem)
-
-
-def q_part_supplier_variety(spark, sf):
-    """Gates: multi-column countDistinct across a three-way join."""
-    part, supplier, lineitem = _t(spark, sf, "part", "supplier", "lineitem")
-    return analytics.part_supplier_variety(part, supplier, lineitem)
-
-
-def q_sole_late_suppliers(spark, sf):
-    """Gates: EXISTS + NOT EXISTS pair (Q21 shape: semi and anti join on
-    the same fact)."""
-    supplier, orders, lineitem = _t(spark, sf, "supplier", "orders",
-                                    "lineitem")
-    return analytics.sole_late_suppliers(supplier, orders, lineitem)
-
-
-def q_grouping_sets_revenue(spark, sf):
-    """Gates: explicit GROUPING SETS with grouping_id disambiguation."""
-    (lineitem,) = _t(spark, sf, "lineitem")
-    return analytics.grouping_sets_revenue(lineitem)
-
-
-def q_returnflag_part_overlap(spark, sf):
-    """Gates: collect_set + array_intersect set overlap across groups."""
-    (lineitem,) = _t(spark, sf, "lineitem")
-    return analytics.returnflag_part_overlap(lineitem)
-
-
-
-def q_returned_item_customers(spark, sf):
-    """Gates: Q10 shape: filtered fact agg with dim chain and revenue
-    top-20."""
-    nation, customer, orders, lineitem = _t(spark, sf, "nation", "customer",
-                                            "orders", "lineitem")
-    return analytics.returned_item_customers(nation, customer, orders,
-                                             lineitem)
-
-
-def q_nation_market_share(spark, sf):
-    """Gates: share-of-total via conditional sum over a 6-table join (Q8
-    shape)."""
-    region, nation, customer, supplier, orders, lineitem = _t(
-        spark, sf, "region", "nation", "customer", "supplier", "orders",
-        "lineitem")
-    return analytics.nation_market_share(region, nation, customer, supplier,
-                                         orders, lineitem)
-
-
-
-def q_visitor_stats_sliding(spark, sf):
-    """Gates: hopping window planned as ONE Expand, no extra shuffle vs
-    tumbling (plan-pinned)."""
-    (events,) = _t(spark, sf, "events")
-    return dws.visitor_stats_sliding(events)
-
-
-def q_repetition_stats(spark, sf):
-    """Gates: Gopher-style repetition ratios: n-gram duplicate fractions
-    per doc."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.repetition_stats(documents)
-
-
-def q_tfidf_search(spark, sf):
-    """Gates: array-filter tf + 1-row broadcast idf + integer-scaled exact
-    top-k ranking (plan-pinned)."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.tfidf_search(documents)
-
-
-def q_simhash_band_pairs(spark, sf):
-    """Gates: 4x15-bit pigeonhole banding + exact bit_count hamming verify
-    (plan-pinned equi-join)."""
-    (documents,) = _t(spark, sf, "documents")
-    return dedup.simhash_band_pairs(documents)
-
-
-def q_contamination_check(spark, sf):
-    """Gates: static benchmark shingle index equi-joined against the corpus
-    (streaming form tested)."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.contamination_check(documents)
-
-
-def q_domain_quota_sample(spark, sf):
-    """Gates: per-source quota ranking with integer-only ordering (one
-    shuffle)."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.domain_quota_sample(documents)
-
-
-def q_sequence_packing(spark, sf):
-    """Gates: per-source prefix-sum chunk assignment (parallel per shard,
-    no global order)."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.sequence_packing(documents)
-
-
-def q_event_metrics_unpivot(spark, sf):
-    """Gates: stack() unpivot of a wide aggregate into (metric, value)
-    rows."""
-    (events,) = _t(spark, sf, "events")
-    return analytics.event_metrics_unpivot(events)
-
-
-def q_embedding_dups_lsh(spark, sf):
-    """Gates: THE default near-dup path (similarity.embedding_dups) —
-    banded hyperplane LSH inside label blocks, candidates deduped
-    across bands then scored once. Graded at threshold 0.35 so the
-    result is non-empty on the test corpus (no cos≥0.9 pairs exist in
-    it); the operator's default is the 0.9 near-dup regime, whose
-    recall the synthetic audit test pins."""
-    (embeddings,) = _t(spark, sf, "embeddings")
-    return similarity.embedding_dups(embeddings, threshold=0.35)
-
-
-def q_customer_value_quartiles(spark, sf):
-    """Gates: NTILE(4) quartile assignment over an aggregate."""
-    customer, orders = _t(spark, sf, "customer", "orders")
-    return analytics.customer_value_quartiles(customer, orders)
-
-
-def q_uv_sketch_rollup(spark, sf):
-    """Gates: HLL sketch union rollup as a window over daily sketches
-    (single events scan, plan-pinned) — graded as an accuracy AUDIT
-    (round 8: exact day/month distinct counters + in-band verdicts
-    against a real oracle; previously rows-only). Estimate form stays
-    in SKETCH_ESTIMATE_QUERIES for the 3σ gate and the plan pin."""
-    (events,) = _t(spark, sf, "events")
-    return dwm.uv_rollup_accuracy_audit(events)
-
-
-def q_pii_redaction(spark, sf):
-    """Gates: regexp_extract_all / chained regexp_replace in the scan
-    projection (the PII-scrubbing pass; Java-regex/RE2-common dialect,
-    deterministically planted PII so counts are nonzero)."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.pii_redaction(documents)
-
-
-def q_doc_chunks(spark, sf):
-    """Gates: lateral sequence()+posexplode+slice fan-out computed
-    entirely in the scan (overlapping training-window chunking, zero
-    shuffles)."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.doc_chunks(documents)
-
-
-def q_kmeans_clusters(spark, sf):
-    """Gates: driver-coordinated iterative algorithm (Lloyd's k-means,
-    SemDedup clustering stage) made bit-exact across engines: zero-
-    shuffle literal-centroid assignment + exact fixed-point integer
-    centroid recomputation, vs the oracle's fully-unrolled SQL
-    iterations."""
-    (embeddings,) = _t(spark, sf, "embeddings")
-    out = similarity.kmeans_clusters(embeddings, memo_key=_emb_key(sf))
-    out._kmeans_cache.unpersist()  # lazy: recompute-on-reuse
-    return out
-
-
-def q_semdedup_prune(spark, sf):
-    """Gates: the SemDedup end product — banded LSH near-dup pairs
-    inside LEARNED k-means blocks (no label column), the composition
-    of the iterative clustering and the banded candidate generation
-    under one exact oracle. Threshold 0.35 so the test corpus yields
-    pairs (no cos≥0.9 pairs exist in it)."""
-    (embeddings,) = _t(spark, sf, "embeddings")
-    out = similarity.semdedup_prune(embeddings, threshold=0.35,
-                                    memo_key=_emb_key(sf))
-    out._kmeans_cache.unpersist()
-    for c in out._emb_cache:
-        c.unpersist()  # lazy: recompute-on-reuse
-    return out
-
-
-def q_doc_length_percentiles_approx(spark, sf):
-    """Gates: mergeable quantile sketch (percentile_approx / GK) — the
-    no-global-sort scale path of the length profile — graded as an
-    accuracy AUDIT (round 8: exact integer-rank percentiles +
-    in-band verdicts, hash-checked; previously rows-only). Estimate
-    form stays in SKETCH_ESTIMATE_QUERIES for the 3σ gate."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.doc_length_percentile_audit(documents)
-
-
-def q_editdist_verified_pairs(spark, sf):
-    """Gates: exact Levenshtein verification of LSH candidates (the
-    verify pass of a near-dup pipeline) — candidate-bounded O(len²)
-    scoring, integer-exact across engines."""
-    (documents,) = _t(spark, sf, "documents")
-    out = dedup.editdist_verified_pairs(documents)
-    out._banded_cache.unpersist()  # lazy: recompute-on-reuse
-    out._norm_cache.unpersist()
-    return out
-
-
-def q_segment_dedup(spark, sf):
-    """Gates: corpus-wide first-occurrence ranking (row_number over
-    segment-hash groups) + position-ordered document reconstruction
-    via array_sort(collect_list(struct)) — the C4-style paragraph
-    dedup that actually rewrites documents."""
-    (documents,) = _t(spark, sf, "documents")
-    return dedup.segment_dedup(documents)
-
-
-def q_duplicate_spans(spark, sf):
-    """Gates: substring-level dedup (strided char-window fan-out in
-    the scan projection + distinct-doc df filter + linear mark-join) —
-    the suffix-array-style shared-text audit MinHash can't see."""
-    (documents,) = _t(spark, sf, "documents")
-    return dedup.duplicate_spans(documents)
-
-
-def q_mixture_plan(spark, sf):
-    """Gates: temperature-based source mixture allocation — integer
-    DIV arithmetic on a broadcast 1-row total over per-source
-    aggregates; the data-mixing planner of a pretraining run."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.mixture_plan(documents)
-
-
-def q_pq_codebook_audit(spark, sf):
-    """Gates: product-quantization codebook learning + exact integer
-    reconstruction-error audit — m independent fixed-point k-means
-    runs (zero-shuffle assignment, exact centroid sums) under one
-    fully-unrolled SQL oracle."""
-    (embeddings,) = _t(spark, sf, "embeddings")
-    out = similarity.pq_codebook_audit(embeddings,
-                                       memo_key=_emb_key(sf))
-    for c in out._pq_caches:   # lazy: recompute-on-reuse
-        c.unpersist()
-    return out
-
-
-def q_training_shard_plan(spark, sf):
-    """Gates: content-hash shard assignment + balance audit (integer
-    skew permille vs ideal share) — the pre-flight of the final
-    training-shard write."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.training_shard_plan(documents)
-
-
-def q_ann_recall(spark, sf):
-    """Gates: in-engine ANN recall@3 audit — exact top-k vs LSH
-    bucket probe composed under one left join + integer permille;
-    the index-quality measurement run before trusting an ANN path."""
-    (embeddings,) = _t(spark, sf, "embeddings")
-    return similarity.ann_recall(embeddings)
-
-
-def q_quality_weighted_sample(spark, sf):
-    """Gates: deterministic score-proportional sampling via portable
-    md5+ascii uniform decode — zero-shuffle scan projection + filter
-    (vs corpus_filter's hard threshold / stratified_sample's fixed
-    rate)."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.quality_weighted_sample(documents)
-
-
-def q_heavy_hitter_terms(spark, sf):
-    """Gates: per-partition Misra-Gries sketch (mapInPandas) feeding an
-    EXACT broadcast-semi-join recount — shuffle volume O(candidates),
-    never O(vocabulary); the sketch only bounds what gets recounted,
-    so the result stays oracle-exact."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.heavy_hitter_terms(documents)
-
-
-def q_unigram_lm_scores(spark, sf):
-    """Gates: self-trained unigram LM perplexity scoring (CCNet-style
-    quality filter) — vocab-bounded global rank + broadcast log-prob
-    table + integer-exact per-doc sums (one fixed-point rounding per
-    VOCAB term, zero float accumulation)."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.unigram_lm_scores(documents)
-
-
-def q_perplexity_buckets(spark, sf):
-    """Gates: CCNet head/middle/tail tier split — integer fixed-point
-    average-log-prob ranking (positive-shifted numerator so DIV==//),
-    per-language exact tercile via one window pass, bucket sizes
-    balanced within one by the (3·(rank−1)) DIV n formula."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.perplexity_buckets(documents)
-
-
-def q_bpe_merge_candidates(spark, sf):
-    """Gates: BPE tokenizer-training iteration 1 — corpus collapsed to a
-    weighted word-frequency table before the pair fan-out, so merge
-    statistics cost O(vocab), not O(corpus)."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.bpe_merge_candidates(documents)
-
-
-def q_bpe_merges(spark, sf):
-    """Gates: the FULL iterative BPE trainer (Sennrich 2016) — N
-    rounds of vocab-level pair count -> integer-exact argmax (1-row
-    collect, the k-means-centroid precedent) -> literal-replace
-    merge, persisted per round; corpus touched exactly once. The
-    oracle unrolls the identical N rounds as materialized CTEs."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.bpe_merges(documents)
-
-
-def q_bpe_encode_stats(spark, sf):
-    """Gates: corpus encoding under the learned BPE vocabulary —
-    per-doc token vs symbol counts via ONE broadcast join of the
-    word -> symbol-count map onto the token fan-out; the corpus is
-    never re-segmented row by row."""
-    (documents,) = _t(spark, sf, "documents")
-    out = textstats.bpe_encode_stats(documents)
-    if out._bpe_cache is not None:  # distributed-path persist only
-        out._bpe_cache.unpersist()  # lazy: recompute-on-reuse
-    return out
-
-
-def q_dsir_weights(spark, sf):
-    """Gates: DSIR importance resampling (Xie 2023) — target/raw
-    hashed-unigram LM log-ratio per doc; O(dim) bucket table broadcast
-    both ways, integer-exact per-doc sums."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.dsir_importance_weights(documents)
-
-
-def q_snapshot_diff(spark, sf):
-    """Gates: CDC snapshot reconciliation — full-outer sort-merge join of
-    (pk, md5 row digest) scan projections; classifies insert/delete/
-    update with a single digest compare per pk regardless of table
-    width. Synthetic versions carved deterministically from orders
-    (v1 drops key%7==0, v2 drops key%11==0 and rewrites status on
-    key%5==0)."""
-    (orders,) = _t(spark, sf, "orders")
-    cols = ["o_custkey", "o_orderstatus", "o_totalprice",
-            "o_orderdate", "o_orderpriority"]
-    old = orders.filter(F.col("o_orderkey") % 7 != 0)
-    new = (orders.filter(F.col("o_orderkey") % 11 != 0)
-           .withColumn("o_orderstatus",
-                       F.when(F.col("o_orderkey") % 5 == 0, F.lit("X"))
-                       .otherwise(F.col("o_orderstatus"))))
-    return analytics.snapshot_diff(old, new, "o_orderkey", cols)
-
-
-def q_minhash_dedup_marks(spark, sf):
-    """Gates: the online-ingestion dedup DECISION (bucket-first ranking,
-    O(corpus) output on any duplication level) vs the pair-enumeration
-    family; batch oracle of streaming/jobs.minhash_dedup_stream."""
-    (documents,) = _t(spark, sf, "documents")
-    out = dedup.minhash_dedup_marks(documents)
-    out._banded_cache.unpersist()  # lazy: recompute-on-reuse
-    return out
-
-
-def q_daily_value_zscores(spark, sf):
-    """Gates: BOUNDED trailing window frame (rowsBetween(-7,-1) — vs the
-    unbounded-preceding running family) computing drift z-scores from
-    exact integer-cents frame sums; the warehouse load-monitoring
-    query."""
-    (events,) = _t(spark, sf, "events")
-    return analytics.daily_value_zscores(events)
-
-
-def q_frame_dedup(spark, sf):
-    """Gates: multimodal DEDUP composition — frame-level content hashes
-    computed inside the Arrow mapInPandas fan-out, aggregated by hash
-    (planted re-uploads make the duplicate path nonzero; oracle
-    mirrors the byte-slice hashing with substr+md5)."""
-    (documents,) = _t(spark, sf, "documents")
-    return multimodal.frame_dedup(documents)
-
-
-def q_ivfpq_ann(spark, sf):
-    """Gates: the composed production ANN index — learned coarse
-    quantizer (inverted lists) + PQ codebooks + asymmetric integer
-    ADC ranking inside the probed partition, all under ONE fully-
-    unrolled bit-exact SQL oracle (kmeans chain ∘ m PQ chains ∘
-    ranked distance sum)."""
-    (embeddings,) = _t(spark, sf, "embeddings")
-    out = similarity.ivfpq_ann(embeddings, memo_key=_emb_key(sf))
-    for c in out._ivfpq_caches:  # lazy: recompute-on-reuse
-        c.unpersist()
-    return out
-
-
-def q_ivfpq_recall(spark, sf):
-    """Gates: IVF-PQ quality-loss audit — recall@3 of the compressed
-    index vs exact top-k, integer permille (the PQ counterpart of
-    ann_recall's LSH audit)."""
-    (embeddings,) = _t(spark, sf, "embeddings")
-    out = similarity.ivfpq_recall(embeddings, memo_key=_emb_key(sf))
-    for c in out._ivfpq_caches:  # lazy: recompute-on-reuse
-        c.unpersist()
-    return out
-
-
-def q_regional_part_gap(spark, sf):
-    """Gates: SQL set difference (EXCEPT DISTINCT / subtract) over
-    distinct-key sides — the set-operator plan family, complementing
-    array_intersect (returnflag_part_overlap) and left-anti
-    (customers_without_orders)."""
-    lineitem, supplier, nation, region = _t(
-        spark, sf, "lineitem", "supplier", "nation", "region")
-    return serving.regional_part_gap(lineitem, supplier, nation, region)
-
-
-def q_padding_waste_audit(spark, sf):
-    """Gates: fixed-size batch grouping via global row_number DIV B
-    under two orderings (arrival vs length-sorted) — the padding-
-    efficiency measurement behind length-bucketed batching."""
-    (documents,) = _t(spark, sf, "documents")
-    out = textstats.padding_waste_audit(documents)
-    for c in out._ordinal_caches:  # lazy: recompute-on-reuse
-        c.unpersist()
-    return out
-
-
-def q_bigram_lm_scores(spark, sf):
-    """Gates: conditional-probability scoring — bigram table with
-    interpolated unigram backoff (sparse observed-bigram join, one
-    fixed-point rounding per distinct transition, integer-exact
-    per-doc sums)."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.bigram_lm_scores(documents)
-
-
-def q_langid_trigram(spark, sf):
-    """Gates: trained classifier scoring in-engine — char-trigram
-    naive-Bayes language ID (smoothed per-language profiles, pivot-free
-    matched+floor scoring, integer argmax) vs lang_id's heuristic."""
-    (documents,) = _t(spark, sf, "documents")
-    out = textstats.langid_trigram_confusion(documents)
-    # leak convention: no pinned corpus-sized cache may outlive the
-    # wrapper. The operator has no internal action, so this dead
-    # cache costs one extra (parallel, spread) trigram fan-out at
-    # collect time — accepted; library callers wanting the single
-    # fan-out hold _tri_cache live across their action instead.
-    out._tri_cache.unpersist()
-    return out
-
-
-def q_data_quality_report(spark, sf):
-    """Gates: declarative data-quality expectations (Deequ-style)
-    compiled into ONE conditional-aggregation pass — not-null /
-    uniqueness / range / accepted-values metrics in integer permille
-    with pass flags."""
-    (orders,) = _t(spark, sf, "orders")
-    rules = [
-        {"name": "custkey_not_null", "kind": "not_null",
-         "column": "o_custkey", "min_permille": 999},
-        {"name": "orderkey_unique", "kind": "unique",
-         "column": "o_orderkey", "min_permille": 1000},
-        {"name": "totalprice_positive", "kind": "range",
-         "column": "o_totalprice", "lo": 0, "min_permille": 1000},
-        {"name": "status_accepted", "kind": "accepted_values",
-         "column": "o_orderstatus", "values": ["O", "F", "P"],
-         "min_permille": 1000},
-        {"name": "priority_format", "kind": "matches_regex",
-         "column": "o_orderpriority", "pattern": "^[1-5]-[A-Z ]+$",
-         "min_permille": 1000},
-    ]
-    return expectations.validate(orders, rules)
-
-
-def q_source_quality_report(spark, sf):
-    """Gates: PER-GROUP expectations — the rule grid keyed by source in
-    one grouped conditional-aggregation pass (catches a single bad
-    source a table-level gate averages away)."""
-    (documents,) = _t(spark, sf, "documents")
-    rules = [
-        {"name": "text_not_null", "kind": "not_null",
-         "column": "text", "min_permille": 1000},
-        {"name": "chars_in_range", "kind": "range", "column": "n_chars",
-         "lo": 1, "hi": 100000, "min_permille": 900},
-        {"name": "doc_id_unique", "kind": "unique",
-         "column": "doc_id", "min_permille": 1000},
-    ]
-    return expectations.validate_by(documents, "source", rules)
-
-
-def q_dedup_provenance(spark, sf):
-    """Gates: dedup provenance attribution — the (dup_source,
-    orig_source) matrix over the online marks; off-diagonal mass is
-    cross-source mirroring, the feed-level curation signal the
-    pairwise counts hide."""
-    (documents,) = _t(spark, sf, "documents")
-    out = dedup.dedup_provenance(documents)
-    out._banded_cache.unpersist()  # lazy: recompute-on-reuse
-    return out
-
-
-def q_split_leakage_check(spark, sf):
-    """Gates: split hygiene — near-dup leakage ACROSS the content-hash
-    train/val split via a bucket semi-join (no pair enumeration); the
-    in-corpus counterpart of benchmark decontamination."""
-    (documents,) = _t(spark, sf, "documents")
-    out = dedup.split_leakage_check(documents)
-    out._banded_cache.unpersist()  # lazy: recompute-on-reuse
-    return out
-
-
-def q_corpus_funnel(spark, sf):
-    """Gates: the pipeline END PRODUCT — cumulative multi-gate attrition
-    (lang → length → quality → MinHash dedup) as ONE conditional
-    aggregation over one corpus scan + the dedup-marks branch; no
-    per-stage re-scans."""
-    (documents,) = _t(spark, sf, "documents")
-    out = textstats.corpus_funnel(documents)
-    out._banded_cache.unpersist()  # lazy: recompute-on-reuse
-    return out
-
-
-def q_contrastive_pairs(spark, sf):
-    """Gates: contrastive-pair mining — hard negatives AND hard
-    positives from ONE broadcast-scored corpus scan via a single
-    window with a sign-flipped sort key per kind (no second scan, no
-    second window pass)."""
-    (embeddings,) = _t(spark, sf, "embeddings")
-    return similarity.contrastive_pairs(embeddings)
-
-
-def q_hashed_classifier_scores(spark, sf):
-    """Gates: model-based quality filtering — hashed bag-of-words linear
-    classifier (scan-side md5 feature hashing, broadcast dim-row weight
-    table, integer logit sum; the external-decision-boundary complement
-    of the self-trained LM scorers)."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.hashed_classifier_scores(documents)
-
-
-def q_incremental_dedup(spark, sf):
-    """Gates: cross-snapshot novelty gate (the daily-ingest decision) —
-    exact-fingerprint + LSH-band collision of an incoming batch
-    against the existing corpus; joins unhinted so AQE broadcasts the
-    batch side only when it measures small, and the snapshot
-    signatures are semi-filtered to the matched set before the
-    agreement audit. Batch = doc_id % 10 == 7 (a deterministic
-    'today's crawl' slice), snapshot = the rest."""
-    (documents,) = _t(spark, sf, "documents")
-    batch = documents.filter(F.col("doc_id") % 10 == 7)
-    snap = documents.filter(F.col("doc_id") % 10 != 7)
-    out = dedup.incremental_dedup(snap, batch)
-    for c in out._inc_caches:  # lazy: recompute-on-reuse
-        c.unpersist()
-    return out
-
-
-_DRIFT_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
-               "o_totalprice", "o_orderdate", "o_orderpriority")
-
-
-def q_profile_drift(spark, sf):
-    """Gates: snapshot profile monitoring — stack-based unpivot
-    profiling (one scan projection per side, NOT the k-way expand a
-    multi-count-distinct plans), one (col, val)-keyed partial/final
-    aggregation per side, k-row diff join with integer deltas. Old
-    snapshot = orders minus the o_orderkey % 17 == 5 slice."""
-    (orders,) = _t(spark, sf, "orders")
-    old = orders.filter(F.col("o_orderkey") % 17 != 5)
-    return expectations.profile_drift(old, orders, list(_DRIFT_COLS))
-
-
-_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
-
-
-def q_profile_sketch_report(spark, sf):
-    """Gates: MERGEABLE column profiling — exact additive counters +
-    per-column HLL sketches (stack unpivot, one grouped sketch agg),
-    the no-distinct-shuffle monitoring substrate whose shard/stream
-    merges equal the single-pass profile exactly. Rows-only at the
-    driver (sketch estimates); 3σ accuracy gate in SKETCH_GATES /
-    tests/test_sketch_accuracy.py; streaming merge pinned in
-    tests/test_streaming.py (exact counters, sparse-mode sketches
-    bit-exact, dense estimates banded). Round 7: graded as an accuracy
-    AUDIT — exact counters + exact distinct + ~5σ in-band verdict,
-    hash-checked against a SQL oracle (previously rows-only); the
-    estimate form stays in SKETCH_ESTIMATE_QUERIES."""
-    (documents,) = _t(spark, sf, "documents")
-    return expectations.profile_accuracy_audit(
-        documents, list(_PROFILE_COLS))
-
-
-def q_winsorized_price_stats(spark, sf):
-    """Gates: winsorized robust statistics — exact DISCRETE quantile
-    thresholds via integer rank arithmetic inside one per-group
-    window-sort pass, broadcast back onto a clamped int64
-    aggregation (greatest/least); the outlier-clipping stage of a
-    metrics pipeline, bit-exact end to end."""
-    (orders,) = _t(spark, sf, "orders")
-    return analytics.winsorized_price_stats(orders)
-
-
-_RI_RELATIONS = [
-    ("lineitem", "l_orderkey", "orders", "o_orderkey",
-     "lineitem->orders"),
-    ("orders", "o_custkey", "customer", "c_custkey",
-     "orders->customer"),
-    ("customer", "c_nationkey", "nation", "n_nationkey",
-     "customer->nation"),
-    ("lineitem", "l_partkey", "part", "p_partkey", "lineitem->part"),
-    ("lineitem", "l_suppkey", "supplier", "s_suppkey",
-     "lineitem->supplier"),
-    ("events", "user_id", "customer", "c_custkey", "events->customer"),
-]
-
-
-def q_referential_integrity(spark, sf):
-    """Gates: cross-table referential-integrity report — each
-    relationship reduces the child to a map-side (fk, count)
-    aggregate before the keys-only parent join (never raw fact rows);
-    null-FK vs orphan split, integer permille resolution."""
-    tables = {}
-    for child, fk, parent, pk, name in _RI_RELATIONS:
-        for t in (child, parent):
-            if t not in tables:
-                (tables[t],) = _t(spark, sf, t)
-    rels = [(tables[c], fk, tables[p], pk, name)
-            for c, fk, p, pk, name in _RI_RELATIONS]
-    return expectations.referential_integrity_audit(rels)
-
-
-def q_rfm_segments(spark, sf):
-    """Gates: three-axis exact-quartile segmentation — orders reduced
-    once to a per-customer aggregate; the rank windows sort that
-    aggregate, never raw orders; integer rank-quartile formula, no
-    percentile interpolation."""
-    (orders,) = _t(spark, sf, "orders")
-    return analytics.rfm_segments(orders)
-
-
-def q_linear_attribution(spark, sf):
-    """Gates: multi-touch attribution — REVERSE-order union + carry-
-    forward merge (one user-keyed shuffle, single-row state; no
-    view×purchase pair join), equal-split integer permille credit
-    per purchase."""
-    (events,) = _t(spark, sf, "events")
-    return analytics.linear_attribution(events)
-
-
-def q_session_path_ngrams(spark, sf):
-    """Gates: order-preserving path mining — session ids from one
-    user-keyed window shuffle, per-session array shingles (fan-out
-    bounded by session length, no self-join), map-side path counts,
-    top-k heap."""
-    (events,) = _t(spark, sf, "events")
-    return analytics.session_path_ngrams(events)
-
-
-def q_scd2_dim_join(spark, sf):
-    """Gates: effective-dated SCD2 enrichment — union + carry-forward
-    window (ONE order-keyed shuffle, linear whatever the per-key
-    version count; the inequality-join form the oracle uses grows
-    with versions·facts), pre-first-version facts kept as their own
-    category, floor-cents decimal revenue."""
-    orders, lineitem = _t(spark, sf, "orders", "lineitem")
-    return analytics.scd2_dim_join(orders, lineitem)
-
-
-def q_trade_pagerank(spark, sf):
-    """Gates: iterative graph analytics on a schema-bounded edge list
-    — one fact scan builds the <=|nations|^2 weighted graph
-    (broadcast dim chain), collected once (dup_clusters/BPE bounded-
-    collect precedent) for the exact integer driver-side rank
-    recurrence; unrolled-CTE oracle."""
-    tabs = _t(spark, sf, "nation", "customer", "supplier", "orders",
-              "lineitem")
-    return analytics.trade_pagerank(*tabs)
-
-
-def q_part_cooccurrence(spark, sf):
-    """Gates: basket co-occurrence without a fact self-join — per-
-    order part arrays with a |basket|²-bounded pair fan-out, map-side
-    pair counts, lift joined only AFTER the top-k heap with the k-row
-    side broadcast."""
-    (lineitem,) = _t(spark, sf, "lineitem")
-    out = analytics.part_cooccurrence(lineitem)
-    out._baskets_cache.unpersist()  # lazy: recompute-on-reuse
-    return out
-
-
-def q_gap_fill_daily(spark, sf):
-    """Gates: dense calendar spine + LOCF regularization — corpus
-    collapsed to a (type, day) aggregate before any window; spine is
-    |types|·|days| rows off a broadcast 1-row extent; integer counts
-    and gap flags end to end."""
-    (events,) = _t(spark, sf, "events")
-    return analytics.gap_fill_daily(events)
-
-
-def q_zorder_stats(spark, sf):
-    """Gates: Morton-curve layout audit — integer grid scaling over a
-    broadcast 1-row extrema frame, pure shift/mask interleave, fixed
-    -stride code buckets, per-bucket min/max envelopes + 2-D probe
-    pruning flags; the measurable form of OPTIMIZE ZORDER."""
-    (orders,) = _t(spark, sf, "orders")
-    return bucketing.zorder_stats(orders)
-
-
-def q_rolling_active_users_approx(spark, sf):
-    """Gates: sliding-window distinct at 1e9-user scale — per-day HLL
-    sketches unioned over a RANGE window (interval N−1 days), O(days)
-    sketch rows after one corpus pass — graded as an accuracy AUDIT
-    against the exact contribution expansion (round 7: exact counters
-    + ~5σ in-band verdicts, hash-checked; previously rows-only). The
-    estimate form stays in SKETCH_ESTIMATE_QUERIES for the 3σ gate in
-    test_sketch_accuracy and the plan pin in test_plans."""
-    (events,) = _t(spark, sf, "events")
-    return dwm.rolling_uv_accuracy_audit(events)
-
-
-def q_rolling_active_users(spark, sf):
-    """Gates: exact sliding-window distinct (7-day rolling actives) —
-    contribution expansion instead of per-day user-set state: two
-    linear·N map-side-combined shuffles, trailing open windows
-    trimmed, integer DAU/WAU stickiness."""
-    (events,) = _t(spark, sf, "events")
-    return analytics.rolling_active_users(events)
-
-
-def q_key_skew_audit(spark, sf):
-    """Gates: pre-shuffle key-skew diagnostics — one map-side-combined
-    per-key count reduces the corpus to a |keys|-row aggregate; exact
-    discrete quantiles rank that aggregate (never the corpus); heavy
-    keys come off a TakeOrderedAndProject heap with the 1-row global
-    stats broadcast back on."""
-    (lineitem,) = _t(spark, sf, "lineitem")
-    out = analytics.key_skew_audit(lineitem, "l_suppkey")
-    out._counts_cache.unpersist()  # lazy: recompute-on-reuse
-    return out
-
-
-def q_event_transitions(spark, sf):
-    """Gates: first-order Markov transition matrix — single user-keyed
-    lag window (one-row state per user), map-side-combined |types|²
-    aggregation, integer permille shares via DIV over the aggregate's
-    own window."""
-    (events,) = _t(spark, sf, "events")
-    return analytics.event_transitions(events)
-
-
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "pricing_summary": q_pricing_summary,
-    "segment_revenue": q_segment_revenue,
-    "region_revenue": q_region_revenue,
-    "top_brands": q_top_brands,
-    "gmv_daily": q_gmv_daily,
-    "props_stats": q_props_stats,
-    "order_wide_stats": q_order_wide_stats,
-    "visitor_stats_window": q_visitor_stats_window,
-    "event_stats_daily": q_event_stats_daily,
-    "keyword_stats": q_keyword_stats,
-    "province_stats_sql": q_province_stats_sql,
-    "unique_visitors_daily": q_unique_visitors_daily,
-    "first_visits": q_first_visits,
-    "is_new_repair": q_is_new_repair,
-    "user_jump_stats": q_user_jump_stats,
-    "click_purchase_join": q_click_purchase_join,
-    "exact_dups": q_exact_dups,
-    "minhash_signatures": q_minhash_signatures,
-    "minhash_band_pairs": q_minhash_band_pairs,
-    "minhash_jaccard_pairs": q_minhash_jaccard_pairs,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "token_stats": q_token_stats,
-    "script_mix_stats": q_script_mix_stats,
-    "token_fertility_stats": q_token_fertility_stats,
-    "cross_source_dup_matrix": q_cross_source_dup_matrix,
-    "dedup_threshold_calibration": q_dedup_threshold_calibration,
-    "near_dup_rate_by_source": q_near_dup_rate_by_source,
-    "quality_scores": q_quality_scores,
-    "lang_id": q_lang_id,
-    "fingerprints": q_fingerprints,
-    "knn_bruteforce": q_knn_bruteforce,
-    "simhash_signatures": q_simhash_signatures,
-    "label_centroid_similarity": q_label_centroid_similarity,
-    "ivf_ann": q_ivf_ann,
-    "top_orders_per_segment": q_top_orders_per_segment,
-    "gmv_daily_delta": q_gmv_daily_delta,
-    "sessionize": q_sessionize,
-    "priority_rollup": q_priority_rollup,
-    "revenue_forecast": q_revenue_forecast,
-    "customers_without_orders": q_customers_without_orders,
-    "media_features": q_media_features,
-    "embedding_dups_exhaustive": q_embedding_dups_exhaustive,
-    "late_shipment_priority": q_late_shipment_priority,
-    "funnel_conversion": q_funnel_conversion,
-    "video_frame_samples": q_video_frame_samples,
-    # no oracle entry: HLL estimate is algorithm-specific (rows-only check)
-    "unique_visitors_daily_approx": q_unique_visitors_daily_approx,
-    "promo_revenue_share": q_promo_revenue_share,
-    "disjunctive_revenue": q_disjunctive_revenue,
-    "top_supplier_per_nation": q_top_supplier_per_nation,
-    "corpus_filter": q_corpus_filter,
-    "train_val_split": q_train_val_split,
-    "order_count_distribution": q_order_count_distribution,
-    "large_volume_customers": q_large_volume_customers,
-    "bilateral_trade": q_bilateral_trade,
-    "top_revenue_supplier": q_top_revenue_supplier,
-    "small_qty_part_revenue": q_small_qty_part_revenue,
-    "high_balance_inactive_customers": q_high_balance_inactive_customers,
-    "nation_year_revenue": q_nation_year_revenue,
-    "dup_clusters": q_dup_clusters,
-    "dedup_keep_best": q_dedup_keep_best,
-    "purchase_attribution": q_purchase_attribution,
-    "price_tier_stats": q_price_tier_stats,
-    "region_segment_cube": q_region_segment_cube,
-    "stratified_sample": q_stratified_sample,
-    "doc_length_percentiles": q_doc_length_percentiles,
-    "media_resize": q_media_resize,
-    "salted_brand_revenue": q_salted_brand_revenue,
-    "purchase_click_window_join": q_purchase_click_window_join,
-    "hourly_activity_pivot": q_hourly_activity_pivot,
-    "retention_cohorts": q_retention_cohorts,
-    "norm_histogram": q_norm_histogram,
-    "term_df_stats": q_term_df_stats,
-    "doc_top_terms": q_doc_top_terms,
-    "bpe_token_stats": q_bpe_token_stats,
-    "lsh_ann": q_lsh_ann,
-    "native_session_windows": q_native_session_windows,
-    "dedup_summary": q_dedup_summary,
-    "quantization_error": q_quantization_error,
-    "returnflag_priority_stats": q_returnflag_priority_stats,
-    "part_supplier_variety": q_part_supplier_variety,
-    "sole_late_suppliers": q_sole_late_suppliers,
-    "grouping_sets_revenue": q_grouping_sets_revenue,
-    "returnflag_part_overlap": q_returnflag_part_overlap,
-    "returned_item_customers": q_returned_item_customers,
-    "nation_market_share": q_nation_market_share,
-    "visitor_stats_sliding": q_visitor_stats_sliding,
-    "repetition_stats": q_repetition_stats,
-    "tfidf_search": q_tfidf_search,
-    "simhash_band_pairs": q_simhash_band_pairs,
-    "contamination_check": q_contamination_check,
-    "domain_quota_sample": q_domain_quota_sample,
-    "sequence_packing": q_sequence_packing,
-    "event_metrics_unpivot": q_event_metrics_unpivot,
-    "embedding_dups_lsh": q_embedding_dups_lsh,
-    "customer_value_quartiles": q_customer_value_quartiles,
-    # no oracle entry: HLL sketch encodings are algorithm-specific
-    # (rows-only check, like unique_visitors_daily_approx)
-    "uv_sketch_rollup": q_uv_sketch_rollup,
-    "pii_redaction": q_pii_redaction,
-    "doc_chunks": q_doc_chunks,
-    "segment_dedup": q_segment_dedup,
-    "kmeans_clusters": q_kmeans_clusters,
-    "semdedup_prune": q_semdedup_prune,
-    "editdist_verified_pairs": q_editdist_verified_pairs,
-    "doc_length_percentiles_approx": q_doc_length_percentiles_approx,
-    "duplicate_spans": q_duplicate_spans,
-    "mixture_plan": q_mixture_plan,
-    "quality_weighted_sample": q_quality_weighted_sample,
-    "ann_recall": q_ann_recall,
-    "training_shard_plan": q_training_shard_plan,
-    "pq_codebook_audit": q_pq_codebook_audit,
-    "heavy_hitter_terms": q_heavy_hitter_terms,
-    "unigram_lm_scores": q_unigram_lm_scores,
-    "perplexity_buckets": q_perplexity_buckets,
-    "bpe_merge_candidates": q_bpe_merge_candidates,
-    "bpe_merges": q_bpe_merges,
-    "bpe_encode_stats": q_bpe_encode_stats,
-    "dsir_weights": q_dsir_weights,
-    "media_text_alignment": q_media_text_alignment,
-    "snapshot_diff": q_snapshot_diff,
-    "contrastive_pairs": q_contrastive_pairs,
-    "minhash_dedup_marks": q_minhash_dedup_marks,
-    "corpus_funnel": q_corpus_funnel,
-    "daily_value_zscores": q_daily_value_zscores,
-    "frame_dedup": q_frame_dedup,
-    "ivfpq_ann": q_ivfpq_ann,
-    "ivfpq_recall": q_ivfpq_recall,
-    "regional_part_gap": q_regional_part_gap,
-    "padding_waste_audit": q_padding_waste_audit,
-    "bigram_lm_scores": q_bigram_lm_scores,
-    "langid_trigram": q_langid_trigram,
-    "data_quality_report": q_data_quality_report,
-    "source_quality_report": q_source_quality_report,
-    "dedup_provenance": q_dedup_provenance,
-    "split_leakage_check": q_split_leakage_check,
-    "hashed_classifier_scores": q_hashed_classifier_scores,
-    "incremental_dedup": q_incremental_dedup,
-    "winsorized_price_stats": q_winsorized_price_stats,
-    "event_transitions": q_event_transitions,
-    "key_skew_audit": q_key_skew_audit,
-    "rolling_active_users": q_rolling_active_users,
-    "rolling_active_users_approx": q_rolling_active_users_approx,
-    "zorder_stats": q_zorder_stats,
-    "gap_fill_daily": q_gap_fill_daily,
-    "part_cooccurrence": q_part_cooccurrence,
-    "trade_pagerank": q_trade_pagerank,
-    "scd2_dim_join": q_scd2_dim_join,
-    "session_path_ngrams": q_session_path_ngrams,
-    "linear_attribution": q_linear_attribution,
-    "rfm_segments": q_rfm_segments,
-    "referential_integrity": q_referential_integrity,
-    "profile_drift": q_profile_drift,
-    "profile_sketch_report": q_profile_sketch_report,
-}
-
-
-# --------------------------------------------------------------------------
-# DuckDB oracle SQL
-# --------------------------------------------------------------------------
-
-# Shared CTE fragments for the text queries.
-
-# Mirror of functions/text.tokens: whitespace split + Han-run
-# (U+4E00-U+9FFF) codepoint bigrams. THE SAME pattern constant as the
-# engine (literal Han chars, valid in RE2 and Java regex alike) —
-# imported, not re-derived, so a block change can never fork the
-# oracle from the tokenizer.
-from ..functions.text import HAN_ANY as _HAN  # noqa: E402
-
-
-def _tok_expr(col: str) -> str:
-    """DuckDB expression producing the engine's token array for a
-    text column — bit-for-bit tokens() (functions/text.py)."""
-    return f"""flatten(list_transform(
-        list_filter(string_split(
-            regexp_replace(coalesce({col}, ''), '({_HAN}+)', ' \\1 ', 'g'),
-            ' '), t -> len(t) > 0),
-        t -> CASE WHEN len(t) > 1 AND regexp_matches(t, '^{_HAN}+$')
-                  THEN list_transform(range(1, len(t)),
-                                      i -> substring(t, i, 2))
-                  ELSE [t] END))"""
-
-
-_TOKS = f"""
-toks AS (
-    SELECT doc_id, lang, source, n_chars,
-           {_tok_expr('text')} AS tok
-    FROM documents
-)"""
-
-_SHINGLES = _TOKS + """,
-shing AS (
-    SELECT doc_id,
-           CASE WHEN len(tok) >= 3
-                THEN list_transform(range(1, len(tok) - 1),
-                     i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
-                ELSE [] END AS sh
-    FROM toks
-)"""
-
-# Signature scheme mirrors operators/dedup.minhash_signatures: two
-# salted md5s per shingle, sliced into eight 8-hex-char sub-hashes.
-_SIG = _SHINGLES + """,
-sig AS (
-    SELECT doc_id,
-""" + ",\n".join(
-    f"           CASE WHEN len(sh) > 0 THEN list_aggregate("
-    f"list_transform(sh, x -> substr(md5('{j // 4}|' || x), {1 + 8 * (j % 4)}, 8)),"
-    f" 'min') END AS h{j}"
-    for j in range(8)
-) + """
-    FROM shing
-)"""
-
-_BANDS = _SIG + """,
-bands AS (
-""" + "\n    UNION ALL\n".join(
-    f"    SELECT {b} AS band, md5(h{2*b} || '|' || h{2*b+1}) AS band_hash,"
-    f" doc_id FROM sig WHERE h{2*b} IS NOT NULL"
-    for b in range(4)
-) + """
-)"""
-
-# shared with the engine so a seed-count change can never fork the
-# oracle's est_jaccard denominator silently (it is asserted == 8 by
-# the fixed slicing scheme in operators/dedup.minhash_signatures)
-from ..functions.text import MINHASH_SEEDS as _N_MINHASH  # noqa: E402
-
-_MINHASH_MATCH = " + ".join(
-    f"CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END"
-    for j in range(_N_MINHASH))
-
-_DISC = ("(CAST(l_extendedprice AS DECIMAL(18,2)) * "
-         "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))")
-
-# SimHash: 60 per-bit ±1 vote sums from the first 15 md5 nibbles,
-# mirroring operators/dedup.simhash_signatures (60-bit: 15-bit band
-# keyspace for the pairing step, int64-safe combine).
-_SIMHASH_BITS = 60
-_SIMHASH_SUMS = ",\n".join(
-    f"           sum((((strpos('0123456789abcdef', substr(h, {b // 4 + 1}, 1))"
-    f" - 1) // {2 ** (b % 4)}) % 2) * 2 - 1) AS s{b}"
-    for b in range(_SIMHASH_BITS))
-_SIMHASH_COMBINE = " + ".join(
-    f"CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END"
-    for b in range(_SIMHASH_BITS))
-_SIMHASH_BAND_MASKS = ", ".join(
-    f"simhash & {0x7FFF << (15 * b)}" for b in range(4))
-
-# Per-label centroids rounded to 6 dp (portable across engines).
-_CENTROIDS = """
-e AS (
-    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-),
-pos AS (
-    SELECT label, vec_id,
-           UNNEST(range(1, len(v) + 1)) AS pos, UNNEST(v) AS x
-    FROM e
-),
-cpos AS (
-    SELECT label, pos, round(avg(x), 6) AS cx FROM pos GROUP BY 1, 2
-),
-cent AS (
-    SELECT label, list(cx ORDER BY pos) AS centroid FROM cpos GROUP BY label
-)"""
-
-_DOT = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        "list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), "
-        "(acc, v) -> acc + v)")
-
-
-def _lsh_bucket_sql(qvec: str) -> str:
-    """The oracle's bucket expression, generated from the SAME
-    hyperplanes as operators/similarity.lsh_bucket — integer weights
-    against the QUANT_SCALE fixed-point vector, pure int64 arithmetic
-    (matches both the JVM fold and the Arrow matmul path exactly)."""
-    from ..operators.similarity import lsh_hyperplanes
-
-    terms = []
-    for i, plane in enumerate(lsh_hyperplanes()):
-        lits = ", ".join(f"CAST({w} AS BIGINT)" for w in plane)
-        d = _IDOT.format(a=qvec, b=f"list_value({lits})")
-        terms.append(f"(CASE WHEN {d} > 0 THEN {2 ** i} ELSE 0 END)")
-    return "(" + " + ".join(terms) + ")"
-
-
-_IDOT = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
-         "list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), "
-         "(acc, v) -> acc + v)")
-
-
-def _emb_band_key_sql(qvec: str, band: int) -> str:
-    """Oracle band key b: planes [8b, 8b+8) of the 64 shared
-    hyperplanes, local weights 2^j, computed on the QUANT_SCALE
-    fixed-point vector ``qvec`` in pure int64 arithmetic — mirrors
-    operators/similarity.emb_band_keys / emb_band_keys_arrow exactly
-    (order-independent integers, so Spark's numpy matmul and this
-    sequential fold cannot disagree)."""
-    from ..operators.similarity import (
-        EMB_BAND_PLANES, EMB_BANDS, lsh_hyperplanes)
-
-    planes = lsh_hyperplanes(EMB_BANDS * EMB_BAND_PLANES)
-    terms = []
-    for j in range(EMB_BAND_PLANES):
-        plane = planes[band * EMB_BAND_PLANES + j]
-        lits = ", ".join(f"CAST({w} AS BIGINT)" for w in plane)
-        d = _IDOT.format(a=qvec, b=f"list_value({lits})")
-        terms.append(f"(CASE WHEN {d} > 0 THEN {2 ** j} ELSE 0 END)")
-    return "(" + " + ".join(terms) + ")"
-
-
-def _emb_bands_sql(src: str = "vecs") -> str:
-    """UNION ALL of the 8 per-band key projections over ``src``
-    (any CTE exposing label, vec_id, q)."""
-    from ..operators.similarity import EMB_BANDS
-
-    return "\n            UNION ALL\n".join(
-        f"            SELECT label, vec_id, {b} AS band,"
-        f" CAST({_emb_band_key_sql('q', b)} AS BIGINT) AS bkey"
-        f" FROM {src}"
-        for b in range(EMB_BANDS))
-
-
-_ISQD = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
-         "list_transform(range(1, len({a}) + 1), "
-         "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
-         "(acc, v) -> acc + v)")
-
-
-def _kmeans_ctes() -> str:
-    """Unrolled Lloyd iterations mirroring similarity.kmeans_clusters
-    (shared by the kmeans and semdedup oracles): seeds = k lowest
-    vec_ids; per iteration, argmin-(distance, cluster) assignment on
-    INTEGER fixed-point squared distances and EXACT fixed-point
-    centroid recomputation — everything that could diverge between
-    engines is int64 arithmetic, which cannot."""
-    from ..operators.similarity import KMEANS_ITERS, KMEANS_K
-
-    sqd = _ISQD.format(a="q", b="qc")
-    parts = [f"""
-        WITH vecs AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                   list_transform(CAST(embedding AS DOUBLE[]),
-                       x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS q
-            FROM embeddings),
-        c0 AS (
-            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
-                   v AS centroid
-            FROM vecs ORDER BY vec_id LIMIT {KMEANS_K})"""]
-    for n in range(1, KMEANS_ITERS + 1):
-        parts.append(f""",
-        cq{n - 1} AS (
-            SELECT cluster,
-                   list_transform(centroid,
-                       x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT))
-                       AS qc
-            FROM c{n - 1}),
-        a{n} AS (
-            SELECT vec_id, q, cluster FROM (
-                SELECT vec_id, q, cluster,
-                       row_number() OVER (PARTITION BY vec_id
-                                          ORDER BY {sqd}, cluster) AS rn
-                FROM vecs, cq{n - 1}
-            ) WHERE rn = 1),
-        c{n} AS (
-            SELECT cluster, list(cx ORDER BY dim) AS centroid
-            FROM (
-                SELECT cluster, dim,
-                       CAST(sum(qx) AS DOUBLE)
-                           / (count(*) * 1048576.0) AS cx
-                FROM (SELECT cluster,
-                             unnest(range(1, len(q) + 1)) AS dim,
-                             unnest(q) AS qx
-                      FROM a{n})
-                GROUP BY cluster, dim
-            ) GROUP BY cluster)""")
-    return "".join(parts)
-
-
-def _kmeans_oracle_sql() -> str:
-    """_kmeans_ctes + the cluster summary (fingerprint over
-    floor(x·10⁶+½)-scaled centroid elements)."""
-    from ..operators.similarity import KMEANS_ITERS
-
-    return _kmeans_ctes() + f"""
-        SELECT f.cluster AS cluster, f.vec_ct AS vec_ct,
-               f.exemplar_id AS exemplar_id,
-               md5(array_to_string(list_transform(c.centroid,
-                   x -> CAST(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)
-                             AS VARCHAR)), ',')) AS centroid_fp
-        FROM (SELECT cluster, count(*) AS vec_ct,
-                     min(vec_id) AS exemplar_id
-              FROM a{KMEANS_ITERS} GROUP BY cluster) f
-        JOIN c{KMEANS_ITERS} c ON f.cluster = c.cluster"""
-
-
-def _semdedup_oracle_sql(threshold: float) -> str:
-    """_kmeans_ctes + banded LSH + exact cosine inside the learned
-    clusters — mirrors similarity.semdedup_prune."""
-    from ..operators.similarity import KMEANS_ITERS
-
-    return _kmeans_ctes() + f""",
-        av AS (
-            SELECT a.cluster AS label, a.vec_id, v.v AS v, v.q AS q
-            FROM a{KMEANS_ITERS} a JOIN vecs v USING (vec_id)),
-        bands AS (
-{_emb_bands_sql('av')}
-        ),
-        cand AS (
-            SELECT DISTINCT l.label AS label,
-                   l.vec_id AS vec_a, r.vec_id AS vec_b
-            FROM bands l
-            JOIN bands r ON l.label = r.label AND l.band = r.band
-                        AND l.bkey = r.bkey
-            WHERE l.vec_id < r.vec_id)
-        SELECT c.label AS cluster, c.vec_a AS vec_a, c.vec_b AS vec_b,
-               {_cos('a.v', 'b.v')} AS cos_sim
-        FROM cand c
-        JOIN av a ON c.label = a.label AND c.vec_a = a.vec_id
-        JOIN av b ON c.label = b.label AND c.vec_b = b.vec_id
-        WHERE {_cos('a.v', 'b.v')} >= {threshold}"""
-
-
-def _cos(a: str, b: str) -> str:
-    return (f"({_DOT.format(a=a, b=b)} / "
-            f"(sqrt({_DOT.format(a=a, b=a)}) * "
-            f"sqrt({_DOT.format(a=b, b=b)})))")
-
-
-ORACLES: dict[str, str] = {
-    "pricing_summary": f"""
-        SELECT l_returnflag, l_linestatus,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-               CAST(round(sum({_DISC}), 2) AS DECIMAL(18,2)) AS sum_disc_price,
-               CAST(round(sum(CAST({_DISC} AS DECIMAL(18,4)) *
-                        (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS sum_charge,
-               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / count(*) AS avg_qty,
-               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / count(*) AS avg_price,
-               count(*) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
-        GROUP BY l_returnflag, l_linestatus
-    """,
-    "segment_revenue": f"""
-        SELECT o_orderkey, o_orderdate, o_orderpriority,
-               CAST(round(sum({_DISC}), 2) AS DECIMAL(18,2)) AS revenue
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        WHERE c_mktsegment = 'BUILDING'
-        GROUP BY o_orderkey, o_orderdate, o_orderpriority
-        ORDER BY revenue DESC, o_orderkey
-        LIMIT 10
-    """,
-    "region_revenue": f"""
-        SELECT n_name,
-               CAST(round(sum({_DISC}), 2) AS DECIMAL(18,2)) AS revenue,
-               count(*) AS item_ct
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN nation ON c_nationkey = n_nationkey
-        JOIN region ON n_regionkey = r_regionkey
-        WHERE r_name = 'ASIA'
-        GROUP BY n_name
-        ORDER BY revenue DESC, n_name
-    """,
-    "top_brands": f"""
-        SELECT p_brand,
-               CAST(round(sum({_DISC}), 2) AS DECIMAL(18,2)) AS revenue,
-               count(*) AS item_ct
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        GROUP BY p_brand
-        ORDER BY revenue DESC, p_brand
-        LIMIT 10
-    """,
-    "gmv_daily": """
-        SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS order_day,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS gmv,
-               count(*) AS order_ct,
-               count(DISTINCT o_custkey) AS customer_ct
-        FROM orders
-        GROUP BY 1
-    """,
-    "props_stats": """
-        SELECT event_type,
-               count(*) AS ct,
-               CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
-               CAST(min(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS k_min,
-               CAST(max(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS k_max
-        FROM events
-        GROUP BY event_type
-    """,
-    "order_wide_stats": """
-        SELECT r_name AS region_name, n_name AS nation_name,
-               c_mktsegment AS mktsegment,
-               count(*) AS order_ct,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS order_amount,
-               count(DISTINCT o_custkey) AS customer_ct
-        FROM orders
-        JOIN customer ON o_custkey = c_custkey
-        JOIN nation ON c_nationkey = n_nationkey
-        JOIN region ON n_regionkey = r_regionkey
-        GROUP BY 1, 2, 3
-    """,
-    "visitor_stats_window": """
-        SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS stt,
-               time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
-                   + INTERVAL '10 minutes' AS edt,
-               event_type,
-               count(*) AS pv_ct,
-               count(DISTINCT user_id) AS uv_ct,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS value_sum
-        FROM events
-        GROUP BY 1, 2, 3
-    """,
-    "event_stats_daily": """
-        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
-               CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view_ct,
-               CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click_ct,
-               CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup_ct,
-               CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error_ct,
-               CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase_ct,
-               CAST(coalesce(sum(CAST(value AS DECIMAL(18,2)))
-                    FILTER (WHERE event_type = 'purchase'), 0) AS DECIMAL(18,2)) AS purchase_amount
-        FROM events
-        GROUP BY 1
-    """,
-    "keyword_stats": f"""
-        WITH {_TOKS}
-        SELECT keyword, CAST(ct AS BIGINT) AS ct FROM (
-            SELECT kw.keyword AS keyword, count(*) AS ct
-            FROM toks, unnest(tok) AS kw(keyword)
-            GROUP BY 1
-        )
-        ORDER BY ct DESC, keyword
-        LIMIT 20
-    """,
-    "province_stats_sql": """
-        SELECT CAST(date_trunc('day', o.o_orderdate) AS TIMESTAMP) AS stt,
-               n.n_name AS province_name,
-               count(DISTINCT o.o_custkey) AS customer_ct,
-               count(*) AS order_count,
-               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS order_amount
-        FROM orders o
-        JOIN customer c ON o.o_custkey = c.c_custkey
-        JOIN nation n ON c.c_nationkey = n.n_nationkey
-        GROUP BY 1, 2
-    """,
-    "unique_visitors_daily": """
-        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
-               count(DISTINCT user_id) AS uv_ct,
-               count(*) AS pv_ct
-        FROM events
-        GROUP BY 1
-    """,
-    "first_visits": """
-        SELECT day, user_id, event_id, ts FROM (
-            SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
-                   user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
-                   row_number() OVER (
-                       PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
-                       ORDER BY ts, event_id) AS rn
-            FROM events
-        ) WHERE rn = 1
-    """,
-    "is_new_repair": """
-        SELECT event_id, user_id,
-               CASE WHEN date_trunc('day', CAST(ts AS TIMESTAMP))
-                         = min(date_trunc('day', CAST(ts AS TIMESTAMP)))
-                           OVER (PARTITION BY user_id)
-                    THEN 1 ELSE 0 END AS is_new
-        FROM events
-    """,
-    "user_jump_stats": """
-        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
-               count(*) AS uj_ct
-        FROM (
-            SELECT CAST(ts AS TIMESTAMP) AS ts,
-                   lead(CAST(ts AS TIMESTAMP)) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
-            FROM events
-        )
-        WHERE next_ts IS NULL OR next_ts > ts + INTERVAL '10 minutes'
-        GROUP BY 1
-    """,
-    "click_purchase_join": """
-        SELECT c.user_id AS user_id,
-               c.event_id AS click_id,
-               p.event_id AS purchase_id,
-               CAST(c.ts AS TIMESTAMP) AS click_ts,
-               CAST(p.ts AS TIMESTAMP) AS purchase_ts,
-               CAST(p.value AS DECIMAL(18,2)) AS amount
-        FROM events c JOIN events p
-          ON c.user_id = p.user_id
-         AND p.event_type = 'purchase' AND c.event_type = 'click'
-         AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
-         AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL '10 minutes'
-    """,
-    "exact_dups": f"""
-        WITH {_TOKS}
-        SELECT min(doc_id) AS canonical_id,
-               count(*) AS dup_ct,
-               md5(array_to_string(tok, ' ')) AS fp
-        FROM toks
-        GROUP BY 3
-    """,
-    "minhash_signatures": f"""
-        WITH {_SIG}
-        SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7 FROM sig
-    """,
-    "minhash_band_pairs": f"""
-        WITH {_BANDS}
-        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-        FROM bands l
-        JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
-        WHERE l.doc_id < r.doc_id
-    """,
-    "minhash_dedup_marks": f"""
-        WITH {_BANDS},
-        buckets AS (
-            SELECT band, band_hash, min(doc_id) AS first_doc
-            FROM bands GROUP BY band, band_hash),
-        coll AS (
-            SELECT b.doc_id, min(k.first_doc) AS earliest_prior
-            FROM bands b
-            JOIN buckets k ON b.band = k.band AND b.band_hash = k.band_hash
-            WHERE k.first_doc < b.doc_id
-            GROUP BY b.doc_id)
-        SELECT d.doc_id,
-               CAST(CASE WHEN c.earliest_prior IS NULL THEN 0 ELSE 1 END
-                    AS BIGINT) AS is_dup,
-               c.earliest_prior
-        FROM documents d LEFT JOIN coll c ON d.doc_id = c.doc_id
-    """,
-    "dedup_provenance": f"""
-        WITH {_BANDS},
-        buckets AS (
-            SELECT band, band_hash, min(doc_id) AS first_doc
-            FROM bands GROUP BY band, band_hash),
-        coll AS (
-            SELECT b.doc_id, min(k.first_doc) AS earliest_prior
-            FROM bands b
-            JOIN buckets k ON b.band = k.band AND b.band_hash = k.band_hash
-            WHERE k.first_doc < b.doc_id
-            GROUP BY b.doc_id)
-        SELECT d.source AS dup_source, o.source AS orig_source,
-               count(*) AS ct
-        FROM coll c
-        JOIN documents d ON c.doc_id = d.doc_id
-        JOIN documents o ON c.earliest_prior = o.doc_id
-        GROUP BY 1, 2
-    """,
-    "split_leakage_check": f"""
-        WITH {_BANDS},
-        tagged AS (
-            SELECT doc_id, band, band_hash,
-                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-                       IN ('0', '1') AS is_val
-            FROM bands),
-        tb AS (
-            SELECT DISTINCT band, band_hash FROM tagged
-            WHERE NOT is_val),
-        leaked AS (
-            SELECT count(DISTINCT t.doc_id) AS leaked_ct
-            FROM tagged t
-            SEMI JOIN tb ON t.band = tb.band
-                        AND t.band_hash = tb.band_hash
-            WHERE t.is_val),
-        vc AS (
-            SELECT count(*) AS val_ct FROM documents
-            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-                      IN ('0', '1'))
-        SELECT val_ct, leaked_ct,
-               leaked_ct * 1000 // greatest(val_ct, 1) AS leak_permille
-        FROM vc, leaked
-    """,
-    "corpus_funnel": f"""
-        WITH {_BANDS},
-        buckets AS (
-            SELECT band, band_hash, min(doc_id) AS first_doc
-            FROM bands GROUP BY band, band_hash),
-        coll AS (
-            SELECT b.doc_id, min(k.first_doc) AS earliest_prior
-            FROM bands b
-            JOIN buckets k ON b.band = k.band AND b.band_hash = k.band_hash
-            WHERE k.first_doc < b.doc_id
-            GROUP BY b.doc_id),
-        feats AS (
-            SELECT t.doc_id, t.source, len(tok) AS n,
-                   CASE WHEN len(tok) = 0 THEN 0.0
-                        ELSE CAST(len(list_filter(tok,
-                             t2 -> t2 IN ('the', 'a'))) AS DOUBLE)
-                             / CAST(len(tok) AS DOUBLE) END AS sr,
-                   CASE WHEN len(tok) = 0 THEN 0.0
-                        ELSE CAST(len(list_distinct(tok)) AS DOUBLE)
-                             / CAST(len(tok) AS DOUBLE) END AS ttr
-            FROM toks t),
-        g AS (
-            SELECT f.source, f.n,
-                   (f.n > 0 AND f.sr >= 0.05) AS c1,
-                   (f.n > 0 AND f.sr >= 0.05 AND f.n >= 30) AS c2,
-                   (f.n > 0 AND f.sr >= 0.05 AND f.n >= 30
-                    AND f.sr <= 0.2 AND f.ttr >= 0.3) AS c3,
-                   (f.n > 0 AND f.sr >= 0.05 AND f.n >= 30
-                    AND f.sr <= 0.2 AND f.ttr >= 0.3
-                    AND c.earliest_prior IS NULL) AS c4
-            FROM feats f LEFT JOIN coll c ON f.doc_id = c.doc_id)
-        SELECT source,
-               count(*) AS total_ct,
-               CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS lang_ct,
-               CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS len_ct,
-               CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS quality_ct,
-               CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS unique_ct,
-               CAST(sum(CASE WHEN c4 THEN n ELSE 0 END) AS BIGINT) AS kept_tokens
-        FROM g GROUP BY source
-    """,
-    "daily_value_zscores": """
-        WITH daily AS (
-            SELECT event_type,
-                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
-                        AS TIMESTAMP) AS day,
-                   CAST(round(sum(CAST(round(value, 2)
-                        AS DECIMAL(18,2))), 2) * 100 AS BIGINT) AS cents
-            FROM events GROUP BY 1, 2),
-        fr AS (
-            SELECT event_type, day, cents,
-                   count(cents) OVER w AS n,
-                   CAST(sum(cents) OVER w AS DOUBLE) AS s,
-                   CAST(sum(CAST(cents AS HUGEINT) * cents) OVER w
-                        AS DOUBLE) AS ss
-            FROM daily
-            WINDOW w AS (PARTITION BY event_type ORDER BY day
-                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
-        SELECT event_type, day, cents, CAST(n AS BIGINT) AS n_prior,
-               CASE WHEN n >= 3 AND (ss - s * s / n) / (n - 1) > 0
-                    THEN round((cents - s / n)
-                               / sqrt((ss - s * s / n) / (n - 1)), 6)
-                    END AS z
-        FROM fr
-    """,
-    "frame_dedup": """
-        WITH v AS (
-            SELECT doc_id,
-                   CASE WHEN doc_id % 11 = 0
-                        THEN repeat('shared-intro ', 16) || 'tail42'
-                        ELSE coalesce(text, '') END AS payload
-            FROM documents WHERE doc_id % 3 = 2),
-        s AS (
-            SELECT doc_id, payload, len(payload) AS n,
-                   1 + len(payload) % 5 AS fr
-            FROM v),
-        f AS (
-            SELECT doc_id,
-                   md5(substr(payload, CAST(i * (n // fr) AS INT) + 1,
-                              CAST(n // fr AS INT))) AS frame_hash
-            FROM s, unnest(range(0, fr)) AS t(i)
-            WHERE n // fr > 0)
-        SELECT frame_hash, count(*) AS occurrence_ct,
-               count(DISTINCT doc_id) AS video_ct,
-               min(doc_id) AS first_doc
-        FROM f GROUP BY frame_hash HAVING count(*) > 1
-    """,
-    "minhash_jaccard_pairs": f"""
-        WITH {_BANDS},
-        -- per-band candidate cap mirrored from the Spark side: each
-        -- doc pairs with its 4 immediate doc_id successors inside the
-        -- bucket (lead window), so a bucket of m duplicates emits
-        -- m*4 pairs, never m^2/2
-        led AS (
-            SELECT doc_id AS doc_a,
-                   [lead(doc_id, 1) OVER w, lead(doc_id, 2) OVER w,
-                    lead(doc_id, 3) OVER w, lead(doc_id, 4) OVER w]
-                   AS succ
-            FROM bands
-            WINDOW w AS (PARTITION BY band, band_hash ORDER BY doc_id)
-        ),
-        pairs AS (
-            SELECT DISTINCT doc_a, t.doc_b
-            FROM led, unnest(succ) AS t(doc_b)
-            WHERE t.doc_b IS NOT NULL
-        )
-        SELECT doc_a, doc_b,
-               CAST({_MINHASH_MATCH} AS BIGINT) AS matching_components,
-               CAST({_MINHASH_MATCH} AS DOUBLE) / {_N_MINHASH}.0 AS est_jaccard
-        FROM pairs
-        JOIN sig a ON pairs.doc_a = a.doc_id
-        JOIN sig b ON pairs.doc_b = b.doc_id
-    """,
-    "dedup_threshold_calibration": f"""
-        WITH {_BANDS},
-        led AS (
-            SELECT doc_id AS doc_a,
-                   [lead(doc_id, 1) OVER w, lead(doc_id, 2) OVER w,
-                    lead(doc_id, 3) OVER w, lead(doc_id, 4) OVER w]
-                   AS succ
-            FROM bands
-            WINDOW w AS (PARTITION BY band, band_hash ORDER BY doc_id)
-        ),
-        pairs AS (
-            SELECT DISTINCT doc_a, t.doc_b
-            FROM led, unnest(succ) AS t(doc_b)
-            WHERE t.doc_b IS NOT NULL
-        ),
-        scored AS (
-            SELECT CAST({_MINHASH_MATCH} AS BIGINT) AS matching_components
-            FROM pairs
-            JOIN sig a ON pairs.doc_a = a.doc_id
-            JOIN sig b ON pairs.doc_b = b.doc_id
-        )
-        SELECT matching_components,
-               CAST(matching_components AS DOUBLE) / {_N_MINHASH}.0 AS est_jaccard,
-               count(*) AS pair_ct
-        FROM scored
-        GROUP BY matching_components
-    """,
-    "near_dup_rate_by_source": f"""
-        WITH {_BANDS},
-        buckets AS (
-            SELECT band, band_hash, min(doc_id) AS first_doc
-            FROM bands GROUP BY band, band_hash),
-        coll AS (
-            SELECT b.doc_id, min(k.first_doc) AS earliest_prior
-            FROM bands b
-            JOIN buckets k ON b.band = k.band AND b.band_hash = k.band_hash
-            WHERE k.first_doc < b.doc_id
-            GROUP BY b.doc_id)
-        SELECT d.source,
-               count(*) AS doc_ct,
-               CAST(count(c.earliest_prior) AS BIGINT) AS dup_ct,
-               (1000 * count(c.earliest_prior)) // greatest(count(*), 1)
-                   AS dup_permille
-        FROM documents d LEFT JOIN coll c ON d.doc_id = c.doc_id
-        GROUP BY d.source
-    """,
-    "ngram_jaccard_pairs": f"""
-        WITH {_SHINGLES},
-        docs AS (
-            SELECT doc_id, list_distinct(sh) AS sh FROM shing
-            WHERE len(sh) > 0
-        ),
-        sizes AS (SELECT doc_id, len(sh) AS n_sh FROM docs),
-        inv0 AS (
-            SELECT doc_id, s.shingle AS s
-            FROM docs, unnest(sh) AS s(shingle)
-        ),
-        -- scale guards mirrored from the Spark side: df > 1000
-        -- shingles dropped, then each doc keeps only its 32 rarest
-        -- shingles (df asc, shingle asc — the same total order both
-        -- engines compute on the raw string)
-        invd AS (
-            SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df
-            FROM inv0
-        ),
-        inv AS (
-            SELECT doc_id, substr(md5(s), 1, 16) AS shingle FROM (
-                SELECT doc_id, s,
-                       row_number() OVER (PARTITION BY doc_id
-                                          ORDER BY df, s) AS rk
-                FROM invd WHERE df <= 1000
-            ) WHERE rk <= 32
-        ),
-        common AS (
-            SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
-                   count(*) AS common_sh
-            FROM inv l JOIN inv r
-              ON l.shingle = r.shingle AND l.doc_id < r.doc_id
-            GROUP BY 1, 2
-        )
-        SELECT doc_a, doc_b, CAST(common_sh AS BIGINT) AS common_sh,
-               CAST(common_sh AS DOUBLE)
-                   / CAST(a.n_sh + b.n_sh - common_sh AS DOUBLE) AS jaccard
-        FROM common
-        JOIN sizes a ON common.doc_a = a.doc_id
-        JOIN sizes b ON common.doc_b = b.doc_id
-        ORDER BY jaccard DESC, doc_a, doc_b
-        LIMIT 50
-    """,
-    "token_stats": f"""
-        WITH {_TOKS}
-        SELECT source,
-               count(*) AS doc_ct,
-               CAST(sum(len(tok)) AS BIGINT) AS token_ct,
-               CAST(sum(len(list_distinct(tok))) AS BIGINT) AS distinct_token_ct,
-               CAST(sum(n_chars) AS BIGINT) AS char_ct
-        FROM toks
-        GROUP BY source
-    """,
-    "cross_source_dup_matrix": f"""
-        WITH {_BANDS},
-        hashed AS (
-            SELECT DISTINCT md5(array_to_string(tok, ' ')) AS h, source
-            FROM toks WHERE len(tok) > 0
-        ),
-        exact AS (
-            SELECT a.source AS source_a, b.source AS source_b,
-                   count(*) AS exact_dup_groups
-            FROM hashed a JOIN hashed b USING (h)
-            WHERE a.source < b.source
-            GROUP BY 1, 2
-        ),
-        led AS (
-            SELECT doc_id AS doc_a,
-                   [lead(doc_id, 1) OVER w, lead(doc_id, 2) OVER w,
-                    lead(doc_id, 3) OVER w, lead(doc_id, 4) OVER w]
-                   AS succ
-            FROM bands
-            WINDOW w AS (PARTITION BY band, band_hash ORDER BY doc_id)
-        ),
-        cand AS (
-            SELECT DISTINCT doc_a, t.doc_b
-            FROM led, unnest(succ) AS t(doc_b)
-            WHERE t.doc_b IS NOT NULL
-        ),
-        near AS (
-            SELECT least(sa.source, sb.source) AS source_a,
-                   greatest(sa.source, sb.source) AS source_b,
-                   count(*) AS neardup_pairs
-            FROM cand p
-            JOIN documents sa ON p.doc_a = sa.doc_id
-            JOIN documents sb ON p.doc_b = sb.doc_id
-            WHERE sa.source != sb.source
-            GROUP BY 1, 2
-        )
-        SELECT source_a, source_b,
-               CAST(coalesce(exact_dup_groups, 0) AS BIGINT)
-                   AS exact_dup_groups,
-               CAST(coalesce(neardup_pairs, 0) AS BIGINT)
-                   AS neardup_pairs
-        FROM exact FULL JOIN near USING (source_a, source_b)
-    """,
-    "script_mix_stats": f"""
-        WITH per AS (
-            SELECT source,
-                   len(coalesce(text, '')) AS n,
-                   len(coalesce(text, '')) - len(regexp_replace(
-                       coalesce(text, ''), '{_HAN}', '', 'g')) AS han,
-                   len(coalesce(text, '')) - len(regexp_replace(
-                       coalesce(text, ''), '[A-Za-z]', '', 'g')) AS latin,
-                   len(coalesce(text, '')) - len(regexp_replace(
-                       coalesce(text, ''), '[0-9]', '', 'g')) AS digit,
-                   len(coalesce(text, '')) - len(regexp_replace(
-                       coalesce(text, ''), ' ', '', 'g')) AS space
-            FROM documents
-        ), agg AS (
-            SELECT source, count(*) AS doc_ct,
-                   CAST(sum(n) AS BIGINT) AS char_ct,
-                   CAST(sum(han) AS BIGINT) AS han_ct,
-                   CAST(sum(latin) AS BIGINT) AS latin_ct,
-                   CAST(sum(digit) AS BIGINT) AS digit_ct,
-                   CAST(sum(space) AS BIGINT) AS space_ct
-            FROM per GROUP BY source
-        )
-        SELECT source, doc_ct, char_ct,
-               (1000 * han_ct) // greatest(char_ct, 1) AS han_permille,
-               (1000 * latin_ct) // greatest(char_ct, 1) AS latin_permille,
-               (1000 * digit_ct) // greatest(char_ct, 1) AS digit_permille,
-               (1000 * space_ct) // greatest(char_ct, 1) AS space_permille,
-               (1000 * (char_ct - han_ct - latin_ct - digit_ct - space_ct))
-                   // greatest(char_ct, 1) AS other_permille
-        FROM agg
-    """,
-    "token_fertility_stats": f"""
-        WITH per AS (
-            SELECT lang,
-                   coalesce(n_chars, 0) AS n_chars,
-                   len({_tok_expr('text')}) AS n_tok,
-                   len(list_filter(string_split(coalesce(text, ''), ' '),
-                                   t -> len(t) > 0)) AS n_ws
-            FROM documents
-        ), agg AS (
-            SELECT lang, count(*) AS doc_ct,
-                   CAST(sum(n_chars) AS BIGINT) AS char_ct,
-                   CAST(sum(n_tok) AS BIGINT) AS token_ct,
-                   CAST(sum(n_ws) AS BIGINT) AS ws_token_ct
-            FROM per GROUP BY lang
-        )
-        SELECT lang, doc_ct, char_ct, token_ct, ws_token_ct,
-               (1000 * token_ct) // greatest(char_ct, 1)
-                   AS tokens_per_kchar,
-               (1000 * token_ct) // greatest(ws_token_ct, 1)
-                   AS fertility_vs_ws_permille
-        FROM agg
-    """,
-    "quality_scores": f"""
-        WITH {_TOKS}
-        SELECT doc_id, lang, source,
-               CAST(len(tok) AS INT) AS n_tokens,
-               CAST(len(list_distinct(tok)) AS DOUBLE)
-                   / CAST(greatest(len(tok), 1) AS DOUBLE) AS ttr,
-               CAST(len(list_filter(tok, t -> t IN ('the', 'a'))) AS DOUBLE)
-                   / CAST(greatest(len(tok), 1) AS DOUBLE) AS stop_ratio,
-               CAST(list_aggregate(list_transform(tok, t -> len(t)), 'sum') AS DOUBLE)
-                   / CAST(greatest(len(tok), 1) AS DOUBLE) AS mean_tok_len,
-               CAST(len(tok) >= 20 AS INT) AS len_ok
-        FROM toks
-    """,
-    "lang_id": f"""
-        WITH {_TOKS}
-        SELECT label_lang, pred_lang, count(*) AS ct FROM (
-            SELECT lang AS label_lang,
-                   CASE WHEN CAST(len(list_filter(tok, t -> t IN ('the', 'a'))) AS DOUBLE)
-                             / CAST(greatest(len(tok), 1) AS DOUBLE) >= 0.05
-                        THEN 'en' ELSE 'unknown' END AS pred_lang
-            FROM toks
-        )
-        GROUP BY 1, 2
-    """,
-    "fingerprints": f"""
-        WITH {_TOKS}
-        SELECT doc_id,
-               md5(array_to_string(tok, ' ')) AS md5_fp,
-               list_reduce(
-                   list_prepend(CAST(0 AS BIGINT),
-                       list_transform(tok,
-                           t -> CAST(len(t) * 31 + ascii(substr(t, 1, 1)) AS BIGINT))),
-                   (acc, v) -> (acc * 1000003 + v) % 1000000000000
-               ) AS roll_fp
-        FROM toks
-    """,
-    "knn_bruteforce": f"""
-        WITH q AS (
-            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS vq
-            FROM embeddings WHERE vec_id < 5
-        ),
-        c AS (
-            SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS vn
-            FROM embeddings
-        ),
-        scored AS (
-            SELECT query_id, neighbor_id, {_cos('vq', 'vn')} AS cos_sim
-            FROM c, q WHERE neighbor_id <> query_id
-        )
-        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
-        FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
-            FROM scored
-        ) WHERE rank <= 5
-    """,
-    "simhash_signatures": f"""
-        WITH {_TOKS},
-        tk AS (SELECT doc_id, unnest(tok) AS t FROM toks),
-        h AS (SELECT doc_id, substr(md5(t), 1, 15) AS h FROM tk),
-        v AS (
-            SELECT doc_id,
-{_SIMHASH_SUMS}
-            FROM h GROUP BY doc_id
-        )
-        SELECT doc_id, CAST({_SIMHASH_COMBINE} AS BIGINT) AS simhash FROM v
-    """,
-    "label_centroid_similarity": f"""
-        WITH {_CENTROIDS},
-        scored AS (
-            SELECT e.label AS label,
-                   round({_cos('v', 'centroid')}, 6) AS cos_sim
-            FROM e JOIN cent ON e.label = cent.label
-        )
-        SELECT label, count(*) AS n_vecs,
-               min(cos_sim) AS min_sim, max(cos_sim) AS max_sim
-        FROM scored GROUP BY label
-    """,
-    "ivf_ann": f"""
-        WITH {_CENTROIDS},
-        q AS (
-            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS vq
-            FROM embeddings WHERE vec_id < 5
-        ),
-        probes AS (
-            SELECT query_id, vq, label FROM (
-                SELECT q.query_id, q.vq, cent.label,
-                       row_number() OVER (
-                           PARTITION BY q.query_id
-                           ORDER BY round({_cos('vq', 'centroid')}, 6) DESC,
-                                    cent.label) AS c_rank
-                FROM q, cent
-            ) WHERE c_rank <= 1
-        ),
-        cand AS (
-            SELECT p.query_id, p.label, e.vec_id AS neighbor_id,
-                   {_cos('p.vq', 'e.v')} AS cos_sim
-            FROM probes p JOIN e ON p.label = e.label
-            WHERE e.vec_id <> p.query_id
-        )
-        SELECT query_id, label, neighbor_id,
-               CAST(rank AS BIGINT) AS rank, cos_sim
-        FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY query_id
-                ORDER BY cos_sim DESC, neighbor_id) AS rank
-            FROM cand
-        ) WHERE rank <= 3
-    """,
-    "top_orders_per_segment": """
-        SELECT c_mktsegment, CAST(rank AS BIGINT) AS rank,
-               o_orderkey, o_totalprice
-        FROM (
-            SELECT c_mktsegment, o_orderkey, o_totalprice,
-                   row_number() OVER (
-                       PARTITION BY c_mktsegment
-                       ORDER BY o_totalprice DESC, o_orderkey) AS rank
-            FROM orders JOIN customer ON o_custkey = c_custkey
-        ) WHERE rank <= 3
-    """,
-    "gmv_daily_delta": """
-        WITH daily AS (
-            SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS order_day,
-                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS gmv
-            FROM orders GROUP BY 1
-        )
-        SELECT order_day, gmv,
-               CAST(gmv - lag(gmv) OVER (ORDER BY order_day) AS DECIMAL(18,2)) AS gmv_delta,
-               CAST(sum(gmv) OVER (ORDER BY order_day
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS DECIMAL(18,2)) AS gmv_running
-        FROM daily
-    """,
-    "sessionize": """
-        WITH o AS (
-            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
-                   lag(CAST(ts AS TIMESTAMP)) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-            FROM events
-        ),
-        f AS (
-            SELECT *, CASE WHEN prev_ts IS NULL
-                           OR ts > prev_ts + INTERVAL '30 minutes'
-                      THEN 1 ELSE 0 END AS ns
-            FROM o
-        ),
-        s AS (
-            SELECT *, CAST(sum(ns) OVER (
-                PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS BIGINT) AS session_seq
-            FROM f
-        )
-        SELECT user_id, session_seq, count(*) AS n_events,
-               min(ts) AS session_start, max(ts) AS session_end,
-               CAST(date_diff('microsecond', min(ts), max(ts)) // 1000000 AS BIGINT) AS duration_sec
-        FROM s GROUP BY 1, 2
-    """,
-    "priority_rollup": """
-        SELECT o_orderpriority, o_orderstatus,
-               count(*) AS order_ct,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS gmv
-        FROM orders
-        GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
-    """,
-    "revenue_forecast": """
-        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                              * CAST(l_discount AS DECIMAL(18,2))), 2)
-                    AS DECIMAL(18,2)) AS revenue,
-               count(*) AS item_ct
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
-          AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
-          AND l_discount >= 0.02 AND l_discount <= 0.06
-          AND l_quantity < 10
-    """,
-    "customers_without_orders": """
-        SELECT c_custkey, c_name, c_mktsegment
-        FROM customer c
-        WHERE NOT EXISTS (
-            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-    "media_features": """
-        SELECT doc_id,
-               CASE WHEN doc_id % 3 = 0 THEN 'image'
-                    WHEN doc_id % 3 = 1 THEN 'audio'
-                    ELSE 'video' END AS media_type,
-               CAST(n_chars AS BIGINT) AS n_bytes,
-               CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + n_chars % 64
-                         WHEN doc_id % 3 = 1 THEN 0
-                         ELSE 16 + n_chars % 64 END AS INT) AS width,
-               CAST(CASE WHEN doc_id % 3 = 1 THEN 0
-                         ELSE 16 + n_chars % 48 END AS INT) AS height,
-               CAST(CASE WHEN doc_id % 3 = 0 THEN 1
-                         WHEN doc_id % 3 = 1 THEN 1 + n_chars % 100
-                         ELSE 1 + n_chars % 5 END AS INT) AS n_frames
-        FROM documents
-    """,
-    "embedding_dups_exhaustive": f"""
-        WITH e AS (
-            SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
-            FROM embeddings
-        )
-        SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-               {_cos('a.v', 'b.v')} AS cos_sim
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE {_cos('a.v', 'b.v')} >= 0.35
-    """,
-    "late_shipment_priority": """
-        SELECT o_orderpriority, count(*) AS order_ct
-        FROM orders o
-        WHERE EXISTS (
-            SELECT 1 FROM lineitem l
-            WHERE l.l_orderkey = o.o_orderkey
-              AND l.l_shipdate > o.o_orderdate + INTERVAL '90 days')
-        GROUP BY o_orderpriority
-    """,
-    "funnel_conversion": """
-        WITH v AS (
-            SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS v_ts
-            FROM events WHERE event_type = 'view' GROUP BY user_id
-        ),
-        c AS (
-            SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS c_ts
-            FROM events e JOIN v ON e.user_id = v.user_id
-            WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.v_ts
-            GROUP BY e.user_id
-        ),
-        p AS (
-            SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS p_ts
-            FROM events e JOIN c ON e.user_id = c.user_id
-            WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.c_ts
-            GROUP BY e.user_id
-        )
-        SELECT (SELECT count(*) FROM v) AS viewers,
-               (SELECT count(*) FROM c) AS clickers,
-               (SELECT count(*) FROM p) AS purchasers,
-               CAST((SELECT count(*) FROM c) AS DOUBLE)
-                   / CAST((SELECT count(*) FROM v) AS DOUBLE) AS view_to_click,
-               CAST((SELECT count(*) FROM p) AS DOUBLE)
-                   / CAST((SELECT count(*) FROM c) AS DOUBLE) AS click_to_purchase
-    """,
-    "video_frame_samples": """
-        SELECT doc_id,
-               CAST(i AS INT) AS frame_idx,
-               CAST(i * (n_chars // (1 + n_chars % 5)) AS BIGINT) AS frame_offset
-        FROM documents, unnest(range(0, 1 + n_chars % 5)) AS t(i)
-        WHERE doc_id % 3 = 2
-    """,
-    "promo_revenue_share": f"""
-        WITH m AS (
-            SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
-                   CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN {_DISC}
-                                       ELSE CAST(0 AS DECIMAL(18,2)) END), 2)
-                        AS DECIMAL(18,2)) AS promo_revenue,
-                   CAST(round(sum({_DISC}), 2) AS DECIMAL(18,2)) AS total_revenue
-            FROM lineitem JOIN part ON l_partkey = p_partkey
-            GROUP BY 1
-        )
-        SELECT ship_month, promo_revenue, total_revenue,
-               CAST(promo_revenue AS DOUBLE) / CAST(total_revenue AS DOUBLE)
-                   AS promo_share
-        FROM m
-    """,
-    "disjunctive_revenue": f"""
-        SELECT CAST(round(sum({_DISC}), 2) AS DECIMAL(18,2)) AS revenue,
-               count(*) AS item_ct
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE (p_brand = 'Brand#12' AND p_size <= 10 AND l_quantity < 15)
-           OR (p_brand = 'Brand#23' AND p_size <= 20 AND l_quantity < 30)
-    """,
-    "top_supplier_per_nation": """
-        SELECT n_name, s_name, s_acctbal
-        FROM supplier s JOIN nation ON s.s_nationkey = n_nationkey
-        WHERE s_acctbal = (
-            SELECT max(s2.s_acctbal) FROM supplier s2
-            WHERE s2.s_nationkey = s.s_nationkey)
-    """,
-    "corpus_filter": f"""
-        WITH {_TOKS}
-        SELECT source, status, count(*) AS doc_ct FROM (
-            SELECT source,
-                   CASE WHEN len(tok) < 30 THEN 'too_short'
-                        WHEN CAST(len(list_filter(tok, t -> t IN ('the', 'a'))) AS DOUBLE)
-                             / CAST(len(tok) AS DOUBLE) > 0.2 THEN 'stopword_heavy'
-                        WHEN CAST(len(list_distinct(tok)) AS DOUBLE)
-                             / CAST(len(tok) AS DOUBLE) < 0.3 THEN 'repetitive'
-                        ELSE 'kept' END AS status
-            FROM toks
-        )
-        GROUP BY source, status
-    """,
-    "train_val_split": """
-        SELECT lang,
-               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
-                    THEN 'val' ELSE 'train' END AS split,
-               count(*) AS doc_ct
-        FROM documents
-        GROUP BY 1, 2
-    """,
-    "order_count_distribution": """
-        SELECT order_ct, count(*) AS cust_ct FROM (
-            SELECT c_custkey, count(o_orderkey) AS order_ct
-            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-            GROUP BY c_custkey)
-        GROUP BY order_ct
-    """,
-    "large_volume_customers": """
-        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
-               total_qty
-        FROM orders
-        JOIN (SELECT l_orderkey,
-                     CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
-                          AS DECIMAL(18,2)) AS total_qty
-              FROM lineitem GROUP BY l_orderkey
-              HAVING total_qty > 300) big ON o_orderkey = l_orderkey
-        JOIN customer ON o_custkey = c_custkey
-    """,
-    "bilateral_trade": f"""
-        SELECT cust_nation, supp_nation,
-               CAST(year(o_orderdate) AS INTEGER) AS trade_year,
-               CAST(round(sum({_DISC}), 2) AS DECIMAL(18,2)) AS revenue,
-               count(*) AS item_ct
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN (SELECT c_custkey, n_name AS cust_nation
-              FROM customer JOIN nation ON c_nationkey = n_nationkey) cn
-             ON o_custkey = cn.c_custkey
-        JOIN (SELECT s_suppkey, n_name AS supp_nation
-              FROM supplier JOIN nation ON s_nationkey = n_nationkey) sn
-             ON l_suppkey = sn.s_suppkey
-        WHERE cust_nation <> supp_nation
-        GROUP BY cust_nation, supp_nation, trade_year
-    """,
-    "top_revenue_supplier": f"""
-        WITH rev AS (
-            SELECT l_suppkey,
-                   CAST(round(sum({_DISC}), 2) AS DECIMAL(18,2))
-                       AS total_revenue
-            FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-              AND l_shipdate < TIMESTAMP '1998-01-01'
-            GROUP BY l_suppkey)
-        SELECT s_suppkey, s_name, total_revenue
-        FROM rev JOIN supplier ON l_suppkey = s_suppkey
-        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
-    """,
-    "small_qty_part_revenue": """
-        WITH per_part AS (
-            SELECT l_partkey AS pk,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
-                        AS DECIMAL(18,2)) AS part_total_qty,
-                   count(*) AS part_item_ct
-            FROM lineitem GROUP BY l_partkey)
-        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
-                    AS DECIMAL(18,2)) AS revenue,
-               count(*) AS item_ct
-        FROM lineitem
-        JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'
-        JOIN per_part ON l_partkey = pk
-        WHERE CAST(l_quantity AS DECIMAL(18,2)) * 2 * part_item_ct
-              < part_total_qty
-    """,
-    "high_balance_inactive_customers": """
-        WITH stats AS (
-            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
-                        AS DECIMAL(18,2)) AS pos_total,
-                   count(*) AS pos_ct
-            FROM customer WHERE c_acctbal > 0)
-        SELECT n_name, count(*) AS cust_ct,
-               CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2)
-                    AS DECIMAL(18,2)) AS total_acctbal
-        FROM customer JOIN nation ON c_nationkey = n_nationkey, stats
-        WHERE CAST(c_acctbal AS DECIMAL(18,2)) * pos_ct > pos_total
-          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        GROUP BY n_name
-    """,
-    "nation_year_revenue": f"""
-        SELECT supp_nation,
-               CAST(year(o_orderdate) AS INTEGER) AS order_year,
-               CAST(round(sum({_DISC}), 2) AS DECIMAL(18,2)) AS revenue,
-               count(*) AS item_ct
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN (SELECT s_suppkey, n_name AS supp_nation
-              FROM supplier JOIN nation ON s_nationkey = n_nationkey) sn
-             ON l_suppkey = sn.s_suppkey
-        GROUP BY supp_nation, order_year
-    """,
-    "purchase_click_window_join": """
-        SELECT p.user_id AS user_id,
-               p.event_id AS purchase_id,
-               c.event_id AS click_id,
-               CAST(p.ts AS TIMESTAMP) AS p_ts,
-               CAST(c.ts AS TIMESTAMP) AS c_ts,
-               CAST(p.value AS DECIMAL(18,2)) AS amount
-        FROM events p JOIN events c
-          ON p.user_id = c.user_id
-         AND p.event_type = 'purchase' AND c.event_type = 'click'
-         AND CAST(c.ts AS TIMESTAMP)
-             >= CAST(p.ts AS TIMESTAMP) - INTERVAL '15 minutes'
-         AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
-    """,
-    "salted_brand_revenue": f"""
-        SELECT p_brand,
-               CAST(round(sum({_DISC}), 2) AS DECIMAL(18,2)) AS revenue,
-               count(*) AS item_ct
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        GROUP BY p_brand
-    """,
-    "media_resize": """
-        WITH base AS (
-            SELECT doc_id,
-                   CASE WHEN doc_id % 3 = 0 THEN 'image'
-                        WHEN doc_id % 3 = 1 THEN 'audio'
-                        ELSE 'video' END AS media_type,
-                   n_chars AS n
-            FROM documents),
-        dims AS (
-            SELECT doc_id, media_type, n,
-                   CASE WHEN media_type = 'audio' THEN 0
-                        ELSE 16 + n % 64 END AS width,
-                   CASE WHEN media_type = 'audio' THEN 0
-                        ELSE 16 + n % 48 END AS height,
-                   CASE WHEN media_type = 'image' THEN 1
-                        WHEN media_type = 'audio' THEN 1 + n % 100
-                        ELSE 1 + n % 5 END AS frames
-            FROM base),
-        scaled AS (
-            SELECT *, greatest(width, height) AS mx FROM dims),
-        resized AS (
-            SELECT doc_id, media_type, width, height, frames, n,
-                   CASE WHEN media_type = 'audio' OR mx <= 64 THEN width
-                        ELSE greatest(width * 64 // mx, 1)
-                        END AS new_width,
-                   CASE WHEN media_type = 'audio' OR mx <= 64 THEN height
-                        ELSE greatest(height * 64 // mx, 1)
-                        END AS new_height
-            FROM scaled)
-        SELECT doc_id, media_type,
-               CAST(width AS INT) AS width, CAST(height AS INT) AS height,
-               CAST(new_width AS INT) AS new_width,
-               CAST(new_height AS INT) AS new_height,
-               CAST(CASE WHEN media_type = 'audio' THEN n
-                         ELSE new_width * new_height * 3 * frames
-                    END AS BIGINT) AS out_bytes
-        FROM resized
-    """,
-    "stratified_sample": """
-        SELECT source,
-               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
-                   AS sampled_ct,
-               count(*) AS doc_ct
-        FROM (
-            SELECT source,
-                   CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1)
-                             AS INTEGER) < 10
-                        THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-                             IN ('0','1','2','3','4','5','6','7')
-                        ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-                             IN ('0','1') END AS keep
-            FROM documents)
-        GROUP BY source
-    """,
-    "doc_length_percentiles": """
-        SELECT lang, count(*) AS doc_ct,
-               round(quantile_cont(n_chars, 0.5), 6) AS p50,
-               round(quantile_cont(n_chars, 0.9), 6) AS p90,
-               round(quantile_cont(n_chars, 0.99), 6) AS p99
-        FROM documents
-        GROUP BY lang
-    """,
-    "price_tier_stats": """
-        SELECT tier, count(*) AS order_ct,
-               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
-                    AS DECIMAL(18,2)) AS gmv
-        FROM orders
-        JOIN (VALUES ('budget', 0.0, 100000.0),
-                     ('mid', 100000.0, 250000.0),
-                     ('premium', 250000.0, 1e12)) tiers(tier, lo, hi)
-          ON o_totalprice >= lo AND o_totalprice < hi
-        GROUP BY tier
-    """,
-    "region_segment_cube": """
-        SELECT r_name, c_mktsegment,
-               CAST(GROUPING(r_name, c_mktsegment) AS BIGINT) AS gid,
-               count(*) AS order_ct,
-               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
-                    AS DECIMAL(18,2)) AS gmv
-        FROM orders
-        JOIN customer ON o_custkey = c_custkey
-        JOIN nation ON c_nationkey = n_nationkey
-        JOIN region ON n_regionkey = r_regionkey
-        GROUP BY CUBE (r_name, c_mktsegment)
-    """,
-    "dup_clusters": f"""
-        WITH RECURSIVE {_BANDS},
-        pairs AS (
-            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-            FROM bands l
-            JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
-            WHERE l.doc_id < r.doc_id),
-        edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-                  UNION ALL
-                  SELECT doc_b, doc_a FROM pairs),
-        walk(a, b) AS (
-            SELECT s, d FROM edges
-            UNION
-            SELECT w.a, e.d FROM walk w JOIN edges e ON w.b = e.s),
-        labels AS (
-            SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-            FROM walk GROUP BY a)
-        SELECT cluster_id, doc_id, cluster_sz
-        FROM labels
-        JOIN (SELECT cluster_id, count(*) AS cluster_sz
-              FROM labels GROUP BY cluster_id) sz USING (cluster_id)
-    """,
-    "dedup_keep_best": f"""
-        WITH RECURSIVE {_BANDS},
-        pairs AS (
-            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-            FROM bands l
-            JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
-            WHERE l.doc_id < r.doc_id),
-        edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-                  UNION ALL
-                  SELECT doc_b, doc_a FROM pairs),
-        walk(a, b) AS (
-            SELECT s, d FROM edges
-            UNION
-            SELECT w.a, e.d FROM walk w JOIN edges e ON w.b = e.s),
-        labels AS (
-            SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-            FROM walk GROUP BY a)
-        SELECT cluster_id, l.doc_id AS doc_id,
-               CAST(len(tok) AS INT) AS n_tokens,
-               CAST(CASE WHEN row_number() OVER (
-                        PARTITION BY cluster_id
-                        ORDER BY len(tok) DESC, l.doc_id) = 1
-                    THEN 1 ELSE 0 END AS INT) AS keep
-        FROM labels l JOIN toks t ON l.doc_id = t.doc_id
-    """,
-    "purchase_attribution": """
-        SELECT event_id, user_id, ts, last_view_ts,
-               CAST(date_diff('microsecond', last_view_ts, ts) // 1000000
-                    AS BIGINT) AS gap_sec
-        FROM (
-            SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
-                   (SELECT max(CAST(v.ts AS TIMESTAMP)) FROM events v
-                    WHERE v.event_type = 'view' AND v.user_id = e.user_id
-                      AND v.ts <= e.ts) AS last_view_ts
-            FROM events e WHERE e.event_type = 'purchase')
-    """,
-    "hourly_activity_pivot": """
-        SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hour_of_day,
-               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS click,
-               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS error,
-               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS purchase,
-               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS signup,
-               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS view
-        FROM events
-        GROUP BY 1
-    """,
-    "retention_cohorts": """
-        WITH first AS (
-            SELECT user_id,
-                   CAST(min(date_trunc('day', CAST(ts AS TIMESTAMP)))
-                        AS TIMESTAMP) AS cohort_day
-            FROM events GROUP BY user_id),
-        active AS (
-            SELECT DISTINCT user_id,
-                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
-                        AS TIMESTAMP) AS active_day
-            FROM events)
-        SELECT cohort_day,
-               CAST(date_diff('day', cohort_day, active_day) AS BIGINT)
-                   AS day_offset,
-               count(DISTINCT active.user_id) AS user_ct
-        FROM active JOIN first ON active.user_id = first.user_id
-        GROUP BY 1, 2
-    """,
-    "norm_histogram": f"""
-        SELECT CAST(floor(sqrt({{dot}}) * 4) AS BIGINT) AS norm_bucket,
-               count(*) AS vec_ct,
-               count(DISTINCT label) AS label_ct
-        FROM (SELECT CAST(embedding AS DOUBLE[]) AS v, label
-              FROM embeddings)
-        GROUP BY 1
-    """.replace("{dot}", _DOT.format(a="v", b="v")),
-    "term_df_stats": f"""
-        WITH {_TOKS}
-        SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
-        FROM (SELECT doc_id, unnest(tok) AS term FROM toks)
-        GROUP BY term
-        ORDER BY df DESC, tf DESC, term
-        LIMIT 50
-    """,
-    "quantization_error": """
-        WITH v AS (
-            SELECT label, CAST(embedding AS DOUBLE[]) AS e
-            FROM embeddings),
-        m AS (
-            SELECT label, e,
-                   list_max(list_transform(e, x -> abs(x))) AS max_abs
-            FROM v),
-        errs AS (
-            SELECT label, max_abs,
-                   CASE WHEN max_abs = 0.0 THEN 0.0
-                        ELSE list_max(list_transform(e,
-                             x -> abs(x - floor(x / max_abs * 127.0 + 0.5)
-                                          / 127.0 * max_abs)))
-                        END AS err
-            FROM m)
-        SELECT label, count(*) AS vec_ct,
-               max(err) AS max_reconstruction_err,
-               max(max_abs) AS max_abs_value
-        FROM errs
-        GROUP BY label
-    """,
-    "dedup_summary": f"""
-        WITH RECURSIVE {_BANDS},
-        pairs AS (
-            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-            FROM bands l
-            JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash
-            WHERE l.doc_id < r.doc_id),
-        edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-                  UNION ALL
-                  SELECT doc_b, doc_a FROM pairs),
-        walk(a, b) AS (
-            SELECT s, d FROM edges
-            UNION
-            SELECT w.a, e.d FROM walk w JOIN edges e ON w.b = e.s),
-        labels AS (
-            SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-            FROM walk GROUP BY a),
-        drops AS (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
-        SELECT source, count(*) AS doc_ct,
-               CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-                    AS BIGINT) AS dropped_ct,
-               CAST(count(*)
-                    - sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-                    AS BIGINT) AS kept_ct
-        FROM documents LEFT JOIN drops dr USING (doc_id)
-        GROUP BY source
-    """,
-    "native_session_windows": """
-        WITH seq AS (
-            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-                   /* Spark merges an event landing at exactly
-                      prev+gap (verified empirically, locked by
-                      test_native_session_window_exact_gap_merges) —
-                      a new session needs a STRICTLY larger gap */
-                   CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
-                          OR CAST(ts AS TIMESTAMP)
-                             > lag(CAST(ts AS TIMESTAMP)) OVER w
-                               + INTERVAL '30 minutes'
-                        THEN 1 ELSE 0 END AS is_new
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        sess AS (
-            SELECT user_id, ts,
-                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                                     ROWS UNBOUNDED PRECEDING) AS sid
-            FROM seq)
-        SELECT user_id,
-               min(ts) AS session_start,
-               max(ts) + INTERVAL '30 minutes' AS session_end,
-               count(*) AS n_events
-        FROM sess
-        GROUP BY user_id, sid
-    """,
-    "lsh_ann": f"""
-        WITH vecs AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                   list_transform(CAST(embedding AS DOUBLE[]),
-                       x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS qv
-            FROM embeddings),
-        base AS (
-            SELECT vec_id, v,
-                   CAST({_lsh_bucket_sql('qv')} AS BIGINT) AS bucket
-            FROM vecs),
-        q AS (SELECT vec_id AS query_id, v AS vq, bucket
-              FROM base WHERE vec_id < 5),
-        c AS (SELECT vec_id AS neighbor_id, v AS vn, bucket FROM base),
-        scored AS (
-            SELECT query_id, c.bucket AS bucket, neighbor_id,
-                   {_cos('vq', 'vn')} AS cos_sim
-            FROM c JOIN q ON c.bucket = q.bucket
-            WHERE neighbor_id <> query_id)
-        SELECT query_id, bucket, neighbor_id,
-               CAST(rank AS BIGINT) AS rank, cos_sim
-        FROM (SELECT *, row_number() OVER (
-                  PARTITION BY query_id
-                  ORDER BY cos_sim DESC, neighbor_id) AS rank
-              FROM scored)
-        WHERE rank <= 3
-    """,
-    "bpe_token_stats": f"""
-        SELECT source, count(*) AS doc_ct,
-               CAST(sum(len(regexp_extract_all(
-                   text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
-                   AS bpe_token_ct,
-               CAST(sum(len({_tok_expr('text')})) AS BIGINT)
-                   AS ws_token_ct
-        FROM documents
-        GROUP BY source
-    """,
-    "doc_top_terms": f"""
-        WITH {_TOKS},
-        tf AS (
-            SELECT doc_id, term, count(*) AS tf
-            FROM (SELECT doc_id, unnest(tok) AS term FROM toks)
-            WHERE term NOT IN ('the', 'a')
-            GROUP BY doc_id, term)
-        SELECT doc_id, rank, term, tf FROM (
-            SELECT doc_id, term, tf,
-                   row_number() OVER (PARTITION BY doc_id
-                                      ORDER BY tf DESC, term) AS rank
-            FROM tf)
-        WHERE rank <= 3
-    """,
-    "returnflag_priority_stats": """
-        SELECT l_returnflag,
-               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_ct,
-               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_ct
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-          AND l_shipdate < TIMESTAMP '1998-01-01'
-        GROUP BY l_returnflag
-    """,
-    "part_supplier_variety": """
-        SELECT p_brand, p_size,
-               count(DISTINCT l_suppkey) AS supplier_ct
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE p_brand <> 'Brand#45'
-          AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
-          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                                WHERE s_acctbal < 1000)
-        GROUP BY p_brand, p_size
-    """,
-    "sole_late_suppliers": """
-        SELECT s_name, count(*) AS numwait
-        FROM supplier
-        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-        JOIN orders ON o_orderkey = l1.l_orderkey
-        WHERE o_orderstatus = 'F'
-          AND l1.l_shipdate > o_orderdate + INTERVAL '60 days'
-          AND EXISTS (SELECT 1 FROM lineitem l2
-                      WHERE l2.l_orderkey = l1.l_orderkey
-                        AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                          WHERE l3.l_orderkey = l1.l_orderkey
-                            AND l3.l_suppkey <> l1.l_suppkey
-                            AND l3.l_shipdate
-                                > o_orderdate + INTERVAL '60 days')
-        GROUP BY s_name
-    """,
-    "grouping_sets_revenue": f"""
-        SELECT l_returnflag, l_linestatus,
-               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-               count(*) AS line_ct,
-               CAST(round(sum({_DISC}), 2) AS DECIMAL(18,2)) AS revenue
-        FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
-                                (l_returnflag), ())
-    """,
-    "returnflag_part_overlap": """
-        WITH r AS (SELECT l_partkey FROM lineitem
-                   WHERE l_returnflag = 'R'
-                     AND l_shipdate >= TIMESTAMP '2000-01-01'),
-             n AS (SELECT l_partkey FROM lineitem
-                   WHERE l_returnflag = 'N'
-                     AND l_shipdate < TIMESTAMP '1996-01-01')
-        SELECT 'both' AS bucket, count(*) AS part_ct
-        FROM (SELECT * FROM r INTERSECT SELECT * FROM n)
-        UNION ALL
-        SELECT 'returned_only', count(*)
-        FROM (SELECT * FROM r EXCEPT SELECT * FROM n)
-        UNION ALL
-        SELECT 'accepted_only', count(*)
-        FROM (SELECT * FROM n EXCEPT SELECT * FROM r)
-    """,
-    "returned_item_customers": f"""
-        SELECT c_custkey, c_name, n_name,
-               CAST(round(sum({_DISC}), 2) AS DECIMAL(18,2)) AS revenue
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN nation ON c_nationkey = n_nationkey
-        WHERE l_returnflag = 'R'
-          AND o_orderdate >= TIMESTAMP '1996-01-01'
-          AND o_orderdate < TIMESTAMP '1996-04-01'
-        GROUP BY c_custkey, c_name, n_name
-        ORDER BY revenue DESC, c_custkey
-        LIMIT 20
-    """,
-    "nation_market_share": f"""
-        SELECT order_year, nation_revenue, total_revenue,
-               round(CAST(nation_revenue AS DOUBLE)
-                     / CAST(total_revenue AS DOUBLE), 6) AS mkt_share
-        FROM (
-            SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
-                   CAST(round(sum(CASE WHEN sn.n_name = 'NATION_3'
-                                       THEN {_DISC}
-                                       ELSE CAST(0 AS DECIMAL(18,2)) END), 2)
-                        AS DECIMAL(18,2)) AS nation_revenue,
-                   CAST(round(sum({_DISC}), 2) AS DECIMAL(18,2))
-                        AS total_revenue
-            FROM lineitem
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN supplier ON l_suppkey = s_suppkey
-            JOIN nation sn ON s_nationkey = sn.n_nationkey
-            WHERE o_custkey IN (
-                SELECT c_custkey FROM customer
-                JOIN nation cn ON c_nationkey = cn.n_nationkey
-                JOIN region ON cn.n_regionkey = r_regionkey
-                WHERE r_name = 'ASIA')
-            GROUP BY year(o_orderdate))
-    """,
-    "visitor_stats_sliding": """
-        SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
-                   - k * INTERVAL '5 minutes' AS stt,
-               time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
-                   - k * INTERVAL '5 minutes' + INTERVAL '10 minutes' AS edt,
-               event_type,
-               count(*) AS pv_ct,
-               count(DISTINCT user_id) AS uv_ct,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
-                   AS value_sum
-        FROM events CROSS JOIN (VALUES (0), (1)) offsets(k)
-        GROUP BY 1, 2, 3
-    """,
-    "repetition_stats": f"""
-        WITH {_TOKS},
-        tk AS (SELECT doc_id, unnest(tok) AS t FROM toks),
-        tc AS (SELECT doc_id, t, count(*) AS c FROM tk GROUP BY doc_id, t),
-        top AS (SELECT doc_id, max(c) AS top_token_ct FROM tc
-                GROUP BY doc_id),
-        g AS (
-            SELECT doc_id, len(tok) AS n_tokens,
-                   CASE WHEN len(tok) >= 2
-                        THEN list_transform(range(1, len(tok)),
-                             i -> tok[i] || ' ' || tok[i+1])
-                        ELSE [] END AS g2
-            FROM toks
-        )
-        SELECT g.doc_id,
-               CAST(n_tokens AS INT) AS n_tokens,
-               CAST(coalesce(top_token_ct, 0) AS BIGINT) AS top_token_ct,
-               CASE WHEN n_tokens > 0
-                    THEN CAST(coalesce(top_token_ct, 0) AS DOUBLE)
-                         / CAST(n_tokens AS DOUBLE)
-                    ELSE 0.0 END AS top_token_frac,
-               CAST(len(g2) AS INT) AS n_2grams,
-               CASE WHEN len(g2) > 0
-                    THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
-                               / CAST(len(g2) AS DOUBLE)
-                    ELSE 0.0 END AS dup_2gram_frac
-        FROM g LEFT JOIN top ON g.doc_id = top.doc_id
-    """,
-    "tfidf_search": f"""
-        WITH {_TOKS},
-        tf AS (
-            SELECT doc_id,
-                   len(list_filter(tok, t -> t = 'spark'))  AS tf_0,
-                   len(list_filter(tok, t -> t = 'join'))   AS tf_1,
-                   len(list_filter(tok, t -> t = 'window')) AS tf_2
-            FROM toks
-        ),
-        idf AS (
-            SELECT count(*) AS n_docs,
-                   sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
-                   sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
-                   sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
-            FROM tf
-        )
-        SELECT doc_id, CAST(score_i AS DOUBLE) / 1000000.0 AS score
-        FROM (
-            SELECT doc_id,
-                   CAST(round((
-                       (CASE WHEN df_0 > 0 THEN CAST(tf_0 AS DOUBLE)
-                            * ln(CAST(n_docs AS DOUBLE)
-                                 / CAST(df_0 AS DOUBLE)) ELSE 0.0 END)
-                     + (CASE WHEN df_1 > 0 THEN CAST(tf_1 AS DOUBLE)
-                            * ln(CAST(n_docs AS DOUBLE)
-                                 / CAST(df_1 AS DOUBLE)) ELSE 0.0 END)
-                     + (CASE WHEN df_2 > 0 THEN CAST(tf_2 AS DOUBLE)
-                            * ln(CAST(n_docs AS DOUBLE)
-                                 / CAST(df_2 AS DOUBLE)) ELSE 0.0 END)
-                       ) * 1000000.0) AS BIGINT) AS score_i
-            FROM tf CROSS JOIN idf
-        )
-        WHERE score_i > 0
-        ORDER BY score_i DESC, doc_id
-        LIMIT 10
-    """,
-    "simhash_band_pairs": f"""
-        WITH {_TOKS},
-        tk AS (SELECT doc_id, unnest(tok) AS t FROM toks),
-        h AS (SELECT doc_id, substr(md5(t), 1, 15) AS h FROM tk),
-        v AS (
-            SELECT doc_id,
-{_SIMHASH_SUMS}
-            FROM h GROUP BY doc_id
-        ),
-        s AS (SELECT doc_id,
-                     CAST({_SIMHASH_COMBINE} AS BIGINT) AS simhash FROM v),
-        b AS (
-            SELECT doc_id, simhash,
-                   unnest([0, 1, 2, 3]) AS band,
-                   unnest([{_SIMHASH_BAND_MASKS}]) AS band_key
-            FROM s
-        ),
-        p AS (
-            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
-                   l.simhash AS sa, r.simhash AS sb
-            FROM b l JOIN b r USING (band, band_key)
-            WHERE l.doc_id < r.doc_id
-        )
-        SELECT doc_a, doc_b,
-               CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-        FROM p
-        WHERE bit_count(xor(sa, sb)) <= 3
-    """,
-    "contamination_check": f"""
-        WITH {_SHINGLES},
-        c AS (SELECT doc_id, list_distinct(sh) AS sh FROM shing
-              WHERE doc_id % 100 <> 0 AND len(sh) > 0),
-        b AS (SELECT DISTINCT s FROM (
-                  SELECT unnest(list_distinct(sh)) AS s FROM shing
-                  WHERE doc_id % 100 = 0)),
-        hits AS (
-            SELECT doc_id, count(*) AS contaminated_sh
-            FROM (SELECT doc_id, unnest(sh) AS s FROM c) cs
-            JOIN b USING (s)
-            GROUP BY doc_id
-        )
-        SELECT c.doc_id,
-               CAST(len(sh) AS INT) AS n_sh,
-               CAST(coalesce(contaminated_sh, 0) AS BIGINT)
-                   AS contaminated_sh,
-               CAST(coalesce(contaminated_sh, 0) AS DOUBLE)
-                   / CAST(len(sh) AS DOUBLE) AS contaminated_frac
-        FROM c LEFT JOIN hits ON c.doc_id = hits.doc_id
-    """,
-    "domain_quota_sample": """
-        SELECT source, doc_id, n_chars, rank FROM (
-            SELECT source, doc_id, n_chars,
-                   CAST(row_number() OVER (
-                       PARTITION BY source
-                       ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
-            FROM documents)
-        WHERE rank <= 10
-    """,
-    "sequence_packing": f"""
-        WITH {_TOKS},
-        t AS (SELECT source, doc_id, len(tok) AS n_tokens FROM toks),
-        p AS (
-            SELECT source, n_tokens,
-                   CAST((sum(n_tokens) OVER (
-                        PARTITION BY source ORDER BY doc_id
-                        ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048
-                        AS BIGINT) AS chunk_id
-            FROM t
-        )
-        SELECT source, chunk_id,
-               count(*) AS doc_ct,
-               CAST(sum(n_tokens) AS BIGINT) AS token_ct,
-               least(CAST(sum(n_tokens) AS DOUBLE) / 2048.0, 1.0)
-                   AS fill_ratio
-        FROM p GROUP BY source, chunk_id
-    """,
-    "event_metrics_unpivot": """
-        WITH wide AS (
-            SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
-                        AS TIMESTAMP) AS day,
-                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-                       AS click,
-                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-                       AS view,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                       AS purchase
-            FROM events GROUP BY 1
-        )
-        SELECT day, 'click' AS metric, CAST(click AS BIGINT) AS ct
-        FROM wide
-        UNION ALL
-        SELECT day, 'view', CAST(view AS BIGINT) FROM wide
-        UNION ALL
-        SELECT day, 'purchase', CAST(purchase AS BIGINT) FROM wide
-    """,
-    "embedding_dups_lsh": f"""
-        WITH vecs AS (
-            SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                   list_transform(CAST(embedding AS DOUBLE[]),
-                       x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS q
-            FROM embeddings),
-        bands AS (
-{_emb_bands_sql()}
-        ),
-        cand AS (
-            SELECT DISTINCT l.label AS label,
-                   l.vec_id AS vec_a, r.vec_id AS vec_b
-            FROM bands l
-            JOIN bands r ON l.label = r.label AND l.band = r.band
-                        AND l.bkey = r.bkey
-            WHERE l.vec_id < r.vec_id
-        )
-        SELECT c.label AS label, c.vec_a AS vec_a, c.vec_b AS vec_b,
-               {_cos('a.v', 'b.v')} AS cos_sim
-        FROM cand c
-        JOIN vecs a ON c.label = a.label AND c.vec_a = a.vec_id
-        JOIN vecs b ON c.label = b.label AND c.vec_b = b.vec_id
-        WHERE {_cos('a.v', 'b.v')} >= 0.35
-    """,
-    "customer_value_quartiles": """
-        WITH spend AS (
-            SELECT o_custkey,
-                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                        AS DECIMAL(18,2)) AS spend
-            FROM orders GROUP BY o_custkey
-        ),
-        tiled AS (
-            SELECT c_custkey, spend,
-                   CAST(ntile(4) OVER (ORDER BY spend DESC, o_custkey)
-                        AS BIGINT) AS quartile
-            FROM customer JOIN spend ON c_custkey = o_custkey
-        )
-        SELECT quartile, count(*) AS cust_ct,
-               min(spend) AS min_spend, max(spend) AS max_spend,
-               CAST(sum(spend) AS DECIMAL(18,2)) AS total_spend
-        FROM tiled GROUP BY quartile
-    """,
-    # Plain string (no f-prefix): the regex bounded-repetition braces
-    # would collide with f-string interpolation.
-    "pii_redaction": r"""
-        WITH planted AS (
-            SELECT source,
-                   text || CASE doc_id % 5
-                       WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
-                                   || '@mail.example.com now'
-                       WHEN 1 THEN ' host 10.' || CAST(doc_id % 200 AS VARCHAR)
-                                   || '.0.' || CAST(doc_id % 250 AS VARCHAR)
-                                   || ' up'
-                       WHEN 2 THEN ' call +1 555 0' || CAST(doc_id % 100 AS VARCHAR)
-                                   || ' 42 now'
-                       ELSE '' END AS t0
-            FROM documents),
-        s1 AS (
-            SELECT source, t0,
-                   regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                                  '<EMAIL>', 'g') AS t1
-            FROM planted),
-        s2 AS (
-            SELECT source, t0, t1,
-                   regexp_replace(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}',
-                                  '<IP>', 'g') AS t2
-            FROM s1),
-        s3 AS (
-            SELECT source, t0, t1, t2,
-                   regexp_replace(t2, '\+[0-9][0-9 ]{6,}[0-9]',
-                                  '<PHONE>', 'g') AS t3
-            FROM s2)
-        SELECT source,
-               count(*) AS doc_ct,
-               CAST(sum(len(regexp_extract_all(t0,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT)
-                   AS email_ct,
-               CAST(sum(len(regexp_extract_all(t1,
-                   '([0-9]{1,3}\.){3}[0-9]{1,3}'))) AS BIGINT) AS ip_ct,
-               CAST(sum(len(regexp_extract_all(t2,
-                   '\+[0-9][0-9 ]{6,}[0-9]'))) AS BIGINT) AS phone_ct,
-               CAST(sum(len(t0) - len(t3)) AS BIGINT) AS redacted_chars
-        FROM s3 GROUP BY source
-    """,
-    "doc_chunks": "WITH " + _TOKS.lstrip() + """,
-        starts AS (
-            SELECT doc_id, tok,
-                   unnest(range(0, greatest(len(tok) - 1, 0) + 1, 12)) AS i
-            FROM toks),
-        chunks AS (
-            SELECT doc_id,
-                   i // 12 AS chunk_idx,
-                   tok[i + 1 : i + 16] AS chunk
-            FROM starts)
-        SELECT doc_id,
-               CAST(chunk_idx AS BIGINT) AS chunk_idx,
-               CAST(len(chunk) AS BIGINT) AS chunk_len,
-               md5(array_to_string(chunk, ' ')) AS chunk_fp
-        FROM chunks
-    """,
-    "segment_dedup": "WITH " + _TOKS.lstrip() + """,
-        starts AS (
-            SELECT doc_id, tok,
-                   unnest(range(0, greatest(len(tok) - 1, 0) + 1, 25)) AS i
-            FROM toks),
-        segs AS (
-            SELECT doc_id,
-                   CAST(1 + greatest(len(tok) - 1, 0) // 25 AS BIGINT)
-                       AS n_segs,
-                   CAST(i // 25 AS BIGINT) AS seg_idx,
-                   array_to_string(tok[i + 1 : i + 25], ' ') AS seg
-            FROM starts),
-        ranked AS (
-            SELECT *, row_number() OVER (PARTITION BY md5(seg)
-                                         ORDER BY doc_id, seg_idx) AS rn
-            FROM segs)
-        SELECT doc_id,
-               max(n_segs) AS n_segs,
-               count(*) AS n_kept,
-               md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS dedup_fp
-        FROM ranked WHERE rn = 1
-        GROUP BY doc_id
-    """,
-    "kmeans_clusters": _kmeans_oracle_sql(),
-    "semdedup_prune": _semdedup_oracle_sql(0.35),
-    "editdist_verified_pairs": f"""
-        WITH {_BANDS},
-        -- per-band candidate cap mirrored from the Spark side (same
-        -- rule as minhash_jaccard_pairs): each doc pairs with its 4
-        -- immediate doc_id successors inside the bucket
-        led AS (
-            SELECT doc_id AS doc_a,
-                   [lead(doc_id, 1) OVER w, lead(doc_id, 2) OVER w,
-                    lead(doc_id, 3) OVER w, lead(doc_id, 4) OVER w]
-                   AS succ
-            FROM bands
-            WINDOW w AS (PARTITION BY band, band_hash ORDER BY doc_id)
-        ),
-        pairs AS (
-            SELECT DISTINCT doc_a, t.doc_b
-            FROM led, unnest(succ) AS t(doc_b)
-            WHERE t.doc_b IS NOT NULL
-        ),
-        norm AS (SELECT doc_id, array_to_string(tok, ' ') AS t FROM toks)
-        SELECT doc_a, doc_b,
-               CAST(levenshtein(a.t, b.t) AS BIGINT) AS lev,
-               CAST(levenshtein(a.t, b.t) AS DOUBLE)
-                   / greatest(len(a.t), len(b.t), 1) AS rel_dist
-        FROM pairs
-        JOIN norm a ON pairs.doc_a = a.doc_id
-        JOIN norm b ON pairs.doc_b = b.doc_id
-        WHERE CAST(levenshtein(a.t, b.t) AS DOUBLE)
-                  / greatest(len(a.t), len(b.t), 1) <= 0.4
-    """,
-
-    # substring-level dedup: strided 64-char windows every 16 chars;
-    # md5 is bit-identical across engines, substr/substring are both
-    # 1-based character-addressed
-    "duplicate_spans": """
-        WITH spans AS (
-            SELECT doc_id,
-                   md5(substr(text, CAST(p AS INT), 64)) AS h
-            FROM (
-                SELECT doc_id, text,
-                       unnest(generate_series(1, CAST(n_chars AS INT) - 63,
-                                              16)) AS p
-                FROM documents WHERE n_chars >= 64
-            )
-        ),
-        duph AS (
-            SELECT h FROM spans GROUP BY h
-            HAVING count(DISTINCT doc_id) >= 2
-        )
-        SELECT s.doc_id,
-               count(*) AS total_spans,
-               CAST(sum(CASE WHEN d.h IS NULL THEN 0 ELSE 1 END)
-                    AS BIGINT) AS dup_spans
-        FROM spans s LEFT JOIN duph d USING (h)
-        GROUP BY s.doc_id
-        HAVING CAST(sum(CASE WHEN d.h IS NULL THEN 0 ELSE 1 END)
-                    AS BIGINT) > 0
-    """,
-
-    # integer-only mixture plan: floor(sqrt) of a correctly-rounded
-    # IEEE sqrt then integer division — bit-identical across engines
-    "mixture_plan": f"""
-        WITH {_TOKS},
-        per AS (
-            SELECT source, CAST(sum(len(tok)) AS BIGINT) AS token_ct
-            FROM toks GROUP BY source
-        ),
-        w AS (
-            SELECT source, token_ct,
-                   CAST(floor(sqrt(CAST(token_ct AS DOUBLE))) AS BIGINT)
-                       AS weight
-            FROM per
-        ),
-        tot AS (SELECT CAST(sum(weight) AS BIGINT) AS wtot FROM w)
-        SELECT source, token_ct, weight,
-               weight * 1000 // greatest(wtot, 1) AS share_permille,
-               1000000 * weight // greatest(wtot, 1) AS alloc_tokens,
-               (1000000 * weight // greatest(wtot, 1)) * 1000
-                   // greatest(token_ct, 1)
-                   AS epochs_permille
-        FROM w, tot
-    """,
-
-    # md5 hex chars decoded to an integer via ascii arithmetic — the
-    # portable uniform both engines compute identically
-    "quality_weighted_sample": f"""
-        WITH {_TOKS},
-        q AS (
-            SELECT doc_id, source,
-                   CAST(len(tok) AS BIGINT) AS n_tokens,
-                   least(256, 32 + len(list_distinct(tok))) AS keep,
-                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hh
-            FROM toks
-        )
-        SELECT doc_id, source, n_tokens,
-               CAST(keep AS BIGINT) AS keep_p256
-        FROM q
-        WHERE (CASE WHEN ascii(substr(hh, 1, 1)) >= 97
-                    THEN ascii(substr(hh, 1, 1)) - 87
-                    ELSE ascii(substr(hh, 1, 1)) - 48 END) * 16
-            + (CASE WHEN ascii(substr(hh, 2, 1)) >= 97
-                    THEN ascii(substr(hh, 2, 1)) - 87
-                    ELSE ascii(substr(hh, 2, 1)) - 48 END)
-            < keep
-    """,
-
-    # content-hash shard audit: same portable md5+ascii uniform, mod
-    # n_shards; all-integer balance arithmetic
-    "training_shard_plan": f"""
-        WITH {_TOKS},
-        per AS (
-            SELECT ((CASE WHEN ascii(substr(md5(coalesce(d.text, '')), 1, 1)) >= 97
-                          THEN ascii(substr(md5(coalesce(d.text, '')), 1, 1)) - 87
-                          ELSE ascii(substr(md5(coalesce(d.text, '')), 1, 1)) - 48 END) * 16
-                  + (CASE WHEN ascii(substr(md5(coalesce(d.text, '')), 2, 1)) >= 97
-                          THEN ascii(substr(md5(coalesce(d.text, '')), 2, 1)) - 87
-                          ELSE ascii(substr(md5(coalesce(d.text, '')), 2, 1)) - 48 END))
-                  % 16 AS shard,
-                   len(t.tok) AS n_tokens
-            FROM documents d JOIN toks t USING (doc_id)
-        ),
-        shards AS (
-            SELECT CAST(shard AS BIGINT) AS shard,
-                   count(*) AS doc_ct,
-                   CAST(sum(n_tokens) AS BIGINT) AS token_ct
-            FROM per GROUP BY 1
-        ),
-        tot AS (SELECT CAST(sum(token_ct) AS BIGINT) AS ttot FROM shards)
-        SELECT shard, doc_ct, token_ct,
-               token_ct * 1000 // greatest(ttot, 1) - 62 AS skew_permille
-        FROM shards, tot
-    """,
-    # exact heavy hitters: the MG pass only bounds the recount set, so
-    # the oracle is the plain HAVING form
-    "heavy_hitter_terms": f"""
-        WITH {_TOKS},
-        t AS (SELECT unnest(tok) AS term FROM toks),
-        tot AS (SELECT count(*) AS total_tokens FROM t)
-        SELECT term, count(*) AS cnt,
-               count(*) * 1000 // total_tokens AS share_permille
-        FROM t, tot
-        GROUP BY term, total_tokens
-        HAVING count(*) * 1000 >= 10 * total_tokens
-    """,
-    "unigram_lm_scores": f"""
-        WITH {_TOKS},
-        t AS (SELECT doc_id, unnest(tok) AS term FROM toks),
-        c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
-        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
-        v AS (SELECT term, cnt,
-                     row_number() OVER (ORDER BY cnt DESC, term) AS rk
-              FROM c),
-        ll AS (SELECT term,
-                      CAST(round(ln(CAST(cnt AS DOUBLE) / n) * 1e6)
-                           AS BIGINT) AS llr_micro
-               FROM v, tot WHERE rk <= 65536),
-        fl AS (SELECT CAST(round(ln(1.0 / n) * 1e6) AS BIGINT)
-                      AS floor_micro FROM tot),
-        scored AS (
-            SELECT doc_id, count(*) AS n_tokens,
-                   CAST(sum(coalesce(llr_micro, floor_micro))
-                        AS BIGINT) AS sum_llr_micro
-            FROM t LEFT JOIN ll USING (term), fl
-            GROUP BY doc_id)
-        SELECT doc_id, n_tokens, sum_llr_micro,
-               CASE WHEN sum_llr_micro >= -3450000 * n_tokens THEN 'high'
-                    WHEN sum_llr_micro >= -3550000 * n_tokens THEN 'mid'
-                    ELSE 'low' END AS lm_band
-        FROM scored
-    """,
-    # positive-shifted numerator makes DuckDB's flooring // equal to
-    # Spark's truncating DIV; ties on the floored average break on
-    # doc_id in both engines
-    "perplexity_buckets": f"""
-        WITH {_TOKS},
-        t AS (SELECT doc_id, lang, unnest(tok) AS term FROM toks),
-        c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
-        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
-        v AS (SELECT term, cnt,
-                     row_number() OVER (ORDER BY cnt DESC, term) AS rk
-              FROM c),
-        ll AS (SELECT term,
-                      CAST(round(ln(CAST(cnt AS DOUBLE) / n) * 1e6)
-                           AS BIGINT) AS llr_micro
-               FROM v, tot WHERE rk <= 65536),
-        fl AS (SELECT CAST(round(ln(1.0 / n) * 1e6) AS BIGINT)
-                      AS floor_micro FROM tot),
-        scored AS (
-            SELECT doc_id, any_value(lang) AS lang,
-                   count(*) AS n_tokens,
-                   CAST(sum(coalesce(llr_micro, floor_micro))
-                        AS BIGINT) AS sum_llr_micro
-            FROM t LEFT JOIN ll USING (term), fl
-            GROUP BY doc_id),
-        keyed AS (
-            SELECT *,
-                   (sum_llr_micro + 100000000 * n_tokens) // n_tokens
-                       AS ppl_key
-            FROM scored),
-        r AS (
-            SELECT *,
-                   row_number() OVER (PARTITION BY lang
-                                      ORDER BY ppl_key DESC, doc_id)
-                       AS rn,
-                   count(*) OVER (PARTITION BY lang) AS n_lang
-            FROM keyed)
-        SELECT doc_id, lang, n_tokens, sum_llr_micro,
-               CAST(ppl_key - 100000000 AS BIGINT) AS avg_llr_micro,
-               CAST(rn AS BIGINT) AS ppl_rank,
-               CASE (3 * (rn - 1)) // n_lang
-                    WHEN 0 THEN 'head'
-                    WHEN 2 THEN 'tail'
-                    ELSE 'middle' END AS ppl_bucket
-        FROM r
-    """,
-    "bpe_merge_candidates": f"""
-        WITH {_TOKS},
-        words AS (
-            SELECT word, count(*) AS word_ct
-            FROM (SELECT unnest(tok) AS word FROM toks)
-            GROUP BY word),
-        pairs AS (
-            SELECT unnest(list_transform(range(1, len(word)),
-                                         i -> substr(word, i, 2))) AS pair,
-                   word_ct
-            FROM words WHERE len(word) >= 2),
-        agg AS (
-            SELECT pair, CAST(sum(word_ct) AS BIGINT) AS merge_ct
-            FROM pairs GROUP BY pair)
-        SELECT CAST(row_number() OVER (ORDER BY merge_ct DESC, pair)
-                    AS BIGINT) AS rank,
-               pair, merge_ct
-        FROM agg
-        ORDER BY merge_ct DESC, pair
-        LIMIT 20
-    """,
-    # digest-free classification: the oracle compares columns directly
-    # (IS DISTINCT FROM), which must classify identically to the
-    # engine's intra-engine md5 digest compare
-    "snapshot_diff": """
-        WITH o AS (
-            SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
-        n AS (
-            SELECT o_orderkey, o_custkey,
-                   CASE WHEN o_orderkey % 5 = 0 THEN 'X'
-                        ELSE o_orderstatus END AS o_orderstatus,
-                   o_totalprice, o_orderdate, o_orderpriority
-            FROM orders WHERE o_orderkey % 11 <> 0),
-        d AS (
-            SELECT coalesce(o.o_orderkey, n.o_orderkey) AS pk,
-                   CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
-                        WHEN n.o_orderkey IS NULL THEN 'deleted'
-                        WHEN (o.o_custkey IS DISTINCT FROM n.o_custkey)
-                          OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
-                          OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
-                          OR (o.o_orderdate IS DISTINCT FROM n.o_orderdate)
-                          OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
-                        THEN 'updated'
-                        ELSE 'unchanged' END AS change_type
-            FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey)
-        SELECT pk, change_type FROM d WHERE change_type <> 'unchanged'
-    """,
-    "regional_part_gap": """
-        WITH dims AS (
-            SELECT s_suppkey, r_name
-            FROM supplier
-            JOIN nation ON s_nationkey = n_nationkey
-            JOIN region ON n_regionkey = r_regionkey),
-        shipped AS (
-            SELECT l_partkey, r_name
-            FROM lineitem JOIN dims ON l_suppkey = s_suppkey)
-        SELECT l_partkey AS part_key FROM shipped WHERE r_name = 'AMERICA'
-        EXCEPT
-        SELECT l_partkey AS part_key FROM shipped WHERE r_name = 'ASIA'
-    """,
-    "padding_waste_audit": f"""
-        WITH {_TOKS},
-        t AS (SELECT doc_id, len(tok) AS n_tokens FROM toks),
-        arrival AS (
-            SELECT (row_number() OVER (ORDER BY doc_id) - 1) // 8 AS batch,
-                   n_tokens
-            FROM t),
-        srt AS (
-            SELECT (row_number() OVER (ORDER BY n_tokens, doc_id) - 1) // 8
-                       AS batch,
-                   n_tokens
-            FROM t),
-        pa AS (
-            SELECT batch, count(*) AS n, max(n_tokens) AS mx,
-                   sum(n_tokens) AS payload
-            FROM arrival GROUP BY batch),
-        ps AS (
-            SELECT batch, count(*) AS n, max(n_tokens) AS mx,
-                   sum(n_tokens) AS payload
-            FROM srt GROUP BY batch),
-        ra AS (
-            SELECT 'arrival_order' AS strategy, count(*) AS batches,
-                   CAST(sum(payload) AS BIGINT) AS payload_tokens,
-                   CAST(sum(mx * n - payload) AS BIGINT) AS padded_slots
-            FROM pa),
-        rs AS (
-            SELECT 'length_sorted' AS strategy, count(*) AS batches,
-                   CAST(sum(payload) AS BIGINT) AS payload_tokens,
-                   CAST(sum(mx * n - payload) AS BIGINT) AS padded_slots
-            FROM ps)
-        SELECT strategy, batches, payload_tokens, padded_slots,
-               padded_slots * 1000 // greatest(payload_tokens + padded_slots, 1)
-                   AS waste_permille
-        FROM (SELECT * FROM ra UNION ALL SELECT * FROM rs)
-    """,
-    "bigram_lm_scores": f"""
-        WITH {_TOKS},
-        tr AS (
-            SELECT doc_id,
-                   unnest(list_transform(range(1, len(tok)),
-                          i -> tok[i] || ' ' || tok[i + 1])) AS bigram
-            FROM toks),
-        uni AS (
-            SELECT term, count(*) AS cu
-            FROM (SELECT unnest(tok) AS term FROM toks)
-            GROUP BY term),
-        tot AS (SELECT CAST(sum(cu) AS BIGINT) AS total_tokens FROM uni),
-        bi AS (
-            SELECT bigram, count(*) AS c2,
-                   string_split(bigram, ' ')[1] AS prev,
-                   string_split(bigram, ' ')[2] AS nxt
-            FROM tr GROUP BY bigram),
-        sb AS (
-            SELECT bigram,
-                   CAST(round(ln(0.7 * c2 / p.cu
-                                 + 0.3 * n.cu / total_tokens) * 1e6)
-                        AS BIGINT) AS llr_micro
-            FROM bi
-            JOIN uni p ON bi.prev = p.term
-            JOIN uni n ON bi.nxt = n.term, tot)
-        SELECT doc_id, count(*) AS n_transitions,
-               CAST(sum(llr_micro) AS BIGINT) AS sum_llr_micro
-        FROM tr JOIN sb USING (bigram)
-        GROUP BY doc_id
-    """,
-    "langid_trigram": """
-        WITH tri AS (
-            SELECT doc_id, lang AS label_lang,
-                   unnest(list_filter(list_transform(
-                       range(1, greatest(len(coalesce(text, '')) - 2, 1) + 1),
-                       i -> substr(coalesce(text, ''), CAST(i AS INT), 3)),
-                       t -> len(t) = 3)) AS tri
-            FROM documents),
-        profile AS (
-            SELECT label_lang AS lang_p, tri, count(*) AS c
-            FROM tri GROUP BY 1, 2),
-        v AS (SELECT count(DISTINCT tri) AS v FROM tri),
-        lt AS (
-            SELECT lang_p, CAST(sum(c) AS BIGINT) AS ct_lang, v
-            FROM profile, v GROUP BY lang_p, v),
-        llr AS (
-            SELECT p.lang_p, p.tri,
-                   CAST(round(ln(CAST(p.c + 1 AS DOUBLE)
-                                 / (lt.ct_lang + lt.v)) * 1e6)
-                        AS BIGINT) AS llr_micro
-            FROM profile p JOIN lt ON p.lang_p = lt.lang_p),
-        floors AS (
-            SELECT lang_p,
-                   CAST(round(ln(1.0 / (ct_lang + v)) * 1e6)
-                        AS BIGINT) AS floor_micro
-            FROM lt),
-        matched AS (
-            SELECT t.doc_id, l.lang_p,
-                   count(*) AS m, CAST(sum(l.llr_micro) AS BIGINT) AS s
-            FROM tri t JOIN llr l ON t.tri = l.tri
-            GROUP BY 1, 2),
-        nt AS (SELECT doc_id, label_lang, count(*) AS n_tri
-               FROM tri GROUP BY 1, 2),
-        scored AS (
-            SELECT nt.doc_id, nt.label_lang, f.lang_p,
-                   coalesce(m.s, 0)
-                   + (nt.n_tri - coalesce(m.m, 0)) * f.floor_micro
-                       AS score
-            FROM nt
-            CROSS JOIN floors f
-            LEFT JOIN matched m
-              ON nt.doc_id = m.doc_id AND f.lang_p = m.lang_p),
-        pred AS (
-            SELECT doc_id, label_lang, lang_p FROM (
-                SELECT *, row_number() OVER (
-                    PARTITION BY doc_id
-                    ORDER BY score DESC, lang_p) AS rk
-                FROM scored) WHERE rk = 1)
-        SELECT label_lang, lang_p AS pred_lang, count(*) AS ct
-        FROM pred GROUP BY 1, 2
-    """,
-    "data_quality_report": """
-        WITH m AS (
-            SELECT count(*) AS n,
-                   sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
-                       AS m0,
-                   count(DISTINCT o_orderkey) AS m1,
-                   sum(CASE WHEN o_totalprice IS NOT NULL
-                             AND o_totalprice >= 0 THEN 1 ELSE 0 END)
-                       AS m2,
-                   sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
-                            THEN 1 ELSE 0 END) AS m3,
-                   sum(CASE WHEN o_orderpriority IS NOT NULL
-                             AND regexp_matches(o_orderpriority,
-                                                '^[1-5]-[A-Z ]+$')
-                            THEN 1 ELSE 0 END) AS m4
-            FROM orders),
-        rows_ AS (
-            SELECT 'custkey_not_null' AS rule,
-                   CAST(m0 * 1000 // greatest(n, 1) AS BIGINT)
-                       AS metric_permille,
-                   CAST(999 AS BIGINT) AS min_permille FROM m
-            UNION ALL
-            SELECT 'orderkey_unique',
-                   CAST(m1 * 1000 // greatest(n, 1) AS BIGINT),
-                   CAST(1000 AS BIGINT) FROM m
-            UNION ALL
-            SELECT 'totalprice_positive',
-                   CAST(m2 * 1000 // greatest(n, 1) AS BIGINT),
-                   CAST(1000 AS BIGINT) FROM m
-            UNION ALL
-            SELECT 'status_accepted',
-                   CAST(m3 * 1000 // greatest(n, 1) AS BIGINT),
-                   CAST(1000 AS BIGINT) FROM m
-            UNION ALL
-            SELECT 'priority_format',
-                   CAST(m4 * 1000 // greatest(n, 1) AS BIGINT),
-                   CAST(1000 AS BIGINT) FROM m)
-        SELECT rule, metric_permille, min_permille,
-               CAST(CASE WHEN metric_permille >= min_permille
-                         THEN 1 ELSE 0 END AS BIGINT) AS passed
-        FROM rows_
-    """,
-    "source_quality_report": """
-        WITH m AS (
-            SELECT source, count(*) AS n,
-                   sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS m0,
-                   sum(CASE WHEN n_chars IS NOT NULL AND n_chars >= 1
-                             AND n_chars <= 100000 THEN 1 ELSE 0 END) AS m1,
-                   count(DISTINCT doc_id) AS m2
-            FROM documents GROUP BY source),
-        rows_ AS (
-            SELECT source, 'text_not_null' AS rule,
-                   CAST(m0 * 1000 // greatest(n, 1) AS BIGINT)
-                       AS metric_permille,
-                   CAST(1000 AS BIGINT) AS min_permille FROM m
-            UNION ALL
-            SELECT source, 'chars_in_range',
-                   CAST(m1 * 1000 // greatest(n, 1) AS BIGINT),
-                   CAST(900 AS BIGINT) FROM m
-            UNION ALL
-            SELECT source, 'doc_id_unique',
-                   CAST(m2 * 1000 // greatest(n, 1) AS BIGINT),
-                   CAST(1000 AS BIGINT) FROM m)
-        SELECT source, rule, metric_permille, min_permille,
-               CAST(CASE WHEN metric_permille >= min_permille
-                         THEN 1 ELSE 0 END AS BIGINT) AS passed
-        FROM rows_
-    """,
-    "contrastive_pairs": f"""
-        WITH q AS (
-            SELECT vec_id AS anchor_id, label AS anchor_label,
-                   CAST(embedding AS DOUBLE[]) AS vq
-            FROM embeddings WHERE vec_id < 5
-        ),
-        c AS (
-            SELECT vec_id AS neighbor_id, label AS neighbor_label,
-                   CAST(embedding AS DOUBLE[]) AS vn
-            FROM embeddings
-        ),
-        scored AS (
-            SELECT anchor_id, neighbor_id, neighbor_label,
-                   CASE WHEN neighbor_label = anchor_label
-                        THEN 'hard_positive'
-                        ELSE 'hard_negative' END AS kind,
-                   {_cos('vq', 'vn')} AS cos_sim
-            FROM c, q WHERE neighbor_id <> anchor_id
-        )
-        SELECT anchor_id, kind, CAST(rank AS BIGINT) AS rank,
-               neighbor_id, neighbor_label, cos_sim
-        FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY anchor_id, kind
-                ORDER BY CASE WHEN kind = 'hard_positive' THEN cos_sim
-                              ELSE -cos_sim END ASC, neighbor_id) AS rank
-            FROM scored
-        ) WHERE rank <= 2
-    """,
-}
-
-# ANN recall audit: composed from the two ranking oracles above so
-# the exact and approximate sides can never drift from the graded
-# definitions (DuckDB allows WITH inside subqueries). Exact side
-# re-filtered to rank <= 3 => recall@3 against the k=3 LSH probe.
-def _pq_subspace_ctes(m: int = 8, w: int = 8) -> list:
-    """The per-subspace Lloyd chains of the PQ oracle (s{s}_vecs …
-    s{s}_a{N}, s{s}_cqf) as a CTE list — shared by the PQ audit
-    oracle and the composed IVF-PQ search oracle."""
-    from ..operators.similarity import KMEANS_ITERS, KMEANS_K
-
-    quant = "x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)"
-    sqd = _ISQD.format(a="q", b="qc")
-    ctes = []
-    for s in range(m):
-        p = f"s{s}_"
-        lo, hi = s * w + 1, s * w + w
-        sl = f"array_slice(CAST(embedding AS DOUBLE[]), {lo}, {hi})"
-        ctes.append(f"""{p}vecs AS (
-            SELECT vec_id, {sl} AS v,
-                   list_transform({sl}, {quant}) AS q
-            FROM embeddings)""")
-        ctes.append(f"""{p}c0 AS (
-            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
-                   v AS centroid
-            FROM {p}vecs ORDER BY vec_id LIMIT {KMEANS_K})""")
-        for n in range(1, KMEANS_ITERS + 1):
-            ctes.append(f"""{p}cq{n - 1} AS (
-            SELECT cluster, list_transform(centroid, {quant}) AS qc
-            FROM {p}c{n - 1})""")
-            ctes.append(f"""{p}a{n} AS (
-            SELECT vec_id, q, cluster FROM (
-                SELECT vec_id, q, cluster,
-                       row_number() OVER (PARTITION BY vec_id
-                                          ORDER BY {sqd}, cluster) AS rn
-                FROM {p}vecs, {p}cq{n - 1}
-            ) WHERE rn = 1)""")
-            ctes.append(f"""{p}c{n} AS (
-            SELECT cluster, list(cx ORDER BY dim) AS centroid
-            FROM (
-                SELECT cluster, dim,
-                       CAST(sum(qx) AS DOUBLE)
-                           / (count(*) * 1048576.0) AS cx
-                FROM (SELECT cluster,
-                             unnest(range(1, len(q) + 1)) AS dim,
-                             unnest(q) AS qx
-                      FROM {p}a{n})
-                GROUP BY cluster, dim
-            ) GROUP BY cluster)""")
-        it = KMEANS_ITERS
-        ctes.append(f"""{p}cqf AS (
-            SELECT cluster, list_transform(centroid, {quant}) AS qc,
-                   md5(array_to_string(list_transform(centroid,
-                       x -> CAST(CAST(floor(x * 1048576.0 + 0.5)
-                                      AS BIGINT) AS VARCHAR)), ','))
-                       AS fp
-            FROM {p}c{it})""")
-    return ctes
-
-
-def _pq_oracle_sql(m: int = 8, w: int = 8) -> str:
-    """Fully-unrolled PQ oracle mirroring similarity.pq_codebook_audit:
-    one _kmeans_ctes-style Lloyd chain PER SUBSPACE over the sliced
-    vectors, then per (subspace, cluster) exact integer error vs the
-    quantized final codeword. Everything that could diverge between
-    engines is int64 arithmetic."""
-    from ..operators.similarity import KMEANS_ITERS
-
-    sqd_af = _ISQD.format(a="a.q", b="f.qc")
-    it = KMEANS_ITERS
-    selects = []
-    for s in range(m):
-        p = f"s{s}_"
-        selects.append(f"""
-            SELECT CAST({s} AS BIGINT) AS subspace,
-                   CAST(a.cluster AS BIGINT) AS cluster,
-                   count(*) AS vec_ct,
-                   CAST(sum({sqd_af}) AS BIGINT) AS sq_err_sum,
-                   CAST(max({sqd_af}) AS BIGINT) AS sq_err_max,
-                   min(f.fp) AS codeword_fp
-            FROM {p}a{it} a JOIN {p}cqf f USING (cluster)
-            GROUP BY 1, 2""")
-    return ("WITH " + ",\n".join(_pq_subspace_ctes(m, w)) + "\n"
-            + "\nUNION ALL\n".join(selects))
-
-
-def _ivfpq_oracle_sql(m: int = 8, w: int = 8, n_queries: int = 5,
-                      k: int = 3) -> str:
-    """Composed IVF-PQ search oracle: the coarse k-means chain
-    (_kmeans_ctes — a{N} is the inverted-list assignment) + the m
-    per-subspace PQ chains (codes = s{s}_a{N}.cluster, codewords =
-    s{s}_cqf.qc) + asymmetric integer distances summed over subspaces
-    and ranked per query. Mirrors similarity.ivfpq_ann bit-for-bit."""
-    from ..operators.similarity import KMEANS_ITERS
-
-    it = KMEANS_ITERS
-    contribs = "\n            UNION ALL\n".join(
-        f"""            SELECT p.query_id, p.vec_id,
-                   {_ISQD.format(a='qs.q', b='f.qc')} AS d
-            FROM pairs p
-            JOIN s{s}_vecs qs ON qs.vec_id = p.query_id
-            JOIN s{s}_a{it} cc ON cc.vec_id = p.vec_id
-            JOIN s{s}_cqf f ON f.cluster = cc.cluster"""
-        for s in range(m))
-    return (_kmeans_ctes() + ",\n"
-            + ",\n".join(_pq_subspace_ctes(m, w)) + f""",
-        qv AS (
-            SELECT vec_id AS query_id, cluster
-            FROM a{it} WHERE vec_id < {n_queries}),
-        pairs AS (
-            SELECT qv.query_id, a.vec_id
-            FROM a{it} a JOIN qv ON a.cluster = qv.cluster
-            WHERE a.vec_id <> qv.query_id),
-        contrib AS (
-{contribs}
-        ),
-        adc AS (
-            SELECT query_id, vec_id,
-                   CAST(sum(d) AS BIGINT) AS adc_dist
-            FROM contrib GROUP BY 1, 2)
-        SELECT query_id, vec_id AS neighbor_id,
-               CAST(rank AS BIGINT) AS rank, adc_dist
-        FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY query_id
-                ORDER BY adc_dist, vec_id) AS rank
-            FROM adc
-        ) WHERE rank <= {k}""")
-
-
-def _bpe_oracle_cte(n: int = textstats.BPE_N_MERGES) -> str:
-    """The iterative BPE trainer unrolled as n materialized-CTE
-    rounds (MATERIALIZED is load-bearing: v{s} and m{s+1} both read
-    v{s-1}, so un-materialized CTE inlining re-expands the chain
-    2^n times). Each round is the byte-identical DuckDB twin of
-    textstats.bpe_learn's Spark round: weighted adjacent-pair count
-    over the vocab, argmax by (count desc, pair asc), literal
-    replace of "a;b;" with "ab;"."""
-    parts = [_TOKS + """,
-        bpe_words AS MATERIALIZED (
-            SELECT word, CAST(count(*) AS BIGINT) AS ct
-            FROM (SELECT unnest(tok) AS word FROM toks)
-            WHERE NOT contains(word, ';')
-            GROUP BY word),
-        v0 AS MATERIALIZED (
-            SELECT word, ct,
-                   regexp_replace(word, '(.)', '\\1;', 'g') AS sym
-            FROM bpe_words)"""]
-    for s in range(1, n + 1):
-        parts.append(f""",
-        m{s} AS MATERIALIZED (
-            SELECT CAST({s} AS BIGINT) AS step, pair,
-                   replace(pair, ';', '') || ';' AS merged,
-                   CAST(sum(ct) AS BIGINT) AS merge_ct
-            FROM (SELECT ct,
-                         unnest([arr[i] || ';' || arr[i+1] || ';'
-                                 for i in range(1, len(arr) - 1)]) AS pair
-                  FROM (SELECT ct, str_split(sym, ';') AS arr
-                        FROM v{s - 1}))
-            GROUP BY pair
-            ORDER BY merge_ct DESC, pair LIMIT 1),
-        v{s} AS MATERIALIZED (
-            SELECT word, ct,
-                   replace(sym, coalesce((SELECT pair FROM m{s}), ''),
-                           coalesce((SELECT merged FROM m{s}), '')) AS sym
-            FROM v{s - 1})""")
-    return "".join(parts)
-
-
-_BPE_N = textstats.BPE_N_MERGES
-ORACLES["bpe_merges"] = (
-    "WITH " + _bpe_oracle_cte()
-    + "\nSELECT step, pair, merged, merge_ct FROM ("
-    + " UNION ALL ".join(f"SELECT * FROM m{s}"
-                         for s in range(1, _BPE_N + 1))
-    + ") ORDER BY step")
-ORACLES["bpe_encode_stats"] = (
-    "WITH " + _bpe_oracle_cte() + f""",
-        enc AS (
-            SELECT word,
-                   CAST(len(str_split(sym, ';')) - 1 AS BIGINT) AS n_sym
-            FROM v{_BPE_N})
-        SELECT doc_id,
-               CAST(count(*) AS BIGINT) AS n_tokens,
-               CAST(sum(coalesce(n_sym, 1)) AS BIGINT) AS n_symbols
-        FROM (SELECT doc_id, unnest(tok) AS word FROM toks)
-        LEFT JOIN enc USING (word)
-        GROUP BY doc_id""")
-
-ORACLES["dsir_weights"] = f"""
-    WITH {_TOKS},
-    tgt AS (SELECT min(source) AS target_src FROM documents),
-    occ AS (
-        SELECT doc_id, source = (SELECT target_src FROM tgt) AS is_target,
-               t.term
-        FROM toks, unnest(tok) AS t(term)
-    ),
-    feat AS (
-        SELECT doc_id, is_target,
-               CAST((CASE WHEN ascii(substr(md5(term), 1, 1)) >= 97 THEN ascii(substr(md5(term), 1, 1)) - 87 ELSE ascii(substr(md5(term), 1, 1)) - 48 END) * 256 + (CASE WHEN ascii(substr(md5(term), 2, 1)) >= 97 THEN ascii(substr(md5(term), 2, 1)) - 87 ELSE ascii(substr(md5(term), 2, 1)) - 48 END) * 16 + (CASE WHEN ascii(substr(md5(term), 3, 1)) >= 97 THEN ascii(substr(md5(term), 3, 1)) - 87 ELSE ascii(substr(md5(term), 3, 1)) - 48 END) AS BIGINT) AS b
-        FROM occ
-    ),
-    stats AS (
-        SELECT b,
-               CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
-                   AS ct_t,
-               CAST(count(*) AS BIGINT) AS ct_r
-        FROM feat GROUP BY b
-    ),
-    tot AS (
-        SELECT CAST(sum(ct_t) AS BIGINT) AS n_t,
-               CAST(sum(ct_r) AS BIGINT) AS n_r
-        FROM stats
-    ),
-    llr AS (
-        SELECT b,
-               CAST(round((ln(CAST(ct_t + 1 AS DOUBLE) / (n_t + 4096))
-                           - ln(CAST(ct_r + 1 AS DOUBLE) / (n_r + 4096)))
-                          * 1e6) AS BIGINT) AS llr_micro
-        FROM stats, tot
-    )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(sum(llr_micro) AS BIGINT) AS dsir_weight_micro
-    FROM feat JOIN llr USING (b)
-    GROUP BY doc_id
-"""
-
-ORACLES["media_text_alignment"] = """
-    WITH vecs AS (
-        SELECT doc_id,
-               CASE WHEN doc_id % 3 = 0 THEN 'image'
-                    WHEN doc_id % 3 = 1 THEN 'audio'
-                    ELSE 'video' END AS media_type,
-               CAST(((CASE WHEN ascii(substr(md5(coalesce(text, '')), 1, 1)) >= 97 THEN ascii(substr(md5(coalesce(text, '')), 1, 1)) - 87 ELSE ascii(substr(md5(coalesce(text, '')), 1, 1)) - 48 END) * 2 - 15) AS BIGINT) AS m0,
-               CAST(((CASE WHEN ascii(substr(md5(coalesce(text, '')), 2, 1)) >= 97 THEN ascii(substr(md5(coalesce(text, '')), 2, 1)) - 87 ELSE ascii(substr(md5(coalesce(text, '')), 2, 1)) - 48 END) * 2 - 15) AS BIGINT) AS m1,
-               CAST(((CASE WHEN ascii(substr(md5(coalesce(text, '')), 3, 1)) >= 97 THEN ascii(substr(md5(coalesce(text, '')), 3, 1)) - 87 ELSE ascii(substr(md5(coalesce(text, '')), 3, 1)) - 48 END) * 2 - 15) AS BIGINT) AS m2,
-               CAST(((CASE WHEN ascii(substr(md5(coalesce(text, '')), 4, 1)) >= 97 THEN ascii(substr(md5(coalesce(text, '')), 4, 1)) - 87 ELSE ascii(substr(md5(coalesce(text, '')), 4, 1)) - 48 END) * 2 - 15) AS BIGINT) AS m3,
-               CAST(((CASE WHEN ascii(substr(md5(coalesce(text, '')), 5, 1)) >= 97 THEN ascii(substr(md5(coalesce(text, '')), 5, 1)) - 87 ELSE ascii(substr(md5(coalesce(text, '')), 5, 1)) - 48 END) * 2 - 15) AS BIGINT) AS m4,
-               CAST(((CASE WHEN ascii(substr(md5(coalesce(text, '')), 6, 1)) >= 97 THEN ascii(substr(md5(coalesce(text, '')), 6, 1)) - 87 ELSE ascii(substr(md5(coalesce(text, '')), 6, 1)) - 48 END) * 2 - 15) AS BIGINT) AS m5,
-               CAST(((CASE WHEN ascii(substr(md5(coalesce(text, '')), 7, 1)) >= 97 THEN ascii(substr(md5(coalesce(text, '')), 7, 1)) - 87 ELSE ascii(substr(md5(coalesce(text, '')), 7, 1)) - 48 END) * 2 - 15) AS BIGINT) AS m6,
-               CAST(((CASE WHEN ascii(substr(md5(coalesce(text, '')), 8, 1)) >= 97 THEN ascii(substr(md5(coalesce(text, '')), 8, 1)) - 87 ELSE ascii(substr(md5(coalesce(text, '')), 8, 1)) - 48 END) * 2 - 15) AS BIGINT) AS m7,
-               CAST(((CASE WHEN ascii(substr(md5('cap|' || coalesce(text, '')), 1, 1)) >= 97 THEN ascii(substr(md5('cap|' || coalesce(text, '')), 1, 1)) - 87 ELSE ascii(substr(md5('cap|' || coalesce(text, '')), 1, 1)) - 48 END) * 2 - 15) AS BIGINT) AS t0,
-               CAST(((CASE WHEN ascii(substr(md5('cap|' || coalesce(text, '')), 2, 1)) >= 97 THEN ascii(substr(md5('cap|' || coalesce(text, '')), 2, 1)) - 87 ELSE ascii(substr(md5('cap|' || coalesce(text, '')), 2, 1)) - 48 END) * 2 - 15) AS BIGINT) AS t1,
-               CAST(((CASE WHEN ascii(substr(md5('cap|' || coalesce(text, '')), 3, 1)) >= 97 THEN ascii(substr(md5('cap|' || coalesce(text, '')), 3, 1)) - 87 ELSE ascii(substr(md5('cap|' || coalesce(text, '')), 3, 1)) - 48 END) * 2 - 15) AS BIGINT) AS t2,
-               CAST(((CASE WHEN ascii(substr(md5('cap|' || coalesce(text, '')), 4, 1)) >= 97 THEN ascii(substr(md5('cap|' || coalesce(text, '')), 4, 1)) - 87 ELSE ascii(substr(md5('cap|' || coalesce(text, '')), 4, 1)) - 48 END) * 2 - 15) AS BIGINT) AS t3,
-               CAST(((CASE WHEN ascii(substr(md5('cap|' || coalesce(text, '')), 5, 1)) >= 97 THEN ascii(substr(md5('cap|' || coalesce(text, '')), 5, 1)) - 87 ELSE ascii(substr(md5('cap|' || coalesce(text, '')), 5, 1)) - 48 END) * 2 - 15) AS BIGINT) AS t4,
-               CAST(((CASE WHEN ascii(substr(md5('cap|' || coalesce(text, '')), 6, 1)) >= 97 THEN ascii(substr(md5('cap|' || coalesce(text, '')), 6, 1)) - 87 ELSE ascii(substr(md5('cap|' || coalesce(text, '')), 6, 1)) - 48 END) * 2 - 15) AS BIGINT) AS t5,
-               CAST(((CASE WHEN ascii(substr(md5('cap|' || coalesce(text, '')), 7, 1)) >= 97 THEN ascii(substr(md5('cap|' || coalesce(text, '')), 7, 1)) - 87 ELSE ascii(substr(md5('cap|' || coalesce(text, '')), 7, 1)) - 48 END) * 2 - 15) AS BIGINT) AS t6,
-               CAST(((CASE WHEN ascii(substr(md5('cap|' || coalesce(text, '')), 8, 1)) >= 97 THEN ascii(substr(md5('cap|' || coalesce(text, '')), 8, 1)) - 87 ELSE ascii(substr(md5('cap|' || coalesce(text, '')), 8, 1)) - 48 END) * 2 - 15) AS BIGINT) AS t7
-        FROM documents
-    ),
-    scored AS (
-        SELECT doc_id, media_type,
-               CAST(round(CAST(m0 * t0 + m1 * t1 + m2 * t2 + m3 * t3 + m4 * t4 + m5 * t5 + m6 * t6 + m7 * t7 AS DOUBLE)
-                          / sqrt(CAST((m0 * m0 + m1 * m1 + m2 * m2 + m3 * m3 + m4 * m4 + m5 * m5 + m6 * m6 + m7 * m7) * (t0 * t0 + t1 * t1 + t2 * t2 + t3 * t3 + t4 * t4 + t5 * t5 + t6 * t6 + t7 * t7) AS DOUBLE))
-                          * 1e6) AS BIGINT) AS align_micro
-        FROM vecs
-    )
-    SELECT doc_id, media_type, align_micro,
-           CAST(CASE WHEN align_micro >= 0 THEN 1 ELSE 0 END AS BIGINT)
-               AS keep
-    FROM scored
-"""
-
-ORACLES["pq_codebook_audit"] = _pq_oracle_sql()
-ORACLES["ivfpq_ann"] = _ivfpq_oracle_sql()
-ORACLES["ivfpq_recall"] = f"""
-    SELECT e.query_id,
-           count(*) AS exact_k,
-           CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END)
-                AS BIGINT) AS hits,
-           CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END)
-                AS BIGINT) * 1000 // 3 AS recall_permille
-    FROM (SELECT * FROM ({ORACLES["knn_bruteforce"]}) WHERE rank <= 3) e
-    LEFT JOIN ({ORACLES["ivfpq_ann"]}) a
-      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
-    GROUP BY e.query_id
-"""
-
-ORACLES["ann_recall"] = f"""
-    SELECT e.query_id,
-           count(*) AS exact_k,
-           CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END)
-                AS BIGINT) AS hits,
-           CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END)
-                AS BIGINT) * 1000 // 3 AS recall_permille
-    FROM (SELECT * FROM ({ORACLES["knn_bruteforce"]}) WHERE rank <= 3) e
-    LEFT JOIN ({ORACLES["lsh_ann"]}) a
-      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
-    GROUP BY e.query_id
-"""
-
-ORACLES["hashed_classifier_scores"] = f"""
-    WITH {_TOKS},
-    occ AS (
-        SELECT doc_id, t.term FROM toks, unnest(tok) AS t(term)
-    ),
-    feat AS (
-        SELECT doc_id, (CASE WHEN ascii(substr(md5(term), 1, 1)) >= 97 THEN ascii(substr(md5(term), 1, 1)) - 87 ELSE ascii(substr(md5(term), 1, 1)) - 48 END) * 256 + (CASE WHEN ascii(substr(md5(term), 2, 1)) >= 97 THEN ascii(substr(md5(term), 2, 1)) - 87 ELSE ascii(substr(md5(term), 2, 1)) - 48 END) * 16 + (CASE WHEN ascii(substr(md5(term), 3, 1)) >= 97 THEN ascii(substr(md5(term), 3, 1)) - 87 ELSE ascii(substr(md5(term), 3, 1)) - 48 END) AS bucket FROM occ
-    ),
-    -- the md5-derived stand-in weight vector, one row per bucket
-    -- (mirrors operators/textstats.classifier_weights exactly)
-    w AS (
-        SELECT CAST(b AS BIGINT) AS bucket,
-               CAST((CASE WHEN ascii(substr(md5(CAST(b AS VARCHAR) || '|w'), 1, 1)) >= 97 THEN ascii(substr(md5(CAST(b AS VARCHAR) || '|w'), 1, 1)) - 87 ELSE ascii(substr(md5(CAST(b AS VARCHAR) || '|w'), 1, 1)) - 48 END) * 4096 + (CASE WHEN ascii(substr(md5(CAST(b AS VARCHAR) || '|w'), 2, 1)) >= 97 THEN ascii(substr(md5(CAST(b AS VARCHAR) || '|w'), 2, 1)) - 87 ELSE ascii(substr(md5(CAST(b AS VARCHAR) || '|w'), 2, 1)) - 48 END) * 256 + (CASE WHEN ascii(substr(md5(CAST(b AS VARCHAR) || '|w'), 3, 1)) >= 97 THEN ascii(substr(md5(CAST(b AS VARCHAR) || '|w'), 3, 1)) - 87 ELSE ascii(substr(md5(CAST(b AS VARCHAR) || '|w'), 3, 1)) - 48 END) * 16 + (CASE WHEN ascii(substr(md5(CAST(b AS VARCHAR) || '|w'), 4, 1)) >= 97 THEN ascii(substr(md5(CAST(b AS VARCHAR) || '|w'), 4, 1)) - 87 ELSE ascii(substr(md5(CAST(b AS VARCHAR) || '|w'), 4, 1)) - 48 END) - 32768 AS BIGINT) AS w_micro
-        FROM range(0, 4096) AS t(b)
-    ),
-    sums AS (
-        SELECT doc_id, sum(w_micro) AS s
-        FROM feat JOIN w USING (bucket) GROUP BY doc_id
-    )
-    SELECT toks.doc_id, CAST(len(tok) AS BIGINT) AS n_tokens,
-           CAST(coalesce(s, 0) AS BIGINT) AS logit_micro,
-           CAST(CASE WHEN coalesce(s, 0) >= 0 THEN 1 ELSE 0 END
-                AS BIGINT) AS keep_label
-    FROM toks LEFT JOIN sums USING (doc_id)
-"""
-
-def _profile_sql(src: str, tag: str) -> str:
-    return " UNION ALL ".join(
-        f"SELECT '{c}' AS col_name, count(*) AS {tag}_ct, "
-        f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
-        f" AS {tag}_null_ct, "
-        f"count(DISTINCT {c}) AS {tag}_distinct_ct FROM {src}"
-        for c in _DRIFT_COLS)
-
-
-ORACLES["profile_drift"] = f"""
-    WITH oldt AS (SELECT * FROM orders WHERE o_orderkey % 17 <> 5),
-    po AS ({_profile_sql('oldt', 'old')}),
-    pn AS ({_profile_sql('orders', 'new')})
-    SELECT po.col_name, old_ct, new_ct, old_null_ct, new_null_ct,
-           old_distinct_ct, new_distinct_ct,
-           new_distinct_ct - old_distinct_ct AS distinct_delta,
-           (new_null_ct * 1000 // greatest(new_ct, 1))
-         - (old_null_ct * 1000 // greatest(old_ct, 1))
-               AS null_permille_delta
-    FROM po JOIN pn USING (col_name)
-"""
-
-ORACLES["winsorized_price_stats"] = """
-    WITH base AS (
-        SELECT o_orderpriority AS priority,
-               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
-        FROM orders
-    ),
-    ranked AS (
-        SELECT priority, c,
-               row_number() OVER (PARTITION BY priority ORDER BY c)
-                   AS rn,
-               count(*) OVER (PARTITION BY priority) AS n
-        FROM base
-    ),
-    th AS (
-        SELECT priority,
-               max(CASE WHEN rn = (5 * n + 99) // 100 THEN c END)
-                   AS lo_cents,
-               max(CASE WHEN rn = (95 * n + 99) // 100 THEN c END)
-                   AS hi_cents
-        FROM ranked GROUP BY priority
-    )
-    SELECT b.priority, count(*) AS n,
-           min(t.lo_cents) AS lo_cents, min(t.hi_cents) AS hi_cents,
-           CAST(sum(CASE WHEN b.c < t.lo_cents THEN 1 ELSE 0 END)
-                AS BIGINT) AS clipped_lo_ct,
-           CAST(sum(CASE WHEN b.c > t.hi_cents THEN 1 ELSE 0 END)
-                AS BIGINT) AS clipped_hi_ct,
-           CAST(sum(greatest(t.lo_cents, least(t.hi_cents, b.c)))
-                AS BIGINT) AS winsorized_sum_cents
-    FROM base b JOIN th t USING (priority)
-    GROUP BY b.priority
-"""
-
-# integer permille: both engines compute (1000·n) with int64 then
-# divide by the positive row total — trunc == floor, no float ratio
-
-
-def _ri_rel_sql(child, fk, parent, pk, name):
-    """One UNION ALL arm of the referential-integrity oracle —
-    mirrors fk_orphans: child reduced to (fk, count) before the
-    keys-only parent join."""
-    return f"""
-    SELECT '{name}' AS relation,
-           CAST(coalesce(sum(ct), 0) AS BIGINT) AS child_rows,
-           CAST(coalesce(sum(CASE WHEN k IS NULL THEN ct END), 0)
-                AS BIGINT) AS null_fk_ct,
-           CAST(coalesce(sum(CASE WHEN k IS NOT NULL AND hit IS NULL
-                                  THEN ct END), 0)
-                AS BIGINT) AS orphan_ct,
-           CAST((1000 * (coalesce(sum(ct), 0)
-                 - coalesce(sum(CASE WHEN k IS NULL THEN ct END), 0)
-                 - coalesce(sum(CASE WHEN k IS NOT NULL
-                                     AND hit IS NULL
-                                     THEN ct END), 0)))
-                // greatest(coalesce(sum(ct), 0), 1)
-                AS BIGINT) AS resolved_permille
-    FROM (SELECT c.k, c.ct, p.hit
-          FROM (SELECT {fk} AS k, count(*) AS ct
-                FROM {child} GROUP BY {fk}) c
-          LEFT JOIN (SELECT DISTINCT {pk} AS k, 1 AS hit
-                     FROM {parent}) p ON c.k = p.k)
-    """
-
-
-ORACLES["referential_integrity"] = " UNION ALL ".join(
-    _ri_rel_sql(c, fk, p, pk, n) for c, fk, p, pk, n in _RI_RELATIONS)
-
-
-# generate_series over DATE yields timestamps in DuckDB — cast back;
-# Spark's sequence(date, date) yields dates natively
-# day is TIMESTAMP on both sides (the repo's date_trunc convention:
-# pandas stringifies Spark DATE and DuckDB DATE differently, so date
-# outputs stay timestamps)
-ORACLES["rolling_active_users"] = """
-    WITH ud AS (
-        SELECT DISTINCT user_id, date_trunc('day', ts) AS day
-        FROM events
-    ),
-    expanded AS (
-        SELECT DISTINCT user_id,
-               unnest(generate_series(day, day + INTERVAL 6 DAY,
-                                      INTERVAL 1 DAY)) AS day
-        FROM ud
-    ),
-    rolling AS (
-        SELECT day, count(*) AS rolling_users
-        FROM expanded GROUP BY day
-    ),
-    daily AS (
-        SELECT day, count(*) AS day_users FROM ud GROUP BY day
-    )
-    SELECT r.day,
-           CAST(coalesce(d.day_users, 0) AS BIGINT) AS day_users,
-           CAST(r.rolling_users AS BIGINT) AS rolling_users,
-           CAST((1000 * coalesce(d.day_users, 0)) // r.rolling_users
-                AS BIGINT) AS stickiness_permille
-    FROM rolling r LEFT JOIN daily d ON r.day = d.day
-    WHERE r.day <= (SELECT max(day) FROM ud)
-"""
-
-# --- sketch-audit oracles (round 7) ------------------------------
-# The audit forms emit only exact-reproducible columns plus in-engine
-# within-band verdicts (literal pass on the oracle side): if an HLL
-# estimate drifts out of its documented band, the engine emits 0 and
-# the driver hash goes red. Bands are wider than the 3σ test gates on
-# purpose (multiple-comparisons discipline — see dwm.uv_accuracy_audit).
-
-ORACLES["unique_visitors_daily_approx"] = """
-    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
-                AS TIMESTAMP) AS day,
-           CAST(count(*) AS BIGINT) AS pv_ct,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS uv_exact,
-           CAST(1 AS BIGINT) AS uv_in_band
-    FROM events GROUP BY 1
-"""
-
-ORACLES["rolling_active_users_approx"] = """
-    WITH ud AS (
-        SELECT DISTINCT user_id, date_trunc('day', ts) AS day
-        FROM events
-    ),
-    expanded AS (
-        SELECT DISTINCT user_id,
-               unnest(generate_series(day, day + INTERVAL 6 DAY,
-                                      INTERVAL 1 DAY)) AS day
-        FROM ud
-    ),
-    rolling AS (
-        SELECT day, count(*) AS rolling_uv_ct
-        FROM expanded GROUP BY day
-    ),
-    daily AS (
-        SELECT day, count(*) AS day_uv_ct FROM ud GROUP BY day
-    )
-    SELECT CAST(d.day AS TIMESTAMP) AS day,
-           CAST(d.day_uv_ct AS BIGINT) AS day_uv_ct,
-           CAST(r.rolling_uv_ct AS BIGINT) AS rolling_uv_ct,
-           CAST(1 AS BIGINT) AS day_in_band,
-           CAST(1 AS BIGINT) AS rolling_in_band
-    FROM daily d JOIN rolling r ON d.day = r.day
-"""
-
-ORACLES["uv_sketch_rollup"] = """
-    WITH d AS (
-        SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
-               count(*) AS pv_ct,
-               count(DISTINCT user_id) AS day_uv_ct
-        FROM events GROUP BY 1
-    ),
-    m AS (
-        SELECT date_trunc('month', CAST(ts AS TIMESTAMP)) AS month,
-               count(DISTINCT user_id) AS month_uv_ct
-        FROM events GROUP BY 1
-    )
-    SELECT CAST(d.day AS TIMESTAMP) AS day,
-           CAST(d.pv_ct AS BIGINT) AS pv_ct,
-           CAST(d.day_uv_ct AS BIGINT) AS day_uv_ct,
-           CAST(1 AS BIGINT) AS day_in_band,
-           CAST(date_trunc('month', d.day) AS TIMESTAMP) AS month,
-           CAST(m.month_uv_ct AS BIGINT) AS month_uv_ct,
-           CAST(1 AS BIGINT) AS month_in_band
-    FROM d JOIN m ON date_trunc('month', d.day) = m.month
-"""
-
-# exact percentiles use the repo's integer rank rule (value at
-# 1-indexed rank (p*n+99)//100 of the per-lang sorted lengths) —
-# winsorized_price_stats' discipline, identical on both engines
-ORACLES["doc_length_percentiles_approx"] = """
-    WITH ranked AS (
-        SELECT lang, coalesce(n_chars, 0) AS v,
-               row_number() OVER (PARTITION BY lang
-                                  ORDER BY coalesce(n_chars, 0)) AS rn,
-               count(*) OVER (PARTITION BY lang) AS n
-        FROM documents
-    )
-    SELECT lang, CAST(max(n) AS BIGINT) AS doc_ct,
-           CAST(max(CASE WHEN rn = (50 * n + 99) // 100 THEN v END)
-                AS BIGINT) AS p50_exact,
-           CAST(1 AS BIGINT) AS p50_in_band,
-           CAST(max(CASE WHEN rn = (90 * n + 99) // 100 THEN v END)
-                AS BIGINT) AS p90_exact,
-           CAST(1 AS BIGINT) AS p90_in_band,
-           CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN v END)
-                AS BIGINT) AS p99_exact,
-           CAST(1 AS BIGINT) AS p99_in_band
-    FROM ranked GROUP BY lang
-"""
-
-ORACLES["profile_sketch_report"] = " UNION ALL ".join(
-    f"SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS ct, "
-    f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
-    f" AS null_ct, "
-    f"CAST(count(DISTINCT {c}) AS BIGINT) AS distinct_exact, "
-    f"CAST(1 AS BIGINT) AS distinct_in_band FROM documents"
-    for c in _PROFILE_COLS)
-
-ORACLES["zorder_stats"] = """
-    WITH ext AS (
-        SELECT min(o_custkey) AS ck_min, max(o_custkey) AS ck_max,
-               min(date_diff('day', TIMESTAMP '1995-01-01',
-                             o_orderdate)) AS d_min,
-               max(date_diff('day', TIMESTAMP '1995-01-01',
-                             o_orderdate)) AS d_max
-        FROM orders
-    ),
-    scaled AS (
-        SELECT o_custkey AS ck,
-               date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
-                   AS d,
-               ((o_custkey - ck_min) * 255)
-                   // greatest(ck_max - ck_min, 1) AS x,
-               ((date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
-                 - d_min) * 255)
-                   // greatest(d_max - d_min, 1) AS y
-        FROM orders, ext
-    ),
-    coded AS (
-        SELECT ck, d, ((((x >> 0) & 1) << 1) + (((y >> 0) & 1) << 0) + (((x >> 1) & 1) << 3) + (((y >> 1) & 1) << 2) + (((x >> 2) & 1) << 5) + (((y >> 2) & 1) << 4) + (((x >> 3) & 1) << 7) + (((y >> 3) & 1) << 6) + (((x >> 4) & 1) << 9) + (((y >> 4) & 1) << 8) + (((x >> 5) & 1) << 11) + (((y >> 5) & 1) << 10) + (((x >> 6) & 1) << 13) + (((y >> 6) & 1) << 12) + (((x >> 7) & 1) << 15) + (((y >> 7) & 1) << 14)) AS z FROM scaled
-    ),
-    bucketed AS (
-        SELECT CAST(z // 2048 AS BIGINT) AS bucket, ck, d
-        FROM coded
-    )
-    SELECT bucket, count(*) AS n_rows,
-           min(ck) AS min_ck, max(ck) AS max_ck,
-           CAST(min(d) AS BIGINT) AS min_day,
-           CAST(max(d) AS BIGINT) AS max_day,
-           CAST(CASE WHEN min(ck) <= 200 AND max(ck) >= 100
-                      AND min(d) <= 500 AND max(d) >= 400
-                     THEN 1 ELSE 0 END AS BIGINT) AS probe_hit
-    FROM bucketed
-    GROUP BY bucket
-"""
-
-ORACLES["gap_fill_daily"] = """
-    WITH daily AS (
-        SELECT event_type, date_trunc('day', ts) AS day,
-               count(*) AS n_obs
-        FROM events GROUP BY event_type, date_trunc('day', ts)
-    ),
-    ext AS (
-        SELECT min(date_trunc('day', ts)) AS d_min,
-               max(date_trunc('day', ts)) AS d_max
-        FROM events
-    ),
-    spine AS (
-        SELECT t.event_type, g.day
-        FROM (SELECT DISTINCT event_type FROM events) t,
-             (SELECT unnest(generate_series(d_min, d_max,
-                                            INTERVAL 1 DAY)) AS day
-              FROM ext) g
-    )
-    SELECT s.event_type, s.day,
-           CAST(coalesce(d.n_obs, 0) AS BIGINT) AS n_events,
-           CAST(CASE WHEN d.n_obs IS NULL THEN 1 ELSE 0 END
-                AS BIGINT) AS is_gap,
-           CAST(coalesce(last_value(d.n_obs IGNORE NULLS) OVER (
-                    PARTITION BY s.event_type ORDER BY s.day
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-                0) AS BIGINT) AS locf_events
-    FROM spine s
-    LEFT JOIN daily d
-      ON s.event_type = d.event_type AND s.day = d.day
-"""
-
-ORACLES["part_cooccurrence"] = """
-    WITH b AS (
-        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ),
-    p AS (
-        SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
-               count(*) AS pair_ct
-        FROM b x JOIN b y
-          ON x.l_orderkey = y.l_orderkey
-         AND x.l_partkey < y.l_partkey
-        GROUP BY x.l_partkey, y.l_partkey
-    ),
-    top AS (
-        SELECT * FROM p
-        ORDER BY pair_ct DESC, part_a, part_b
-        LIMIT 20
-    ),
-    pc AS (
-        SELECT l_partkey, count(*) AS pct FROM b GROUP BY l_partkey
-    ),
-    n AS (SELECT count(DISTINCT l_orderkey) AS nb FROM b)
-    SELECT t.part_a, t.part_b, CAST(t.pair_ct AS BIGINT) AS pair_ct,
-           CAST((1000 * t.pair_ct * n.nb) // (pa.pct * pb.pct)
-                AS BIGINT) AS lift_permille
-    FROM top t
-    JOIN pc pa ON pa.l_partkey = t.part_a
-    JOIN pc pb ON pb.l_partkey = t.part_b
-    CROSS JOIN n
-"""
-
-ORACLES["trade_pagerank"] = f"""
-    WITH edges AS MATERIALIZED (
-        SELECT sn.src, cn.dst,
-               CAST(floor(sum({_DISC}) * 100) AS BIGINT) AS w
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN (SELECT c_custkey, n_name AS dst
-              FROM customer JOIN nation ON c_nationkey = n_nationkey)
-             cn ON o_custkey = cn.c_custkey
-        JOIN (SELECT s_suppkey, n_name AS src
-              FROM supplier JOIN nation ON s_nationkey = n_nationkey)
-             sn ON l_suppkey = sn.s_suppkey
-        WHERE sn.src <> cn.dst
-        GROUP BY sn.src, cn.dst
-    ),
-    e2 AS MATERIALIZED (
-        SELECT e.src, e.dst, e.w, o.wout
-        FROM edges e
-        JOIN (SELECT src, sum(w) AS wout FROM edges GROUP BY src) o
-          ON e.src = o.src
-    ),
-    r0 AS MATERIALIZED (SELECT n_name AS node, CAST(1000000 AS BIGINT) AS rank_micro FROM nation),
-    c0 AS MATERIALIZED (
-        SELECT e.dst AS node,
-               CAST((r.rank_micro * e.w) // e.wout AS BIGINT) AS c
-        FROM e2 e JOIN r0 r ON e.src = r.node
-    ),
-    r1 AS MATERIALIZED (
-        SELECT n.n_name AS node,
-               CAST(150000 + (850 * coalesce(s.s, 0)) // 1000
-                    AS BIGINT) AS rank_micro
-        FROM nation n
-        LEFT JOIN (SELECT node, sum(c) AS s FROM c0 GROUP BY node) s
-          ON n.n_name = s.node
-    ),
-    c1 AS MATERIALIZED (
-        SELECT e.dst AS node,
-               CAST((r.rank_micro * e.w) // e.wout AS BIGINT) AS c
-        FROM e2 e JOIN r1 r ON e.src = r.node
-    ),
-    r2 AS MATERIALIZED (
-        SELECT n.n_name AS node,
-               CAST(150000 + (850 * coalesce(s.s, 0)) // 1000
-                    AS BIGINT) AS rank_micro
-        FROM nation n
-        LEFT JOIN (SELECT node, sum(c) AS s FROM c1 GROUP BY node) s
-          ON n.n_name = s.node
-    ),
-    c2 AS MATERIALIZED (
-        SELECT e.dst AS node,
-               CAST((r.rank_micro * e.w) // e.wout AS BIGINT) AS c
-        FROM e2 e JOIN r2 r ON e.src = r.node
-    ),
-    r3 AS MATERIALIZED (
-        SELECT n.n_name AS node,
-               CAST(150000 + (850 * coalesce(s.s, 0)) // 1000
-                    AS BIGINT) AS rank_micro
-        FROM nation n
-        LEFT JOIN (SELECT node, sum(c) AS s FROM c2 GROUP BY node) s
-          ON n.n_name = s.node
-    ),
-    degs AS (
-        SELECT coalesce(i.node, o.node) AS node,
-               coalesce(i.in_edges, 0) AS in_edges,
-               coalesce(o.out_edges, 0) AS out_edges
-        FROM (SELECT dst AS node, count(*) AS in_edges
-              FROM edges GROUP BY dst) i
-        FULL JOIN (SELECT src AS node, count(*) AS out_edges
-                   FROM edges GROUP BY src) o
-          ON i.node = o.node
-    )
-    SELECT r.node, r.rank_micro,
-           CAST(coalesce(d.in_edges, 0) AS BIGINT) AS in_edges,
-           CAST(coalesce(d.out_edges, 0) AS BIGINT) AS out_edges
-    FROM r3 r LEFT JOIN degs d ON r.node = d.node
-"""
-
-ORACLES["scd2_dim_join"] = f"""
-    WITH v AS (
-        SELECT o_orderkey AS k, o_orderstatus AS status,
-               o_orderdate AS eff_from
-        FROM orders
-        UNION ALL
-        SELECT o_orderkey, 'X', o_orderdate + INTERVAL 365 DAY
-        FROM orders WHERE o_orderkey % 5 = 0
-    ),
-    pairs AS (
-        SELECT DISTINCT l_orderkey AS k, l_shipdate AS t
-        FROM lineitem
-    ),
-    cand AS (
-        SELECT p.k, p.t, v.status, v.eff_from
-        FROM pairs p
-        LEFT JOIN v ON v.k = p.k AND v.eff_from <= p.t
-    ),
-    eff AS (
-        SELECT k, t, status FROM (
-            SELECT k, t, status,
-                   row_number() OVER (PARTITION BY k, t
-                                      ORDER BY eff_from DESC) AS rn
-            FROM cand) WHERE rn = 1
-    )
-    SELECT coalesce(e.status, 'pre-order') AS eff_status,
-           count(*) AS n_items,
-           count(DISTINCT l.l_orderkey) AS order_ct,
-           CAST(floor(sum({_DISC}) * 100) AS BIGINT) AS revenue_cents
-    FROM lineitem l
-    JOIN eff e ON e.k = l.l_orderkey AND e.t = l.l_shipdate
-    GROUP BY coalesce(e.status, 'pre-order')
-"""
-
-ORACLES["session_path_ngrams"] = """
-    WITH seq AS (
-        SELECT user_id, ts, event_id, event_type,
-               CASE WHEN lag(ts) OVER w IS NULL
-                      OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
-                    THEN 1 ELSE 0 END AS is_new
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    s2 AS (
-        SELECT *,
-               sum(is_new) OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS sess
-        FROM seq
-    ),
-    arr AS (
-        SELECT list(event_type ORDER BY ts, event_id) AS t
-        FROM s2 GROUP BY user_id, sess
-    ),
-    tri AS (
-        SELECT unnest(list_transform(range(1, len(t) - 1),
-                   i -> t[i] || '>' || t[i+1] || '>' || t[i+2]))
-                   AS path
-        FROM arr WHERE len(t) >= 3
-    ),
-    counted AS (
-        SELECT path, count(*) AS path_ct FROM tri GROUP BY path
-        ORDER BY path_ct DESC, path
-        LIMIT 20
-    )
-    SELECT path, CAST(path_ct AS BIGINT) AS path_ct,
-           CAST(row_number() OVER (ORDER BY path_ct DESC, path)
-                AS BIGINT) AS path_rank
-    FROM counted
-"""
-
-ORACLES["linear_attribution"] = """
-    WITH b AS (
-        SELECT user_id, ts, event_id, 0 AS side,
-               event_id AS pid
-        FROM events WHERE event_type = 'purchase'
-    ),
-    v AS (
-        SELECT user_id, ts, event_id, 1 AS side,
-               CAST(NULL AS BIGINT) AS pid
-        FROM events WHERE event_type = 'view'
-    ),
-    m AS (
-        SELECT *,
-               last_value(pid IGNORE NULLS) OVER (
-                   PARTITION BY user_id
-                   ORDER BY ts DESC, side ASC, event_id DESC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS next_pid
-        FROM (SELECT * FROM b UNION ALL SELECT * FROM v)
-    ),
-    touches AS (
-        SELECT next_pid AS pid, count(*) AS n_touch
-        FROM m WHERE side = 1 AND next_pid IS NOT NULL
-        GROUP BY next_pid
-    )
-    SELECT b.event_id AS purchase_event_id, b.user_id, b.ts,
-           CAST(coalesce(t.n_touch, 0) AS BIGINT) AS n_touch,
-           CAST(CASE WHEN coalesce(t.n_touch, 0) > 0
-                     THEN 1000 // t.n_touch ELSE 0 END
-                AS BIGINT) AS touch_share_permille
-    FROM b LEFT JOIN touches t ON t.pid = b.pid
-"""
-
-ORACLES["rfm_segments"] = """
-    WITH per_cust AS (
-        SELECT o_custkey AS ck, max(o_orderdate) AS last_order,
-               count(*) AS freq,
-               CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                          * 100) AS BIGINT) AS spend_cents
-        FROM orders GROUP BY o_custkey
-    ),
-    base AS (
-        SELECT ck, freq, spend_cents,
-               CAST(date_diff('day', last_order,
-                              (SELECT max(last_order) FROM per_cust))
-                    AS BIGINT) AS recency_days
-        FROM per_cust
-    ),
-    scored AS (
-        SELECT ck, spend_cents,
-               (4 * (row_number() OVER (ORDER BY recency_days, ck)
-                     - 1)) // count(*) OVER () + 1 AS r_q,
-               (4 * (row_number() OVER (ORDER BY freq DESC, ck)
-                     - 1)) // count(*) OVER () + 1 AS f_q,
-               (4 * (row_number() OVER (ORDER BY spend_cents DESC, ck)
-                     - 1)) // count(*) OVER () + 1 AS m_q
-        FROM base
-    )
-    SELECT 'R' || r_q || 'F' || f_q || 'M' || m_q AS segment,
-           count(*) AS n_customers,
-           CAST(sum(spend_cents) AS BIGINT) AS segment_spend_cents
-    FROM scored
-    GROUP BY 1
-"""
-
-ORACLES["key_skew_audit"] = """
-    WITH counts AS (
-        SELECT CAST(l_suppkey AS BIGINT) AS hot_key,
-               count(*) AS key_ct
-        FROM lineitem GROUP BY l_suppkey
-    ),
-    ranked AS (
-        SELECT hot_key, key_ct,
-               row_number() OVER (ORDER BY key_ct, hot_key) AS rn,
-               count(*) OVER () AS n
-        FROM counts
-    ),
-    stats AS (
-        SELECT CAST(sum(key_ct) AS BIGINT) AS total_rows,
-               count(*) AS distinct_keys,
-               max(CASE WHEN rn = (50 * n + 99) // 100
-                        THEN key_ct END) AS p50_ct,
-               max(CASE WHEN rn = (90 * n + 99) // 100
-                        THEN key_ct END) AS p90_ct,
-               max(CASE WHEN rn = (99 * n + 99) // 100
-                        THEN key_ct END) AS p99_ct,
-               max(key_ct) AS max_ct
-        FROM ranked
-    ),
-    top AS (
-        SELECT hot_key, key_ct,
-               row_number() OVER (ORDER BY key_ct DESC, hot_key)
-                   AS heavy_rank
-        FROM counts
-        ORDER BY key_ct DESC, hot_key
-        LIMIT 5
-    )
-    SELECT CAST(heavy_rank AS BIGINT) AS heavy_rank, hot_key,
-           CAST(key_ct AS BIGINT) AS key_ct,
-           CAST((1000 * key_ct) // total_rows AS BIGINT)
-               AS share_permille,
-           total_rows, CAST(distinct_keys AS BIGINT) AS distinct_keys,
-           CAST(p50_ct AS BIGINT) AS p50_ct,
-           CAST(p90_ct AS BIGINT) AS p90_ct,
-           CAST(p99_ct AS BIGINT) AS p99_ct,
-           CAST(max_ct AS BIGINT) AS max_ct
-    FROM top, stats
-"""
-
-ORACLES["event_transitions"] = """
-    WITH seq AS (
-        SELECT user_id, event_type,
-               lag(event_type) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id)
-                   AS prev_type
-        FROM events
-    ),
-    pairs AS (
-        SELECT prev_type, event_type AS next_type,
-               count(*) AS transitions
-        FROM seq WHERE prev_type IS NOT NULL
-        GROUP BY prev_type, event_type
-    )
-    SELECT prev_type, next_type,
-           CAST(transitions AS BIGINT) AS transitions,
-           CAST((1000 * transitions)
-                // sum(transitions) OVER (PARTITION BY prev_type)
-                AS BIGINT) AS row_permille
-    FROM pairs
-"""
-
-ORACLES["incremental_dedup"] = f"""
-    WITH {_BANDS},
-    fp AS (
-        SELECT doc_id, md5(array_to_string(tok, ' ')) AS fp FROM toks
-    ),
-    bat AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
-    snp AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 7),
-    ex AS (
-        SELECT bf.doc_id, min(sf.doc_id) AS exact_id
-        FROM fp bf
-        JOIN bat ON bat.doc_id = bf.doc_id
-        JOIN fp sf ON sf.fp = bf.fp
-        JOIN snp ON snp.doc_id = sf.doc_id
-        GROUP BY bf.doc_id
-    ),
-    nr AS (
-        SELECT bb.doc_id, min(sb.doc_id) AS near_id
-        FROM bands bb
-        JOIN bat ON bat.doc_id = bb.doc_id
-        JOIN bands sb ON sb.band = bb.band
-                     AND sb.band_hash = bb.band_hash
-        JOIN snp ON snp.doc_id = sb.doc_id
-        GROUP BY bb.doc_id
-    ),
-    dec AS (
-        SELECT bat.doc_id,
-               CASE WHEN ex.exact_id IS NOT NULL THEN 'exact_dup'
-                    WHEN nr.near_id IS NOT NULL THEN 'near_dup'
-                    ELSE 'novel' END AS verdict,
-               coalesce(ex.exact_id, nr.near_id) AS matched_id
-        FROM bat
-        LEFT JOIN ex ON ex.doc_id = bat.doc_id
-        LEFT JOIN nr ON nr.doc_id = bat.doc_id
-    )
-    SELECT d.doc_id, d.verdict, d.matched_id,
-           CASE WHEN d.matched_id IS NULL THEN NULL
-                ELSE CAST({_MINHASH_MATCH} AS BIGINT) END AS sig_agree
-    FROM dec d
-    LEFT JOIN sig a ON a.doc_id = d.doc_id
-    LEFT JOIN sig b ON b.doc_id = d.matched_id
-"""
 
 
 # ---------------------------------------------------------------------------

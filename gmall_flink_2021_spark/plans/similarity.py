@@ -1,0 +1,396 @@
+"""Plans: embedding similarity / ANN / clustering family (queries + mirrored DuckDB oracles)."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import (
+    analytics,
+    bucketing,
+    expectations,
+    dedup,
+    dwm,
+    dws,
+    multimodal,
+    serving,
+    similarity,
+    textstats,
+)
+from ..session import harden
+from ..sources.tables import load_table
+
+from ._base import (  # noqa: F401
+    _emb_key, _t)
+from ._sql import (  # noqa: F401
+    _CENTROIDS,
+    _DOT,
+    _cos,
+    _emb_bands_sql,
+    _ivfpq_oracle_sql,
+    _kmeans_oracle_sql,
+    _lsh_bucket_sql,
+    _pq_oracle_sql,
+    _semdedup_oracle_sql)
+
+def q_knn_bruteforce(spark, sf):
+    """Gates: broadcast query set against a corpus that never shuffles;
+    per-query window top-k."""
+    (embeddings,) = _t(spark, sf, "embeddings")
+    return similarity.knn_bruteforce(embeddings)
+
+def q_label_centroid_similarity(spark, sf):
+    """Gates: posexplode centroid aggregation broadcast back over the
+    corpus."""
+    (embeddings,) = _t(spark, sf, "embeddings")
+    return similarity.label_centroid_similarity(embeddings)
+
+def q_ivf_ann(spark, sf):
+    """Gates: IVF probing: candidate scan restricted to assigned centroid
+    partitions."""
+    (embeddings,) = _t(spark, sf, "embeddings")
+    return similarity.ivf_ann(embeddings)
+
+def q_embedding_dups_exhaustive(spark, sf):
+    """Gates: the exhaustive block² AUDIT form used to measure the LSH
+    path's recall on a sampled block; the default near-dup path is
+    `embedding_dups_lsh` (label × hyperplane bucket)."""
+    (embeddings,) = _t(spark, sf, "embeddings")
+    return similarity.embedding_dups_exhaustive(embeddings)
+
+def q_quantization_error(spark, sf):
+    """Gates: per-element dequant fold with max_abs materialized ONCE
+    (plan-pinned against O(d^2) re-inlining)."""
+    (embeddings,) = _t(spark, sf, "embeddings")
+    return similarity.quantization_error(embeddings)
+
+def q_lsh_ann(spark, sf):
+    """Gates: hyperplane-sign bucket equi-join ANN (partition-pruning-ready
+    candidate generation)."""
+    (embeddings,) = _t(spark, sf, "embeddings")
+    return similarity.lsh_ann(embeddings)
+
+def q_norm_histogram(spark, sf):
+    """Gates: floor-bucketed double histogram combining count with
+    countDistinct."""
+    (embeddings,) = _t(spark, sf, "embeddings")
+    return similarity.norm_histogram(embeddings)
+
+def q_embedding_dups_lsh(spark, sf):
+    """Gates: THE default near-dup path (similarity.embedding_dups) —
+    banded hyperplane LSH inside label blocks, candidates deduped
+    across bands then scored once. Graded at threshold 0.35 so the
+    result is non-empty on the test corpus (no cos≥0.9 pairs exist in
+    it); the operator's default is the 0.9 near-dup regime, whose
+    recall the synthetic audit test pins."""
+    (embeddings,) = _t(spark, sf, "embeddings")
+    return similarity.embedding_dups(embeddings, threshold=0.35)
+
+def q_kmeans_clusters(spark, sf):
+    """Gates: driver-coordinated iterative algorithm (Lloyd's k-means,
+    SemDedup clustering stage) made bit-exact across engines: zero-
+    shuffle literal-centroid assignment + exact fixed-point integer
+    centroid recomputation, vs the oracle's fully-unrolled SQL
+    iterations."""
+    (embeddings,) = _t(spark, sf, "embeddings")
+    out = similarity.kmeans_clusters(embeddings, memo_key=_emb_key(sf))
+    out._kmeans_cache.unpersist()  # lazy: recompute-on-reuse
+    return out
+
+def q_semdedup_prune(spark, sf):
+    """Gates: the SemDedup end product — banded LSH near-dup pairs
+    inside LEARNED k-means blocks (no label column), the composition
+    of the iterative clustering and the banded candidate generation
+    under one exact oracle. Threshold 0.35 so the test corpus yields
+    pairs (no cos≥0.9 pairs exist in it)."""
+    (embeddings,) = _t(spark, sf, "embeddings")
+    out = similarity.semdedup_prune(embeddings, threshold=0.35,
+                                    memo_key=_emb_key(sf))
+    out._kmeans_cache.unpersist()
+    for c in out._emb_cache:
+        c.unpersist()  # lazy: recompute-on-reuse
+    return out
+
+def q_pq_codebook_audit(spark, sf):
+    """Gates: product-quantization codebook learning + exact integer
+    reconstruction-error audit — m independent fixed-point k-means
+    runs (zero-shuffle assignment, exact centroid sums) under one
+    fully-unrolled SQL oracle."""
+    (embeddings,) = _t(spark, sf, "embeddings")
+    out = similarity.pq_codebook_audit(embeddings,
+                                       memo_key=_emb_key(sf))
+    for c in out._pq_caches:   # lazy: recompute-on-reuse
+        c.unpersist()
+    return out
+
+def q_ann_recall(spark, sf):
+    """Gates: in-engine ANN recall@3 audit — exact top-k vs LSH
+    bucket probe composed under one left join + integer permille;
+    the index-quality measurement run before trusting an ANN path."""
+    (embeddings,) = _t(spark, sf, "embeddings")
+    return similarity.ann_recall(embeddings)
+
+def q_ivfpq_ann(spark, sf):
+    """Gates: the composed production ANN index — learned coarse
+    quantizer (inverted lists) + PQ codebooks + asymmetric integer
+    ADC ranking inside the probed partition, all under ONE fully-
+    unrolled bit-exact SQL oracle (kmeans chain ∘ m PQ chains ∘
+    ranked distance sum)."""
+    (embeddings,) = _t(spark, sf, "embeddings")
+    out = similarity.ivfpq_ann(embeddings, memo_key=_emb_key(sf))
+    for c in out._ivfpq_caches:  # lazy: recompute-on-reuse
+        c.unpersist()
+    return out
+
+def q_ivfpq_recall(spark, sf):
+    """Gates: IVF-PQ quality-loss audit — recall@3 of the compressed
+    index vs exact top-k, integer permille (the PQ counterpart of
+    ann_recall's LSH audit)."""
+    (embeddings,) = _t(spark, sf, "embeddings")
+    out = similarity.ivfpq_recall(embeddings, memo_key=_emb_key(sf))
+    for c in out._ivfpq_caches:  # lazy: recompute-on-reuse
+        c.unpersist()
+    return out
+
+def q_contrastive_pairs(spark, sf):
+    """Gates: contrastive-pair mining — hard negatives AND hard
+    positives from ONE broadcast-scored corpus scan via a single
+    window with a sign-flipped sort key per kind (no second scan, no
+    second window pass)."""
+    (embeddings,) = _t(spark, sf, "embeddings")
+    return similarity.contrastive_pairs(embeddings)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "knn_bruteforce": q_knn_bruteforce,
+    "label_centroid_similarity": q_label_centroid_similarity,
+    "ivf_ann": q_ivf_ann,
+    "embedding_dups_exhaustive": q_embedding_dups_exhaustive,
+    "norm_histogram": q_norm_histogram,
+    "lsh_ann": q_lsh_ann,
+    "quantization_error": q_quantization_error,
+    "embedding_dups_lsh": q_embedding_dups_lsh,
+    "kmeans_clusters": q_kmeans_clusters,
+    "semdedup_prune": q_semdedup_prune,
+    "ann_recall": q_ann_recall,
+    "pq_codebook_audit": q_pq_codebook_audit,
+    "contrastive_pairs": q_contrastive_pairs,
+    "ivfpq_ann": q_ivfpq_ann,
+    "ivfpq_recall": q_ivfpq_recall,
+}
+
+ORACLES: dict[str, str] = {
+    "knn_bruteforce": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS vq
+            FROM embeddings WHERE vec_id < 5
+        ),
+        c AS (
+            SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS vn
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id, {_cos('vq', 'vn')} AS cos_sim
+            FROM c, q WHERE neighbor_id <> query_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """,
+    "label_centroid_similarity": f"""
+        WITH {_CENTROIDS},
+        scored AS (
+            SELECT e.label AS label,
+                   round({_cos('v', 'centroid')}, 6) AS cos_sim
+            FROM e JOIN cent ON e.label = cent.label
+        )
+        SELECT label, count(*) AS n_vecs,
+               min(cos_sim) AS min_sim, max(cos_sim) AS max_sim
+        FROM scored GROUP BY label
+    """,
+    "ivf_ann": f"""
+        WITH {_CENTROIDS},
+        q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS vq
+            FROM embeddings WHERE vec_id < 5
+        ),
+        probes AS (
+            SELECT query_id, vq, label FROM (
+                SELECT q.query_id, q.vq, cent.label,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY round({_cos('vq', 'centroid')}, 6) DESC,
+                                    cent.label) AS c_rank
+                FROM q, cent
+            ) WHERE c_rank <= 1
+        ),
+        cand AS (
+            SELECT p.query_id, p.label, e.vec_id AS neighbor_id,
+                   {_cos('p.vq', 'e.v')} AS cos_sim
+            FROM probes p JOIN e ON p.label = e.label
+            WHERE e.vec_id <> p.query_id
+        )
+        SELECT query_id, label, neighbor_id,
+               CAST(rank AS BIGINT) AS rank, cos_sim
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM cand
+        ) WHERE rank <= 3
+    """,
+    "embedding_dups_exhaustive": f"""
+        WITH e AS (
+            SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        )
+        SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_cos('a.v', 'b.v')} AS cos_sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_cos('a.v', 'b.v')} >= 0.35
+    """,
+    "norm_histogram": f"""
+        SELECT CAST(floor(sqrt({{dot}}) * 4) AS BIGINT) AS norm_bucket,
+               count(*) AS vec_ct,
+               count(DISTINCT label) AS label_ct
+        FROM (SELECT CAST(embedding AS DOUBLE[]) AS v, label
+              FROM embeddings)
+        GROUP BY 1
+    """.replace("{dot}", _DOT.format(a="v", b="v")),
+    "quantization_error": """
+        WITH v AS (
+            SELECT label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+        m AS (
+            SELECT label, e,
+                   list_max(list_transform(e, x -> abs(x))) AS max_abs
+            FROM v),
+        errs AS (
+            SELECT label, max_abs,
+                   CASE WHEN max_abs = 0.0 THEN 0.0
+                        ELSE list_max(list_transform(e,
+                             x -> abs(x - floor(x / max_abs * 127.0 + 0.5)
+                                          / 127.0 * max_abs)))
+                        END AS err
+            FROM m)
+        SELECT label, count(*) AS vec_ct,
+               max(err) AS max_reconstruction_err,
+               max(max_abs) AS max_abs_value
+        FROM errs
+        GROUP BY label
+    """,
+    "lsh_ann": f"""
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS qv
+            FROM embeddings),
+        base AS (
+            SELECT vec_id, v,
+                   CAST({_lsh_bucket_sql('qv')} AS BIGINT) AS bucket
+            FROM vecs),
+        q AS (SELECT vec_id AS query_id, v AS vq, bucket
+              FROM base WHERE vec_id < 5),
+        c AS (SELECT vec_id AS neighbor_id, v AS vn, bucket FROM base),
+        scored AS (
+            SELECT query_id, c.bucket AS bucket, neighbor_id,
+                   {_cos('vq', 'vn')} AS cos_sim
+            FROM c JOIN q ON c.bucket = q.bucket
+            WHERE neighbor_id <> query_id)
+        SELECT query_id, bucket, neighbor_id,
+               CAST(rank AS BIGINT) AS rank, cos_sim
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+              FROM scored)
+        WHERE rank <= 3
+    """,
+    "embedding_dups_lsh": f"""
+        WITH vecs AS (
+            SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS q
+            FROM embeddings),
+        bands AS (
+{_emb_bands_sql()}
+        ),
+        cand AS (
+            SELECT DISTINCT l.label AS label,
+                   l.vec_id AS vec_a, r.vec_id AS vec_b
+            FROM bands l
+            JOIN bands r ON l.label = r.label AND l.band = r.band
+                        AND l.bkey = r.bkey
+            WHERE l.vec_id < r.vec_id
+        )
+        SELECT c.label AS label, c.vec_a AS vec_a, c.vec_b AS vec_b,
+               {_cos('a.v', 'b.v')} AS cos_sim
+        FROM cand c
+        JOIN vecs a ON c.label = a.label AND c.vec_a = a.vec_id
+        JOIN vecs b ON c.label = b.label AND c.vec_b = b.vec_id
+        WHERE {_cos('a.v', 'b.v')} >= 0.35
+    """,
+    "kmeans_clusters": _kmeans_oracle_sql(),
+    "semdedup_prune": _semdedup_oracle_sql(0.35),
+    "contrastive_pairs": f"""
+        WITH q AS (
+            SELECT vec_id AS anchor_id, label AS anchor_label,
+                   CAST(embedding AS DOUBLE[]) AS vq
+            FROM embeddings WHERE vec_id < 5
+        ),
+        c AS (
+            SELECT vec_id AS neighbor_id, label AS neighbor_label,
+                   CAST(embedding AS DOUBLE[]) AS vn
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT anchor_id, neighbor_id, neighbor_label,
+                   CASE WHEN neighbor_label = anchor_label
+                        THEN 'hard_positive'
+                        ELSE 'hard_negative' END AS kind,
+                   {_cos('vq', 'vn')} AS cos_sim
+            FROM c, q WHERE neighbor_id <> anchor_id
+        )
+        SELECT anchor_id, kind, CAST(rank AS BIGINT) AS rank,
+               neighbor_id, neighbor_label, cos_sim
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY anchor_id, kind
+                ORDER BY CASE WHEN kind = 'hard_positive' THEN cos_sim
+                              ELSE -cos_sim END ASC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= 2
+    """,
+}
+
+
+ORACLES["pq_codebook_audit"] = _pq_oracle_sql()
+ORACLES["ivfpq_ann"] = _ivfpq_oracle_sql()
+ORACLES["ivfpq_recall"] = f"""
+    SELECT e.query_id,
+           count(*) AS exact_k,
+           CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS hits,
+           CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) * 1000 // 3 AS recall_permille
+    FROM (SELECT * FROM ({ORACLES["knn_bruteforce"]}) WHERE rank <= 3) e
+    LEFT JOIN ({ORACLES["ivfpq_ann"]}) a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+"""
+
+ORACLES["ann_recall"] = f"""
+    SELECT e.query_id,
+           count(*) AS exact_k,
+           CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS hits,
+           CAST(sum(CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) * 1000 // 3 AS recall_permille
+    FROM (SELECT * FROM ({ORACLES["knn_bruteforce"]}) WHERE rank <= 3) e
+    LEFT JOIN ({ORACLES["lsh_ann"]}) a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+"""

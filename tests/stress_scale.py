@@ -86,11 +86,16 @@ def replicate(spark):
                 df = df.withColumn(
                     key, F.col(key) + F.col("_rep") * F.lit(10_000_000))
             # vary document text per replica so near-dup blocks stay
-            # realistic instead of multiplying every bucket by FACTOR
+            # realistic instead of multiplying every bucket by FACTOR;
+            # recompute n_chars to keep the generator invariant
+            # n_chars == length(text) (media/frame oracles recompute
+            # byte-length arithmetic from n_chars)
             if name == "documents":
-                df = df.withColumn(
+                df = (df.withColumn(
                     "text", F.concat_ws(" ", "text",
                                         F.concat(F.lit("rep"), "_rep")))
+                    .withColumn("n_chars",
+                                F.length("text").cast("long")))
             df = df.drop("_rep")
         df.coalesce(4).write.mode("overwrite").parquet(out)
 
