@@ -190,10 +190,9 @@ def bpe_token_stats(documents: DataFrame) -> DataFrame:
     simplified to a dialect both regex engines treat identically)
     alongside the ENGINE tokenizer's count, per source.
 
-    Column-name note: ``ws_token_ct`` predates the round-6 CJK
-    tokenizer and is kept for grading continuity; since then it
-    counts engine tokens (== whitespace tokens on non-Han text, Han
-    bigrams otherwise). The true whitespace baseline lives in
+    ``engine_token_ct`` counts ENGINE tokens (== whitespace tokens on
+    non-Han text, Han bigrams otherwise; named ``ws_token_ct`` until
+    round 7). The true whitespace baseline lives in
     ``token_fertility_stats.ws_token_ct``."""
     bpe = F.regexp_extract_all(
         F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
@@ -205,7 +204,7 @@ def bpe_token_stats(documents: DataFrame) -> DataFrame:
     return (per_doc.groupBy("source")
             .agg(F.count(F.lit(1)).alias("doc_ct"),
                  F.sum("n_bpe").alias("bpe_token_ct"),
-                 F.sum("n_ws").alias("ws_token_ct")))
+                 F.sum("n_ws").alias("engine_token_ct")))
 
 
 def repetition_stats(documents: DataFrame) -> DataFrame:

@@ -330,6 +330,9 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     # _finalize keeps a future-round entry from eating earlier slots
     "uv_sketch_rollup": 8,
     "doc_length_percentiles_approx": 8,
+    # ws_token_ct -> engine_token_ct rename (ADVICE r6); bpe_token_stats
+    # is r5-green so it re-grades in round 8 anyway — zero extra slots
+    "bpe_token_stats": 8,
 }
 
 _GRADE_PRIORITY: tuple[str, ...] = (

@@ -529,7 +529,7 @@ ORACLES: dict[str, str] = {
                    text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
                    AS bpe_token_ct,
                CAST(sum(len({_tok_expr('text')})) AS BIGINT)
-                   AS ws_token_ct
+                   AS engine_token_ct
         FROM documents
         GROUP BY source
     """,
