@@ -1106,12 +1106,22 @@ def near_dup_rate_by_source(documents: DataFrame) -> DataFrame:
     not broadcast."""
     marks = minhash_dedup_marks(documents)
     out = near_dup_rate_readout(
-        marks.join(documents.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("doc_ct"),
-             F.sum("is_dup").alias("dup_ct")))
+        near_dup_rate_partials(marks, documents))
     out._banded_cache = marks._banded_cache
     return out
+
+
+def near_dup_rate_partials(marks: DataFrame,
+                           documents: DataFrame) -> DataFrame:
+    """(source, doc_ct, dup_ct) partial counters from a marks frame —
+    the shared half of the batch report above and the per-micro-batch
+    emission of streaming/jobs.near_dup_rate_stream (one shared shape
+    so the streaming store can never fork from the batch contract)."""
+    return (marks.select("doc_id", "is_dup")
+            .join(documents.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("doc_ct"),
+                 F.sum("is_dup").alias("dup_ct")))
 
 
 def near_dup_rate_readout(partials: DataFrame) -> DataFrame:

@@ -555,13 +555,17 @@ def doc_length_percentile_audit(documents: DataFrame,
         F.max(F.when(F.col("rn") == F.expr(f"({p} * n + 99) DIV 100"),
                      F.col("v"))).cast("long").alias(f"p{p}_exact")
         for p in (50, 90, 99)])
-    sel = [F.col("lang"), F.col("doc_ct")]
+    sel = [est["lang"].alias("lang"), F.col("doc_ct")]
     for p in (50, 90, 99):
         ok = (F.abs(F.col(f"p{p}") - F.col(f"p{p}_exact"))
               <= band * F.col(f"p{p}_exact"))
         sel += [F.col(f"p{p}_exact"),
                 ok.cast("long").alias(f"p{p}_in_band")]
-    return est.join(exact, "lang").select(*sel)
+    # null-safe join: a NULL lang group must survive to match the
+    # oracle's GROUP BY semantics (a plain inner join would drop it
+    # on the Spark side only — latent driver-hash mismatch)
+    return (est.join(exact, est["lang"].eqNullSafe(exact["lang"]))
+            .select(*sel))
 
 
 def mixture_plan(documents: DataFrame,

@@ -2,23 +2,10 @@
 
 from __future__ import annotations
 
-from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from ..operators import (
-    analytics,
-    bucketing,
-    expectations,
-    dedup,
-    dwm,
-    dws,
-    multimodal,
-    serving,
-    similarity,
-    textstats,
-)
+from ..operators import similarity
 from ..session import harden
 from ..sources.tables import load_table
 

@@ -3,25 +3,9 @@ one family module or by the grading layer)."""
 
 from __future__ import annotations
 
-from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from ..operators import (
-    analytics,
-    bucketing,
-    expectations,
-    dedup,
-    dwm,
-    dws,
-    multimodal,
-    serving,
-    similarity,
-    textstats,
-)
-from ..session import harden
-from ..sources.tables import load_table
+from ..operators import dedup, similarity, textstats
 
 
 from ._base import (  # noqa: F401

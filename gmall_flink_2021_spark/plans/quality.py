@@ -7,20 +7,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import (
-    analytics,
-    bucketing,
-    expectations,
-    dedup,
-    dwm,
-    dws,
-    multimodal,
-    serving,
-    similarity,
-    textstats,
-)
-from ..session import harden
-from ..sources.tables import load_table
+from ..operators import expectations, multimodal
 
 from ._base import (  # noqa: F401
     _DRIFT_COLS, _PROFILE_COLS, _RI_RELATIONS, _t)

@@ -34,20 +34,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import (
-    analytics,
-    bucketing,
-    expectations,
-    dedup,
-    dwm,
-    dws,
-    multimodal,
-    serving,
-    similarity,
-    textstats,
-)
-from ..session import harden
-from ..sources.tables import load_table
+from ..operators import expectations, dwm, textstats
 
 
 from . import analytics as _p_analytics

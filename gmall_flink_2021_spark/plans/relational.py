@@ -7,20 +7,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import (
-    analytics,
-    bucketing,
-    expectations,
-    dedup,
-    dwm,
-    dws,
-    multimodal,
-    serving,
-    similarity,
-    textstats,
-)
-from ..session import harden
-from ..sources.tables import load_table
+from ..operators import serving
 
 from ._base import (  # noqa: F401
     _t)

@@ -5,22 +5,8 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from ..operators import (
-    analytics,
-    bucketing,
-    expectations,
-    dedup,
-    dwm,
-    dws,
-    multimodal,
-    serving,
-    similarity,
-    textstats,
-)
-from ..session import harden
-from ..sources.tables import load_table
+from ..operators import similarity
 
 from ._base import (  # noqa: F401
     _emb_key, _t)

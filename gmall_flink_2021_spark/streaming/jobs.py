@@ -631,16 +631,13 @@ def near_dup_rate_stream(doc_stream: DataFrame, out_path: str,
     batch near_dup_rate_by_source when arrival order is doc_id order
     (same caveat as corpus_funnel_stream). Exactly-once via
     overwrite-by-batchId on both partials and index."""
+    from ..operators.dedup import near_dup_rate_partials
     from . import sinks
 
     def sink(batch: DataFrame, bid: int) -> None:
         marks, new_b, banded = _batch_dedup_marks(batch, bid,
                                                   state_path)
-        partial = (marks.select("doc_id", "is_dup")
-                   .join(batch.select("doc_id", "source"), "doc_id")
-                   .groupBy("source")
-                   .agg(F.count(F.lit(1)).alias("doc_ct"),
-                        F.sum("is_dup").alias("dup_ct")))
+        partial = near_dup_rate_partials(marks, batch)
         sinks.write_idempotent(partial, bid, out_path)
         sinks.write_idempotent(new_b, bid, state_path)
         banded.unpersist()

@@ -82,3 +82,31 @@ def test_grading_window_rotation_logic(tmp_path):
     empty = tmp_path / "empty"
     empty.mkdir()
     assert _staleness_order(queries, str(empty)) is None
+
+
+def test_doc_length_audit_keeps_null_lang_group(spark, tmp_path):
+    """Fixture for the exact edge the round-7 null-safe join guards
+    (code-review finding): a NULL lang group must survive the audit's
+    estimate x exact join on the Spark side, because the DuckDB
+    oracle's GROUP BY keeps it — a plain inner join made the engine
+    emit one row fewer and the driver hash go red."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    rows = [(1, "en", 100), (2, "en", 200), (3, None, 50),
+            (4, None, 70), (5, "zh", 30)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long").withColumn(
+        "text", F.concat(F.lit("x"), F.col("doc_id").cast("string")))
+    sf = str(tmp_path / "nulldocs")
+    docs.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    got = QUERIES["doc_length_percentiles_approx"](spark, sf)
+    assert got.filter(F.col("lang").isNull()).count() == 1
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet/*.parquet'")
+    assert compare(got, ORACLES["doc_length_percentiles_approx"],
+                   con) == []
