@@ -110,3 +110,39 @@ def test_doc_length_audit_keeps_null_lang_group(spark, tmp_path):
                 f"'{sf}/documents.parquet/*.parquet'")
     assert compare(got, ORACLES["doc_length_percentiles_approx"],
                    con) == []
+
+
+def test_events_audits_null_ts_parity(spark, tmp_path):
+    """Pin the NULL-ts group behavior of the three events-based sketch
+    audits against their oracles on a corpus WITH a null timestamp:
+    uv_accuracy keeps the NULL day group on both sides (groupBy ==
+    GROUP BY), while the rolling and day→month rollup audits drop it
+    on both sides (their est×exact joins are equality joins on both
+    engines, and the expansion/sequence over a NULL day generates no
+    rows). Without this fixture that consistency is coincidence a
+    refactor could break on one side only."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    rows = [(1, "2024-01-01 10:00:00", 7, "view", 1.0, "{}"),
+            (2, "2024-01-01 11:00:00", 8, "click", 1.0, "{}"),
+            (3, "2024-01-02 10:00:00", 7, "view", 1.0, "{}"),
+            (4, None, 9, "view", 1.0, "{}")]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, "
+              "event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    sf = str(tmp_path / "nullts")
+    events.coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf}/events.parquet/*.parquet'")
+    for name in ("unique_visitors_daily_approx",
+                 "rolling_active_users_approx", "uv_sketch_rollup"):
+        got = QUERIES[name](spark, sf)
+        assert compare(got, ORACLES[name], con) == [], name
+    # and the one that KEEPS the null group really does
+    uv = QUERIES["unique_visitors_daily_approx"](spark, sf)
+    assert uv.filter(F.col("day").isNull()).count() == 1
