@@ -1,6 +1,11 @@
 """Dev loop: run every registry query against its DuckDB oracle.
 
-Usage: python tests/run_parity.py [sf_dir] [query ...]
+Usage: python tests/run_parity.py [--vanilla] [sf_dir] [query ...]
+
+--vanilla runs on a bare SparkSession (local[8], default confs) —
+the driver-fidelity mode: the external grader builds its own session
+with none of the engine's confs, so harden() inside _t plus the
+loaders' dtype handling must carry correctness alone.
 """
 
 import os
@@ -14,14 +19,25 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args.remove("--vanilla")
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     from gmall_flink_2021_spark.plans import ORACLES, QUERIES
-    from gmall_flink_2021_spark.session import get_spark
     from parity import compare, duck_connect
 
-    spark = get_spark("parity")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (SparkSession.builder.master("local[8]")
+                 .appName("parity-vanilla").getOrCreate())
+    else:
+        from gmall_flink_2021_spark.session import get_spark
+
+        spark = get_spark("parity")
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connect(sf_dir)
     failures = 0
