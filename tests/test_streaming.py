@@ -2003,3 +2003,69 @@ def test_near_dup_rate_streaming_matches_batch(spark, tmp_path):
     want = {tuple(map(str, r)) for r in batch_out.collect()}
     batch_out._banded_cache.unpersist()
     assert want and got == want
+
+
+def test_profiling_streams_resume_from_checkpoint(spark, tmp_path):
+    """Restart semantics for the round-7 partials streams: drain
+    script-mix and near-dup-rate with half the corpus, 'restart' on
+    the same checkpoint with the rest staged — the second run must
+    append ONLY the new batch's partials (offset carried, no re-emit)
+    and the readout over the union must equal the batch report (for
+    near-dup-rate: the grow-only index carried across the restart)."""
+    import os
+    import time as _time
+
+    from gmall_flink_2021_spark.operators import dedup, textstats
+    from gmall_flink_2021_spark.streaming.jobs import (
+        near_dup_rate_stream,
+        script_mix_stream,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    parts = [docs.filter(F.col("doc_id") <= hi // 2),
+             docs.filter(F.col("doc_id") > hi // 2)]
+    src = str(tmp_path / "pr_docs")
+    os.makedirs(src)
+    now = _time.time()
+
+    def stage(i):
+        d = str(tmp_path / f"pr_stage_{i}")
+        parts[i].coalesce(1).write.parquet(d)
+        f = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"part_{i}.parquet")
+        os.rename(os.path.join(d, f), dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    def stream():
+        return (spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .option("latestFirst", "false").parquet(src))
+
+    sm_out = str(tmp_path / "sm_out")
+    nd_out = str(tmp_path / "nd_out")
+    nd_state = str(tmp_path / "nd_state")
+    stage(0)
+    script_mix_stream(stream(), sm_out, str(tmp_path / "ck_sm"))
+    near_dup_rate_stream(stream(), nd_out, nd_state,
+                         str(tmp_path / "ck_nd"))
+    first = set(os.listdir(sm_out)), set(os.listdir(nd_out))
+    stage(1)
+    script_mix_stream(stream(), sm_out, str(tmp_path / "ck_sm"))
+    near_dup_rate_stream(stream(), nd_out, nd_state,
+                         str(tmp_path / "ck_nd"))
+    assert set(os.listdir(sm_out)) - first[0] == {"batch_id=1"}
+    assert set(os.listdir(nd_out)) - first[1] == {"batch_id=1"}
+
+    got_sm = {tuple(map(str, r)) for r in textstats.script_mix_readout(
+        spark.read.parquet(sm_out)).collect()}
+    want_sm = {tuple(map(str, r)) for r in
+               textstats.script_mix_stats(docs).collect()}
+    assert want_sm and got_sm == want_sm
+
+    got_nd = {tuple(map(str, r)) for r in dedup.near_dup_rate_readout(
+        spark.read.parquet(nd_out)).collect()}
+    batch_nd = dedup.near_dup_rate_by_source(docs)
+    want_nd = {tuple(map(str, r)) for r in batch_nd.collect()}
+    batch_nd._banded_cache.unpersist()
+    assert want_nd and got_nd == want_nd
