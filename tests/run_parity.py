@@ -39,6 +39,9 @@ def main():
 
         spark = get_spark("parity")
     spark.sparkContext.setLogLevel("ERROR")
+    unknown = only - set(QUERIES)
+    if unknown:
+        sys.exit(f"unknown query name(s): {sorted(unknown)}")
     con = duck_connect(sf_dir)
     failures = 0
     for name, fn in QUERIES.items():
@@ -48,8 +51,10 @@ def main():
         try:
             df = fn(spark, sf_dir)
             if name not in ORACLES:
-                problems = ([] if len(df.collect()) > 0
-                            else ["rows-only check: empty result"])
+                # round-7 invariant: every registry query has an
+                # oracle — a missing one is a regression, not a
+                # rows-only mode
+                problems = ["no ORACLES entry (all-oracled invariant)"]
             else:
                 problems = compare(df, ORACLES[name], con)
         except Exception as e:

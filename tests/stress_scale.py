@@ -55,11 +55,12 @@ QUERIES = [
     "cross_source_dup_matrix", "dedup_threshold_calibration",
     "near_dup_rate_by_source",
     # round 7: driver-gradeable sketch-audit forms (estimate + exact
-    # subplan + in-band verdicts)
-    "unique_visitors_daily_approx", "rolling_active_users_approx",
-    "profile_sketch_report", "uv_sketch_rollup",
-    "doc_length_percentiles_approx",
+    # subplan + in-band verdicts; rolling_active_users_approx is
+    # already listed above)
+    "unique_visitors_daily_approx", "profile_sketch_report",
+    "uv_sketch_rollup", "doc_length_percentiles_approx",
 ]
+assert len(QUERIES) == len(set(QUERIES)), "duplicate stress entries"
 
 
 def replicate(spark):
