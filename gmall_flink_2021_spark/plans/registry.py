@@ -297,6 +297,23 @@ def _doubled_sql(sql: str, cols: tuple[str, ...]) -> str:
 # round (or newer) has graded them green, because artifact-derived
 # staleness cannot know about in-flight changes. Append on change;
 # entries expire automatically once confirmed.
+# --- rotation invariant (round 8) -----------------------------------
+# The driver grades the first GRADE_WINDOW registry entries per round.
+# Documented ceiling: every live query's newest green CORRECTNESS row
+# must be from one of the last ROTATION_CEILING_ROUNDS rounds. With
+# 151 queries against a 50-slot window a ≤3-round rotation is
+# over-subscribed by construction (needs 50.33 slots/round), so the
+# ceiling is FOUR rounds: a full pass over the registry takes at most
+# ceil(len/50) = 4 windows even when contract-change promotions
+# displace up to 200-len = 49 stale re-grades per cycle.
+# `tests/test_rotation_invariant.py` computes the realized staleness
+# from the CORRECTNESS artifacts and FAILS the suite when any query
+# exceeds the ceiling or is about to (at-risk query not in the next
+# window) — the invariant is enforced by test, not by manual
+# arithmetic.
+GRADE_WINDOW = 50
+ROTATION_CEILING_ROUNDS = 4
+
 _CHANGED_THIS_ROUND: dict[str, int] = {
     # (rounds 4-6 entries all confirmed green by their round's
     # artifact — expired, removed)
