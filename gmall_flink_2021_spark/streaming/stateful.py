@@ -45,43 +45,110 @@ def _day(ts_ms: int) -> str:
         .strftime("%Y-%m-%d")
 
 
+def _interval_us(interval: str) -> int:
+    """Parse a withWatermark-style interval ("90 minutes") to micros —
+    shared by every idle-TTL knob so the accepted syntax stays one."""
+    import re as _re
+    m = _re.fullmatch(
+        r"\s*(\d+)\s*(second|minute|hour|day)s?\s*", interval)
+    if not m:
+        raise ValueError(f"cannot parse interval {interval!r}")
+    unit_us = {"second": 1, "minute": 60, "hour": 3600,
+               "day": 86400}[m.group(2)] * 1_000_000
+    return int(m.group(1)) * unit_us
+
+
 # ------------------------------------------------------------- O5 is_new
 IS_NEW_IN = StructType([
     StructField("mid", StringType()), StructField("ts", LongType()),
     StructField("is_new", StringType()),
 ])
 IS_NEW_OUT = IS_NEW_IN
-_IS_NEW_STATE = StructType([StructField("first_date", StringType())])
+def _make_repair_is_new_fn(idle_ttl_ms: int | None):
+    def _repair_fn(key, pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+        cols = ["mid", "ts", "is_new"]
+        if idle_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=cols)
+            return
+        if state.exists:
+            first_date, last_ms = state.get
+        else:
+            first_date, last_ms = None, -1
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for r in pdf.itertuples(index=False):
+                day = _day(r.ts)
+                last_ms = max(last_ms, int(r.ts))
+                is_new = r.is_new
+                if is_new == "1":
+                    if first_date is None:
+                        first_date = day    # first sighting: claim honored
+                    elif first_date != day:
+                        is_new = "0"        # repaired
+                elif first_date is None:
+                    # reference exer variant: an old visitor seen first
+                    # with is_new=0 marks state 'old' so later lies are
+                    # repaired
+                    first_date = _day(r.ts - 86_400_000)
+                out.append((r.mid, r.ts, is_new))
+        if idle_ttl_ms is not None:
+            wm_ms = state.getCurrentWatermarkMs()
+            if not out and last_ms >= 0 and wm_ms >= last_ms + idle_ttl_ms:
+                # idle TTL: no new sightings and the watermark aged past
+                # the key's last event by the TTL — drop the frontier
+                # (a revival's first-day claim is then honored again)
+                state.remove()
+                yield pd.DataFrame(columns=cols)
+                return
+        state.update((first_date, last_ms))
+        if idle_ttl_ms is not None and last_ms >= 0:
+            # +1: Spark requires the timeout strictly beyond the
+            # current watermark; fires on a later (possibly no-data)
+            # batch once the watermark passes last_ms + TTL
+            state.setTimeoutTimestamp(last_ms + idle_ttl_ms + 1)
+        yield pd.DataFrame(out, columns=cols)
+
+    return _repair_fn
 
 
-def _repair_is_new_fn(key, pdfs: Iterator[pd.DataFrame],
-                      state: GroupState) -> Iterator[pd.DataFrame]:
-    (first_date,) = state.get if state.exists else (None,)
-    out = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
-        for r in pdf.itertuples(index=False):
-            day = _day(r.ts)
-            is_new = r.is_new
-            if is_new == "1":
-                if first_date is None:
-                    first_date = day          # first sighting: claim honored
-                elif first_date != day:
-                    is_new = "0"              # repaired
-            elif first_date is None:
-                # reference exer variant: an old visitor seen first with
-                # is_new=0 marks state 'old' so later lies are repaired
-                first_date = _day(r.ts - 86_400_000)
-            out.append((r.mid, r.ts, is_new))
-    state.update((first_date,))
-    yield pd.DataFrame(out, columns=["mid", "ts", "is_new"])
+# state schema carries the last-seen ts so the TTL form can expire off
+# the event-time watermark; the no-TTL form simply never reads it
+_IS_NEW_STATE = StructType([StructField("first_date", StringType()),
+                            StructField("last_ms", LongType())])
+
+# default (no-TTL) form, kept importable for tests/documentation
+_repair_is_new_fn = _make_repair_is_new_fn(None)
 
 
-def repair_is_new(events: DataFrame) -> DataFrame:
-    """events: (mid, ts millis, is_new) — streaming or batch."""
-    return (events.groupBy("mid").applyInPandasWithState(
-        _repair_is_new_fn, IS_NEW_OUT, _IS_NEW_STATE, "append",
-        GroupStateTimeout.NoTimeout))
+def repair_is_new(events: DataFrame,
+                  idle_ttl: str | None = None,
+                  delay: str = "0 seconds") -> DataFrame:
+    """events: (mid, ts millis, is_new) — streaming repair of the
+    is_new flag (O5, BaseLogApp.java:73-105).
+
+    Scale shape: state is one (first_date, last_ms) row per mid. The
+    reference's ValueState lives for the life of the job — parity —
+    but on an unbounded real keyspace that is O(all mids ever seen).
+    Pass ``idle_ttl`` (event-time interval, e.g. "30 days"): a mid
+    whose last sighting is older than the TTL (by the event-time
+    watermark, out-of-orderness bound ``delay``) is dropped from
+    state, trading exactly one wrongly-honored is_new=1 claim on the
+    mid's revival for O(active mids) state — the same escape hatch as
+    `event_transitions_stream`'s idle_ttl."""
+    if idle_ttl is None:
+        return (events.groupBy("mid").applyInPandasWithState(
+            _repair_is_new_fn, IS_NEW_OUT, _IS_NEW_STATE, "append",
+            GroupStateTimeout.NoTimeout))
+    ttl_ms = _interval_us(idle_ttl) // 1000
+    wm = (events
+          .withColumn("et", F.timestamp_millis(F.col("ts")))
+          .withWatermark("et", delay))
+    return (wm.groupBy("mid").applyInPandasWithState(
+        _make_repair_is_new_fn(ttl_ms), IS_NEW_OUT, _IS_NEW_STATE,
+        "append", GroupStateTimeout.EventTimeTimeout))
 
 
 # ------------------------------------------------------------- O6 UV dedup
@@ -323,16 +390,7 @@ def event_transitions_stream(events: DataFrame,
     is dropped entirely, trading exactly ONE lost transition on the
     key's revival for O(active keys) state.
     """
-    ttl_us = None
-    if idle_ttl is not None:
-        import re as _re
-        m = _re.fullmatch(
-            r"\s*(\d+)\s*(second|minute|hour|day)s?\s*", idle_ttl)
-        if not m:
-            raise ValueError(f"idle_ttl: cannot parse {idle_ttl!r}")
-        unit_us = {"second": 1, "minute": 60, "hour": 3600,
-                   "day": 86400}[m.group(2)] * 1_000_000
-        ttl_us = int(m.group(1)) * unit_us
+    ttl_us = None if idle_ttl is None else _interval_us(idle_ttl)
     wm = (events
           .withColumn("et", F.timestamp_micros(F.col("ts_us")))
           .withWatermark("et", delay))

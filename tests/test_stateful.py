@@ -100,3 +100,76 @@ def test_streaming_bounce_matches_batch_oracle(spark, log_stream_path,
     got_closed = {(m, t) for (m, t) in got if t <= horizon}
     assert got_closed == want_closed and len(want_closed) > 0
     assert got - want == set()          # no false bounces ever
+
+
+def _stage_chunks(spark, tmp_path, chunk_rows, schema, tag):
+    """Stage row-chunks as one parquet file each with increasing
+    mtimes so maxFilesPerTrigger=1 replays them as ordered
+    micro-batches (the pattern of tests/test_streaming.py)."""
+    import os
+    import shutil
+
+    src = str(tmp_path / f"{tag}_chunks")
+    os.makedirs(src)
+    for i, rows in enumerate(chunk_rows):
+        d = str(tmp_path / f"{tag}_stage{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"{i}.parquet")
+        shutil.copy(os.path.join(d, part), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src))
+
+
+def test_is_new_repair_idle_ttl_revival_semantics(spark, tmp_path):
+    """idle_ttl on the is_new frontier (VERDICT r7 #6): a mid whose
+    last sighting aged past the TTL (event-time watermark) is dropped
+    from state; on revival its is_new=1 claim is honored AGAIN — the
+    documented trade — while every other repair decision matches the
+    no-TTL form, which (run on the same replay) still repairs the
+    revival. The differential proves the drop came from the TTL, not
+    from a repair-logic change."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    D = 86_400_000
+    base = 1_600_000_000_000
+    schema = StructType([
+        StructField("mid", StringType()), StructField("ts", LongType()),
+        StructField("is_new", StringType())])
+    chunk_rows = [
+        # A day0: claim honored, same-day repeat honored
+        [("A", base, "1"), ("A", base + 10_000, "1")],
+        # B keeps the watermark moving (A's TTL timer arms)
+        [("B", base + 3_600_000, "1")],
+        # B day1: repaired; wm passes A.last + TTL (fires next batch)
+        [("B", base + D + 7_200_000, "1")],
+        # heartbeat batch: A's timer fires -> frontier dropped
+        [("B", base + D + 10_800_000, "0")],
+        # A revival on day2: honored under TTL, repaired without
+        [("A", base + 2 * D, "1")],
+    ]
+    want_common = {
+        ("A", base): "1", ("A", base + 10_000): "1",
+        ("B", base + 3_600_000): "1",
+        ("B", base + D + 7_200_000): "0",
+        ("B", base + D + 10_800_000): "0",
+    }
+    revival = ("A", base + 2 * D)
+
+    ttl_out = run_to_completion(
+        stateful.repair_is_new(
+            _stage_chunks(spark, tmp_path, chunk_rows, schema, "ttl"),
+            idle_ttl="1 day", delay="1 second"),
+        str(tmp_path / "ck_isnew_ttl"))
+    got_ttl = {(r.mid, r.ts): r.is_new for r in ttl_out.collect()}
+
+    plain_out = run_to_completion(
+        stateful.repair_is_new(
+            _stage_chunks(spark, tmp_path, chunk_rows, schema, "plain")),
+        str(tmp_path / "ck_isnew_plain"))
+    got_plain = {(r.mid, r.ts): r.is_new for r in plain_out.collect()}
+
+    assert got_ttl == {**want_common, revival: "1"}, got_ttl
+    assert got_plain == {**want_common, revival: "0"}, got_plain
