@@ -64,11 +64,9 @@ def main() -> None:
     from gmall_flink_2021_spark.sources.tables import load_table
 
     warm_docs = load_table(spark, sf_dir, "documents").limit(500)
-    warm_pairs = minhash_band_pairs(warm_docs)
+    warm_pairs, warm_handle = minhash_band_pairs(warm_docs)
     warm_pairs.count()
-    banded = getattr(warm_pairs, "_banded_cache", None)
-    if banded is not None:
-        banded.unpersist()
+    warm_handle.unpersist()
     spark.catalog.clearCache()
 
     # Two full sweeps, per-query MIN: the rig shares a host, and

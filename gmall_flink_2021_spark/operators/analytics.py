@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import money
+from ..functions.handles import CacheHandle
 
 
 def top_orders_per_segment(customer: DataFrame, orders: DataFrame,
@@ -1012,7 +1013,8 @@ def scd2_enrich(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
 
 def trade_pagerank(nation: DataFrame, customer: DataFrame,
                    supplier: DataFrame, orders: DataFrame,
-                   lineitem: DataFrame, iters: int = 3) -> DataFrame:
+                   lineitem: DataFrame, iters: int = 3
+                   ) -> tuple[DataFrame, CacheHandle]:
     """PageRank-style trade centrality over the nation trade graph:
     revenue flows supplier-nation → customer-nation (bilateral_trade's
     edges, collapsed over years), and a fixed number of
@@ -1086,11 +1088,13 @@ def trade_pagerank(nation: DataFrame, customer: DataFrame,
         [(n, ranks[n], in_deg.get(n, 0), out_deg.get(n, 0))
          for n in nodes],
         "node string, rank_micro long, in_edges long, out_edges long")
-    out._edges_frame = edges  # recomputable lineage, for audits/tests
-    return out
+    # edges: recomputable lineage, for audits/tests (never persisted —
+    # the handle is an access channel here, not a release obligation)
+    return out, CacheHandle(edges=edges)
 
 
-def part_cooccurrence(lineitem: DataFrame, top_k: int = 20) -> DataFrame:
+def part_cooccurrence(lineitem: DataFrame, top_k: int = 20
+                      ) -> tuple[DataFrame, CacheHandle]:
     """Market-basket co-occurrence mining: the ``top_k`` part pairs
     most often bought together in one order, with exact counts and an
     integer-permille lift (observed co-rate vs the independence
@@ -1112,7 +1116,7 @@ def part_cooccurrence(lineitem: DataFrame, top_k: int = 20) -> DataFrame:
     """
     # baskets feeds the pair fan-out, the per-part counts and the
     # basket total — persist so the fact table is scanned ONCE;
-    # caller releases via ._baskets_cache (recompute-on-reuse)
+    # caller releases via the returned handle (recompute-on-reuse)
     baskets = lineitem.select("l_orderkey", "l_partkey").distinct() \
         .persist()
     arr = (baskets.groupBy("l_orderkey")
@@ -1141,8 +1145,7 @@ def part_cooccurrence(lineitem: DataFrame, top_k: int = 20) -> DataFrame:
            .select("part_a", "part_b", "pair_ct",
                    F.expr("(1000 * pair_ct * nb) DIV (ct_a * pct)")
                    .cast("long").alias("lift_permille")))
-    out._baskets_cache = baskets
-    return out
+    return out, CacheHandle(baskets=baskets)
 
 
 def gap_fill_daily(events: DataFrame) -> DataFrame:
@@ -1237,7 +1240,8 @@ def rolling_active_users(events: DataFrame,
                     .alias("stickiness_permille")))
 
 
-def key_skew_audit(df: DataFrame, key: str, top_k: int = 5) -> DataFrame:
+def key_skew_audit(df: DataFrame, key: str, top_k: int = 5
+                   ) -> tuple[DataFrame, CacheHandle]:
     """Join-key skew diagnostics — the audit a pipeline runs BEFORE a
     100 TB shuffle to decide whether a key needs salting (see
     salted_brand_revenue for the treatment this diagnoses): per-key
@@ -1261,7 +1265,7 @@ def key_skew_audit(df: DataFrame, key: str, top_k: int = 5) -> DataFrame:
     """
     # two consumers (quantile stats + top-k heap) — persist the
     # |keys|-row aggregate so the corpus is scanned ONCE; caller
-    # releases via the returned frame's ._counts_cache handle.
+    # releases via the returned handle.
     # Numeric keys normalize to long (the graded/oracle form); any
     # other type groups on the RAW column — a blanket cast would
     # collapse e.g. a string brand key into one NULL hot_key and
@@ -1302,8 +1306,7 @@ def key_skew_audit(df: DataFrame, key: str, top_k: int = 5) -> DataFrame:
                    .cast("long").alias("share_permille"),
                    "total_rows", "distinct_keys",
                    "p50_ct", "p90_ct", "p99_ct", "max_ct"))
-    out._counts_cache = counts
-    return out
+    return out, CacheHandle(counts=counts)
 
 
 def winsorized_price_stats(orders: DataFrame, lo_pct: int = 5,

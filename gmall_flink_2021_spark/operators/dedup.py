@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import spread
+from ..functions.handles import CacheHandle
 from ..functions.text import (LSH_BANDS, MINHASH_SEEDS, shingles,
                               token_windows, tokens)
 
@@ -87,7 +88,8 @@ def banded_minhash(documents: DataFrame,
         "doc_id", F.posexplode(band_hashes).alias("band", "band_hash"))
 
 
-def minhash_dedup_marks(documents: DataFrame) -> DataFrame:
+def minhash_dedup_marks(
+        documents: DataFrame) -> tuple[DataFrame, CacheHandle]:
     """Online-ingestion dedup decision, batch form: in doc_id
     (arrival) order, a document is a duplicate if ANY of its LSH band
     buckets was already occupied by an earlier document — the
@@ -115,15 +117,15 @@ def minhash_dedup_marks(documents: DataFrame) -> DataFrame:
                    F.col("earliest_prior").isNotNull().cast("long")
                    .alias("is_dup"),
                    "earliest_prior"))
-    out._banded_cache = banded
-    return out
+    return out, CacheHandle(banded=banded)
 
 
 def minhash_band_pairs(documents: DataFrame,
                        n_hashes: int = MINHASH_SEEDS,
                        bands: int = LSH_BANDS,
                        sig: DataFrame | None = None,
-                       chain_only: bool = False) -> DataFrame:
+                       chain_only: bool = False
+                       ) -> tuple[DataFrame, CacheHandle]:
     """LSH candidate pairs: docs whose signatures collide in ≥1 band.
 
     Band hash = md5 of the band's concatenated minhashes; candidates
@@ -164,8 +166,7 @@ def minhash_band_pairs(documents: DataFrame,
     # handle for callers that materialize `pairs` and can then release
     # the banded projection (persist() is lazy, so it cannot be
     # released here without recomputing the signatures twice)
-    pairs._banded_cache = banded
-    return pairs
+    return pairs, CacheHandle(banded=banded)
 
 
 def simhash_signatures(documents: DataFrame, bits: int = 60) -> DataFrame:
@@ -217,7 +218,8 @@ def simhash_signatures(documents: DataFrame, bits: int = 60) -> DataFrame:
 def ngram_jaccard_pairs(documents: DataFrame, top_n: int = 50,
                         max_df: int = 1000,
                         max_sh_per_doc: int = 32,
-                        max_docs: int = 1_000_000) -> DataFrame:
+                        max_docs: int = 1_000_000
+                        ) -> tuple[DataFrame, CacheHandle]:
     """Top near-duplicate pairs by word-3-gram Jaccard similarity,
     computed via an inverted shingle index (explode → self-join →
     count), never all-pairs. Join keys are 64-bit xxhash64 of the
@@ -248,8 +250,8 @@ def ngram_jaccard_pairs(documents: DataFrame, top_n: int = 50,
     This remains the audit/demo form — `minhash_band_pairs` is the
     production near-dup route at 100 TB (see SCALE.md).
 
-    The returned frame exposes ``_ngram_caches`` (the persisted
-    shingle arrays + capped index); callers that materialize the
+    Returns ``(df, CacheHandle)`` — the handle holds the persisted
+    shingle arrays + capped index; callers that materialize the
     result can unpersist both to release executor storage — bench.py
     uses clearCache(), long-lived sessions should use the handle.
 
@@ -310,15 +312,15 @@ def ngram_jaccard_pairs(documents: DataFrame, top_n: int = 50,
     out = (jac.select("doc_a", "doc_b", "common_sh", "jaccard")
            .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
            .limit(top_n))
-    out._ngram_caches = (docs, inv)
-    return out
+    return out, CacheHandle(docs=docs, inv=inv)
 
 
 def capped_band_pairs(documents: DataFrame,
                       n_hashes: int = MINHASH_SEEDS,
                       bands: int = LSH_BANDS,
                       per_band_cap: int = 4,
-                      sig: DataFrame | None = None) -> DataFrame:
+                      sig: DataFrame | None = None
+                      ) -> tuple[DataFrame, CacheHandle]:
     """CAPPED LSH candidate pairs — the linear-candidate-mass
     substrate shared by the production scorer
     (`minhash_jaccard_pairs`) and the exact-verify pass
@@ -341,13 +343,13 @@ def capped_band_pairs(documents: DataFrame,
              .select("doc_a", F.explode("succ").alias("doc_b"))
              .filter(F.col("doc_b").isNotNull())
              .distinct())
-    pairs._banded_cache = banded
-    return pairs
+    return pairs, CacheHandle(banded=banded)
 
 
 def minhash_jaccard_pairs(documents: DataFrame,
                           n_hashes: int = MINHASH_SEEDS,
-                          per_band_cap: int = 4) -> DataFrame:
+                          per_band_cap: int = 4
+                          ) -> tuple[DataFrame, CacheHandle]:
     """Signature-estimated Jaccard over CAPPED LSH candidates: the
     PRODUCTION near-dup scorer at 100 TB. Pairs are scored from the
     8-component signatures alone, so after the one signature pass the
@@ -382,9 +384,8 @@ def minhash_jaccard_pairs(documents: DataFrame,
     shuffles of the candidate set, now provably O(corpus·cap)."""
     sig = minhash_signatures(documents, n_hashes).filter(
         F.col("h0").isNotNull()).persist()
-    pairs = capped_band_pairs(documents, n_hashes, per_band_cap=per_band_cap,
-                              sig=sig)
-    banded = pairs._banded_cache
+    pairs, ph = capped_band_pairs(documents, n_hashes,
+                                  per_band_cap=per_band_cap, sig=sig)
     matching = sum(
         (F.when(F.col(f"a.h{j}") == F.col(f"b.h{j}"), F.lit(1))
          .otherwise(F.lit(0)) for j in range(n_hashes)),
@@ -395,9 +396,7 @@ def minhash_jaccard_pairs(documents: DataFrame,
            .select("doc_a", "doc_b", matching.alias("matching_components"),
                    (matching.cast("double") / F.lit(float(n_hashes)))
                    .alias("est_jaccard")))
-    out._sig_cache = sig
-    out._banded_cache = banded
-    return out
+    return out, CacheHandle.merge(ph, sig=sig)
 
 
 def dup_clusters(documents: DataFrame, max_iter: int = 20,
@@ -425,11 +424,10 @@ def dup_clusters(documents: DataFrame, max_iter: int = 20,
     keeps the pathological-bucket hazard (SCALE.md) out of the
     clustering path entirely.
     """
-    pairs = minhash_band_pairs(documents, chain_only=True).persist()
+    pairs, ph = minhash_band_pairs(documents, chain_only=True)
+    pairs = pairs.persist()
     n_pairs = pairs.count()
-    banded = getattr(pairs, "_banded_cache", None)
-    if banded is not None:
-        banded.unpersist()
+    ph.unpersist()
     spark = documents.sparkSession
     if n_pairs <= driver_pair_limit:
         parent: dict[int, int] = {}
@@ -665,7 +663,8 @@ def segment_rebuild(kept: DataFrame) -> DataFrame:
 
 
 def editdist_verified_pairs(documents: DataFrame,
-                            max_rel: float = 0.4) -> DataFrame:
+                            max_rel: float = 0.4
+                            ) -> tuple[DataFrame, CacheHandle]:
     """The exact-verify pass of a near-dup pipeline: MinHash-LSH
     candidates re-checked with TRUE edit distance on the normalized
     text — the final arbiter real dedup stages run on the (small)
@@ -683,10 +682,10 @@ def editdist_verified_pairs(documents: DataFrame,
     Levenshtein check. The O(len²)-per-pair Levenshtein runs only on
     candidates, joined against a narrow (doc_id, text) projection.
     """
-    pairs = capped_band_pairs(documents)
+    pairs, ph = capped_band_pairs(documents)
     # both join sides read this narrow projection: persist so the
     # corpus is tokenized once, not once per side (same policy as the
-    # banded projection above); released via _norm_cache. spread()
+    # banded projection above); released via the handle. spread()
     # first: the Levenshtein project below runs with the STREAM
     # side's partitioning (the pair list is the broadcast side), so a
     # single-split source layout would serialize every lev() into one
@@ -709,9 +708,7 @@ def editdist_verified_pairs(documents: DataFrame,
                    (lev.cast("double") / denom.cast("double"))
                    .alias("rel_dist"))
            .filter(F.col("rel_dist") <= max_rel))
-    out._banded_cache = pairs._banded_cache
-    out._norm_cache = norm
-    return out
+    return out, CacheHandle.merge(ph, norm=norm)
 
 
 def duplicate_spans(documents: DataFrame, width: int = 64,
@@ -788,7 +785,8 @@ def duplicate_spans_vs_prior(documents: DataFrame, width: int = 64,
             .filter(F.col("dup_spans") > 0))
 
 
-def dedup_provenance(documents: DataFrame) -> DataFrame:
+def dedup_provenance(
+        documents: DataFrame) -> tuple[DataFrame, CacheHandle]:
     """Dedup PROVENANCE matrix: for every document marked duplicate by
     the online rule (minhash_dedup_marks), attribute it to the SOURCE
     of its earliest predecessor — (dup_source, orig_source, ct) —
@@ -796,7 +794,7 @@ def dedup_provenance(documents: DataFrame) -> DataFrame:
     (off-diagonal mass = cross-source copying / scraped mirrors;
     diagonal = within-source reposts). One broadcast-sized join of
     the marks against the doc→source projection per side."""
-    marks = minhash_dedup_marks(documents)
+    marks, mh = minhash_dedup_marks(documents)
     src = documents.select("doc_id", "source")
     out = (marks.filter(F.col("is_dup") == 1)
            .join(src, "doc_id")
@@ -806,11 +804,11 @@ def dedup_provenance(documents: DataFrame) -> DataFrame:
                  "earliest_prior")
            .groupBy("dup_source", "orig_source")
            .agg(F.count(F.lit(1)).alias("ct")))
-    out._banded_cache = marks._banded_cache
-    return out
+    return out, mh
 
 
-def split_leakage_check(documents: DataFrame) -> DataFrame:
+def split_leakage_check(
+        documents: DataFrame) -> tuple[DataFrame, CacheHandle]:
     """Train/val split hygiene: how many VAL documents share an LSH
     band bucket with any TRAIN document — near-duplicate leakage
     ACROSS the content-hash split (textstats.train_val_split's
@@ -839,10 +837,11 @@ def split_leakage_check(documents: DataFrame) -> DataFrame:
            .select("val_ct", "leaked_ct",
                    F.expr("leaked_ct * 1000 DIV greatest(val_ct, 1)")
                    .alias("leak_permille")))
-    out._banded_cache = banded
-    return out
+    return out, CacheHandle(banded=banded)
 
-def incremental_dedup(snapshot: DataFrame, batch: DataFrame) -> DataFrame:
+
+def incremental_dedup(snapshot: DataFrame,
+                      batch: DataFrame) -> tuple[DataFrame, CacheHandle]:
     """Cross-snapshot novelty gate — the daily-ingest decision of a
     large-scale pipeline: classify every INCOMING document against the
     EXISTING corpus snapshot, so only new content proceeds to
@@ -879,8 +878,7 @@ def incremental_dedup(snapshot: DataFrame, batch: DataFrame) -> DataFrame:
     snap_fp, sig_s, bands_s = snapshot_index(snapshot)
     sig_b = minhash_signatures(batch).persist()
     out = _novelty_classify(batch, snap_fp, sig_s, bands_s, sig_b=sig_b)
-    out._inc_caches = [sig_s, sig_b]
-    return out
+    return out, CacheHandle(sig_s=sig_s, sig_b=sig_b)
 
 
 def snapshot_index(snapshot: DataFrame):
@@ -989,8 +987,9 @@ def snapshot_index_from_store(spark, path: str):
     return snap_fp, sig_s, bands_s
 
 
-def incremental_dedup_from_store(spark, path: str,
-                                 batch: DataFrame) -> DataFrame:
+def incremental_dedup_from_store(
+        spark, path: str,
+        batch: DataFrame) -> tuple[DataFrame, CacheHandle]:
     """incremental_dedup against a PERSISTED snapshot index: same
     verdicts, but the snapshot side is the stored
     fingerprint/signature projection — no corpus text rescan
@@ -998,11 +997,11 @@ def incremental_dedup_from_store(spark, path: str,
     snap_fp, sig_s, bands_s = snapshot_index_from_store(spark, path)
     sig_b = minhash_signatures(batch).persist()
     out = _novelty_classify(batch, snap_fp, sig_s, bands_s, sig_b=sig_b)
-    out._inc_caches = [sig_s, sig_b]
-    return out
+    return out, CacheHandle(sig_s=sig_s, sig_b=sig_b)
 
 
-def cross_source_dup_matrix(documents: DataFrame) -> DataFrame:
+def cross_source_dup_matrix(
+        documents: DataFrame) -> tuple[DataFrame, CacheHandle]:
     """Which sources duplicate which: for every unordered source pair
     (source_a < source_b), how many distinct content fingerprints
     appear in BOTH (exact) and how many LSH candidate doc pairs span
@@ -1026,8 +1025,8 @@ def cross_source_dup_matrix(documents: DataFrame) -> DataFrame:
     candidates — a volume indicator, not an exhaustive enumeration
     (the cap rule is doc_id-deterministic and oracle-mirrored).
 
-    Exposes ``_banded_cache`` like the other LSH consumers; the
-    registry wrapper unpersists it lazily.
+    Returns ``(df, CacheHandle)`` like the other LSH consumers; the
+    registry wrapper unpersists the handle lazily.
     """
     tok = tokens("text")
     fp = F.md5(F.concat_ws(" ", tok))
@@ -1047,7 +1046,7 @@ def cross_source_dup_matrix(documents: DataFrame) -> DataFrame:
                       F.col("p.source_b").alias("source_b"))
              .agg(F.count(F.lit(1)).alias("exact_dup_groups")))
 
-    pairs = capped_band_pairs(documents)
+    pairs, ph = capped_band_pairs(documents)
     src = documents.select("doc_id", "source")
     near = (pairs
             .join(src.select(F.col("doc_id").alias("doc_a"),
@@ -1065,12 +1064,12 @@ def cross_source_dup_matrix(documents: DataFrame) -> DataFrame:
                    .alias("exact_dup_groups"),
                    F.coalesce("neardup_pairs", F.lit(0))
                    .alias("neardup_pairs")))
-    out._banded_cache = pairs._banded_cache
-    return out
+    return out, ph
 
 
 def dedup_threshold_calibration(documents: DataFrame,
-                                per_band_cap: int = 4) -> DataFrame:
+                                per_band_cap: int = 4
+                                ) -> tuple[DataFrame, CacheHandle]:
     """Threshold-calibration curve for the near-dup pipeline: pair
     counts per signature-match level (0..8 matching MinHash
     components) over the capped LSH candidates — the histogram a
@@ -1080,8 +1079,8 @@ def dedup_threshold_calibration(documents: DataFrame,
     production scorer `minhash_jaccard_pairs`, so the cost and the
     O(corpus·cap) candidate bound are exactly the scorer's.
 
-    Exposes the scorer's ``_sig_cache``/``_banded_cache`` handles."""
-    scored = minhash_jaccard_pairs(documents, per_band_cap=per_band_cap)
+    Returns the scorer's CacheHandle (sig + banded frames)."""
+    scored, sh = minhash_jaccard_pairs(documents, per_band_cap=per_band_cap)
     out = (scored
            .groupBy("matching_components")
            .agg(F.count(F.lit(1)).alias("pair_ct"))
@@ -1089,12 +1088,11 @@ def dedup_threshold_calibration(documents: DataFrame,
                    (F.col("matching_components").cast("double")
                     / F.lit(float(MINHASH_SEEDS))).alias("est_jaccard"),
                    "pair_ct"))
-    out._sig_cache = scored._sig_cache
-    out._banded_cache = scored._banded_cache
-    return out
+    return out, sh
 
 
-def near_dup_rate_by_source(documents: DataFrame) -> DataFrame:
+def near_dup_rate_by_source(
+        documents: DataFrame) -> tuple[DataFrame, CacheHandle]:
     """Per-source duplication pressure: of each source's documents,
     how many are first-seen vs marked duplicate by the online LSH
     ingestion rule (`minhash_dedup_marks`), as an integer permille —
@@ -1104,11 +1102,10 @@ def near_dup_rate_by_source(documents: DataFrame) -> DataFrame:
     against a two-column (doc_id, source) projection, then a
     |sources|-row aggregate — linear, but the join is corpus-sized,
     not broadcast."""
-    marks = minhash_dedup_marks(documents)
+    marks, mh = minhash_dedup_marks(documents)
     out = near_dup_rate_readout(
         near_dup_rate_partials(marks, documents))
-    out._banded_cache = marks._banded_cache
-    return out
+    return out, mh
 
 
 def near_dup_rate_partials(marks: DataFrame,

@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.handles import CacheHandle
 from ..functions.vectors import as_double, cosine, dot, norm
 
 
@@ -497,7 +498,8 @@ def emb_band_keys_arrow() -> Column:
 
 
 def embedding_dups(embeddings: DataFrame,
-                   threshold: float = 0.9) -> DataFrame:
+                   threshold: float = 0.9
+                   ) -> tuple[DataFrame, CacheHandle]:
     """DEFAULT near-dup path: banded random-hyperplane LSH inside the
     label (coarse-quantizer) blocks — the standard OR-construction,
     because a SINGLE hyperplane bucket only guarantees recall for
@@ -516,9 +518,9 @@ def embedding_dups(embeddings: DataFrame,
     Scale shape: the banded projection is narrow (ids + 2 longs), the
     per-band equi-join is bucketed (keyspace 2⁸ per band per label),
     and the corpus-sized vector frame is joined back only onto the
-    candidate set — pair mass stays Σ bucket², never n². Exposes
-    ``_emb_cache`` (the persisted vector projection) for callers to
-    release."""
+    candidate set — pair mass stays Σ bucket², never n². Returns
+    ``(df, CacheHandle)`` (the persisted vector + banded projections)
+    for callers to release."""
     base = (embeddings.select("label", "vec_id",
                               as_double("embedding").alias("v"))
             .withColumn("n", norm(F.col("v")))
@@ -546,8 +548,7 @@ def embedding_dups(embeddings: DataFrame,
                                     F.col("na") * F.col("nb")))
            .select("label", "vec_a", "vec_b", "cos_sim")
            .filter(F.col("cos_sim") >= threshold))
-    out._emb_cache = (base, bands)
-    return out
+    return out, CacheHandle(base=base, bands=bands)
 
 
 # Back-compat name for the pre-round-3 callers: the LSH-blocked form
@@ -667,8 +668,8 @@ def _kmeans_recompute(assigned: DataFrame) -> DataFrame:
 
 
 def kmeans_clusters(embeddings: DataFrame, k: int = KMEANS_K,
-                    iters: int = KMEANS_ITERS,
-                    memo_key=None) -> DataFrame:
+                    iters: int = KMEANS_ITERS, memo_key=None
+                    ) -> tuple[DataFrame, CacheHandle]:
     """Lloyd's k-means over the embedding corpus, the clustering stage
     of SemDedup-style curation (cluster, then dedup/select within
     clusters). Deterministic AND bit-identical across engines, runs,
@@ -695,8 +696,8 @@ def kmeans_clusters(embeddings: DataFrame, k: int = KMEANS_K,
     is one (cluster × dim)-keyed map-side-combined aggregation whose
     k·d result is all the driver ever collects. Iterations are a
     fixed small constant, as in real curation pipelines."""
-    assigned = kmeans_assignments(embeddings, k, iters,
-                                  memo_key=memo_key)
+    assigned, vh = kmeans_assignments(embeddings, k, iters,
+                                      memo_key=memo_key)
     # floor(x·10⁶ + ½), not round(): round-half behavior on exact .5
     # boundaries is engine-specific, floor is not
     final = _kmeans_recompute(assigned).withColumn(
@@ -710,17 +711,16 @@ def kmeans_clusters(embeddings: DataFrame, k: int = KMEANS_K,
            .join(final.select("cluster", "cfp"), "cluster")
            .select("cluster", "vec_ct", "exemplar_id",
                    F.col("cfp").alias("centroid_fp")))
-    out._kmeans_cache = assigned._kmeans_cache
-    return out
+    return out, vh
 
 
 def kmeans_assignments(embeddings: DataFrame, k: int = KMEANS_K,
-                       iters: int = KMEANS_ITERS,
-                       memo_key=None) -> DataFrame:
+                       iters: int = KMEANS_ITERS, memo_key=None
+                       ) -> tuple[DataFrame, CacheHandle]:
     """The per-vector side of kmeans_clusters: (vec_id, cluster, q, v)
     after ``iters`` Lloyd iterations (same determinism guarantees).
-    Exposes ``_kmeans_cache`` (the persisted vector projection) for
-    callers to release.
+    Returns ``(df, CacheHandle)`` — the handle's ``vecs`` is the
+    persisted vector projection, for callers to release or reuse.
 
     ``memo_key`` (a dataset_signature of the source data) opts into
     the learned-parameter memo: on a hit the loop is replaced by ONE
@@ -736,8 +736,7 @@ def kmeans_assignments(embeddings: DataFrame, k: int = KMEANS_K,
     if hit is not None:
         assigned = _kmeans_assign(
             vecs, [(c, list(cv)) for c, cv in hit])
-        assigned._kmeans_cache = vecs
-        return assigned
+        return assigned, CacheHandle(vecs=vecs)
     centroids = [(c, list(r.v)) for c, r in enumerate(
         vecs.orderBy("vec_id").limit(k).collect())]
     assigned = None
@@ -749,13 +748,12 @@ def kmeans_assignments(embeddings: DataFrame, k: int = KMEANS_K,
     # `centroids` is exactly what the final assignment used — memo it
     _memo_put(full_key,
               tuple((c, tuple(cv)) for c, cv in centroids))
-    assigned._kmeans_cache = vecs
-    return assigned
+    return assigned, CacheHandle(vecs=vecs)
 
 
 def semdedup_prune(embeddings: DataFrame,
-                   threshold: float = 0.35,
-                   memo_key=None) -> DataFrame:
+                   threshold: float = 0.35, memo_key=None
+                   ) -> tuple[DataFrame, CacheHandle]:
     """SemDedup end-to-end: cluster the corpus with k-means (LEARNED
     blocks — no label column needed), then find near-duplicate pairs
     inside each cluster with the banded hyperplane LSH and score the
@@ -766,15 +764,13 @@ def semdedup_prune(embeddings: DataFrame,
     frame joins back only onto candidates.
 
     Returns (cluster, vec_a, vec_b, cos_sim ≥ threshold)."""
-    assigned = kmeans_assignments(embeddings, memo_key=memo_key)
+    assigned, vh = kmeans_assignments(embeddings, memo_key=memo_key)
     blocks = assigned.select(F.col("cluster").alias("label"),
                              "vec_id", F.col("v").alias("embedding"))
-    dups = embedding_dups(blocks, threshold)
+    dups, dh = embedding_dups(blocks, threshold)
     out = dups.select(F.col("label").alias("cluster"),
                       "vec_a", "vec_b", "cos_sim")
-    out._emb_cache = dups._emb_cache
-    out._kmeans_cache = assigned._kmeans_cache
-    return out
+    return out, CacheHandle.merge(dh, vh)
 
 
 def ann_recall(embeddings: DataFrame, n_queries: int = 5,
@@ -929,7 +925,8 @@ def _pq_learn(embeddings: DataFrame, m: int = PQ_SUBSPACES,
 
 def pq_codebook_audit(embeddings: DataFrame, m: int = PQ_SUBSPACES,
                       k: int = KMEANS_K, iters: int = KMEANS_ITERS,
-                      dim: int = 64, memo_key=None) -> DataFrame:
+                      dim: int = 64, memo_key=None
+                      ) -> tuple[DataFrame, CacheHandle]:
     """Product-quantization codebook audit: split each d-dim vector
     into ``m`` subspaces, learn a k-codeword codebook per subspace
     with the deterministic fixed-point k-means (same guarantees as
@@ -973,8 +970,7 @@ def pq_codebook_audit(embeddings: DataFrame, m: int = PQ_SUBSPACES,
            .select(F.col("s").cast("long").alias("subspace"),
                    F.col("cluster").cast("long").alias("cluster"),
                    "vec_ct", "sq_err_sum", "sq_err_max", "codeword_fp"))
-    out._pq_caches = [sub, assigned]
-    return out
+    return out, CacheHandle(sub=sub, assigned=assigned)
 
 
 def contrastive_pairs(embeddings: DataFrame, n_anchors: int = 5,
@@ -1036,7 +1032,8 @@ def contrastive_pairs(embeddings: DataFrame, n_anchors: int = 5,
 def ivfpq_ann(embeddings: DataFrame, n_queries: int = 5,
               k: int = 3, m: int = PQ_SUBSPACES,
               kc: int = KMEANS_K, iters: int = KMEANS_ITERS,
-              dim: int = 64, memo_key=None) -> DataFrame:
+              dim: int = 64, memo_key=None
+              ) -> tuple[DataFrame, CacheHandle]:
     """IVF-PQ approximate nearest neighbors — the composition every
     billion-vector store runs in production: a LEARNED coarse
     quantizer (fixed-point Lloyd's k-means, no label crutch) routes
@@ -1060,8 +1057,8 @@ def ivfpq_ann(embeddings: DataFrame, n_queries: int = 5,
     literal table (the per-query LUT of a real ADC scan), one
     (query, vec) sum + per-query top-k heap.
     """
-    coarse = kmeans_assignments(embeddings, kc, iters,
-                                memo_key=memo_key)
+    coarse, ch = kmeans_assignments(embeddings, kc, iters,
+                                    memo_key=memo_key)
     sub, codes, final = _pq_learn(embeddings, m, kc, iters, dim,
                                   memo_key=memo_key)
 
@@ -1092,12 +1089,12 @@ def ivfpq_ann(embeddings: DataFrame, n_queries: int = 5,
            .filter(F.col("rank") <= k)
            .select("query_id", F.col("vec_id").alias("neighbor_id"),
                    "rank", "adc_dist"))
-    out._ivfpq_caches = [coarse._kmeans_cache, sub, codes]
-    return out
+    return out, CacheHandle.merge(ch, sub=sub, codes=codes)
 
 
 def ivfpq_recall(embeddings: DataFrame, n_queries: int = 5,
-                 k: int = 3, memo_key=None) -> DataFrame:
+                 k: int = 3, memo_key=None
+                 ) -> tuple[DataFrame, CacheHandle]:
     """Recall@k of the composed IVF-PQ index against the exact
     brute-force top-k — the quality-loss measurement run before
     committing a corpus to coarse+PQ compression (complements
@@ -1105,7 +1102,7 @@ def ivfpq_recall(embeddings: DataFrame, n_queries: int = 5,
     permille reporting, same (n_queries·k)-row comparison join."""
     exact = knn_bruteforce(embeddings, n_queries, k) \
         .select("query_id", "neighbor_id")
-    approx = ivfpq_ann(embeddings, n_queries, k, memo_key=memo_key)
+    approx, ah = ivfpq_ann(embeddings, n_queries, k, memo_key=memo_key)
     hits = approx.select("query_id", "neighbor_id",
                          F.lit(1).alias("hit"))
     out = (exact.join(F.broadcast(hits),
@@ -1117,8 +1114,7 @@ def ivfpq_recall(embeddings: DataFrame, n_queries: int = 5,
            .select("query_id", "exact_k", "hits",
                    F.expr(f"hits * 1000 DIV {k}")
                     .alias("recall_permille")))
-    out._ivfpq_caches = approx._ivfpq_caches
-    return out
+    return out, ah
 
 
 def save_codebooks(codebooks: dict, path: str, spark) -> None:

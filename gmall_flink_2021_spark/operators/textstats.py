@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.handles import CacheHandle
 from ..functions.text import (
     STOPWORDS,
     token_fingerprint,
@@ -951,7 +952,8 @@ def funnel_counts(gated: DataFrame) -> DataFrame:
                        .cast("long")).alias("kept_tokens")))
 
 
-def corpus_funnel(documents: DataFrame) -> DataFrame:
+def corpus_funnel(
+        documents: DataFrame) -> tuple[DataFrame, CacheHandle]:
     """The attrition report every cleaning pipeline publishes: per
     source, how many documents survive each sequential gate of a
     C4-style pass — language heuristic → length floor → quality
@@ -976,15 +978,14 @@ def corpus_funnel(documents: DataFrame) -> DataFrame:
     """
     from .dedup import minhash_dedup_marks
 
-    marks = minhash_dedup_marks(documents)
+    marks, mh = minhash_dedup_marks(documents)
     j = funnel_gates(documents).join(
         marks.select("doc_id", "is_dup"), "doc_id", "left")
-    out = funnel_counts(j)
-    out._banded_cache = marks._banded_cache
-    return out
+    return funnel_counts(j), mh
 
 
-def corpus_survivors(documents: DataFrame) -> DataFrame:
+def corpus_survivors(
+        documents: DataFrame) -> tuple[DataFrame, CacheHandle]:
     """The documents that pass ALL of corpus_funnel's gates (lang →
     length → quality → MinHash dedup) — the materialization
     counterpart of the funnel report: funnel counts the attrition,
@@ -993,20 +994,18 @@ def corpus_survivors(documents: DataFrame) -> DataFrame:
     disagree."""
     from .dedup import minhash_dedup_marks
 
-    marks = minhash_dedup_marks(documents)
+    marks, mh = minhash_dedup_marks(documents)
     keep_ids = (funnel_gates(documents)
                 .join(marks.select("doc_id", "is_dup"), "doc_id", "left")
                 .filter(F.col("g_lang") & F.col("g_len")
                         & F.col("g_quality")
                         & (F.coalesce("is_dup", F.lit(0)) == 0))
                 .select("doc_id"))
-    out = documents.join(keep_ids, "doc_id")
-    out._banded_cache = marks._banded_cache
-    return out
+    return documents.join(keep_ids, "doc_id"), mh
 
 
-def padding_waste_audit(documents: DataFrame,
-                        batch_size: int = 8) -> DataFrame:
+def padding_waste_audit(documents: DataFrame, batch_size: int = 8
+                        ) -> tuple[DataFrame, CacheHandle]:
     """Padding-efficiency audit for fixed-size training batches: every
     batch pads to its longest member, so waste = Σ(batch_max·B − Σlen).
     Compares ARRIVAL order (doc_id) against LENGTH-SORTED batching —
@@ -1084,10 +1083,9 @@ def padding_waste_audit(documents: DataFrame,
                     [F.asc("n_tokens"), F.asc("doc_id")],
                     "length_sorted")
     out = arrival.unionByName(sorted_)
-    # release handle for the shared token-count projection (safe to
-    # unpersist lazily: every ordinal input is recompute-stable)
-    out._ordinal_caches = [toks]
-    return out
+    # handle for the shared token-count projection (safe to unpersist
+    # lazily: every ordinal input is recompute-stable)
+    return out, CacheHandle(toks=toks)
 
 
 def bigram_lm_scores(documents: DataFrame,
@@ -1152,7 +1150,8 @@ def bigram_lm_scores(documents: DataFrame,
                  F.sum("llr_micro").alias("sum_llr_micro")))
 
 
-def langid_trigram_confusion(documents: DataFrame) -> DataFrame:
+def langid_trigram_confusion(
+        documents: DataFrame) -> tuple[DataFrame, CacheHandle]:
     """Character-trigram naive-Bayes language identification (the
     CLD/langid.py shape, replacing lang_id's stopword heuristic):
     per-language trigram profiles with add-one smoothing are trained
@@ -1190,7 +1189,7 @@ def langid_trigram_confusion(documents: DataFrame) -> DataFrame:
     # was 4 corpus fan-outs — profile, vocab, matched, n_tri; vocab
     # now comes from the charset³-bounded profile and n_tri is pure
     # length arithmetic on the scan). The single-fan-out guarantee
-    # holds for library callers who keep _tri_cache live across the
+    # holds for library callers who keep the tri handle live across the
     # action; the registry wrapper unpersists it immediately (leak
     # convention), so that path pays 2 parallel fan-outs instead —
     # an explicit memory-over-CPU trade, not an accident.
@@ -1260,9 +1259,8 @@ def langid_trigram_confusion(documents: DataFrame) -> DataFrame:
     out = (pred.groupBy(F.col("label_lang"),
                         F.col("best.lang_p").alias("pred_lang"))
            .agg(F.count(F.lit(1)).alias("ct")))
-    # release handle for the shared trigram fan-out (repo convention)
-    out._tri_cache = doc_tri
-    return out
+    # handle for the shared trigram fan-out (repo convention)
+    return out, CacheHandle(tri=doc_tri)
 
 
 CLASSIFIER_DIM = 4096  # 3 md5 nibbles: buckets 0..4095
@@ -1399,11 +1397,12 @@ def bpe_learn(documents: DataFrame, n_merges: int = BPE_N_MERGES,
     non-overlapping occurrences, and pair counts enumerate every
     adjacent position in both paths.
 
-    Returns (merges, vocab): merges as [(step, pair, merged,
-    merge_ct)], vocab as the final (word, ct, sym) frame. The frame
-    carries the surviving persist handle (if any) as ``_learn_cache``
-    — the CALLER must release it (lazily is fine: the recompute path
-    is the deterministic literal-replace chain, no driver state).
+    Returns (merges, vocab, CacheHandle): merges as [(step, pair,
+    merged, merge_ct)], vocab as the final (word, ct, sym) frame, and
+    the handle holding the surviving persist (empty on the
+    driver-trained path) — the CALLER must release it (lazily is
+    fine: the recompute path is the deterministic literal-replace
+    chain, no driver state).
     """
     words = (documents
              .select(F.explode(tokens("text")).alias("word"))
@@ -1435,8 +1434,7 @@ def bpe_learn(documents: DataFrame, n_merges: int = BPE_N_MERGES,
                     for w, ct, sym in rows]
         vocab = documents.sparkSession.createDataFrame(
             rows, "word string, ct long, sym string")
-        vocab._learn_cache = None
-        return merges, vocab
+        return merges, vocab, CacheHandle()
     vocab = base
     for step in range(1, n_merges + 1):
         top = (vocab
@@ -1457,8 +1455,7 @@ def bpe_learn(documents: DataFrame, n_merges: int = BPE_N_MERGES,
         nxt.count()  # materialize before dropping the previous round
         base.unpersist()
         base = vocab = nxt
-    vocab._learn_cache = base
-    return merges, vocab
+    return merges, vocab, CacheHandle(learn=base)
 
 
 def bpe_merges(documents: DataFrame,
@@ -1466,9 +1463,9 @@ def bpe_merges(documents: DataFrame,
                collect_threshold: int = 200_000) -> DataFrame:
     """The learned BPE merge table: (step, pair, merged, merge_ct)
     in training order — the artifact a tokenizer ships."""
-    learned, vocab = bpe_learn(documents, n_merges, collect_threshold)
-    if vocab._learn_cache is not None:
-        vocab._learn_cache.unpersist()  # only the merge list is needed
+    learned, _vocab, lh = bpe_learn(documents, n_merges,
+                                    collect_threshold)
+    lh.unpersist()  # only the merge list is needed
     spark = documents.sparkSession
     return spark.createDataFrame(
         learned, "step long, pair string, merged string, merge_ct long")
@@ -1501,7 +1498,8 @@ def encode_with_vocab(documents: DataFrame, enc: DataFrame) -> DataFrame:
 
 def bpe_encode_stats(documents: DataFrame,
                      n_merges: int = BPE_N_MERGES,
-                     collect_threshold: int = 200_000) -> DataFrame:
+                     collect_threshold: int = 200_000
+                     ) -> tuple[DataFrame, CacheHandle]:
     """Corpus encoding under the learned BPE vocabulary: per document
     the whitespace token count and the BPE symbol count (the number a
     token-budgeted training run actually pays for). The corpus is
@@ -1511,14 +1509,13 @@ def bpe_encode_stats(documents: DataFrame,
     is one scan + one broadcast-hash join, no Python. Words outside
     the vocabulary (separator-unsafe) count as 1 atomic symbol.
 
-    Release handle: ``_bpe_cache`` (the vocab persist; None on the
-    driver-trained small path, whose vocab is a plain local-relation
-    frame) — unpersisted lazily by the registry wrapper; the
-    recompute path is fully deterministic, no hidden driver state."""
-    _, vocab = bpe_learn(documents, n_merges, collect_threshold)
-    out = encode_with_vocab(documents, bpe_vocab_encoder(vocab))
-    out._bpe_cache = vocab._learn_cache
-    return out
+    Returns ``(df, CacheHandle)`` — the handle holds the vocab
+    persist (empty on the driver-trained small path, whose vocab is a
+    plain local-relation frame); unpersisted lazily by the registry
+    wrapper; the recompute path is fully deterministic, no hidden
+    driver state."""
+    _, vocab, lh = bpe_learn(documents, n_merges, collect_threshold)
+    return encode_with_vocab(documents, bpe_vocab_encoder(vocab)), lh
 
 
 DSIR_DIM = 4096  # hashed feature buckets (3 md5 nibbles), like CLASSIFIER_DIM

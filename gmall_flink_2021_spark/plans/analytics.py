@@ -269,7 +269,8 @@ def q_trade_pagerank(spark, sf):
     recurrence; unrolled-CTE oracle."""
     tabs = _t(spark, sf, "nation", "customer", "supplier", "orders",
               "lineitem")
-    return analytics.trade_pagerank(*tabs)
+    out, _h = analytics.trade_pagerank(*tabs)
+    return out
 
 def q_part_cooccurrence(spark, sf):
     """Gates: basket co-occurrence without a fact self-join — per-
@@ -277,8 +278,8 @@ def q_part_cooccurrence(spark, sf):
     pair counts, lift joined only AFTER the top-k heap with the k-row
     side broadcast."""
     (lineitem,) = _t(spark, sf, "lineitem")
-    out = analytics.part_cooccurrence(lineitem)
-    out._baskets_cache.unpersist()  # lazy: recompute-on-reuse
+    out, h = analytics.part_cooccurrence(lineitem)
+    h.unpersist()  # lazy: recompute-on-reuse
     return out
 
 def q_gap_fill_daily(spark, sf):
@@ -312,8 +313,8 @@ def q_key_skew_audit(spark, sf):
     keys come off a TakeOrderedAndProject heap with the 1-row global
     stats broadcast back on."""
     (lineitem,) = _t(spark, sf, "lineitem")
-    out = analytics.key_skew_audit(lineitem, "l_suppkey")
-    out._counts_cache.unpersist()  # lazy: recompute-on-reuse
+    out, h = analytics.key_skew_audit(lineitem, "l_suppkey")
+    h.unpersist()  # lazy: recompute-on-reuse
     return out
 
 def q_event_transitions(spark, sf):

@@ -38,20 +38,26 @@ def q_minhash_band_pairs(spark, sf):
     """Gates: LSH banding: per-band equi-join candidate generation
     (bucketed, never all-pairs)."""
     (documents,) = _t(spark, sf, "documents")
-    return dedup.minhash_band_pairs(documents)
+    out, h = dedup.minhash_band_pairs(documents)
+    h.unpersist()  # lazy: recompute-on-reuse
+    return out
 
 def q_minhash_jaccard_pairs(spark, sf):
     """Gates: signature-estimated Jaccard scoring joined back onto LSH
     candidates — near-dup scoring with NO re-read of the raw text (the
     production scorer that replaces exact n-gram counting at scale)."""
     (documents,) = _t(spark, sf, "documents")
-    return dedup.minhash_jaccard_pairs(documents)
+    out, h = dedup.minhash_jaccard_pairs(documents)
+    h.unpersist()  # lazy: recompute-on-reuse
+    return out
 
 def q_ngram_jaccard_pairs(spark, sf):
     """Gates: df-capped + per-doc-budgeted inverted-index self-join (join
     volume linear in corpus; plan-pinned df filter)."""
     (documents,) = _t(spark, sf, "documents")
-    return dedup.ngram_jaccard_pairs(documents)
+    out, h = dedup.ngram_jaccard_pairs(documents)
+    h.unpersist()  # lazy: recompute-on-reuse
+    return out
 
 def q_cross_source_dup_matrix(spark, sf):
     """Gates: per-fingerprint source-set aggregation + indexed-array
@@ -59,25 +65,24 @@ def q_cross_source_dup_matrix(spark, sf):
     oracle deliberately keeps the naive hashed self-join form) merged
     with the banded-LSH cross-source candidate counts."""
     (documents,) = _t(spark, sf, "documents")
-    out = dedup.cross_source_dup_matrix(documents)
-    out._banded_cache.unpersist()  # lazy: recompute-on-reuse
+    out, h = dedup.cross_source_dup_matrix(documents)
+    h.unpersist()  # lazy: recompute-on-reuse
     return out
 
 def q_dedup_threshold_calibration(spark, sf):
     """Gates: 9-row match-level histogram on the capped-candidate
     scorer (threshold-picking curve; cost == the scorer's)."""
     (documents,) = _t(spark, sf, "documents")
-    out = dedup.dedup_threshold_calibration(documents)
-    out._sig_cache.unpersist()     # lazy: recompute-on-reuse
-    out._banded_cache.unpersist()
+    out, h = dedup.dedup_threshold_calibration(documents)
+    h.unpersist()  # lazy: recompute-on-reuse
     return out
 
 def q_near_dup_rate_by_source(spark, sf):
     """Gates: per-source dup-permille over the online LSH marks
     (which upstream feed to deprioritize)."""
     (documents,) = _t(spark, sf, "documents")
-    out = dedup.near_dup_rate_by_source(documents)
-    out._banded_cache.unpersist()  # lazy: recompute-on-reuse
+    out, h = dedup.near_dup_rate_by_source(documents)
+    h.unpersist()  # lazy: recompute-on-reuse
     return out
 
 def q_simhash_signatures(spark, sf):
@@ -116,9 +121,8 @@ def q_editdist_verified_pairs(spark, sf):
     verify pass of a near-dup pipeline) — candidate-bounded O(len²)
     scoring, integer-exact across engines."""
     (documents,) = _t(spark, sf, "documents")
-    out = dedup.editdist_verified_pairs(documents)
-    out._banded_cache.unpersist()  # lazy: recompute-on-reuse
-    out._norm_cache.unpersist()
+    out, h = dedup.editdist_verified_pairs(documents)
+    h.unpersist()  # lazy: recompute-on-reuse
     return out
 
 def q_segment_dedup(spark, sf):
@@ -141,8 +145,8 @@ def q_minhash_dedup_marks(spark, sf):
     O(corpus) output on any duplication level) vs the pair-enumeration
     family; batch oracle of streaming/jobs.minhash_dedup_stream."""
     (documents,) = _t(spark, sf, "documents")
-    out = dedup.minhash_dedup_marks(documents)
-    out._banded_cache.unpersist()  # lazy: recompute-on-reuse
+    out, h = dedup.minhash_dedup_marks(documents)
+    h.unpersist()  # lazy: recompute-on-reuse
     return out
 
 def q_dedup_provenance(spark, sf):
@@ -151,8 +155,8 @@ def q_dedup_provenance(spark, sf):
     cross-source mirroring, the feed-level curation signal the
     pairwise counts hide."""
     (documents,) = _t(spark, sf, "documents")
-    out = dedup.dedup_provenance(documents)
-    out._banded_cache.unpersist()  # lazy: recompute-on-reuse
+    out, h = dedup.dedup_provenance(documents)
+    h.unpersist()  # lazy: recompute-on-reuse
     return out
 
 def q_split_leakage_check(spark, sf):
@@ -160,8 +164,8 @@ def q_split_leakage_check(spark, sf):
     train/val split via a bucket semi-join (no pair enumeration); the
     in-corpus counterpart of benchmark decontamination."""
     (documents,) = _t(spark, sf, "documents")
-    out = dedup.split_leakage_check(documents)
-    out._banded_cache.unpersist()  # lazy: recompute-on-reuse
+    out, h = dedup.split_leakage_check(documents)
+    h.unpersist()  # lazy: recompute-on-reuse
     return out
 
 def q_incremental_dedup(spark, sf):
@@ -175,9 +179,8 @@ def q_incremental_dedup(spark, sf):
     (documents,) = _t(spark, sf, "documents")
     batch = documents.filter(F.col("doc_id") % 10 == 7)
     snap = documents.filter(F.col("doc_id") % 10 != 7)
-    out = dedup.incremental_dedup(snap, batch)
-    for c in out._inc_caches:  # lazy: recompute-on-reuse
-        c.unpersist()
+    out, h = dedup.incremental_dedup(snap, batch)
+    h.unpersist()  # lazy: recompute-on-reuse
     return out
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -72,7 +72,9 @@ def q_embedding_dups_lsh(spark, sf):
     it); the operator's default is the 0.9 near-dup regime, whose
     recall the synthetic audit test pins."""
     (embeddings,) = _t(spark, sf, "embeddings")
-    return similarity.embedding_dups(embeddings, threshold=0.35)
+    out, h = similarity.embedding_dups(embeddings, threshold=0.35)
+    h.unpersist()  # lazy: recompute-on-reuse
+    return out
 
 def q_kmeans_clusters(spark, sf):
     """Gates: driver-coordinated iterative algorithm (Lloyd's k-means,
@@ -81,8 +83,8 @@ def q_kmeans_clusters(spark, sf):
     centroid recomputation, vs the oracle's fully-unrolled SQL
     iterations."""
     (embeddings,) = _t(spark, sf, "embeddings")
-    out = similarity.kmeans_clusters(embeddings, memo_key=_emb_key(sf))
-    out._kmeans_cache.unpersist()  # lazy: recompute-on-reuse
+    out, h = similarity.kmeans_clusters(embeddings, memo_key=_emb_key(sf))
+    h.unpersist()  # lazy: recompute-on-reuse
     return out
 
 def q_semdedup_prune(spark, sf):
@@ -92,11 +94,9 @@ def q_semdedup_prune(spark, sf):
     under one exact oracle. Threshold 0.35 so the test corpus yields
     pairs (no cos≥0.9 pairs exist in it)."""
     (embeddings,) = _t(spark, sf, "embeddings")
-    out = similarity.semdedup_prune(embeddings, threshold=0.35,
-                                    memo_key=_emb_key(sf))
-    out._kmeans_cache.unpersist()
-    for c in out._emb_cache:
-        c.unpersist()  # lazy: recompute-on-reuse
+    out, h = similarity.semdedup_prune(embeddings, threshold=0.35,
+                                        memo_key=_emb_key(sf))
+    h.unpersist()  # lazy: recompute-on-reuse
     return out
 
 def q_pq_codebook_audit(spark, sf):
@@ -105,10 +105,9 @@ def q_pq_codebook_audit(spark, sf):
     runs (zero-shuffle assignment, exact centroid sums) under one
     fully-unrolled SQL oracle."""
     (embeddings,) = _t(spark, sf, "embeddings")
-    out = similarity.pq_codebook_audit(embeddings,
-                                       memo_key=_emb_key(sf))
-    for c in out._pq_caches:   # lazy: recompute-on-reuse
-        c.unpersist()
+    out, h = similarity.pq_codebook_audit(embeddings,
+                                          memo_key=_emb_key(sf))
+    h.unpersist()  # lazy: recompute-on-reuse
     return out
 
 def q_ann_recall(spark, sf):
@@ -125,9 +124,8 @@ def q_ivfpq_ann(spark, sf):
     unrolled bit-exact SQL oracle (kmeans chain ∘ m PQ chains ∘
     ranked distance sum)."""
     (embeddings,) = _t(spark, sf, "embeddings")
-    out = similarity.ivfpq_ann(embeddings, memo_key=_emb_key(sf))
-    for c in out._ivfpq_caches:  # lazy: recompute-on-reuse
-        c.unpersist()
+    out, h = similarity.ivfpq_ann(embeddings, memo_key=_emb_key(sf))
+    h.unpersist()  # lazy: recompute-on-reuse
     return out
 
 def q_ivfpq_recall(spark, sf):
@@ -135,9 +133,8 @@ def q_ivfpq_recall(spark, sf):
     index vs exact top-k, integer permille (the PQ counterpart of
     ann_recall's LSH audit)."""
     (embeddings,) = _t(spark, sf, "embeddings")
-    out = similarity.ivfpq_recall(embeddings, memo_key=_emb_key(sf))
-    for c in out._ivfpq_caches:  # lazy: recompute-on-reuse
-        c.unpersist()
+    out, h = similarity.ivfpq_recall(embeddings, memo_key=_emb_key(sf))
+    h.unpersist()  # lazy: recompute-on-reuse
     return out
 
 def q_contrastive_pairs(spark, sf):

@@ -214,9 +214,8 @@ def q_bpe_encode_stats(spark, sf):
     word -> symbol-count map onto the token fan-out; the corpus is
     never re-segmented row by row."""
     (documents,) = _t(spark, sf, "documents")
-    out = textstats.bpe_encode_stats(documents)
-    if out._bpe_cache is not None:  # distributed-path persist only
-        out._bpe_cache.unpersist()  # lazy: recompute-on-reuse
+    out, h = textstats.bpe_encode_stats(documents)
+    h.unpersist()  # lazy: recompute-on-reuse (empty on driver path)
     return out
 
 def q_dsir_weights(spark, sf):
@@ -231,9 +230,8 @@ def q_padding_waste_audit(spark, sf):
     under two orderings (arrival vs length-sorted) — the padding-
     efficiency measurement behind length-bucketed batching."""
     (documents,) = _t(spark, sf, "documents")
-    out = textstats.padding_waste_audit(documents)
-    for c in out._ordinal_caches:  # lazy: recompute-on-reuse
-        c.unpersist()
+    out, h = textstats.padding_waste_audit(documents)
+    h.unpersist()  # lazy: recompute-on-reuse
     return out
 
 def q_bigram_lm_scores(spark, sf):
@@ -249,13 +247,13 @@ def q_langid_trigram(spark, sf):
     naive-Bayes language ID (smoothed per-language profiles, pivot-free
     matched+floor scoring, integer argmax) vs lang_id's heuristic."""
     (documents,) = _t(spark, sf, "documents")
-    out = textstats.langid_trigram_confusion(documents)
+    out, h = textstats.langid_trigram_confusion(documents)
     # leak convention: no pinned corpus-sized cache may outlive the
     # wrapper. The operator has no internal action, so this dead
     # cache costs one extra (parallel, spread) trigram fan-out at
     # collect time — accepted; library callers wanting the single
-    # fan-out hold _tri_cache live across their action instead.
-    out._tri_cache.unpersist()
+    # fan-out hold the handle live across their action instead.
+    h.unpersist()
     return out
 
 def q_corpus_funnel(spark, sf):
@@ -264,8 +262,8 @@ def q_corpus_funnel(spark, sf):
     aggregation over one corpus scan + the dedup-marks branch; no
     per-stage re-scans."""
     (documents,) = _t(spark, sf, "documents")
-    out = textstats.corpus_funnel(documents)
-    out._banded_cache.unpersist()  # lazy: recompute-on-reuse
+    out, h = textstats.corpus_funnel(documents)
+    h.unpersist()  # lazy: recompute-on-reuse
     return out
 
 def q_hashed_classifier_scores(spark, sf):

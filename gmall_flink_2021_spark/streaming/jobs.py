@@ -969,11 +969,10 @@ def bpe_encode_stream(doc_stream: DataFrame, reference_docs: DataFrame,
 
     if n_merges is None:
         n_merges = textstats.BPE_N_MERGES
-    _, vocab = textstats.bpe_learn(reference_docs, n_merges)
+    _, vocab, lh = textstats.bpe_learn(reference_docs, n_merges)
     enc = textstats.bpe_vocab_encoder(vocab).persist()
     enc.count()
-    if vocab._learn_cache is not None:
-        vocab._learn_cache.unpersist()
+    lh.unpersist()
 
     def sink(batch: DataFrame, bid: int) -> None:
         sinks.write_idempotent(

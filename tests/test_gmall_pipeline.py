@@ -182,12 +182,12 @@ def test_training_release_composition(spark, tmp_path):
 
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
 
-    survivors = textstats.corpus_survivors(docs)
+    survivors, sh = textstats.corpus_survivors(docs)
     surv_rows = survivors.collect()
-    survivors._banded_cache.unpersist()
-    funnel = textstats.corpus_funnel(docs)
+    sh.unpersist()
+    funnel, fh = textstats.corpus_funnel(docs)
     fun = funnel.agg(F.sum("unique_ct"), F.sum("kept_tokens")).first()
-    funnel._banded_cache.unpersist()
+    fh.unpersist()
     surv = spark.createDataFrame(surv_rows, survivors.schema)
     assert surv.count() == fun[0]
     tok_mass = surv.select(

@@ -32,8 +32,8 @@ def test_kmeans_memo_hit_is_bit_identical(spark):
     assert key is not None
 
     def build():
-        out = similarity.kmeans_clusters(emb, memo_key=key)
-        out._kmeans_cache.unpersist()
+        out, h = similarity.kmeans_clusters(emb, memo_key=key)
+        h.unpersist()
         return out
 
     fresh, memo = _fresh(spark, build)
@@ -50,9 +50,8 @@ def test_ivfpq_memo_hit_is_bit_identical(spark):
         os.path.join(SF_SMOKE, "embeddings.parquet"))
 
     def build():
-        out = similarity.ivfpq_ann(emb, memo_key=key)
-        for c in out._ivfpq_caches:
-            c.unpersist()
+        out, h = similarity.ivfpq_ann(emb, memo_key=key)
+        h.unpersist()
         return out
 
     fresh, memo = _fresh(spark, build)
@@ -61,9 +60,8 @@ def test_ivfpq_memo_hit_is_bit_identical(spark):
     warm = _rows(build())
     assert warm == fresh
     # and the recall audit reuses the same entries (no new keys)
-    out = similarity.ivfpq_recall(emb, memo_key=key)
-    for c in out._ivfpq_caches:
-        c.unpersist()
+    out, h = similarity.ivfpq_recall(emb, memo_key=key)
+    h.unpersist()
     out.collect()
     assert set(similarity._centroid_memo) == set(memo)
 
@@ -72,12 +70,12 @@ def test_memo_misses_on_different_signature(spark):
     emb = spark.read.parquet(os.path.join(SF_SMOKE,
                                           "embeddings.parquet"))
     similarity._centroid_memo.clear()
-    a = similarity.kmeans_clusters(emb, memo_key=("sig-a",))
-    a._kmeans_cache.unpersist()
+    a, ah = similarity.kmeans_clusters(emb, memo_key=("sig-a",))
+    ah.unpersist()
     a.collect()
     assert len(similarity._centroid_memo) == 1
-    b = similarity.kmeans_clusters(emb, memo_key=("sig-b",))
-    b._kmeans_cache.unpersist()
+    b, bh = similarity.kmeans_clusters(emb, memo_key=("sig-b",))
+    bh.unpersist()
     b.collect()
     # a different dataset signature built (and memoized) separately
     assert len(similarity._centroid_memo) == 2
@@ -131,24 +129,21 @@ def test_novelty_gate_edge_cases(spark):
         "n_chars long")
     empty = docs.filter("doc_id < 0")
 
-    out = dedup.incremental_dedup(empty, docs)
+    out, h = dedup.incremental_dedup(empty, docs)
     rows = {r.doc_id: r.verdict for r in out.collect()}
-    for c in out._inc_caches:
-        c.unpersist()
+    h.unpersist()
     assert rows == {1: "novel", 2: "novel"}
 
-    out2 = dedup.incremental_dedup(docs, empty)
+    out2, h2 = dedup.incremental_dedup(docs, empty)
     assert out2.count() == 0
-    for c in out2._inc_caches:
-        c.unpersist()
+    h2.unpersist()
 
     # exact dup of a short doc matches via fingerprint, sig_agree 0
     batch = spark.createDataFrame(
         [(9, "xy", "en", "s2", 2)], docs.schema)
-    out3 = dedup.incremental_dedup(docs, batch)
+    out3, h3 = dedup.incremental_dedup(docs, batch)
     r = out3.collect()[0]
-    for c in out3._inc_caches:
-        c.unpersist()
+    h3.unpersist()
     assert (r.verdict, r.matched_id, r.sig_agree) == ("exact_dup", 2, 0)
 
 

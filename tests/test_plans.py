@@ -623,7 +623,7 @@ def test_key_skew_audit_reduces_before_ranking(spark):
     heavy keys off a TakeOrderedAndProject heap, the 1-row stats
     frame broadcast (nested-loop on one row), and no sort-merge
     join anywhere. The wrapper path releases the shared key-count
-    cache (recompute-on-reuse); library callers keep ._counts_cache
+    cache (recompute-on-reuse); library callers keep the CacheHandle
     for the single-scan form."""
     spark.catalog.clearCache()
     plan = _plan(spark, "key_skew_audit")
@@ -739,12 +739,16 @@ def test_trade_pagerank_iterates_on_graph_not_corpus(spark):
     exposes); the rank recurrence then runs on the bounded collect,
     so the RESULT is a local relation with zero exchanges."""
     spark.catalog.clearCache()
-    df = QUERIES["trade_pagerank"](spark, SF_SMOKE)
+    from gmall_flink_2021_spark.operators import analytics
+    from gmall_flink_2021_spark.plans.registry import _t
+    tabs = _t(spark, SF_SMOKE, "nation", "customer", "supplier",
+              "orders", "lineitem")
+    df, eh = analytics.trade_pagerank(*tabs)
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode         .fromString("formatted")
     plan = df._jdf.queryExecution().explainString(mode)
     assert "Exchange" not in plan
     assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
-    eplan = df._edges_frame._jdf.queryExecution().explainString(mode)
+    eplan = eh.edges._jdf.queryExecution().explainString(mode)
     assert eplan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in eplan
 

@@ -221,9 +221,9 @@ def test_text_operators_tolerate_null_and_empty_text(spark):
     assert set(lm) == {3} and lm[3].n_tokens == 4  # null/empty drop out
     bpe = {r.pair for r in textstats.bpe_merge_candidates(docs).collect()}
     assert bpe == set()  # all words single-char: no adjacent pairs
-    fun = textstats.corpus_funnel(docs)
+    fun, fh = textstats.corpus_funnel(docs)
     frow = fun.collect()[0]
-    fun._banded_cache.unpersist()
+    fh.unpersist()
     assert frow.total_ct == 3 and frow.len_ct == 0  # nothing reaches 30
     bg = {r.doc_id: r for r in textstats.bigram_lm_scores(docs).collect()}
     assert set(bg) == {3} and bg[3].n_transitions == 3  # <2-token docs drop
@@ -395,7 +395,7 @@ def test_padding_waste_matches_python_reference(spark, lens):
               "n_chars long")
     got = {r["strategy"]: (r["batches"], r["payload_tokens"],
                            r["padded_slots"])
-           for r in padding_waste_audit(docs, batch_size=B).collect()}
+           for r in padding_waste_audit(docs, batch_size=B)[0].collect()}
 
     def ref(ordered):
         batches, payload, padded = 0, 0, 0
@@ -426,9 +426,8 @@ def test_padding_waste_stable_across_recompute_after_release(spark):
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, "
               "n_chars long")
-    out = padding_waste_audit(docs)
-    for c in out._ordinal_caches:
-        c.unpersist()  # force the recompute path on every action
+    out, oh = padding_waste_audit(docs)
+    oh.unpersist()  # force the recompute path on every action
     first = sorted(map(tuple, out.collect()))
     for _ in range(3):
         assert sorted(map(tuple, out.collect())) == first
@@ -448,7 +447,9 @@ def test_minhash_jaccard_candidate_mass_is_linear_in_duplicates(spark):
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, "
               "n_chars long")
-    pairs = minhash_jaccard_pairs(docs).collect()
+    scored, sh = minhash_jaccard_pairs(docs)
+    pairs = scored.collect()
+    sh.unpersist()
     cap, bands = 4, 4
     assert len(pairs) <= m * cap * bands          # linear, not m²/2=780
     # chain connectivity: every doc except the last appears as doc_a
@@ -524,13 +525,13 @@ def test_chain_banding_yields_identical_components(spark):
             out.setdefault(find(n), set()).add(n)
         return {frozenset(v) for v in out.values()}
 
-    full = components(minhash_band_pairs(corpus))
-    chain = components(minhash_band_pairs(corpus, chain_only=True))
+    full = components(minhash_band_pairs(corpus)[0])
+    chain = components(minhash_band_pairs(corpus, chain_only=True)[0])
     assert full == chain
     # edge economy: the chain graph is strictly smaller on the
     # 25-duplicate cluster (25·24/2=300 pairs → ≤ 24·bands edges)
-    n_full = minhash_band_pairs(corpus).count()
-    n_chain = minhash_band_pairs(corpus, chain_only=True).count()
+    n_full = minhash_band_pairs(corpus)[0].count()
+    n_chain = minhash_band_pairs(corpus, chain_only=True)[0].count()
     assert n_chain < n_full
     # and dup_clusters (which now rides the chain graph) reports the
     # planted cluster whole
@@ -584,8 +585,8 @@ def test_chain_banding_components_equal_on_random_corpora(spark, picks):
             out.setdefault(find(n), set()).add(n)
         return {frozenset(v) for v in out.values()}
 
-    full = components(minhash_band_pairs(docs))
-    chain = components(minhash_band_pairs(docs, chain_only=True))
+    full = components(minhash_band_pairs(docs)[0])
+    chain = components(minhash_band_pairs(docs, chain_only=True)[0])
     assert full == chain
 
 
@@ -601,15 +602,16 @@ def test_bpe_driver_and_distributed_paths_agree(spark):
          (3, "wide wider widest newer", "en", "b", 23)],
         "doc_id long, text string, lang string, source string,"
         " n_chars long")
-    m_small, v_small = T.bpe_learn(docs, n_merges=6)
-    m_big, v_big = T.bpe_learn(docs, n_merges=6, collect_threshold=0)
-    assert v_small._learn_cache is None
-    assert v_big._learn_cache is not None
+    m_small, v_small, h_small = T.bpe_learn(docs, n_merges=6)
+    m_big, v_big, h_big = T.bpe_learn(docs, n_merges=6,
+                                      collect_threshold=0)
+    assert len(h_small) == 0        # driver path persists nothing
+    assert "learn" in h_big         # distributed path persists vocab
     assert m_small == m_big
     rows_s = sorted(tuple(r) for r in v_small.collect())
     rows_b = sorted(tuple(r) for r in v_big.collect())
     assert rows_s == rows_b
-    v_big._learn_cache.unpersist()
+    h_big.unpersist()
 
 
 def test_bpe_merges_greedy_leftmost_semantics(spark):
@@ -627,7 +629,7 @@ def test_bpe_merges_greedy_leftmost_semantics(spark):
     assert (m[0]["step"], m[0]["pair"], m[0]["merged"],
             m[0]["merge_ct"]) == (1, "a;a;", "aa;", 6)
     enc = {r["doc_id"]: (r["n_tokens"], r["n_symbols"])
-           for r in T.bpe_encode_stats(docs, n_merges=1).collect()}
+           for r in T.bpe_encode_stats(docs, n_merges=1)[0].collect()}
     # aaaa -> aa|aa (2 symbols), bb stays b|b (2 symbols)
     assert enc[1] == (3, 2 + 2 + 2)
 
@@ -638,8 +640,9 @@ def test_bpe_encode_counts_bounded_by_chars_and_tokens(spark):
     from gmall_flink_2021_spark.plans.registry import _t
 
     (docs,) = _t(spark, "/root/testdata/sf0.001", "documents")
-    out = T.bpe_encode_stats(docs)
+    out, oh = T.bpe_encode_stats(docs)
     bad = out.filter((F.col("n_symbols") < F.col("n_tokens"))).count()
+    oh.unpersist()
     assert bad == 0
 
 
@@ -689,13 +692,16 @@ def test_bpe_model_roundtrip_encodes_identically(spark, tmp_path):
     from gmall_flink_2021_spark.plans.registry import _t
 
     (docs,) = _t(spark, "/root/testdata/sf0.001", "documents")
-    merges, vocab = T.bpe_learn(docs)
+    merges, vocab, lh = T.bpe_learn(docs)
     art = str(tmp_path / "bpe_model")
     T.save_bpe_model(merges, art, spark)
     reloaded = T.load_bpe_model(art, spark)
     assert reloaded == merges
     got = {tuple(r) for r in T.bpe_apply_merges(docs, reloaded).collect()}
-    want = {tuple(r) for r in T.bpe_encode_stats(docs).collect()}
+    ref, rh = T.bpe_encode_stats(docs)
+    want = {tuple(r) for r in ref.collect()}
+    lh.unpersist()
+    rh.unpersist()
     assert want and got == want
 
 
@@ -967,9 +973,9 @@ def test_trade_pagerank_matches_python_reference(spark):
     tabs = [spark.read.parquet(f"{sf}/{t}.parquet")
             for t in ("nation", "customer", "supplier", "orders",
                       "lineitem")]
-    out = trade_pagerank(*tabs)
+    out, eh = trade_pagerank(*tabs)
     rows = out.collect()
-    edges = [(r.src, r.dst, r.w) for r in out._edges_frame.collect()]
+    edges = [(r.src, r.dst, r.w) for r in eh.edges.collect()]
 
     nodes = {r.n_name for r in tabs[0].select("n_name").collect()}
     wout = {}
@@ -1169,7 +1175,7 @@ def test_audit_form_guards_trip_beyond_documented_bounds(spark):
         F.lit("a b c d e f").alias("text"))
     with pytest.raises(RuntimeError, match="minhash_band_pairs"):
         dedup.ngram_jaccard_pairs(docs, max_docs=5)
-    assert dedup.ngram_jaccard_pairs(docs, max_docs=8).count() > 0
+    assert dedup.ngram_jaccard_pairs(docs, max_docs=8)[0].count() > 0
 
 
 def test_cross_source_dup_matrix_seeded(spark):
@@ -1199,10 +1205,10 @@ def test_cross_source_dup_matrix_seeded(spark):
                 "source VARCHAR, lang VARCHAR, n_chars BIGINT)")
     con.executemany("INSERT INTO documents VALUES (?,?,?,?,?)", rows)
 
-    out = dedup.cross_source_dup_matrix(docs)
+    out, oh = dedup.cross_source_dup_matrix(docs)
     assert not compare(out, ORACLES["cross_source_dup_matrix"], con)
     got = sorted(tuple(r) for r in out.collect())
-    out._banded_cache.unpersist()
+    oh.unpersist()
     # 'the same exact text' spans all three sources (3 pairs);
     # 'another shared doc' spans crawl+wiki (so crawl-wiki has 2)
     assert got == [("crawl", "curated", 1, 1),
@@ -1237,18 +1243,17 @@ def test_dedup_calibration_and_source_rate_seeded(spark):
                 "source VARCHAR, lang VARCHAR, n_chars BIGINT)")
     con.executemany("INSERT INTO documents VALUES (?,?,?,?,?)", rows)
 
-    cal = dedup.dedup_threshold_calibration(docs)
+    cal, ch = dedup.dedup_threshold_calibration(docs)
     assert not compare(cal, ORACLES["dedup_threshold_calibration"], con)
     got = {r.matching_components: r.pair_ct for r in cal.collect()}
-    cal._sig_cache.unpersist()
-    cal._banded_cache.unpersist()
+    ch.unpersist()
     assert got == {8: 3}  # the three copies pair only at 8/8
 
-    rate = dedup.near_dup_rate_by_source(docs)
+    rate, rh = dedup.near_dup_rate_by_source(docs)
     assert not compare(rate, ORACLES["near_dup_rate_by_source"], con)
     by_src = {r.source: (r.doc_ct, r.dup_ct, r.dup_permille)
               for r in rate.collect()}
-    rate._banded_cache.unpersist()
+    rh.unpersist()
     # doc 1 is first-seen; doc 2 (feed_a) and doc 3 (feed_b) are dups
     assert by_src == {"feed_a": (2, 1, 500), "feed_b": (3, 1, 333)}
 

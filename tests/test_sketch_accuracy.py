@@ -67,8 +67,9 @@ def test_embedding_dups_recall_on_synthetic_near_dups(spark):
         rows.append((1000 + j, str(j % 4), [float(x) for x in v]))
     emb = spark.createDataFrame(
         rows, "vec_id long, label string, embedding array<double>")
-    got = {(r.vec_a, r.vec_b): r.cos_sim
-           for r in similarity.embedding_dups(emb, threshold=0.9).collect()}
+    dups, dh = similarity.embedding_dups(emb, threshold=0.9)
+    got = {(r.vec_a, r.vec_b): r.cos_sim for r in dups.collect()}
+    dh.unpersist()
     planted = {(j, 1000 + j) for j in range(50)}
     found = planted & set(got)
     assert len(found) / len(planted) >= 0.9
@@ -137,10 +138,10 @@ def test_kmeans_arrow_assignment_matches_jvm_fold(spark):
     from gmall_flink_2021_spark.sources.tables import load_table
 
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
-    assigned = similarity.kmeans_assignments(emb)
+    assigned, vh = similarity.kmeans_assignments(emb)
     cents = [(r.cluster, list(r.centroid)) for r in
              similarity._kmeans_recompute(assigned).collect()]
-    vecs = assigned._kmeans_cache
+    vecs = vh.vecs
     arrow = {r.vec_id: r.cluster for r in
              similarity._kmeans_assign(vecs, cents, arrow=True).collect()}
     jvm = {r.vec_id: r.cluster for r in

@@ -298,10 +298,10 @@ def test_kmeans_scoring_streaming_matches_batch(spark, tmp_path):
         kmeans_score_stream, run_to_completion)
 
     emb = load_table(spark, SF_SMOKE, "embeddings")
-    assigned = similarity.kmeans_assignments(emb)
+    assigned, vh = similarity.kmeans_assignments(emb)
     cents = [(r.cluster, list(r.centroid)) for r in
              similarity._kmeans_recompute(assigned).collect()]
-    assigned._kmeans_cache.unpersist()
+    vh.unpersist()
     # the model the stream scores with: the final trained centroids —
     # batch reference is one more assignment pass with those centroids
     want = {(r.vec_id, r.cluster) for r in similarity._kmeans_assign(
@@ -564,9 +564,9 @@ def test_minhash_dedup_streaming_matches_batch(spark, tmp_path):
 
     got = {tuple(map(str, r)) for r in
            spark.read.parquet(out).drop("batch_id").collect()}
-    batch_out = dedup.minhash_dedup_marks(docs)
+    batch_out, bh = dedup.minhash_dedup_marks(docs)
     want = {tuple(map(str, r)) for r in batch_out.collect()}
-    batch_out._banded_cache.unpersist()
+    bh.unpersist()
     assert want and got == want
     # the corpus actually contains cross-batch duplicates
     assert any(r[1] == "1" for r in got)
@@ -615,9 +615,9 @@ def test_corpus_funnel_streaming_partials_sum_to_batch(spark, tmp_path):
                   for c in ("total_ct", "lang_ct", "len_ct",
                             "quality_ct", "unique_ct", "kept_tokens")])
            .collect()}
-    batch_out = textstats.corpus_funnel(docs)
+    batch_out, bh = textstats.corpus_funnel(docs)
     want = {tuple(map(str, r)) for r in batch_out.collect()}
-    batch_out._banded_cache.unpersist()
+    bh.unpersist()
     assert want and got == want
 
 
@@ -981,9 +981,9 @@ def test_checkpoint_resume_continues_from_offset(spark, tmp_path):
 
     got = {tuple(map(str, r)) for r in
            spark.read.parquet(out).drop("batch_id").collect()}
-    batch_out = dedup.minhash_dedup_marks(docs)
+    batch_out, bh = dedup.minhash_dedup_marks(docs)
     want = {tuple(map(str, r)) for r in batch_out.collect()}
-    batch_out._banded_cache.unpersist()
+    bh.unpersist()
     assert want and got == want
 
 
@@ -1296,8 +1296,9 @@ def test_bpe_encode_streaming_matches_batch(spark, tmp_path):
 
     got = {tuple(r) for r in
            spark.read.parquet(out).drop("batch_id").collect()}
-    want = {tuple(r)
-            for r in textstats.bpe_encode_stats(docs).collect()}
+    bpe_ref, bref_h = textstats.bpe_encode_stats(docs)
+    want = {tuple(r) for r in bpe_ref.collect()}
+    bref_h.unpersist()
     assert want and got == want
 
 
@@ -1372,10 +1373,9 @@ def test_novelty_gate_streaming_matches_batch(spark, tmp_path):
 
     got = {tuple(r) for r in
            spark.read.parquet(out).drop("batch_id").collect()}
-    ref = dedup.incremental_dedup(snap, batch)
+    ref, rh = dedup.incremental_dedup(snap, batch)
     want = {tuple(r) for r in ref.collect()}
-    for c in ref._inc_caches:
-        c.unpersist()
+    rh.unpersist()
     assert want and got == want
     assert {r[1] for r in want} >= {"novel"}
 
@@ -1392,15 +1392,13 @@ def test_novelty_gate_store_backed_matches_recompute(spark, tmp_path):
     store = str(tmp_path / "snap_index")
     dedup.save_snapshot_index(snap, store)
 
-    ref = dedup.incremental_dedup(snap, batch)
+    ref, rh = dedup.incremental_dedup(snap, batch)
     want = {tuple(r) for r in ref.collect()}
-    for c in ref._inc_caches:
-        c.unpersist()
+    rh.unpersist()
 
-    got_df = dedup.incremental_dedup_from_store(spark, store, batch)
+    got_df, gh = dedup.incremental_dedup_from_store(spark, store, batch)
     got = {tuple(r) for r in got_df.collect()}
-    for c in got_df._inc_caches:
-        c.unpersist()
+    gh.unpersist()
     assert want and got == want
 
 
@@ -1999,9 +1997,9 @@ def test_near_dup_rate_streaming_matches_batch(spark, tmp_path):
 
     got = {tuple(map(str, r)) for r in dedup.near_dup_rate_readout(
         spark.read.parquet(out)).collect()}
-    batch_out = dedup.near_dup_rate_by_source(docs)
+    batch_out, bh = dedup.near_dup_rate_by_source(docs)
     want = {tuple(map(str, r)) for r in batch_out.collect()}
-    batch_out._banded_cache.unpersist()
+    bh.unpersist()
     assert want and got == want
 
 
@@ -2065,7 +2063,7 @@ def test_profiling_streams_resume_from_checkpoint(spark, tmp_path):
 
     got_nd = {tuple(map(str, r)) for r in dedup.near_dup_rate_readout(
         spark.read.parquet(nd_out)).collect()}
-    batch_nd = dedup.near_dup_rate_by_source(docs)
+    batch_nd, nh = dedup.near_dup_rate_by_source(docs)
     want_nd = {tuple(map(str, r)) for r in batch_nd.collect()}
-    batch_nd._banded_cache.unpersist()
+    nh.unpersist()
     assert want_nd and got_nd == want_nd
