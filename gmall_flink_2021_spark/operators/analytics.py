@@ -130,12 +130,16 @@ def funnel_conversion(events: DataFrame) -> DataFrame:
     counts = (v.agg(F.count(F.lit(1)).alias("viewers"))
               .crossJoin(c.agg(F.count(F.lit(1)).alias("clickers")))
               .crossJoin(p.agg(F.count(F.lit(1)).alias("purchasers"))))
+    # try_divide: an empty funnel stage divides by zero — NULL, not
+    # an ANSI error or a NaN (oracle mirrors with nullif)
     return counts.select(
         "viewers", "clickers", "purchasers",
-        (F.col("clickers").cast("double")
-         / F.col("viewers").cast("double")).alias("view_to_click"),
-        (F.col("purchasers").cast("double")
-         / F.col("clickers").cast("double")).alias("click_to_purchase"))
+        F.try_divide(F.col("clickers").cast("double"),
+                     F.col("viewers").cast("double"))
+        .alias("view_to_click"),
+        F.try_divide(F.col("purchasers").cast("double"),
+                     F.col("clickers").cast("double"))
+        .alias("click_to_purchase"))
 
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]

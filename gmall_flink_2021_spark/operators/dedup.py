@@ -690,8 +690,15 @@ def editdist_verified_pairs(documents: DataFrame,
     # side's partitioning (the pair list is the broadcast side), so a
     # single-split source layout would serialize every lev() into one
     # task — measured 157 s -> ~6 s at the x10 stress corpus.
+    # BYTE-level distance contract: Spark's levenshtein is char-based
+    # but DuckDB's is byte-based, so the normalized text is re-read
+    # through the latin-1 byte<->char bijection — every byte becomes
+    # exactly one char, making Spark's char DP equal the oracle's
+    # byte DP on ANY input (identical on ASCII, where byte == char)
     norm = spread(documents.select(
-        "doc_id", F.concat_ws(" ", tokens("text")).alias("t"))).persist()
+        "doc_id",
+        F.decode(F.encode(F.concat_ws(" ", tokens("text")), "UTF-8"),
+                 "ISO-8859-1").alias("t"))).persist()
     a = norm.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
     b = norm.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))
     lev = F.levenshtein("ta", "tb")

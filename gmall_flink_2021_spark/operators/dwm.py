@@ -176,6 +176,11 @@ def rolling_uv_accuracy_audit(events: DataFrame,
     matching the sketch table's support."""
     from gmall_flink_2021_spark.operators import analytics
 
+    # distinct-user semantics: NULL user_id is not a user (SQL
+    # count(DISTINCT) rule; the HLL sketch already ignores NULL input,
+    # so an including exact counter would fail its own band on dirty
+    # corpora — adversarial-fuzz finding, round 8)
+    events = events.filter(F.col("user_id").isNotNull())
     est = rolling_uv_sketches(events, window_days)
     exact = analytics.rolling_active_users(events, window_days)
     day_ok = (F.abs(F.col("day_uv_est") - F.col("day_users"))
@@ -324,8 +329,12 @@ def uv_rollup_accuracy_audit(events: DataFrame,
     can bend — against the exact count, so a drift there flips the
     bit and fails the driver hash."""
     est = uv_sketch_rollup(events)
-    ud = (events.select(F.date_trunc("DAY", F.col("ts")).alias("day"),
-                        "user_id").distinct())
+    # NULL user_id is not a user (count(DISTINCT) semantics; the HLL
+    # estimate never sees NULLs) — days/months whose only traffic is
+    # anonymous drop from the audit on both sides
+    ud = (events.filter(F.col("user_id").isNotNull())
+          .select(F.date_trunc("DAY", F.col("ts")).alias("day"),
+                  "user_id").distinct())
     daily = ud.groupBy("day").agg(
         F.count(F.lit(1)).alias("day_uv_ct"))
     monthly = (ud.select(F.date_trunc("MONTH", F.col("day"))

@@ -65,7 +65,10 @@ def _verdict_structs(rules: list[dict]) -> list:
     the aggregate per rule."""
     structs = []
     for i, r in enumerate(rules):
-        metric = F.expr(f"_m{i} * 1000 DIV greatest(_n, 1)")
+        # coalesce: a conditional sum over ZERO rows is NULL, which
+        # would NULL the metric and the verdict — an empty load scores
+        # 0 permille and fails the gate instead (oracle mirrors)
+        metric = F.expr(f"coalesce(_m{i}, 0) * 1000 DIV greatest(_n, 1)")
         structs.append(F.struct(
             F.lit(r["name"]).alias("rule"),
             metric.alias("metric_permille"),
@@ -138,16 +141,26 @@ def profile_drift(old: DataFrame, new: DataFrame,
     k = len(cols)
     stack_args = ", ".join(
         f"'{c}', cast({c} as string)" for c in cols)
+    # literal column spine: a profile of an EMPTY snapshot still
+    # lists every column with zero counts (the grouped unpivot alone
+    # would emit no rows; the per-column-scalar oracle always does)
+    spine = old.sparkSession.createDataFrame(
+        [(c,) for c in cols], "col_name string")
 
     def prof(df, tag):
         un = df.selectExpr(
             f"stack({k}, {stack_args}) as (col_name, val)")
-        return (un.groupBy("col_name")
-                .agg(F.count(F.lit(1)).alias(f"{tag}_ct"),
-                     F.sum(F.col("val").isNull().cast("long"))
-                     .alias(f"{tag}_null_ct"),
-                     F.countDistinct("val")
-                     .alias(f"{tag}_distinct_ct")))
+        agg = (un.groupBy("col_name")
+               .agg(F.count(F.lit(1)).alias(f"{tag}_ct"),
+                    F.sum(F.col("val").isNull().cast("long"))
+                    .alias(f"{tag}_null_ct"),
+                    F.countDistinct("val")
+                    .alias(f"{tag}_distinct_ct")))
+        return (spine.join(agg, "col_name", "left")
+                .select("col_name",
+                        *[F.coalesce(f"{tag}_{m}", F.lit(0))
+                          .alias(f"{tag}_{m}")
+                          for m in ("ct", "null_ct", "distinct_ct")]))
 
     joined = prof(old, "old").join(prof(new, "new"), "col_name")
     return joined.select(
@@ -215,6 +228,19 @@ def profile_accuracy_audit(df: DataFrame, cols: list[str],
                 F.countDistinct("val").alias("distinct_exact"),
                 F.hll_sketch_estimate(F.hll_sketch_agg("val"))
                 .alias("distinct_est")))
+    # column spine: an empty table still profiles every column (zero
+    # counts, estimate 0 => trivially in band), matching the oracle's
+    # per-column scalar arms
+    spine = df.sparkSession.createDataFrame(
+        [(c,) for c in cols], "col_name string")
+    agg = (spine.join(agg, "col_name", "left")
+           .select("col_name",
+                   F.coalesce("ct", F.lit(0)).alias("ct"),
+                   F.coalesce("null_ct", F.lit(0)).alias("null_ct"),
+                   F.coalesce("distinct_exact", F.lit(0))
+                   .alias("distinct_exact"),
+                   F.coalesce("distinct_est", F.lit(0.0))
+                   .alias("distinct_est")))
     in_band = (F.abs(F.col("distinct_est") - F.col("distinct_exact"))
                <= band * F.col("distinct_exact"))
     return agg.select(

@@ -43,14 +43,18 @@ FEATURE_SCHEMA = StructType([
 
 def documents_as_media(documents: DataFrame) -> DataFrame:
     """Wrap the documents table's text as opaque binary payloads —
-    the stand-in corpus for media blobs (utf-8 bytes; the driver's
-    text is ASCII so n_bytes == n_chars)."""
+    the stand-in corpus for media blobs (utf-8 bytes; the oracles
+    mirror the stub arithmetic over strlen(text) = UTF-8 byte count,
+    so CJK and NULL texts stay engine-exact too)."""
+    # NULL text wraps as the EMPTY payload (0 bytes): a dirty corpus
+    # must not kill the decode job, and total integer arithmetic keeps
+    # the oracle mirror exact (same rule as encode_media's stub)
     return documents.select(
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
          .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
          .otherwise(F.lit("video")).alias("media_type"),
-        F.encode("text", "utf-8").alias("media"))
+        F.encode(F.coalesce("text", F.lit("")), "utf-8").alias("media"))
 
 
 def _decode(media: bytes, media_type: str) -> tuple[int, int, int]:
@@ -204,9 +208,13 @@ def frame_hashes(media_df: DataFrame) -> DataFrame:
                 for i in range(frames):
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(i)
-                    out["frame_hash"].append(
-                        hashlib.md5(
-                            m[i * stride:(i + 1) * stride]).hexdigest())
+                    # hash the lowercase HEX of the slice: md5-of-raw-
+                    # bytes is not oracle-expressible when a slice
+                    # splits a multi-byte codepoint (DuckDB md5 takes
+                    # VARCHAR only); hex is byte-faithful everywhere
+                    out["frame_hash"].append(hashlib.md5(
+                        bytes(m[i * stride:(i + 1) * stride])
+                        .hex().encode()).hexdigest())
             yield pd.DataFrame(out)
 
     return media_df.mapInPandas(fn, FRAME_HASH_SCHEMA)

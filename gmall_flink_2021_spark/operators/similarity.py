@@ -739,6 +739,13 @@ def kmeans_assignments(embeddings: DataFrame, k: int = KMEANS_K,
         return assigned, CacheHandle(vecs=vecs)
     centroids = [(c, list(r.v)) for c, r in enumerate(
         vecs.orderBy("vec_id").limit(k).collect())]
+    if not centroids:
+        # empty corpus: no seeds to train on — emit the assignment
+        # schema with zero rows (the seed collect already proved the
+        # frame is empty, so this costs nothing extra)
+        empty = vecs.select(F.lit(0).cast("int").alias("cluster"),
+                            "vec_id", "q", "v")
+        return empty, CacheHandle(vecs=vecs)
     assigned = None
     for it in range(iters):
         assigned = _kmeans_assign(vecs, centroids)
@@ -862,6 +869,12 @@ def _pq_learn(embeddings: DataFrame, m: int = PQ_SUBSPACES,
         rank = {vid: c for c, vid in enumerate(seed_ids)}
         for r in sub.filter(F.col("vec_id").isin(seed_ids)).collect():
             cents[(int(r.s), rank[r.vec_id])] = [_quant_py(x) for x in r.v]
+        if not cents:
+            # empty corpus: no codebooks to learn — callers receive
+            # an empty assignment and an empty codeword map
+            empty = sub.selectExpr("vec_id", "s", "q",
+                                   "CAST(0 AS INT) AS cluster")
+            return sub, empty, {}
 
     def assign(cmap: dict[tuple[int, int], list[int]]) -> DataFrame:
         """argmin cluster per row, dispatched on the subspace column:
@@ -951,6 +964,12 @@ def pq_codebook_audit(embeddings: DataFrame, m: int = PQ_SUBSPACES,
 
     sub, assigned, final = _pq_learn(embeddings, m, k, iters, dim,
                                      memo_key=memo_key)
+    if not final:
+        spark = embeddings.sparkSession
+        out = spark.createDataFrame(
+            [], "subspace long, cluster long, vec_ct long, "
+                "sq_err_sum long, sq_err_max long, codeword_fp string")
+        return out, CacheHandle(sub=sub, assigned=assigned)
     err_b, fp_b = [], []
     for (s, c), qc in sorted(final.items()):
         digest = hashlib.md5(
@@ -1061,6 +1080,12 @@ def ivfpq_ann(embeddings: DataFrame, n_queries: int = 5,
                                     memo_key=memo_key)
     sub, codes, final = _pq_learn(embeddings, m, kc, iters, dim,
                                   memo_key=memo_key)
+    if not final:
+        spark = embeddings.sparkSession
+        out = spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank long, "
+                "adc_dist long")
+        return out, CacheHandle.merge(ch, sub=sub, codes=codes)
 
     qv = (coarse.filter(F.col("vec_id") < n_queries)
           .select(F.col("vec_id").alias("query_id"), "cluster"))

@@ -146,7 +146,10 @@ def stratified_sample(documents: DataFrame) -> DataFrame:
     keep decisions replay identically across engines and runs, unlike
     random() sampling."""
     nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    grp = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    # nullif: a digit-less source extracts '' which ANSI CAST rejects;
+    # NULL falls through to the conservative 12.5% branch (both engines)
+    grp = F.nullif(F.regexp_extract("source", r"(\d+)", 1),
+                   F.lit("")).cast("int")
     keep = (F.when(grp < 10, nib.isin(*"01234567"))
             .otherwise(nib.isin("0", "1")))
     return (documents

@@ -452,7 +452,8 @@ _BPE_N = textstats.BPE_N_MERGES
 def _profile_sql(src: str, tag: str) -> str:
     return " UNION ALL ".join(
         f"SELECT '{c}' AS col_name, count(*) AS {tag}_ct, "
-        f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        f"CAST(coalesce(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END),"
+        f" 0) AS BIGINT)"
         f" AS {tag}_null_ct, "
         f"count(DISTINCT {c}) AS {tag}_distinct_ct FROM {src}"
         for c in _DRIFT_COLS)

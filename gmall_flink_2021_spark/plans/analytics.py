@@ -452,6 +452,9 @@ ORACLES: dict[str, str] = {
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS gmv
         FROM orders
         GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        -- Spark emits NO rows for a rollup over empty input; standard
+        -- SQL emits the () row — count(*)>0 only drops that one
+        HAVING count(*) > 0
     """,
     "revenue_forecast": """
         SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -500,9 +503,11 @@ ORACLES: dict[str, str] = {
                (SELECT count(*) FROM c) AS clickers,
                (SELECT count(*) FROM p) AS purchasers,
                CAST((SELECT count(*) FROM c) AS DOUBLE)
-                   / CAST((SELECT count(*) FROM v) AS DOUBLE) AS view_to_click,
+                   / nullif(CAST((SELECT count(*) FROM v) AS DOUBLE), 0)
+                   AS view_to_click,
                CAST((SELECT count(*) FROM p) AS DOUBLE)
-                   / CAST((SELECT count(*) FROM c) AS DOUBLE) AS click_to_purchase
+                   / nullif(CAST((SELECT count(*) FROM c) AS DOUBLE), 0)
+                   AS click_to_purchase
     """,
     "order_count_distribution": """
         SELECT order_ct, count(*) AS cust_ct FROM (
@@ -616,6 +621,7 @@ ORACLES: dict[str, str] = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY CUBE (r_name, c_mktsegment)
+        HAVING count(*) > 0  -- Spark: empty input => no () row
     """,
     "purchase_attribution": """
         SELECT event_id, user_id, ts, last_view_ts,
@@ -733,6 +739,7 @@ ORACLES: dict[str, str] = {
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                 (l_returnflag), ())
+        HAVING count(*) > 0  -- Spark: empty input => no () row
     """,
     "returnflag_part_overlap": """
         WITH r AS (SELECT l_partkey FROM lineitem

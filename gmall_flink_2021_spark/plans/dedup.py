@@ -211,7 +211,7 @@ ORACLES: dict[str, str] = {
         WITH {_TOKS}
         SELECT min(doc_id) AS canonical_id,
                count(*) AS dup_ct,
-               md5(array_to_string(tok, ' ')) AS fp
+               md5(coalesce(array_to_string(tok, ' '), '')) AS fp
         FROM toks
         GROUP BY 3
     """,
@@ -566,7 +566,8 @@ ORACLES: dict[str, str] = {
                    CAST(1 + greatest(len(tok) - 1, 0) // 25 AS BIGINT)
                        AS n_segs,
                    CAST(i // 25 AS BIGINT) AS seg_idx,
-                   array_to_string(tok[i + 1 : i + 25], ' ') AS seg
+                   coalesce(array_to_string(tok[i + 1 : i + 25], ' '),
+                            '') AS seg
             FROM starts),
         ranked AS (
             SELECT *, row_number() OVER (PARTITION BY md5(seg)
@@ -597,16 +598,21 @@ ORACLES: dict[str, str] = {
             FROM led, unnest(succ) AS t(doc_b)
             WHERE t.doc_b IS NOT NULL
         ),
-        norm AS (SELECT doc_id, array_to_string(tok, ' ') AS t FROM toks)
+        norm AS (SELECT doc_id,
+                        coalesce(array_to_string(tok, ' '), '') AS t
+                 FROM toks)
+        -- DuckDB levenshtein is BYTE-based; strlen = byte length
+        -- (the Spark side reads the text through the latin-1
+        -- byte<->char bijection so its char DP equals this byte DP)
         SELECT doc_a, doc_b,
                CAST(levenshtein(a.t, b.t) AS BIGINT) AS lev,
                CAST(levenshtein(a.t, b.t) AS DOUBLE)
-                   / greatest(len(a.t), len(b.t), 1) AS rel_dist
+                   / greatest(strlen(a.t), strlen(b.t), 1) AS rel_dist
         FROM pairs
         JOIN norm a ON pairs.doc_a = a.doc_id
         JOIN norm b ON pairs.doc_b = b.doc_id
         WHERE CAST(levenshtein(a.t, b.t) AS DOUBLE)
-                  / greatest(len(a.t), len(b.t), 1) <= 0.4
+                  / greatest(strlen(a.t), strlen(b.t), 1) <= 0.4
     """,
 
     # substring-level dedup: strided 64-char windows every 16 chars;
@@ -642,7 +648,8 @@ ORACLES: dict[str, str] = {
 ORACLES["incremental_dedup"] = f"""
     WITH {_BANDS},
     fp AS (
-        SELECT doc_id, md5(array_to_string(tok, ' ')) AS fp FROM toks
+        SELECT doc_id, md5(coalesce(array_to_string(tok, ' '), '')) AS fp
+        FROM toks
     ),
     bat AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
     snp AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 7),

@@ -288,7 +288,7 @@ ORACLES["unique_visitors_daily_approx"] = """
 ORACLES["rolling_active_users_approx"] = """
     WITH ud AS (
         SELECT DISTINCT user_id, date_trunc('day', ts) AS day
-        FROM events
+        FROM events WHERE user_id IS NOT NULL
     ),
     expanded AS (
         SELECT DISTINCT user_id,
@@ -317,11 +317,13 @@ ORACLES["uv_sketch_rollup"] = """
                count(*) AS pv_ct,
                count(DISTINCT user_id) AS day_uv_ct
         FROM events GROUP BY 1
+        HAVING count(user_id) > 0
     ),
     m AS (
         SELECT date_trunc('month', CAST(ts AS TIMESTAMP)) AS month,
                count(DISTINCT user_id) AS month_uv_ct
         FROM events GROUP BY 1
+        HAVING count(user_id) > 0
     )
     SELECT CAST(d.day AS TIMESTAMP) AS day,
            CAST(d.pv_ct AS BIGINT) AS pv_ct,

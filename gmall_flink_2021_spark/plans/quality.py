@@ -141,19 +141,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "frame_dedup": """
         WITH v AS (
+            -- hex the whole payload once, slice at 2x byte offsets:
+            -- byte-faithful frame content for multi-byte payloads
+            -- (mirrors the Spark frame_hashes hex kernel; DuckDB has
+            -- no BLOB substring/md5)
             SELECT doc_id,
-                   CASE WHEN doc_id % 11 = 0
+                   lower(hex(encode(
+                        CASE WHEN doc_id % 3 = 2 AND doc_id % 11 = 0
                         THEN repeat('shared-intro ', 16) || 'tail42'
-                        ELSE coalesce(text, '') END AS payload
-            FROM documents WHERE doc_id % 3 = 2),
+                        ELSE coalesce(text, '') END))) AS phex
+            FROM documents WHERE doc_id % 3 NOT IN (0, 1)),
         s AS (
-            SELECT doc_id, payload, len(payload) AS n,
-                   1 + len(payload) % 5 AS fr
+            SELECT doc_id, phex, length(phex) // 2 AS n,
+                   1 + (length(phex) // 2) % 5 AS fr
             FROM v),
         f AS (
             SELECT doc_id,
-                   md5(substr(payload, CAST(i * (n // fr) AS INT) + 1,
-                              CAST(n // fr AS INT))) AS frame_hash
+                   md5(substr(phex,
+                              CAST(i * (n // fr) * 2 AS INT) + 1,
+                              CAST((n // fr) * 2 AS INT))) AS frame_hash
             FROM s, unnest(range(0, fr)) AS t(i)
             WHERE n // fr > 0)
         SELECT frame_hash, count(*) AS occurrence_ct,
@@ -162,27 +168,32 @@ ORACLES: dict[str, str] = {
         FROM f GROUP BY frame_hash HAVING count(*) > 1
     """,
     "media_features": """
+        WITH m AS (
+            SELECT doc_id, strlen(coalesce(text, '')) AS n
+            FROM documents)
         SELECT doc_id,
                CASE WHEN doc_id % 3 = 0 THEN 'image'
                     WHEN doc_id % 3 = 1 THEN 'audio'
                     ELSE 'video' END AS media_type,
-               CAST(n_chars AS BIGINT) AS n_bytes,
-               CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + n_chars % 64
-                         WHEN doc_id % 3 = 1 THEN 0
-                         ELSE 16 + n_chars % 64 END AS INT) AS width,
+               CAST(n AS BIGINT) AS n_bytes,
                CAST(CASE WHEN doc_id % 3 = 1 THEN 0
-                         ELSE 16 + n_chars % 48 END AS INT) AS height,
+                         ELSE 16 + n % 64 END AS INT) AS width,
+               CAST(CASE WHEN doc_id % 3 = 1 THEN 0
+                         ELSE 16 + n % 48 END AS INT) AS height,
                CAST(CASE WHEN doc_id % 3 = 0 THEN 1
-                         WHEN doc_id % 3 = 1 THEN 1 + n_chars % 100
-                         ELSE 1 + n_chars % 5 END AS INT) AS n_frames
-        FROM documents
+                         WHEN doc_id % 3 = 1 THEN 1 + n % 100
+                         ELSE 1 + n % 5 END AS INT) AS n_frames
+        FROM m
     """,
     "video_frame_samples": """
+        WITH m AS (
+            SELECT doc_id, strlen(coalesce(text, '')) AS n
+            FROM documents
+            WHERE doc_id % 3 NOT IN (0, 1))
         SELECT doc_id,
                CAST(i AS INT) AS frame_idx,
-               CAST(i * (n_chars // (1 + n_chars % 5)) AS BIGINT) AS frame_offset
-        FROM documents, unnest(range(0, 1 + n_chars % 5)) AS t(i)
-        WHERE doc_id % 3 = 2
+               CAST(i * (n // (1 + n % 5)) AS BIGINT) AS frame_offset
+        FROM m, unnest(range(0, 1 + n % 5)) AS t(i)
     """,
     "media_resize": """
         WITH base AS (
@@ -190,7 +201,7 @@ ORACLES: dict[str, str] = {
                    CASE WHEN doc_id % 3 = 0 THEN 'image'
                         WHEN doc_id % 3 = 1 THEN 'audio'
                         ELSE 'video' END AS media_type,
-                   n_chars AS n
+                   strlen(coalesce(text, '')) AS n
             FROM documents),
         dims AS (
             SELECT doc_id, media_type, n,
@@ -225,18 +236,18 @@ ORACLES: dict[str, str] = {
     "data_quality_report": """
         WITH m AS (
             SELECT count(*) AS n,
-                   sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
-                       AS m0,
+                   coalesce(sum(CASE WHEN o_custkey IS NOT NULL
+                                     THEN 1 ELSE 0 END), 0) AS m0,
                    count(DISTINCT o_orderkey) AS m1,
-                   sum(CASE WHEN o_totalprice IS NOT NULL
-                             AND o_totalprice >= 0 THEN 1 ELSE 0 END)
-                       AS m2,
-                   sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
-                            THEN 1 ELSE 0 END) AS m3,
-                   sum(CASE WHEN o_orderpriority IS NOT NULL
+                   coalesce(sum(CASE WHEN o_totalprice IS NOT NULL
+                             AND o_totalprice >= 0 THEN 1 ELSE 0 END),
+                            0) AS m2,
+                   coalesce(sum(CASE WHEN o_orderstatus IN ('O','F','P')
+                            THEN 1 ELSE 0 END), 0) AS m3,
+                   coalesce(sum(CASE WHEN o_orderpriority IS NOT NULL
                              AND regexp_matches(o_orderpriority,
                                                 '^[1-5]-[A-Z ]+$')
-                            THEN 1 ELSE 0 END) AS m4
+                            THEN 1 ELSE 0 END), 0) AS m4
             FROM orders),
         rows_ AS (
             SELECT 'custkey_not_null' AS rule,
@@ -350,7 +361,8 @@ ORACLES["referential_integrity"] = " UNION ALL ".join(
 
 ORACLES["profile_sketch_report"] = " UNION ALL ".join(
     f"SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS ct, "
-    f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+    f"CAST(coalesce(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), 0)"
+    f" AS BIGINT)"
     f" AS null_ct, "
     f"CAST(count(DISTINCT {c}) AS BIGINT) AS distinct_exact, "
     f"CAST(1 AS BIGINT) AS distinct_in_band FROM documents"

@@ -337,6 +337,12 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     # ws_token_ct -> engine_token_ct rename (ADVICE r6); bpe_token_stats
     # is r5-green so it re-grades in round 8 anyway — zero extra slots
     "bpe_token_stats": 8,
+    # round 8: frame hashes became md5-of-hex-of-byte-slice (the
+    # adversarial-fuzz fix that makes multi-byte frame content oracle-
+    # expressible) — friendly-data hash VALUES change, so the contract
+    # is re-certified the round it next grades; frame_dedup is
+    # r6-green and rotates into round 9 anyway — zero extra slots
+    "frame_dedup": 9,
 }
 
 _GRADE_PRIORITY: tuple[str, ...] = (

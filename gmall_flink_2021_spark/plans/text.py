@@ -425,7 +425,9 @@ ORACLES: dict[str, str] = {
                    / CAST(greatest(len(tok), 1) AS DOUBLE) AS ttr,
                CAST(len(list_filter(tok, t -> t IN ('the', 'a'))) AS DOUBLE)
                    / CAST(greatest(len(tok), 1) AS DOUBLE) AS stop_ratio,
-               CAST(list_aggregate(list_transform(tok, t -> len(t)), 'sum') AS DOUBLE)
+               CAST(coalesce(list_aggregate(
+                        list_transform(tok, t -> len(t)), 'sum'),
+                    0) AS DOUBLE)
                    / CAST(greatest(len(tok), 1) AS DOUBLE) AS mean_tok_len,
                CAST(len(tok) >= 20 AS INT) AS len_ok
         FROM toks
@@ -444,7 +446,7 @@ ORACLES: dict[str, str] = {
     "fingerprints": f"""
         WITH {_TOKS}
         SELECT doc_id,
-               md5(array_to_string(tok, ' ')) AS md5_fp,
+               md5(coalesce(array_to_string(tok, ' '), '')) AS md5_fp,
                list_reduce(
                    list_prepend(CAST(0 AS BIGINT),
                        list_transform(tok,
@@ -482,7 +484,7 @@ ORACLES: dict[str, str] = {
                count(*) AS doc_ct
         FROM (
             SELECT source,
-                   CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1)
+                   CASE WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1)
                              AS INTEGER) < 10
                         THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
                              IN ('0','1','2','3','4','5','6','7')
@@ -698,7 +700,7 @@ ORACLES: dict[str, str] = {
         SELECT doc_id,
                CAST(chunk_idx AS BIGINT) AS chunk_idx,
                CAST(len(chunk) AS BIGINT) AS chunk_len,
-               md5(array_to_string(chunk, ' ')) AS chunk_fp
+               md5(coalesce(array_to_string(chunk, ' '), '')) AS chunk_fp
         FROM chunks
     """,
 
