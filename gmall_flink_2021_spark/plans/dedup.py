@@ -38,8 +38,10 @@ def q_minhash_band_pairs(spark, sf):
     """Gates: LSH banding: per-band equi-join candidate generation
     (bucketed, never all-pairs)."""
     (documents,) = _t(spark, sf, "documents")
-    out, h = dedup.minhash_band_pairs(documents)
-    h.unpersist()  # lazy: recompute-on-reuse
+    # persist stays LIVE through the caller's materialization (the
+    # self-join reads the banding once, not twice) — r7 semantics;
+    # bench.py clearCache()/session teardown reclaims it
+    out, _h = dedup.minhash_band_pairs(documents)
     return out
 
 def q_minhash_jaccard_pairs(spark, sf):
@@ -47,16 +49,14 @@ def q_minhash_jaccard_pairs(spark, sf):
     candidates — near-dup scoring with NO re-read of the raw text (the
     production scorer that replaces exact n-gram counting at scale)."""
     (documents,) = _t(spark, sf, "documents")
-    out, h = dedup.minhash_jaccard_pairs(documents)
-    h.unpersist()  # lazy: recompute-on-reuse
+    out, _h = dedup.minhash_jaccard_pairs(documents)  # persist live
     return out
 
 def q_ngram_jaccard_pairs(spark, sf):
     """Gates: df-capped + per-doc-budgeted inverted-index self-join (join
     volume linear in corpus; plan-pinned df filter)."""
     (documents,) = _t(spark, sf, "documents")
-    out, h = dedup.ngram_jaccard_pairs(documents)
-    h.unpersist()  # lazy: recompute-on-reuse
+    out, _h = dedup.ngram_jaccard_pairs(documents)  # persist live
     return out
 
 def q_cross_source_dup_matrix(spark, sf):
