@@ -238,8 +238,7 @@ def frame_dedup(documents: DataFrame) -> DataFrame:
     doc-level hash misses. One hash-keyed map-side-combined
     aggregation above the fan-out; at 100 TB this is the same plan as
     any per-key count."""
-    media = documents_as_media(
-        documents.withColumn("text", F.coalesce("text", F.lit(""))))
+    media = documents_as_media(documents)  # NULL text -> empty payload
     media = media.withColumn(
         "media",
         F.when((F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 11 == 0),

@@ -73,7 +73,12 @@ def _make_repair_is_new_fn(idle_ttl_ms: int | None):
             yield pd.DataFrame(columns=cols)
             return
         if state.exists:
-            first_date, last_ms = state.get
+            # no-TTL state is the original 1-field schema (checkpoint
+            # compatibility); the TTL form adds the last-seen ts
+            if idle_ttl_ms is None:
+                (first_date,), last_ms = state.get, -1
+            else:
+                first_date, last_ms = state.get
         else:
             first_date, last_ms = None, -1
         out = []
@@ -94,30 +99,30 @@ def _make_repair_is_new_fn(idle_ttl_ms: int | None):
                     # repaired
                     first_date = _day(r.ts - 86_400_000)
                 out.append((r.mid, r.ts, is_new))
-        if idle_ttl_ms is not None:
-            wm_ms = state.getCurrentWatermarkMs()
-            if not out and last_ms >= 0 and wm_ms >= last_ms + idle_ttl_ms:
-                # idle TTL: no new sightings and the watermark aged past
-                # the key's last event by the TTL — drop the frontier
-                # (a revival's first-day claim is then honored again)
-                state.remove()
-                yield pd.DataFrame(columns=cols)
-                return
-        state.update((first_date, last_ms))
-        if idle_ttl_ms is not None and last_ms >= 0:
-            # +1: Spark requires the timeout strictly beyond the
-            # current watermark; fires on a later (possibly no-data)
-            # batch once the watermark passes last_ms + TTL
-            state.setTimeoutTimestamp(last_ms + idle_ttl_ms + 1)
+        if idle_ttl_ms is None:
+            state.update((first_date,))
+        else:
+            # expiry happens ONLY through the registered timer (the
+            # function is invoked either with data or with
+            # hasTimedOut, never idle-with-no-timeout); +1 because
+            # Spark requires the timeout strictly beyond the current
+            # watermark — fires on a later (possibly no-data) batch
+            # once the watermark passes last_ms + TTL
+            state.update((first_date, last_ms))
+            if last_ms >= 0:
+                state.setTimeoutTimestamp(last_ms + idle_ttl_ms + 1)
         yield pd.DataFrame(out, columns=cols)
 
     return _repair_fn
 
 
-# state schema carries the last-seen ts so the TTL form can expire off
-# the event-time watermark; the no-TTL form simply never reads it
-_IS_NEW_STATE = StructType([StructField("first_date", StringType()),
-                            StructField("last_ms", LongType())])
+# no-TTL form keeps the ORIGINAL 1-field schema so pre-existing
+# streaming checkpoints resume unchanged; the TTL form adds the
+# last-seen ts it expires off (a NEW checkpoint — opting into the TTL
+# is a state-schema change by construction)
+_IS_NEW_STATE = StructType([StructField("first_date", StringType())])
+_IS_NEW_STATE_TTL = StructType([StructField("first_date", StringType()),
+                                StructField("last_ms", LongType())])
 
 # default (no-TTL) form, kept importable for tests/documentation
 _repair_is_new_fn = _make_repair_is_new_fn(None)
@@ -137,7 +142,15 @@ def repair_is_new(events: DataFrame,
     watermark, out-of-orderness bound ``delay``) is dropped from
     state, trading exactly one wrongly-honored is_new=1 claim on the
     mid's revival for O(active mids) state — the same escape hatch as
-    `event_transitions_stream`'s idle_ttl."""
+    `event_transitions_stream`'s idle_ttl.
+
+    Two TTL-mode caveats the no-TTL form does not have: (a) the
+    watermark also enforces O10 late-data semantics — rows arriving
+    more than ``delay`` behind the stream's max event time are
+    DROPPED from the output, so size ``delay`` to the source's real
+    out-of-orderness; (b) the TTL state schema adds the last-seen ts,
+    so flipping idle_ttl on requires a fresh checkpoint (the no-TTL
+    schema is unchanged and resumes existing checkpoints)."""
     if idle_ttl is None:
         return (events.groupBy("mid").applyInPandasWithState(
             _repair_is_new_fn, IS_NEW_OUT, _IS_NEW_STATE, "append",
@@ -147,7 +160,7 @@ def repair_is_new(events: DataFrame,
           .withColumn("et", F.timestamp_millis(F.col("ts")))
           .withWatermark("et", delay))
     return (wm.groupBy("mid").applyInPandasWithState(
-        _make_repair_is_new_fn(ttl_ms), IS_NEW_OUT, _IS_NEW_STATE,
+        _make_repair_is_new_fn(ttl_ms), IS_NEW_OUT, _IS_NEW_STATE_TTL,
         "append", GroupStateTimeout.EventTimeTimeout))
 
 
