@@ -36,3 +36,20 @@ def with_event_time(df: DataFrame, ts_millis_col: str = "ts",
                     out: str = "et") -> DataFrame:
     """Epoch-millis long → event-time timestamp column (F3)."""
     return df.withColumn(out, F.timestamp_millis(F.col(ts_millis_col)))
+
+
+def dated(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Event-time domain gate for ORDER-DEPENDENT operators: drop
+    undated rows (NULL event time).
+
+    Dirty 100-TB feeds contain NULL-ts events.  Date-GROUPING
+    operators keep them as a visible NULL-date group (standard SQL,
+    same as NULL group keys elsewhere), but operators whose semantics
+    depend on a row's POSITION in time — sessionization, lag/lead
+    transitions, bounce detection, trailing-window scoring — have no
+    coherent place for an undated event, and engine default NULL
+    orderings differ (Spark windows sort NULLS FIRST ascending,
+    DuckDB NULLS LAST), so leaving them in makes results
+    engine-defined.  Mirrored as ``ts IS NOT NULL`` in each such
+    operator's oracle.  Expression-level filter, pushes to the scan."""
+    return df.filter(F.col(col).isNotNull())

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import money
+from ..functions.timeutil import dated
 from ..functions.handles import CacheHandle
 
 
@@ -52,7 +53,9 @@ def gmv_daily_delta(orders: DataFrame) -> DataFrame:
 def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Gap-based sessionization: a new session starts when the user's
     inter-event gap exceeds ``gap``; emits one row per session with
-    bounds and event count (batch form of session_window)."""
+    bounds and event count (batch form of session_window).  Undated
+    events are out of domain (functions.timeutil.dated)."""
+    events = dated(events)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     new_sess = F.when(
         F.col("ts") > F.expr(f"prev_ts + interval {gap}"), 1) \
@@ -524,8 +527,10 @@ def native_session_windows(events: DataFrame,
                            gap: str = "30 minutes") -> DataFrame:
     """Spark's native session_window gap aggregation (the built-in
     form of ``sessionize``; O11 extension): one row per user session,
-    where the window end is last-event + gap by definition."""
-    return (events
+    where the window end is last-event + gap by definition.
+    ``dated()`` is explicit here even though session_window already
+    drops NULL event times — the oracle mirrors the same filter."""
+    return (dated(events)
             .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
             .agg(F.count(F.lit(1)).alias("n_events"))
             .select("user_id",
@@ -821,7 +826,7 @@ def daily_value_zscores(events: DataFrame, trailing: int = 7,
     window over the DAYS-sized frame (per event_type) — the window
     input is O(days·types), not O(events)."""
     day = F.date_trunc("day", F.col("ts"))
-    daily = (events
+    daily = (dated(events)
              .groupBy("event_type", day.alias("day"))
              .agg((F.sum(money("value")) * 100).cast("long")
                   .alias("cents")))
@@ -873,7 +878,7 @@ def event_transitions(events: DataFrame) -> DataFrame:
     type×type matrix.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (events
+    pairs = (dated(events)
              .select("user_id", "ts", "event_id", "event_type")
              .withColumn("prev_type", F.lag("event_type").over(w))
              .filter(F.col("prev_type").isNotNull())
@@ -910,7 +915,7 @@ def session_path_ngrams(events: DataFrame, n: int = 3,
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     cum = (Window.partitionBy("user_id").orderBy("ts", "event_id")
            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    sess = (events
+    sess = (dated(events)
             .select("user_id", "ts", "event_id", "event_type")
             .withColumn("prev_ts", F.lag("ts").over(w))
             .withColumn("is_new",

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import money
+from ..functions.timeutil import dated
 
 
 def interval_join(left: DataFrame, right: DataFrame, key: str,
@@ -229,10 +230,11 @@ def user_jumps(events: DataFrame, timeout: str = "10 minutes") -> DataFrame:
     bounce if no further event from the same mid arrives within the
     pattern window — including the timeout path. Batch formulation:
     lead(ts) over (user order by ts) is null or beyond the timeout.
+    Undated events are out of domain (functions.timeutil.dated).
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w)
-    return (events
+    return (dated(events)
             .withColumn("next_ts", nxt)
             .filter(F.col("next_ts").isNull()
                     | (F.col("next_ts") > F.expr(f"ts + interval {timeout}")))
@@ -279,7 +281,7 @@ def purchase_click_window_join(events: DataFrame,
     buys = events.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("event_id").alias("purchase_id"),
         F.col("ts").alias("p_ts"),
-        F.col("value").cast("decimal(18,2)").alias("amount"))
+        money("value").alias("amount"))
     clicks = events.filter(F.col("event_type") == "click").select(
         "user_id", F.col("event_id").alias("click_id"),
         F.col("ts").alias("c_ts"))

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import money
-from ..functions.timeutil import window_stamps
+from ..functions.timeutil import dated, window_stamps
 
 
 def _uv_expr(streaming: bool, approx_uv: bool):
@@ -67,8 +67,10 @@ def visitor_stats_window(events: DataFrame,
     constant-state alternative.
     """
     uv = _uv_expr(streaming, approx_uv)
+    # dated() is explicit though window() already drops NULL event
+    # times — the oracle mirrors the same filter
     return (
-        events
+        dated(events)
         .groupBy(F.window("ts", window_duration), "event_type")
         .agg(
             F.count(F.lit(1)).alias("pv_ct"),
@@ -182,9 +184,9 @@ def visitor_stats_sliding(events: DataFrame,
     tumbling form — no extra shuffle versus tumbling. See ``_uv_expr``
     for the streaming state bound and the ``approx_uv`` alternative.
     """
-    from ..functions.timeutil import window_stamps
+    from ..functions.timeutil import dated, window_stamps
     uv = _uv_expr(streaming, approx_uv)
-    return (events
+    return (dated(events)
             .groupBy(F.window("ts", size, slide), "event_type")
             .agg(F.count(F.lit(1)).alias("pv_ct"),
                  uv.alias("uv_ct"),

@@ -92,6 +92,38 @@ def _memo_put(key, value) -> None:
     _centroid_memo[key] = value
 
 
+# Magnitude domain of the fixed-point kernels: quantized() scales by
+# 2^20 and the exact integer paths square and sum those values over
+# dim=64, so |x| ≤ 100 keeps every intermediate ≤ 64·(100·2^21)² ≈
+# 2^57 < 2^63 with margin.  Real embeddings are unit-ish scale; any
+# |element| beyond this is encoder garbage, same as NaN/Inf.
+EMB_MAX_ABS = 100.0
+
+
+def valid_embeddings(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Ingest gate for vector operators: drop rows whose vector is
+    NULL or contains a NULL / NaN / ±Inf / out-of-domain element
+    (|x| > EMB_MAX_ABS).
+
+    At 100 TB, embedding columns contain failed-encoder output —
+    NULL rows, NaN-poisoned vectors, overflow Infs, exploded
+    magnitudes.  Letting those reach the math produces NaN cosines
+    whose comparison/ordering semantics differ between SQL engines
+    and numpy kernels (Spark SQL sorts NaN greatest, ``numpy``
+    comparisons return False), and magnitudes past the fixed-point
+    domain overflow the exact int64 kernels (ANSI abort on Spark,
+    conversion error in DuckDB).  The production contract is: vector
+    operators consider only finite, non-null, in-domain vectors.
+    Every mirrored oracle applies the same gate (plans/similarity.py
+    wraps ``FROM embeddings`` mechanically).  Pure expression-level
+    filter — no shuffle, pushes to the scan."""
+    v = F.col(col)
+    invalid = F.exists(
+        v, lambda x: x.isNull() | F.isnan(x)
+        | (F.abs(x) > F.lit(EMB_MAX_ABS)))
+    return df.filter(v.isNotNull() & ~invalid)
+
+
 def knn_bruteforce(embeddings: DataFrame, n_queries: int = 5,
                    k: int = 5) -> DataFrame:
     """Exact cosine top-k: queries = vec_id < n_queries vs the full

@@ -378,9 +378,15 @@ ORACLES: dict[str, str] = {
             SELECT event_type,
                    CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
                         AS TIMESTAMP) AS day,
-                   CAST(round(sum(CAST(round(value, 2)
+                   CAST(round(sum(CAST(round(
+                        CASE WHEN isnan(value) OR isinf(value)
+                             THEN NULL ELSE value END, 2)
                         AS DECIMAL(18,2))), 2) * 100 AS BIGINT) AS cents
-            FROM events GROUP BY 1, 2),
+            FROM events
+            -- order-dependent (trailing frame): undated events are
+            -- out of domain, mirroring functions.timeutil.dated;
+            -- non-finite metric values are NULL, mirroring money()
+            WHERE ts IS NOT NULL GROUP BY 1, 2),
         fr AS (
             SELECT event_type, day, cents,
                    count(cents) OVER w AS n,
@@ -426,7 +432,8 @@ ORACLES: dict[str, str] = {
             SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
                    lag(CAST(ts AS TIMESTAMP)) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-            FROM events
+            -- order-dependent: undated events out of domain (dated())
+            FROM events WHERE ts IS NOT NULL
         ),
         f AS (
             SELECT *, CASE WHEN prev_ts IS NULL
@@ -679,7 +686,8 @@ ORACLES: dict[str, str] = {
                              > lag(CAST(ts AS TIMESTAMP)) OVER w
                                + INTERVAL '30 minutes'
                         THEN 1 ELSE 0 END AS is_new
-            FROM events
+            -- session_window drops undated events; dated() mirrors
+            FROM events WHERE ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         sess AS (
             SELECT user_id, ts,
@@ -1142,7 +1150,8 @@ ORACLES["session_path_ngrams"] = """
                CASE WHEN lag(ts) OVER w IS NULL
                       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS is_new
-        FROM events
+        -- order-dependent: undated events out of domain (dated())
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     s2 AS (
@@ -1288,7 +1297,8 @@ ORACLES["event_transitions"] = """
                lag(event_type) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id)
                    AS prev_type
-        FROM events
+        -- order-dependent: undated events out of domain (dated())
+        FROM events WHERE ts IS NOT NULL
     ),
     pairs AS (
         SELECT prev_type, event_type AS next_type,

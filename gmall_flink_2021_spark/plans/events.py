@@ -152,8 +152,9 @@ ORACLES: dict[str, str] = {
                event_type,
                count(*) AS pv_ct,
                count(DISTINCT user_id) AS uv_ct,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS value_sum
-        FROM events
+               CAST(sum(CAST(CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS value_sum
+        -- event-time window: Spark's window() drops undated rows
+        FROM events WHERE ts IS NOT NULL
         GROUP BY 1, 2, 3
     """,
     "event_stats_daily": """
@@ -163,7 +164,7 @@ ORACLES: dict[str, str] = {
                CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup_ct,
                CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error_ct,
                CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase_ct,
-               CAST(coalesce(sum(CAST(value AS DECIMAL(18,2)))
+               CAST(coalesce(sum(CAST(CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END AS DECIMAL(18,2)))
                     FILTER (WHERE event_type = 'purchase'), 0) AS DECIMAL(18,2)) AS purchase_amount
         FROM events
         GROUP BY 1
@@ -221,7 +222,8 @@ ORACLES: dict[str, str] = {
             SELECT CAST(ts AS TIMESTAMP) AS ts,
                    lead(CAST(ts AS TIMESTAMP)) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
-            FROM events
+            -- order-dependent: undated events out of domain (dated())
+            FROM events WHERE ts IS NOT NULL
         )
         WHERE next_ts IS NULL OR next_ts > ts + INTERVAL '10 minutes'
         GROUP BY 1
@@ -232,7 +234,7 @@ ORACLES: dict[str, str] = {
                p.event_id AS purchase_id,
                CAST(c.ts AS TIMESTAMP) AS click_ts,
                CAST(p.ts AS TIMESTAMP) AS purchase_ts,
-               CAST(p.value AS DECIMAL(18,2)) AS amount
+               CAST(CASE WHEN isnan(p.value) OR isinf(p.value) THEN NULL ELSE p.value END AS DECIMAL(18,2)) AS amount
         FROM events c JOIN events p
           ON c.user_id = p.user_id
          AND p.event_type = 'purchase' AND c.event_type = 'click'
@@ -245,7 +247,7 @@ ORACLES: dict[str, str] = {
                c.event_id AS click_id,
                CAST(p.ts AS TIMESTAMP) AS p_ts,
                CAST(c.ts AS TIMESTAMP) AS c_ts,
-               CAST(p.value AS DECIMAL(18,2)) AS amount
+               CAST(CASE WHEN isnan(p.value) OR isinf(p.value) THEN NULL ELSE p.value END AS DECIMAL(18,2)) AS amount
         FROM events p JOIN events c
           ON p.user_id = c.user_id
          AND p.event_type = 'purchase' AND c.event_type = 'click'
@@ -261,9 +263,11 @@ ORACLES: dict[str, str] = {
                event_type,
                count(*) AS pv_ct,
                count(DISTINCT user_id) AS uv_ct,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               CAST(sum(CAST(CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DECIMAL(18,2))
                    AS value_sum
+        -- event-time window: Spark's window() drops undated rows
         FROM events CROSS JOIN (VALUES (0), (1)) offsets(k)
+        WHERE ts IS NOT NULL
         GROUP BY 1, 2, 3
     """,
 }

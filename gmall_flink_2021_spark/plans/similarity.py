@@ -21,48 +21,51 @@ from ._sql import (  # noqa: F401
     _pq_oracle_sql,
     _semdedup_oracle_sql)
 
+def _emb(spark, sf):
+    """Canonical embeddings load for the vector family: raw table →
+    ``similarity.valid_embeddings`` ingest gate (NULL / NaN / ±Inf
+    vectors excluded; see that docstring).  Deterministic function of
+    the signed dataset files, so ``_emb_key(sf)`` still identifies
+    the frame exactly for the learned-parameter memo."""
+    (embeddings,) = _t(spark, sf, "embeddings")
+    return similarity.valid_embeddings(embeddings)
+
+
 def q_knn_bruteforce(spark, sf):
     """Gates: broadcast query set against a corpus that never shuffles;
     per-query window top-k."""
-    (embeddings,) = _t(spark, sf, "embeddings")
-    return similarity.knn_bruteforce(embeddings)
+    return similarity.knn_bruteforce(_emb(spark, sf))
 
 def q_label_centroid_similarity(spark, sf):
     """Gates: posexplode centroid aggregation broadcast back over the
     corpus."""
-    (embeddings,) = _t(spark, sf, "embeddings")
-    return similarity.label_centroid_similarity(embeddings)
+    return similarity.label_centroid_similarity(_emb(spark, sf))
 
 def q_ivf_ann(spark, sf):
     """Gates: IVF probing: candidate scan restricted to assigned centroid
     partitions."""
-    (embeddings,) = _t(spark, sf, "embeddings")
-    return similarity.ivf_ann(embeddings)
+    return similarity.ivf_ann(_emb(spark, sf))
 
 def q_embedding_dups_exhaustive(spark, sf):
     """Gates: the exhaustive block² AUDIT form used to measure the LSH
     path's recall on a sampled block; the default near-dup path is
     `embedding_dups_lsh` (label × hyperplane bucket)."""
-    (embeddings,) = _t(spark, sf, "embeddings")
-    return similarity.embedding_dups_exhaustive(embeddings)
+    return similarity.embedding_dups_exhaustive(_emb(spark, sf))
 
 def q_quantization_error(spark, sf):
     """Gates: per-element dequant fold with max_abs materialized ONCE
     (plan-pinned against O(d^2) re-inlining)."""
-    (embeddings,) = _t(spark, sf, "embeddings")
-    return similarity.quantization_error(embeddings)
+    return similarity.quantization_error(_emb(spark, sf))
 
 def q_lsh_ann(spark, sf):
     """Gates: hyperplane-sign bucket equi-join ANN (partition-pruning-ready
     candidate generation)."""
-    (embeddings,) = _t(spark, sf, "embeddings")
-    return similarity.lsh_ann(embeddings)
+    return similarity.lsh_ann(_emb(spark, sf))
 
 def q_norm_histogram(spark, sf):
     """Gates: floor-bucketed double histogram combining count with
     countDistinct."""
-    (embeddings,) = _t(spark, sf, "embeddings")
-    return similarity.norm_histogram(embeddings)
+    return similarity.norm_histogram(_emb(spark, sf))
 
 def q_embedding_dups_lsh(spark, sf):
     """Gates: THE default near-dup path (similarity.embedding_dups) —
@@ -71,8 +74,7 @@ def q_embedding_dups_lsh(spark, sf):
     result is non-empty on the test corpus (no cos≥0.9 pairs exist in
     it); the operator's default is the 0.9 near-dup regime, whose
     recall the synthetic audit test pins."""
-    (embeddings,) = _t(spark, sf, "embeddings")
-    out, h = similarity.embedding_dups(embeddings, threshold=0.35)
+    out, h = similarity.embedding_dups(_emb(spark, sf), threshold=0.35)
     h.unpersist()  # lazy: recompute-on-reuse
     return out
 
@@ -82,8 +84,7 @@ def q_kmeans_clusters(spark, sf):
     shuffle literal-centroid assignment + exact fixed-point integer
     centroid recomputation, vs the oracle's fully-unrolled SQL
     iterations."""
-    (embeddings,) = _t(spark, sf, "embeddings")
-    out, h = similarity.kmeans_clusters(embeddings, memo_key=_emb_key(sf))
+    out, h = similarity.kmeans_clusters(_emb(spark, sf), memo_key=_emb_key(sf))
     h.unpersist()  # lazy: recompute-on-reuse
     return out
 
@@ -93,8 +94,7 @@ def q_semdedup_prune(spark, sf):
     of the iterative clustering and the banded candidate generation
     under one exact oracle. Threshold 0.35 so the test corpus yields
     pairs (no cos≥0.9 pairs exist in it)."""
-    (embeddings,) = _t(spark, sf, "embeddings")
-    out, h = similarity.semdedup_prune(embeddings, threshold=0.35,
+    out, h = similarity.semdedup_prune(_emb(spark, sf), threshold=0.35,
                                         memo_key=_emb_key(sf))
     h.unpersist()  # lazy: recompute-on-reuse
     return out
@@ -104,8 +104,7 @@ def q_pq_codebook_audit(spark, sf):
     reconstruction-error audit — m independent fixed-point k-means
     runs (zero-shuffle assignment, exact centroid sums) under one
     fully-unrolled SQL oracle."""
-    (embeddings,) = _t(spark, sf, "embeddings")
-    out, h = similarity.pq_codebook_audit(embeddings,
+    out, h = similarity.pq_codebook_audit(_emb(spark, sf),
                                           memo_key=_emb_key(sf))
     h.unpersist()  # lazy: recompute-on-reuse
     return out
@@ -114,8 +113,7 @@ def q_ann_recall(spark, sf):
     """Gates: in-engine ANN recall@3 audit — exact top-k vs LSH
     bucket probe composed under one left join + integer permille;
     the index-quality measurement run before trusting an ANN path."""
-    (embeddings,) = _t(spark, sf, "embeddings")
-    return similarity.ann_recall(embeddings)
+    return similarity.ann_recall(_emb(spark, sf))
 
 def q_ivfpq_ann(spark, sf):
     """Gates: the composed production ANN index — learned coarse
@@ -123,8 +121,7 @@ def q_ivfpq_ann(spark, sf):
     ADC ranking inside the probed partition, all under ONE fully-
     unrolled bit-exact SQL oracle (kmeans chain ∘ m PQ chains ∘
     ranked distance sum)."""
-    (embeddings,) = _t(spark, sf, "embeddings")
-    out, h = similarity.ivfpq_ann(embeddings, memo_key=_emb_key(sf))
+    out, h = similarity.ivfpq_ann(_emb(spark, sf), memo_key=_emb_key(sf))
     h.unpersist()  # lazy: recompute-on-reuse
     return out
 
@@ -132,8 +129,7 @@ def q_ivfpq_recall(spark, sf):
     """Gates: IVF-PQ quality-loss audit — recall@3 of the compressed
     index vs exact top-k, integer permille (the PQ counterpart of
     ann_recall's LSH audit)."""
-    (embeddings,) = _t(spark, sf, "embeddings")
-    out, h = similarity.ivfpq_recall(embeddings, memo_key=_emb_key(sf))
+    out, h = similarity.ivfpq_recall(_emb(spark, sf), memo_key=_emb_key(sf))
     h.unpersist()  # lazy: recompute-on-reuse
     return out
 
@@ -142,8 +138,7 @@ def q_contrastive_pairs(spark, sf):
     positives from ONE broadcast-scored corpus scan via a single
     window with a sign-flipped sort key per kind (no second scan, no
     second window pass)."""
-    (embeddings,) = _t(spark, sf, "embeddings")
-    return similarity.contrastive_pairs(embeddings)
+    return similarity.contrastive_pairs(_emb(spark, sf))
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_bruteforce": q_knn_bruteforce,
@@ -377,3 +372,21 @@ ORACLES["ann_recall"] = f"""
       ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
     GROUP BY e.query_id
 """
+
+# --------------------------------------------------------------------------
+# Oracle-side ingest gate, mirroring similarity.valid_embeddings: the
+# driver registers `embeddings` as a view over the RAW parquet, so
+# every oracle's `FROM embeddings` is mechanically rewritten to scan
+# only valid vectors (non-NULL, all elements finite and non-NULL) —
+# the same rows the engine's _emb() load admits.  `x IS NULL` is
+# listed first so SQL's three-valued OR short-circuits NULL elements
+# to TRUE instead of leaking UNKNOWN through isnan/isinf.
+# --------------------------------------------------------------------------
+_EMB_VALID_SQL = (
+    "(SELECT * FROM embeddings WHERE embedding IS NOT NULL "
+    "AND len(list_filter(embedding, "
+    "x -> x IS NULL OR isnan(x) OR isinf(x) "
+    f"OR abs(x) > {similarity.EMB_MAX_ABS})) = 0) embeddings"
+)
+ORACLES = {k: v.replace("FROM embeddings", f"FROM {_EMB_VALID_SQL}")
+           for k, v in ORACLES.items()}

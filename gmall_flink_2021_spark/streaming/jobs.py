@@ -271,9 +271,10 @@ def kmeans_score_stream(emb_stream: DataFrame,
     stateless per-row transform: streaming == batch row-for-row, any
     trigger, no state store. Returns (vec_id, cluster)."""
     from ..functions.vectors import as_double
-    from ..operators.similarity import _kmeans_assign, quantized
+    from ..operators.similarity import (_kmeans_assign, quantized,
+                                        valid_embeddings)
 
-    vecs = emb_stream.select(
+    vecs = valid_embeddings(emb_stream).select(
         "vec_id", as_double("embedding").alias("v")) \
         .withColumn("q", quantized(F.col("v")))
     return _kmeans_assign(vecs, centroids).select("vec_id", "cluster")
@@ -658,10 +659,11 @@ def pq_encode_stream(emb_stream: DataFrame,
     stateless per-row transform, streaming == batch row-for-row, no
     state store. Returns (vec_id, s, code)."""
     from ..functions.vectors import as_double
-    from ..operators.similarity import _isqdist_sql, quantized
+    from ..operators.similarity import (_isqdist_sql, quantized,
+                                        valid_embeddings)
 
     w = dim // m
-    sub = (emb_stream
+    sub = (valid_embeddings(emb_stream)
            .select("vec_id",
                    F.posexplode(F.array(*[
                        F.slice(as_double("embedding"), s * w + 1, w)
@@ -705,13 +707,15 @@ def ann_query_stream(query_stream: DataFrame, corpus: DataFrame,
     stream's ids live in the corpus id namespace (see ivf_search);
     externally-numbered query streams must pass False."""
     from ..functions.vectors import as_double
-    from ..operators.similarity import ivf_search, label_centroids
+    from ..operators.similarity import (ivf_search, label_centroids,
+                                        valid_embeddings)
     from . import sinks
 
+    corpus = valid_embeddings(corpus)
     cents = label_centroids(corpus).persist()
 
     def sink(batch: DataFrame, bid: int) -> None:
-        queries = batch.select(
+        queries = valid_embeddings(batch).select(
             F.col("vec_id").alias("query_id"),
             as_double("embedding").alias("vec_q"))
         sinks.write_idempotent(
@@ -890,8 +894,10 @@ def daily_value_store_stream(events_stream: DataFrame, store_path: str,
     from . import sinks
 
     def sink(batch: DataFrame, bid: int) -> None:
+        from ..functions.timeutil import dated
+
         day = F.date_trunc("day", F.col("ts"))
-        daily = (batch
+        daily = (dated(batch)
                  .groupBy("event_type", day.alias("day"))
                  .agg((F.sum(money("value")) * 100).cast("long")
                       .alias("cents")))

@@ -404,7 +404,10 @@ def event_transitions_stream(events: DataFrame,
     key's revival for O(active keys) state.
     """
     ttl_us = None if idle_ttl is None else _interval_us(idle_ttl)
+    # undated events out of domain, mirroring the batch operator's
+    # dated() gate (operators/analytics.event_transitions)
     wm = (events
+          .filter(F.col("ts_us").isNotNull())
           .withColumn("et", F.timestamp_micros(F.col("ts_us")))
           .withWatermark("et", delay))
     return (wm.groupBy("user_id").applyInPandasWithState(

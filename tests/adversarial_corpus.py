@@ -12,11 +12,14 @@ over them.
 
 Two variants:
  - ``edge``: adversarial documents / embeddings / events (NULL group
-   keys, empty + whitespace-only + CJK + mixed-script + max-length
-   texts, exact/near duplicate rows across sources, single-row
-   groups, zero vectors, duplicate vectors, tied timestamps,
-   malformed props JSON), with the relational tables copied from
-   sf0.001 so every registry query still runs.
+   keys, empty + whitespace-only + CJK + mixed-script + max-length +
+   null-byte + combining-mark + RTL texts, exact/near duplicate rows
+   across sources, single-row groups, zero vectors, duplicate
+   vectors, failed-encoder vectors — NaN / ±Inf / NULL-element /
+   NULL / float32-max-magnitude — tied timestamps, an undated
+   (NULL-ts) event, NaN/Inf metric values, malformed props JSON),
+   with the relational tables copied from sf0.001 so every registry
+   query still runs.
  - ``empty``: zero-row documents / embeddings / events / orders /
    lineitem with the exact driver schemas (dimensions stay
    populated) — the "new deployment, no facts yet" shape that
@@ -102,6 +105,18 @@ def _documents_rows():
         # hash path of frame_dedup end-to-end
         (26, _HAN * 3, "zh", "src4"),
         (29, _HAN * 3, "zh", "src5"),
+        # --- round-8 extension: byte-level and normalization edges
+        (30, "null\x00byte embedded\x00in text", "en", "src6"),
+        # combining accents: e + U+0301 (two codepoints render as é) —
+        # codepoint-length engines must agree, and tokenizers must not
+        # split on the combining mark differently
+        (31, "cafe\u0301 nai\u0308ve re\u0301sume\u0301 words",
+         "fr", "src7"),
+        # RTL script (Arabic) mixed with Latin — regex tokenizers and
+        # script-mix profiling see non-Latin non-CJK codepoints
+        (32, "مرحبا hello "
+             "بالعالم world",
+         "ar", "src8"),
     ]
     out = []
     for doc_id, text, lang, source in rows:
@@ -134,6 +149,24 @@ def _embeddings_rows():
     add(37, 4, np.full(64, 1e-30))            # denormal-ish tiny
     add(38, 4, np.full(64, 1.0))              # constant vector
     add(39, 4, -base[4])                      # exact negation
+    # --- failed-encoder output (round-8 extension): the
+    # valid_embeddings ingest gate must exclude ALL of these
+    # identically in both engines — NaN comparison semantics differ
+    # between SQL (NaN greatest) and numpy kernels (False), so a
+    # single leaked row forks every cosine/top-k downstream.
+    nanvec = base[5].copy(); nanvec[0] = float("nan")
+    add(40, 0, nanvec)                        # one NaN element
+    add(41, 1, np.full(64, float("inf")))     # all +Inf
+    infvec = base[6].copy(); infvec[63] = float("-inf")
+    add(42, 2, infvec)                        # one -Inf element
+    rows.append((43, 3, None))                # NULL embedding
+    nullelem = [float(np.float32(x)) for x in base[7]]
+    nullelem[10] = None
+    rows.append((44, 4, nullelem))            # NULL element inside
+    add(45, 5, np.full(64, 3.0e38))           # float32-max magnitude:
+    # finite per-element, but the norm overflows float32 — must
+    # survive the gate and agree across engines (both cast to DOUBLE
+    # before any arithmetic)
     return rows
 
 
@@ -181,6 +214,16 @@ def _events_rows():
         # timestamp outliers
         (20, ts("1970-01-01 00:00:01"), 7, "view", 1.0, '{"k": 1}'),
         (21, ts("2099-12-31 23:59:59"), 7, "click", 2.0, '{"k": 2}'),
+        # round-8 extension: non-finite metric values (a crashed
+        # emitter writes NaN/Inf doubles) and an undated event —
+        # aggregates must agree on NaN/Inf propagation and NULL-ts
+        # grouping/ordering between Spark (NULLS FIRST asc) and
+        # DuckDB (NULLS LAST asc) defaults
+        (22, ts("2024-01-07 08:00:00"), 8, "view", float("nan"),
+         '{"k": 1}'),
+        (23, ts("2024-01-07 08:05:00"), 8, "click", float("inf"),
+         '{"k": 2}'),
+        (24, None, 8, "purchase", 10.0, '{"k": 3}'),
     ]
 
 

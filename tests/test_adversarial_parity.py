@@ -32,6 +32,24 @@ Bug classes pinned here (fix commit: round 8):
    spine) instead of vanishing.
  - k-means / PQ / IVF-PQ crash-free on an empty embeddings table
    (seed-collect guards).
+
+Round-8 SECOND sweep (corpus extended with failed-encoder embeddings
+— NaN/±Inf/NULL-element/NULL/|x|≈float32-max vectors — plus NaN/Inf
+event values, an undated event, and null-byte/combining-mark/RTL
+docs) surfaced 18 more divergences in three classes, each closed by
+a shared gate mirrored engine↔oracle:
+ - similarity.valid_embeddings: vector operators consider only
+   finite, non-null, in-domain (|x| ≤ EMB_MAX_ABS) vectors — NaN
+   ordering differs between SQL engines and numpy kernels, and
+   out-of-domain magnitudes overflow the exact int64 fixed-point
+   kernels (Spark ANSI abort vs DuckDB conversion error).
+ - functions.timeutil.dated: order-dependent operators (sessions,
+   lag/lead transitions, bounce, trailing-frame scoring, event-time
+   windows) exclude undated events — NULL ordering is engine-defined
+   (Spark windows NULLS FIRST asc, DuckDB NULLS LAST).
+ - functions.money: non-finite DOUBLE metrics aggregate as NULL —
+   one NaN otherwise poisons a day's sum and the decimal cast itself
+   diverges by engine/mode.
 """
 
 from __future__ import annotations
@@ -50,6 +68,23 @@ EDGE_QUERIES = [
     "frame_dedup", "uv_sketch_rollup", "rolling_active_users_approx",
     "incremental_dedup", "cross_source_dup_matrix", "lang_id",
     "doc_length_percentiles",
+    # round-8 second sweep (NaN/Inf/NULL embeddings + NULL-ts and
+    # non-finite-value events + byte-level doc edges) — 18 more
+    # divergences in three classes, all fixed:
+    #  - valid_embeddings ingest gate (NULL/NaN/Inf/out-of-domain
+    #    vectors excluded in engine + every oracle's FROM embeddings)
+    "norm_histogram", "lsh_ann", "embedding_dups_lsh",
+    "kmeans_clusters", "semdedup_prune", "ann_recall",
+    "pq_codebook_audit", "ivfpq_ann", "ivfpq_recall",
+    #  - dated(): order-dependent operators exclude undated events
+    #    (Spark NULLS-FIRST vs DuckDB NULLS-LAST window ordering)
+    "sessionize", "native_session_windows", "session_path_ngrams",
+    "event_transitions", "user_jump_stats",
+    #  - money(): non-finite metric values aggregate as NULL (Spark
+    #    ANSI decimal-cast abort vs DuckDB conversion error vs
+    #    legacy silent NULL)
+    "daily_value_zscores", "visitor_stats_window",
+    "visitor_stats_sliding", "event_stats_daily",
 ]
 # queries whose empty-input divergence was fixed — re-checked on the
 # empty corpus (zero-row documents/embeddings/events/orders/lineitem)
@@ -125,3 +160,60 @@ def test_kmeans_family_empty_embeddings_no_crash(spark, corpora):
     assert ann.columns == ["query_id", "neighbor_id", "rank",
                            "adc_dist"]
     ah.unpersist()
+
+
+def test_valid_embeddings_gate_excludes_failed_encoder_shapes(spark):
+    """The ingest gate's exact domain: NULL vector, NaN element, ±Inf
+    element, NULL element and |x|>EMB_MAX_ABS are excluded; zero,
+    tiny, constant and boundary(|x|=EMB_MAX_ABS) vectors survive."""
+    from pyspark.sql import types as T
+
+    from gmall_flink_2021_spark.operators.similarity import (
+        EMB_MAX_ABS, valid_embeddings)
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType()))])
+    inf, nan = float("inf"), float("nan")
+    rows = [
+        (0, [1.0, -2.0]),                    # plain: keep
+        (1, [0.0, 0.0]),                     # zero vector: keep
+        (2, [nan, 1.0]),                     # NaN element: drop
+        (3, [inf, 1.0]),                     # +Inf: drop
+        (4, [1.0, -inf]),                    # -Inf: drop
+        (5, None),                           # NULL vector: drop
+        (6, [1.0, None]),                    # NULL element: drop
+        (7, [3.0e38, 1.0]),                  # out of domain: drop
+        (8, [EMB_MAX_ABS, -EMB_MAX_ABS]),    # boundary: keep
+        (9, [1e-30, 1e-30]),                 # denormal-ish: keep
+    ]
+    out = valid_embeddings(spark.createDataFrame(rows, schema))
+    assert sorted(r.vec_id for r in out.collect()) == [0, 1, 8, 9]
+
+
+def test_money_nulls_non_finite_and_dated_drops_null_ts(spark):
+    """money(): NaN/±Inf double metrics aggregate as NULL (absent
+    measurement) and never reach the decimal cast; decimal inputs are
+    untouched.  dated(): NULL-ts rows leave the event-time domain."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from gmall_flink_2021_spark.functions import money
+    from gmall_flink_2021_spark.functions.timeutil import dated
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 2.5),
+         (2, datetime(2024, 1, 1), float("nan")),
+         (3, datetime(2024, 1, 1), float("inf")),
+         (4, datetime(2024, 1, 1), float("-inf")),
+         (5, None, 10.0)],
+        "event_id long, ts timestamp, value double")
+    got = df.agg(F.sum(money("value")).alias("s")).collect()[0].s
+    assert float(got) == 12.5  # 2.5 + 10.0; non-finite skipped
+    assert [r.event_id for r in dated(df).collect()] == [1, 2, 3, 4]
+    # decimal passthrough: exact, no double round-trip
+    dec = spark.createDataFrame([("123456789012345.67",)], "v string") \
+        .select(F.col("v").cast("decimal(18,2)").alias("v"))
+    assert str(dec.select(money("v").alias("m")).collect()[0].m) \
+        == "123456789012345.67"
