@@ -100,10 +100,14 @@ def _memo_put(key, value) -> None:
 EMB_MAX_ABS = 100.0
 
 
-def valid_embeddings(df: DataFrame, col: str = "embedding") -> DataFrame:
+def valid_embeddings(df: DataFrame, col: str = "embedding",
+                     id_col: str | None = "vec_id") -> DataFrame:
     """Ingest gate for vector operators: drop rows whose vector is
     NULL or contains a NULL / NaN / ±Inf / out-of-domain element
-    (|x| > EMB_MAX_ABS).
+    (|x| > EMB_MAX_ABS), and rows missing their identity (NULL
+    ``id_col`` — an unaddressable vector can't be indexed, deduped,
+    or returned as a neighbor, and driver-side seed sorts would
+    compare None; pass id_col=None for id-less frames).
 
     At 100 TB, embedding columns contain failed-encoder output —
     NULL rows, NaN-poisoned vectors, overflow Infs, exploded
@@ -121,7 +125,10 @@ def valid_embeddings(df: DataFrame, col: str = "embedding") -> DataFrame:
     invalid = F.exists(
         v, lambda x: x.isNull() | F.isnan(x)
         | (F.abs(x) > F.lit(EMB_MAX_ABS)))
-    return df.filter(v.isNotNull() & ~invalid)
+    out = df.filter(v.isNotNull() & ~invalid)
+    if id_col is not None and id_col in df.columns:
+        out = out.filter(F.col(id_col).isNotNull())
+    return out
 
 
 def knn_bruteforce(embeddings: DataFrame, n_queries: int = 5,

@@ -11,8 +11,21 @@ from ..sources.tables import load_table
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    """Canonical table load for the registry.  documents drops
+    NULL-doc_id rows (invalid ingest: the doc pipeline keys dedup,
+    provenance and chunk/frame addressing on doc_id, and a NULL
+    identity joins in no formulation — the P1 dirty-side-output
+    placement); registry.py mirrors the gate into every oracle's
+    FROM/JOIN documents.  events keep NULL event_id rows (aggregates
+    count page views, which need no identity)."""
     harden(spark)
-    return [load_table(spark, sf_dir, n) for n in names]
+    out = []
+    for n in names:
+        df = load_table(spark, sf_dir, n)
+        if n == "documents":
+            df = df.filter(df.doc_id.isNotNull())
+        out.append(df)
+    return out
 
 def _emb_key(sf_dir: str):
     """Learned-parameter memo key for the embeddings table (see

@@ -59,6 +59,27 @@ for _m in _FAMILY_MODULES:
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)
 
+# ---------------------------------------------------------------------------
+# Identity-gate oracle mirror: the documents pipeline is
+# identity-centric (dedup, provenance, chunk/frame addressing all key
+# on doc_id), so a NULL primary key is invalid ingest — excluded at
+# the canonical load (plans/_base._t; the P1 dirty-side-output
+# placement).  Mirror mechanically here: every oracle's
+# FROM/JOIN documents scans only keyed rows, same as the engine.
+# events deliberately keep NULL event_id rows: its aggregates count
+# page views, which need no identity (only joins on event_id would —
+# and NULL never equi-joins, identically in both engines).
+# embeddings are gated inside plans/similarity._EMB_VALID_SQL.
+# ---------------------------------------------------------------------------
+import re as _re
+
+_DOC_VALID_SQL = "(SELECT * FROM documents WHERE doc_id IS NOT NULL)"
+ORACLES = {
+    k: _re.sub(r"\b(FROM|JOIN)(\s+)documents\b",
+               lambda m: f"{m.group(1)}{m.group(2)}{_DOC_VALID_SQL}", v)
+    for k, v in ORACLES.items()
+}
+
 
 
 # ---------------------------------------------------------------------------

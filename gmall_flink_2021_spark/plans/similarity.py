@@ -383,7 +383,8 @@ ORACLES["ann_recall"] = f"""
 # to TRUE instead of leaking UNKNOWN through isnan/isinf.
 # --------------------------------------------------------------------------
 _EMB_VALID_SQL = (
-    "(SELECT * FROM embeddings WHERE embedding IS NOT NULL "
+    "(SELECT * FROM embeddings WHERE vec_id IS NOT NULL "
+    "AND embedding IS NOT NULL "
     "AND len(list_filter(embedding, "
     "x -> x IS NULL OR isnan(x) OR isinf(x) "
     f"OR abs(x) > {similarity.EMB_MAX_ABS})) = 0) embeddings"

@@ -17,9 +17,9 @@ Two variants:
    across sources, single-row groups, zero vectors, duplicate
    vectors, failed-encoder vectors — NaN / ±Inf / NULL-element /
    NULL / float32-max-magnitude — tied timestamps, an undated
-   (NULL-ts) event, NaN/Inf metric values, malformed props JSON),
-   with the relational tables copied from sf0.001 so every registry
-   query still runs.
+   (NULL-ts) event, NaN/Inf metric values, malformed props JSON,
+   NULL primary keys on documents/embeddings), with the relational
+   tables copied from sf0.001 so every registry query still runs.
  - ``empty``: zero-row documents / embeddings / events / orders /
    lineitem with the exact driver schemas (dimensions stay
    populated) — the "new deployment, no facts yet" shape that
@@ -117,6 +117,11 @@ def _documents_rows():
         (32, "مرحبا hello "
              "بالعالم world",
          "ar", "src8"),
+        # NULL primary key (malformed ingest): dedup keys, window
+        # partitions and equi-joins must treat it identically —
+        # NULL never equi-joins, NULL partitions group together
+        (None, "document that arrived without a primary key", "en",
+         "src9"),
     ]
     out = []
     for doc_id, text, lang, source in rows:
@@ -167,6 +172,7 @@ def _embeddings_rows():
     # finite per-element, but the norm overflows float32 — must
     # survive the gate and agree across engines (both cast to DOUBLE
     # before any arithmetic)
+    add(None, 6, base[8])                     # NULL primary key
     return rows
 
 

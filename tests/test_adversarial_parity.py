@@ -50,6 +50,13 @@ a shared gate mirrored engine↔oracle:
  - functions.money: non-finite DOUBLE metrics aggregate as NULL —
    one NaN otherwise poisons a day's sum and the decimal cast itself
    diverges by engine/mode.
+
+Round-8 THIRD sweep (NULL primary keys on documents/embeddings): 14
+more divergences, closed by identity gates at the canonical loads —
+a NULL doc_id/vec_id row is invalid ingest (it equi-joins in no
+formulation, so window-keep vs join-drop formulations fork, and
+driver-side seed sorts crash on None).  events keep NULL event_id
+rows: their aggregates count page views, which need no identity.
 """
 
 from __future__ import annotations
@@ -85,7 +92,22 @@ EDGE_QUERIES = [
     #    legacy silent NULL)
     "daily_value_zscores", "visitor_stats_window",
     "visitor_stats_sliding", "event_stats_daily",
+    # round-8 third sweep (NULL primary keys): a NULL identity joins
+    # in no formulation, so window-based and join-based formulations
+    # silently diverge, pandas int columns go float on the side that
+    # keeps the row, and driver-side seed sorts compare None.  Fixed
+    # by identity gates at the canonical loads (plans/_base._t for
+    # documents; valid_embeddings id_col for vec_id), mirrored into
+    # every oracle (registry.py FROM/JOIN documents wrap,
+    # _EMB_VALID_SQL).
+    # (video_frame_samples and the kmeans/PQ family, also hit, are
+    # already listed above)
+    "perplexity_buckets", "padding_waste_audit",
+    "media_text_alignment", "near_dup_rate_by_source",
+    "training_shard_plan", "minhash_signatures",
+    "hashed_classifier_scores", "doc_length_percentiles_approx",
 ]
+assert len(EDGE_QUERIES) == len(set(EDGE_QUERIES)), "duplicate pins"
 # queries whose empty-input divergence was fixed — re-checked on the
 # empty corpus (zero-row documents/embeddings/events/orders/lineitem)
 EMPTY_QUERIES = [
@@ -217,3 +239,27 @@ def test_money_nulls_non_finite_and_dated_drops_null_ts(spark):
         .select(F.col("v").cast("decimal(18,2)").alias("v"))
     assert str(dec.select(money("v").alias("m")).collect()[0].m) \
         == "123456789012345.67"
+
+
+def test_null_primary_keys_excluded_at_canonical_loads(spark, corpora):
+    """Identity gates: the NULL-doc_id document never reaches a
+    registry plan (plans/_base._t) and the NULL-vec_id vector never
+    passes valid_embeddings — while raw load_table still surfaces
+    both rows (the gate lives at the registry surface, not the
+    reader)."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_2021_spark.operators.similarity import (
+        valid_embeddings)
+    from gmall_flink_2021_spark.plans._base import _t
+    from gmall_flink_2021_spark.sources.tables import load_table
+
+    raw_docs = load_table(spark, corpora[0], "documents")
+    assert raw_docs.filter(F.col("doc_id").isNull()).count() == 1
+    (gated_docs,) = _t(spark, corpora[0], "documents")
+    assert gated_docs.filter(F.col("doc_id").isNull()).count() == 0
+
+    raw_emb = load_table(spark, corpora[0], "embeddings")
+    assert raw_emb.filter(F.col("vec_id").isNull()).count() == 1
+    gated = valid_embeddings(raw_emb)
+    assert gated.filter(F.col("vec_id").isNull()).count() == 0
