@@ -42,7 +42,7 @@ _TOKS = f"""
 toks AS (
     SELECT doc_id, lang, source, n_chars,
            {_tok_expr('text')} AS tok
-    FROM documents
+    FROM documents WHERE doc_id IS NOT NULL
 )"""
 
 _SHINGLES = _TOKS + """,

@@ -242,6 +242,7 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS is_dup,
                c.earliest_prior
         FROM documents d LEFT JOIN coll c ON d.doc_id = c.doc_id
+        WHERE d.doc_id IS NOT NULL
     """,
     "dedup_provenance": f"""
         WITH {_BANDS},
@@ -257,8 +258,8 @@ ORACLES: dict[str, str] = {
         SELECT d.source AS dup_source, o.source AS orig_source,
                count(*) AS ct
         FROM coll c
-        JOIN documents d ON c.doc_id = d.doc_id
-        JOIN documents o ON c.earliest_prior = o.doc_id
+        JOIN documents d ON c.doc_id = d.doc_id AND d.doc_id IS NOT NULL
+        JOIN documents o ON c.earliest_prior = o.doc_id AND o.doc_id IS NOT NULL
         GROUP BY 1, 2
     """,
     "split_leakage_check": f"""
@@ -279,7 +280,8 @@ ORACLES: dict[str, str] = {
             WHERE t.is_val),
         vc AS (
             SELECT count(*) AS val_ct FROM documents
-            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+            WHERE doc_id IS NOT NULL
+              AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
                       IN ('0', '1'))
         SELECT val_ct, leaked_ct,
                leaked_ct * 1000 // greatest(val_ct, 1) AS leak_permille
@@ -355,6 +357,7 @@ ORACLES: dict[str, str] = {
                (1000 * count(c.earliest_prior)) // greatest(count(*), 1)
                    AS dup_permille
         FROM documents d LEFT JOIN coll c ON d.doc_id = c.doc_id
+        WHERE d.doc_id IS NOT NULL
         GROUP BY d.source
     """,
     "ngram_jaccard_pairs": f"""
@@ -431,8 +434,8 @@ ORACLES: dict[str, str] = {
                    greatest(sa.source, sb.source) AS source_b,
                    count(*) AS neardup_pairs
             FROM cand p
-            JOIN documents sa ON p.doc_a = sa.doc_id
-            JOIN documents sb ON p.doc_b = sb.doc_id
+            JOIN documents sa ON p.doc_a = sa.doc_id AND sa.doc_id IS NOT NULL
+            JOIN documents sb ON p.doc_b = sb.doc_id AND sb.doc_id IS NOT NULL
             WHERE sa.source != sb.source
             GROUP BY 1, 2
         )
@@ -526,6 +529,7 @@ ORACLES: dict[str, str] = {
                     - sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
                     AS BIGINT) AS kept_ct
         FROM documents LEFT JOIN drops dr USING (doc_id)
+        WHERE doc_id IS NOT NULL
         GROUP BY source
     """,
     "simhash_band_pairs": f"""
@@ -626,7 +630,7 @@ ORACLES: dict[str, str] = {
                 SELECT doc_id, text,
                        unnest(generate_series(1, CAST(n_chars AS INT) - 63,
                                               16)) AS p
-                FROM documents WHERE n_chars >= 64
+                FROM documents WHERE doc_id IS NOT NULL AND n_chars >= 64
             )
         ),
         duph AS (
@@ -651,8 +655,8 @@ ORACLES["incremental_dedup"] = f"""
         SELECT doc_id, md5(coalesce(array_to_string(tok, ' '), '')) AS fp
         FROM toks
     ),
-    bat AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
-    snp AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 7),
+    bat AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL AND doc_id % 10 = 7),
+    snp AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL AND doc_id % 10 <> 7),
     ex AS (
         SELECT bf.doc_id, min(sf.doc_id) AS exact_id
         FROM fp bf

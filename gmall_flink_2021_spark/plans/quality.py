@@ -150,7 +150,7 @@ ORACLES: dict[str, str] = {
                         CASE WHEN doc_id % 3 = 2 AND doc_id % 11 = 0
                         THEN repeat('shared-intro ', 16) || 'tail42'
                         ELSE coalesce(text, '') END))) AS phex
-            FROM documents WHERE doc_id % 3 NOT IN (0, 1)),
+            FROM documents WHERE doc_id IS NOT NULL AND doc_id % 3 NOT IN (0, 1)),
         s AS (
             SELECT doc_id, phex, length(phex) // 2 AS n,
                    1 + (length(phex) // 2) % 5 AS fr
@@ -170,7 +170,7 @@ ORACLES: dict[str, str] = {
     "media_features": """
         WITH m AS (
             SELECT doc_id, strlen(coalesce(text, '')) AS n
-            FROM documents)
+            FROM documents WHERE doc_id IS NOT NULL)
         SELECT doc_id,
                CASE WHEN doc_id % 3 = 0 THEN 'image'
                     WHEN doc_id % 3 = 1 THEN 'audio'
@@ -189,7 +189,7 @@ ORACLES: dict[str, str] = {
         WITH m AS (
             SELECT doc_id, strlen(coalesce(text, '')) AS n
             FROM documents
-            WHERE doc_id % 3 NOT IN (0, 1))
+            WHERE doc_id IS NOT NULL AND doc_id % 3 NOT IN (0, 1))
         SELECT doc_id,
                CAST(i AS INT) AS frame_idx,
                CAST(i * (n // (1 + n % 5)) AS BIGINT) AS frame_offset
@@ -202,7 +202,7 @@ ORACLES: dict[str, str] = {
                         WHEN doc_id % 3 = 1 THEN 'audio'
                         ELSE 'video' END AS media_type,
                    strlen(coalesce(text, '')) AS n
-            FROM documents),
+            FROM documents WHERE doc_id IS NOT NULL),
         dims AS (
             SELECT doc_id, media_type, n,
                    CASE WHEN media_type = 'audio' THEN 0
@@ -282,7 +282,7 @@ ORACLES: dict[str, str] = {
                    sum(CASE WHEN n_chars IS NOT NULL AND n_chars >= 1
                              AND n_chars <= 100000 THEN 1 ELSE 0 END) AS m1,
                    count(DISTINCT doc_id) AS m2
-            FROM documents GROUP BY source),
+            FROM documents WHERE doc_id IS NOT NULL GROUP BY source),
         rows_ AS (
             SELECT source, 'text_not_null' AS rule,
                    CAST(m0 * 1000 // greatest(n, 1) AS BIGINT)
@@ -326,7 +326,7 @@ ORACLES["media_text_alignment"] = """
                CAST(((CASE WHEN ascii(substr(md5('cap|' || coalesce(text, '')), 6, 1)) >= 97 THEN ascii(substr(md5('cap|' || coalesce(text, '')), 6, 1)) - 87 ELSE ascii(substr(md5('cap|' || coalesce(text, '')), 6, 1)) - 48 END) * 2 - 15) AS BIGINT) AS t5,
                CAST(((CASE WHEN ascii(substr(md5('cap|' || coalesce(text, '')), 7, 1)) >= 97 THEN ascii(substr(md5('cap|' || coalesce(text, '')), 7, 1)) - 87 ELSE ascii(substr(md5('cap|' || coalesce(text, '')), 7, 1)) - 48 END) * 2 - 15) AS BIGINT) AS t6,
                CAST(((CASE WHEN ascii(substr(md5('cap|' || coalesce(text, '')), 8, 1)) >= 97 THEN ascii(substr(md5('cap|' || coalesce(text, '')), 8, 1)) - 87 ELSE ascii(substr(md5('cap|' || coalesce(text, '')), 8, 1)) - 48 END) * 2 - 15) AS BIGINT) AS t7
-        FROM documents
+        FROM documents WHERE doc_id IS NOT NULL
     ),
     scored AS (
         SELECT doc_id, media_type,
@@ -365,5 +365,5 @@ ORACLES["profile_sketch_report"] = " UNION ALL ".join(
     f" AS BIGINT)"
     f" AS null_ct, "
     f"CAST(count(DISTINCT {c}) AS BIGINT) AS distinct_exact, "
-    f"CAST(1 AS BIGINT) AS distinct_in_band FROM documents"
+    f"CAST(1 AS BIGINT) AS distinct_in_band FROM documents WHERE doc_id IS NOT NULL"
     for c in _PROFILE_COLS)

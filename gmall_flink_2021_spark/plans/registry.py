@@ -64,21 +64,17 @@ for _m in _FAMILY_MODULES:
 # identity-centric (dedup, provenance, chunk/frame addressing all key
 # on doc_id), so a NULL primary key is invalid ingest — excluded at
 # the canonical load (plans/_base._t; the P1 dirty-side-output
-# placement).  Mirror mechanically here: every oracle's
-# FROM/JOIN documents scans only keyed rows, same as the engine.
-# events deliberately keep NULL event_id rows: its aggregates count
-# page views, which need no identity (only joins on event_id would —
-# and NULL never equi-joins, identically in both engines).
-# embeddings are gated inside plans/similarity._EMB_VALID_SQL.
+# placement).  Every oracle mirrors the gate with an in-place
+# `doc_id IS NOT NULL` predicate on each FROM/JOIN documents
+# reference (an earlier mechanical subquery wrap cost the DuckDB
+# optimizer its CSE on the tokenization expressions — 1.8× on the
+# heavy dedup oracles — so the predicates live in the SQL text where
+# they push into the scan; test_plans pins the invariant).  events
+# deliberately keep NULL event_id rows: its aggregates count page
+# views, which need no identity (only joins on event_id would — and
+# NULL never equi-joins, identically in both engines).  embeddings
+# are gated inside plans/similarity._EMB_VALID_SQL.
 # ---------------------------------------------------------------------------
-import re as _re
-
-_DOC_VALID_SQL = "(SELECT * FROM documents WHERE doc_id IS NOT NULL)"
-ORACLES = {
-    k: _re.sub(r"\b(FROM|JOIN)(\s+)documents\b",
-               lambda m: f"{m.group(1)}{m.group(2)}{_DOC_VALID_SQL}", v)
-    for k, v in ORACLES.items()
-}
 
 
 
@@ -106,7 +102,7 @@ SKETCH_GATES: dict[str, tuple[dict, ...]] = {
             "exact_sql": " UNION ALL ".join(
                 f"SELECT '{c}' AS col_name, "
                 f"count(DISTINCT CAST({c} AS VARCHAR)) AS exact_ct "
-                f"FROM documents"
+                f"FROM documents WHERE doc_id IS NOT NULL"
                 for c in _PROFILE_COLS),
         },
     ),
@@ -122,7 +118,7 @@ SKETCH_GATES: dict[str, tuple[dict, ...]] = {
                 SELECT lang,
                        CAST(quantile_disc(n_chars, 0.{p}) AS BIGINT)
                            AS exact_ct
-                FROM documents GROUP BY lang
+                FROM documents WHERE doc_id IS NOT NULL GROUP BY lang
             """,
         }
         for p in (50, 90, 99)

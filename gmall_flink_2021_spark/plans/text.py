@@ -376,7 +376,7 @@ ORACLES: dict[str, str] = {
                        coalesce(text, ''), '[0-9]', '', 'g')) AS digit,
                    len(coalesce(text, '')) - len(regexp_replace(
                        coalesce(text, ''), ' ', '', 'g')) AS space
-            FROM documents
+            FROM documents WHERE doc_id IS NOT NULL
         ), agg AS (
             SELECT source, count(*) AS doc_ct,
                    CAST(sum(n) AS BIGINT) AS char_ct,
@@ -402,7 +402,7 @@ ORACLES: dict[str, str] = {
                    len({_tok_expr('text')}) AS n_tok,
                    len(list_filter(string_split(coalesce(text, ''), ' '),
                                    t -> len(t) > 0)) AS n_ws
-            FROM documents
+            FROM documents WHERE doc_id IS NOT NULL
         ), agg AS (
             SELECT lang, count(*) AS doc_ct,
                    CAST(sum(n_chars) AS BIGINT) AS char_ct,
@@ -474,7 +474,7 @@ ORACLES: dict[str, str] = {
                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
                     THEN 'val' ELSE 'train' END AS split,
                count(*) AS doc_ct
-        FROM documents
+        FROM documents WHERE doc_id IS NOT NULL
         GROUP BY 1, 2
     """,
     "stratified_sample": """
@@ -490,7 +490,7 @@ ORACLES: dict[str, str] = {
                              IN ('0','1','2','3','4','5','6','7')
                         ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
                              IN ('0','1') END AS keep
-            FROM documents)
+            FROM documents WHERE doc_id IS NOT NULL)
         GROUP BY source
     """,
     "doc_length_percentiles": """
@@ -498,7 +498,7 @@ ORACLES: dict[str, str] = {
                round(quantile_cont(n_chars, 0.5), 6) AS p50,
                round(quantile_cont(n_chars, 0.9), 6) AS p90,
                round(quantile_cont(n_chars, 0.99), 6) AS p99
-        FROM documents
+        FROM documents WHERE doc_id IS NOT NULL
         GROUP BY lang
     """,
     "term_df_stats": f"""
@@ -516,7 +516,7 @@ ORACLES: dict[str, str] = {
                    AS bpe_token_ct,
                CAST(sum(len({_tok_expr('text')})) AS BIGINT)
                    AS engine_token_ct
-        FROM documents
+        FROM documents WHERE doc_id IS NOT NULL
         GROUP BY source
     """,
     "doc_top_terms": f"""
@@ -624,7 +624,7 @@ ORACLES: dict[str, str] = {
                    CAST(row_number() OVER (
                        PARTITION BY source
                        ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
-            FROM documents)
+            FROM documents WHERE doc_id IS NOT NULL)
         WHERE rank <= 10
     """,
     "sequence_packing": f"""
@@ -659,7 +659,7 @@ ORACLES: dict[str, str] = {
                        WHEN 2 THEN ' call +1 555 0' || CAST(doc_id % 100 AS VARCHAR)
                                    || ' 42 now'
                        ELSE '' END AS t0
-            FROM documents),
+            FROM documents WHERE doc_id IS NOT NULL),
         s1 AS (
             SELECT source, t0,
                    regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
@@ -764,7 +764,10 @@ ORACLES: dict[str, str] = {
                           ELSE ascii(substr(md5(coalesce(d.text, '')), 2, 1)) - 48 END))
                   % 16 AS shard,
                    len(t.tok) AS n_tokens
+            -- toks is already keyed (gated in _TOKS) and USING
+            -- (doc_id) can't match NULL; explicit for the invariant
             FROM documents d JOIN toks t USING (doc_id)
+            WHERE d.doc_id IS NOT NULL
         ),
         shards AS (
             SELECT CAST(shard AS BIGINT) AS shard,
@@ -953,7 +956,7 @@ ORACLES: dict[str, str] = {
                        range(1, greatest(len(coalesce(text, '')) - 2, 1) + 1),
                        i -> substr(coalesce(text, ''), CAST(i AS INT), 3)),
                        t -> len(t) = 3)) AS tri
-            FROM documents),
+            FROM documents WHERE doc_id IS NOT NULL),
         profile AS (
             SELECT label_lang AS lang_p, tri, count(*) AS c
             FROM tri GROUP BY 1, 2),
@@ -1020,7 +1023,7 @@ ORACLES["bpe_encode_stats"] = (
 
 ORACLES["dsir_weights"] = f"""
     WITH {_TOKS},
-    tgt AS (SELECT min(source) AS target_src FROM documents),
+    tgt AS (SELECT min(source) AS target_src FROM documents WHERE doc_id IS NOT NULL),
     occ AS (
         SELECT doc_id, source = (SELECT target_src FROM tgt) AS is_target,
                t.term
@@ -1092,7 +1095,7 @@ ORACLES["doc_length_percentiles_approx"] = """
                row_number() OVER (PARTITION BY lang
                                   ORDER BY coalesce(n_chars, 0)) AS rn,
                count(*) OVER (PARTITION BY lang) AS n
-        FROM documents
+        FROM documents WHERE doc_id IS NOT NULL
     )
     SELECT lang, CAST(max(n) AS BIGINT) AS doc_ct,
            CAST(max(CASE WHEN rn = (50 * n + 99) // 100 THEN v END)

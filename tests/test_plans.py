@@ -856,3 +856,25 @@ def test_cross_source_matrix_has_no_cartesian_and_prunes_scans(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     for ln in [x for x in plan.splitlines() if "ReadSchema" in x]:
         assert ln.count(":") - 1 <= 3, ln
+
+
+def test_documents_oracles_all_carry_the_identity_gate():
+    """Every oracle referencing the documents table must mirror the
+    canonical load's NULL-doc_id exclusion (plans/_base._t) with an
+    in-place predicate per reference — in the SQL text, not a
+    mechanical subquery wrap (the wrap cost DuckDB its common-
+    subexpression elimination on the tokenization expressions, 1.8×
+    on the heavy dedup oracles).  Counts doc_id IS NOT NULL
+    occurrences per FROM/JOIN documents reference."""
+    import re
+
+    from gmall_flink_2021_spark.plans import ORACLES
+
+    under = {
+        k: (len(re.findall(r"\b(?:FROM|JOIN)\s+documents\b", v)),
+            v.count("doc_id IS NOT NULL"))
+        for k, v in ORACLES.items()
+        if len(re.findall(r"\b(?:FROM|JOIN)\s+documents\b", v))
+        > v.count("doc_id IS NOT NULL")
+    }
+    assert not under, f"oracles missing the identity gate: {under}"
