@@ -184,7 +184,6 @@ def visitor_stats_sliding(events: DataFrame,
     tumbling form — no extra shuffle versus tumbling. See ``_uv_expr``
     for the streaming state bound and the ``approx_uv`` alternative.
     """
-    from ..functions.timeutil import dated, window_stamps
     uv = _uv_expr(streaming, approx_uv)
     return (dated(events)
             .groupBy(F.window("ts", size, slide), "event_type")
