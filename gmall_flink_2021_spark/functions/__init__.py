@@ -4,28 +4,44 @@ from pyspark.sql import functions as F
 from . import text, timeutil, vectors  # noqa: F401
 
 
-def money(col: Column | str) -> Column:
-    """Cast to the engine's monetary type, DECIMAL(18,2), treating a
-    non-finite (NaN/±Inf) input as NULL (absent measurement).
+def money(col: Column | str, guard: bool = True) -> Column:
+    """Cast to the engine's monetary type, DECIMAL(18,2); with
+    ``guard=True`` a non-finite (NaN/±Inf) input becomes NULL
+    (absent measurement).
 
     The reference carries every amount as BigDecimal
     (bean/OrderInfo.java:12-16); exact decimal arithmetic also makes
     aggregate results order-independent, which the DuckDB-oracle
     value-hash comparison requires (double sums are not associative).
 
-    The non-finite guard is the dirty-data contract for DOUBLE metric
-    columns (a crashed emitter writes NaN/Inf): without it, one NaN
-    poisons a whole day's sum AND the engines disagree on the
-    decimal cast itself (Spark ANSI aborts, DuckDB conversion-errors,
-    legacy Spark nulls silently).  Decimal inputs never trip the
-    predicate (they cannot hold NaN/Inf), so TPC-H money columns are
-    byte-identical to the plain cast.  Mirrored in every oracle that
-    casts events.value (CASE WHEN isnan/isinf THEN NULL...)."""
+    The non-finite guard is the dirty-data contract for STREAM metric
+    columns (a crashed emitter writes NaN/Inf into events.value /
+    CDC amounts): without it, one NaN poisons a whole day's sum AND
+    the engines disagree on the decimal cast itself (Spark ANSI
+    aborts, DuckDB conversion-errors, legacy Spark nulls silently).
+    Mirrored in every oracle that casts events.value (CASE WHEN
+    isnan/isinf THEN NULL...).
+
+    Pass ``guard=False`` for WAREHOUSE columns (TPC-H prices,
+    balances, quantities) whose dirty-data contract does NOT admit
+    non-finites — their DuckDB oracles carry a plain cast, so the
+    unguarded form is both the symmetric one and free of the per-row
+    isnan/abs predicate on the serving/analytics hot paths."""
     c = F.col(col) if isinstance(col, str) else col
+    if not guard:
+        return c.cast("decimal(18,2)")
     d = c.cast("double")
     return (F.when(F.isnan(d) | (F.abs(d) == F.lit(float("inf"))),
                    F.lit(None))
             .otherwise(c).cast("decimal(18,2)"))
+
+
+def wmoney(col: Column | str) -> Column:
+    """``money(col, guard=False)`` — the warehouse-column form used
+    at every TPC-H call site (prices / balances / quantities), whose
+    dirty-data contract excludes non-finites and whose oracles carry
+    the plain decimal cast."""
+    return money(col, guard=False)
 
 
 def spread(df, key: str = "doc_id"):

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import money
+from ..functions import money, wmoney
 from ..functions.timeutil import dated
 from ..functions.handles import CacheHandle
 
@@ -38,7 +38,7 @@ def gmv_daily_delta(orders: DataFrame) -> DataFrame:
     total (frame: unbounded preceding)."""
     daily = (orders
              .groupBy(F.date_trunc("DAY", "o_orderdate").alias("order_day"))
-             .agg(F.sum(money("o_totalprice")).cast("decimal(18,2)")
+             .agg(F.sum(wmoney("o_totalprice")).cast("decimal(18,2)")
                   .alias("gmv")))
     w = Window.orderBy("order_day")
     run = Window.orderBy("order_day").rowsBetween(
@@ -84,7 +84,7 @@ def priority_rollup(orders: DataFrame) -> DataFrame:
     return (orders
             .rollup("o_orderpriority", "o_orderstatus")
             .agg(F.count(F.lit(1)).alias("order_ct"),
-                 F.sum(money("o_totalprice")).cast("decimal(18,2)")
+                 F.sum(wmoney("o_totalprice")).cast("decimal(18,2)")
                  .alias("gmv")))
 
 
@@ -99,7 +99,7 @@ def revenue_forecast(lineitem: DataFrame) -> DataFrame:
                     & (F.col("l_discount") >= 0.02)
                     & (F.col("l_discount") <= 0.06)
                     & (F.col("l_quantity") < 10))
-            .agg(F.sum(money("l_extendedprice") * money("l_discount"))
+            .agg(F.sum(wmoney("l_extendedprice") * wmoney("l_discount"))
                  .cast("decimal(18,2)").alias("revenue"),
                  F.count(F.lit(1)).alias("item_ct")))
 
@@ -199,7 +199,7 @@ def large_volume_customers(customer: DataFrame, orders: DataFrame,
     fact-side aggregate, then enrichment joins)."""
     big = (lineitem
            .groupBy("l_orderkey")
-           .agg(F.sum(money("l_quantity")).cast("decimal(18,2)")
+           .agg(F.sum(wmoney("l_quantity")).cast("decimal(18,2)")
                 .alias("total_qty"))
            .filter(F.col("total_qty") > min_qty))
     return (orders
@@ -208,7 +208,7 @@ def large_volume_customers(customer: DataFrame, orders: DataFrame,
                   orders.o_custkey == F.col("c_custkey"))
             .select("c_name", "c_custkey", "o_orderkey",
                     F.col("o_orderdate"),
-                    money("o_totalprice").alias("o_totalprice"),
+                    wmoney("o_totalprice").alias("o_totalprice"),
                     "total_qty"))
 
 
@@ -218,8 +218,8 @@ def bilateral_trade(nation: DataFrame, customer: DataFrame,
     """TPC-H Q7-style: revenue flowing between each (customer nation,
     supplier nation) pair per order year — a fact table enriched twice
     against the same broadcast dimension chain under different roles."""
-    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
-                                          - money("l_discount"))
+    revenue = wmoney("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                          - wmoney("l_discount"))
     cust_n = (customer.select("c_custkey", "c_nationkey")
               .join(F.broadcast(nation), F.col("c_nationkey")
                     == nation.n_nationkey)
@@ -248,8 +248,8 @@ def top_revenue_supplier(supplier: DataFrame, lineitem: DataFrame,
     """TPC-H Q15-style: the supplier(s) with the maximum lineitem
     revenue inside a shipping window (aggregate view + scalar-max
     subquery; exact decimals make the equality join safe)."""
-    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
-                                          - money("l_discount"))
+    revenue = wmoney("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                          - wmoney("l_discount"))
     rev = (lineitem
            .filter((F.col("l_shipdate") >= F.lit(start)
                     .cast("timestamp_ntz"))
@@ -276,7 +276,7 @@ def small_qty_part_revenue(part: DataFrame, lineitem: DataFrame,
     of engine-dependent double averaging."""
     per_part = (lineitem
                 .groupBy(F.col("l_partkey").alias("pk"))
-                .agg(F.sum(money("l_quantity")).cast("decimal(18,2)")
+                .agg(F.sum(wmoney("l_quantity")).cast("decimal(18,2)")
                      .alias("part_total_qty"),
                      F.count(F.lit(1)).alias("part_item_ct")))
     return (lineitem
@@ -284,9 +284,9 @@ def small_qty_part_revenue(part: DataFrame, lineitem: DataFrame,
                               .select("p_partkey", "p_brand")),
                   lineitem.l_partkey == F.col("p_partkey"))
             .join(per_part, lineitem.l_partkey == F.col("pk"))
-            .filter(money("l_quantity") * 2 * F.col("part_item_ct")
+            .filter(wmoney("l_quantity") * 2 * F.col("part_item_ct")
                     < F.col("part_total_qty"))
-            .agg(F.sum(money("l_extendedprice")).cast("decimal(18,2)")
+            .agg(F.sum(wmoney("l_extendedprice")).cast("decimal(18,2)")
                  .alias("revenue"),
                  F.count(F.lit(1)).alias("item_ct")))
 
@@ -299,12 +299,12 @@ def high_balance_inactive_customers(nation: DataFrame,
     subquery; the avg comparison is ``bal * cnt > total`` in exact
     decimals so no double averaging crosses engines)."""
     pos = customer.filter(F.col("c_acctbal") > 0)
-    stats = pos.agg(F.sum(money("c_acctbal")).cast("decimal(18,2)")
+    stats = pos.agg(F.sum(wmoney("c_acctbal")).cast("decimal(18,2)")
                     .alias("pos_total"),
                     F.count(F.lit(1)).alias("pos_ct"))
     return (customer
             .crossJoin(F.broadcast(stats))
-            .filter(money("c_acctbal") * F.col("pos_ct")
+            .filter(wmoney("c_acctbal") * F.col("pos_ct")
                     > F.col("pos_total"))
             .join(orders.select("o_custkey"),
                   F.col("c_custkey") == F.col("o_custkey"), "left_anti")
@@ -312,7 +312,7 @@ def high_balance_inactive_customers(nation: DataFrame,
                   F.col("c_nationkey") == nation.n_nationkey)
             .groupBy("n_name")
             .agg(F.count(F.lit(1)).alias("cust_ct"),
-                 F.sum(money("c_acctbal")).cast("decimal(18,2)")
+                 F.sum(wmoney("c_acctbal")).cast("decimal(18,2)")
                  .alias("total_acctbal")))
 
 
@@ -322,8 +322,8 @@ def nation_year_revenue(nation: DataFrame, supplier: DataFrame,
     """TPC-H Q9-style: revenue by supplying nation and order year —
     the fact stream enriched through the supplier→nation broadcast
     chain plus the orders join for the time axis."""
-    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
-                                          - money("l_discount"))
+    revenue = wmoney("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                          - wmoney("l_discount"))
     supp_n = (supplier.select("s_suppkey", "s_nationkey")
               .join(F.broadcast(nation), F.col("s_nationkey")
                     == nation.n_nationkey)
@@ -405,7 +405,7 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
                 .groupBy(F.col("o_custkey").alias("ck"))
                 .agg(F.max("o_orderdate").alias("last_order"),
                      F.count(F.lit(1)).alias("freq"),
-                     F.floor(F.sum(money("o_totalprice")) * 100)
+                     F.floor(F.sum(wmoney("o_totalprice")) * 100)
                      .cast("long").alias("spend_cents")))
     maxd = per_cust.agg(F.max("last_order").alias("corpus_last"))
     base = (per_cust.crossJoin(F.broadcast(maxd))
@@ -499,7 +499,7 @@ def price_tier_stats(orders: DataFrame) -> DataFrame:
                   & (F.col("o_totalprice") < F.col("hi")))
             .groupBy("tier")
             .agg(F.count(F.lit(1)).alias("order_ct"),
-                 F.sum(money("o_totalprice")).cast("decimal(18,2)")
+                 F.sum(wmoney("o_totalprice")).cast("decimal(18,2)")
                  .alias("gmv")))
 
 
@@ -519,7 +519,7 @@ def region_segment_cube(region: DataFrame, nation: DataFrame,
             .cube("r_name", "c_mktsegment")
             .agg(F.grouping_id().cast("long").alias("gid"),
                  F.count(F.lit(1)).alias("order_ct"),
-                 F.sum(money("o_totalprice")).cast("decimal(18,2)")
+                 F.sum(wmoney("o_totalprice")).cast("decimal(18,2)")
                  .alias("gmv")))
 
 
@@ -616,8 +616,8 @@ def grouping_sets_revenue(lineitem: DataFrame) -> DataFrame:
     granularities in one pass — the explicit-sets sibling of
     region_segment_cube (SURVEY §2.5 note: absent in the reference,
     free in Spark)."""
-    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
-                                          - money("l_discount"))
+    revenue = wmoney("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                          - wmoney("l_discount"))
     return (lineitem
             .groupingSets([["l_returnflag", "l_linestatus"],
                            ["l_returnflag"], []],
@@ -657,8 +657,8 @@ def returned_item_customers(nation: DataFrame, customer: DataFrame,
     items in one quarter — fact⋈fact shuffle join, broadcast dim
     chain, heap top-20 (TakeOrderedAndProject; c_custkey is the
     unique tie-break the oracle hash-compare needs)."""
-    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
-                                          - money("l_discount"))
+    revenue = wmoney("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                          - wmoney("l_discount"))
     return (lineitem
             .filter(F.col("l_returnflag") == "R")
             .join(orders.filter(
@@ -687,8 +687,8 @@ def nation_market_share(region: DataFrame, nation: DataFrame,
     denominator stay DECIMAL (order-independent exact sums); only the
     final ratio is a double — one IEEE division of identical operands
     on both engines, rounded to 6 for belt-and-braces."""
-    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
-                                          - money("l_discount"))
+    revenue = wmoney("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                          - wmoney("l_discount"))
     cust_in_region = (customer.select("c_custkey", "c_nationkey")
                       .join(F.broadcast(nation
                                         .select("n_nationkey", "n_regionkey")),
@@ -748,7 +748,7 @@ def customer_value_quartiles(customer: DataFrame,
     aggregate, one global-order window over the (much smaller)
     customer aggregate."""
     spend = (orders.groupBy("o_custkey")
-             .agg(F.sum(money("o_totalprice")).cast("decimal(18,2)")
+             .agg(F.sum(wmoney("o_totalprice")).cast("decimal(18,2)")
                   .alias("spend")))
     w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
     tiled = (customer.select("c_custkey")
@@ -969,8 +969,8 @@ def scd2_dim_join(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     Revenue is floor-cents of exact decimal sums.
     """
     enriched = scd2_enrich(orders, lineitem)
-    revenue = money("px") * (F.lit(1).cast("decimal(18,2)")
-                             - money("dc"))
+    revenue = wmoney("px") * (F.lit(1).cast("decimal(18,2)")
+                             - wmoney("dc"))
     return (enriched
             .groupBy("eff_status")
             .agg(F.count(F.lit(1)).alias("n_items"),
@@ -1053,8 +1053,8 @@ def trade_pagerank(nation: DataFrame, customer: DataFrame,
     distributed frames checkpointed per round; this operator's graph
     never is.
     """
-    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
-                                          - money("l_discount"))
+    revenue = wmoney("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                          - wmoney("l_discount"))
     cust_n = (customer.select("c_custkey", "c_nationkey")
               .join(F.broadcast(nation), F.col("c_nationkey")
                     == nation.n_nationkey)

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import money
+from ..functions import money, wmoney
 from ..functions.timeutil import dated
 
 
@@ -95,7 +95,7 @@ def order_wide_stats(orders: DataFrame, customer: DataFrame,
                      F.col("n_name").alias("nation_name"),
                      F.col("c_mktsegment").alias("mktsegment"))
         .agg(F.count(F.lit(1)).alias("order_ct"),
-             F.sum(money("o_totalprice")).alias("order_amount"),
+             F.sum(wmoney("o_totalprice")).alias("order_amount"),
              F.countDistinct("o_custkey").alias("customer_ct"))
     )
 

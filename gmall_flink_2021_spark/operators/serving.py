@@ -19,14 +19,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import money
+from ..functions import wmoney
 
 
 def gmv_daily(orders: DataFrame) -> DataFrame:
     """Daily GMV over all orders (A7 serving aggregate)."""
     return (orders
             .groupBy(F.date_trunc("DAY", "o_orderdate").alias("order_day"))
-            .agg(F.sum(money("o_totalprice")).alias("gmv"),
+            .agg(F.sum(wmoney("o_totalprice")).alias("gmv"),
                  F.count(F.lit(1)).alias("order_ct"),
                  F.countDistinct("o_custkey").alias("customer_ct")))
 
@@ -38,8 +38,8 @@ def top_brands(lineitem: DataFrame, part: DataFrame,
     part is dimension-sized → broadcast; lineitem never shuffles for
     the join, only for the 25-group aggregation.
     """
-    revenue = (money("l_extendedprice")
-               * (F.lit(1).cast("decimal(18,2)") - money("l_discount")))
+    revenue = (wmoney("l_extendedprice")
+               * (F.lit(1).cast("decimal(18,2)") - wmoney("l_discount")))
     return (lineitem
             .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
             .groupBy("p_brand")
@@ -56,16 +56,16 @@ def pricing_summary(lineitem: DataFrame,
     Exact decimal sums; averages derived from the decimal sums as
     doubles so the values are deterministic and engine-portable.
     """
-    disc_price = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
-                                             - money("l_discount"))
+    disc_price = wmoney("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                             - wmoney("l_discount"))
     charge = disc_price * (F.lit(1).cast("decimal(18,2)")
-                           + money("l_tax"))
+                           + wmoney("l_tax"))
     agg = (lineitem
            .filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp_ntz"))
            .groupBy("l_returnflag", "l_linestatus")
-           .agg(F.sum(money("l_quantity")).cast("decimal(18,2)")
+           .agg(F.sum(wmoney("l_quantity")).cast("decimal(18,2)")
                  .alias("sum_qty"),
-                F.sum(money("l_extendedprice")).cast("decimal(18,2)")
+                F.sum(wmoney("l_extendedprice")).cast("decimal(18,2)")
                  .alias("sum_base_price"),
                 F.sum(disc_price).cast("decimal(18,2)")
                  .alias("sum_disc_price"),
@@ -86,8 +86,8 @@ def segment_revenue(customer: DataFrame, orders: DataFrame,
                     lineitem: DataFrame, segment: str = "BUILDING",
                     limit: int = 10) -> DataFrame:
     """TPC-H Q3-style: top orders by revenue within a market segment."""
-    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
-                                          - money("l_discount"))
+    revenue = wmoney("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                          - wmoney("l_discount"))
     return (lineitem
             .join(orders, lineitem.l_orderkey == orders.o_orderkey)
             .join(F.broadcast(
@@ -109,8 +109,8 @@ def region_nation_revenue(region: DataFrame, nation: DataFrame,
     shuffle on the fact path is orders⋈lineitem plus the final
     aggregation (AQE coalesces the post-join partitions).
     """
-    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
-                                          - money("l_discount"))
+    revenue = wmoney("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                          - wmoney("l_discount"))
     dims = (customer
             .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
             .join(F.broadcast(
@@ -129,8 +129,8 @@ def region_nation_revenue(region: DataFrame, nation: DataFrame,
 def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     """TPC-H Q14-style: monthly promo-type revenue share. Exact decimal
     revenue sums; the share ratio is a double derived from them."""
-    disc = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
-                                       - money("l_discount"))
+    disc = wmoney("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                       - wmoney("l_discount"))
     month = F.date_trunc("MONTH", "l_shipdate").alias("ship_month")
     promo = F.when(F.col("p_type") == "PROMO", disc) \
              .otherwise(F.lit(0).cast("decimal(18,2)"))
@@ -154,8 +154,8 @@ def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     """TPC-H Q19-style disjunctive predicate: revenue from two
     alternative brand/size/quantity clauses — exercises complex
     predicate simplification and pushdown in one scan."""
-    disc = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
-                                       - money("l_discount"))
+    disc = wmoney("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                       - wmoney("l_discount"))
     cond = (
         ((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 10)
          & (F.col("l_quantity") < 15))

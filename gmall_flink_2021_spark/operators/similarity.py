@@ -95,8 +95,9 @@ def _memo_put(key, value) -> None:
 # Magnitude domain of the fixed-point kernels: quantized() scales by
 # 2^20 and the exact integer paths square and sum those values over
 # dim=64, so |x| ≤ 100 keeps every intermediate ≤ 64·(100·2^21)² ≈
-# 2^57 < 2^63 with margin.  Real embeddings are unit-ish scale; any
-# |element| beyond this is encoder garbage, same as NaN/Inf.
+# 2^61.3 < 2^63 (≈3.5× int64 headroom).  Real embeddings are
+# unit-ish scale; any |element| beyond this is encoder garbage, same
+# as NaN/Inf.
 EMB_MAX_ABS = 100.0
 
 

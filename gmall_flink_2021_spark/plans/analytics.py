@@ -431,7 +431,7 @@ ORACLES: dict[str, str] = {
         WITH o AS (
             SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
                    lag(CAST(ts AS TIMESTAMP)) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                       PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST) AS prev_ts
             -- order-dependent: undated events out of domain (dated())
             FROM events WHERE ts IS NOT NULL
         ),
@@ -443,7 +443,7 @@ ORACLES: dict[str, str] = {
         ),
         s AS (
             SELECT *, CAST(sum(ns) OVER (
-                PARTITION BY user_id ORDER BY ts, event_id
+                PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS BIGINT) AS session_seq
             FROM f
@@ -688,7 +688,7 @@ ORACLES: dict[str, str] = {
                         THEN 1 ELSE 0 END AS is_new
             -- session_window drops undated events; dated() mirrors
             FROM events WHERE ts IS NOT NULL
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST)),
         sess AS (
             SELECT user_id, ts,
                    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
@@ -1152,17 +1152,17 @@ ORACLES["session_path_ngrams"] = """
                     THEN 1 ELSE 0 END AS is_new
         -- order-dependent: undated events out of domain (dated())
         FROM events WHERE ts IS NOT NULL
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST)
     ),
     s2 AS (
         SELECT *,
                sum(is_new) OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id
+                                 ORDER BY ts, event_id NULLS FIRST
                                  ROWS UNBOUNDED PRECEDING) AS sess
         FROM seq
     ),
     arr AS (
-        SELECT list(event_type ORDER BY ts, event_id) AS t
+        SELECT list(event_type ORDER BY ts, event_id NULLS FIRST) AS t
         FROM s2 GROUP BY user_id, sess
     ),
     tri AS (
@@ -1197,7 +1197,7 @@ ORACLES["linear_attribution"] = """
         SELECT *,
                last_value(pid IGNORE NULLS) OVER (
                    PARTITION BY user_id
-                   ORDER BY ts DESC, side ASC, event_id DESC
+                   ORDER BY ts DESC, side ASC, event_id DESC NULLS LAST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS next_pid
         FROM (SELECT * FROM b UNION ALL SELECT * FROM v)
@@ -1295,7 +1295,7 @@ ORACLES["event_transitions"] = """
     WITH seq AS (
         SELECT user_id, event_type,
                lag(event_type) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id)
+                                     ORDER BY ts, event_id NULLS FIRST)
                    AS prev_type
         -- order-dependent: undated events out of domain (dated())
         FROM events WHERE ts IS NOT NULL

@@ -203,7 +203,7 @@ ORACLES: dict[str, str] = {
                    user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
                    row_number() OVER (
                        PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
-                       ORDER BY ts, event_id) AS rn
+                       ORDER BY ts, event_id NULLS FIRST) AS rn
             FROM events
         ) WHERE rn = 1
     """,
@@ -221,7 +221,7 @@ ORACLES: dict[str, str] = {
         FROM (
             SELECT CAST(ts AS TIMESTAMP) AS ts,
                    lead(CAST(ts AS TIMESTAMP)) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+                       PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST) AS next_ts
             -- order-dependent: undated events out of domain (dated())
             FROM events WHERE ts IS NOT NULL
         )

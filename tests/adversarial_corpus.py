@@ -230,6 +230,13 @@ def _events_rows():
         (23, ts("2024-01-07 08:05:00"), 8, "click", float("inf"),
          '{"k": 2}'),
         (24, None, 8, "purchase", 10.0, '{"k": 3}'),
+        # round-9 extension (ADVICE r8): a NULL event_id tied on ts
+        # with row 13 inside user 5's partition — every
+        # order-dependent operator tiebreaks ORDER BY ts, event_id,
+        # and Spark (NULLS FIRST asc) vs DuckDB (NULLS LAST asc)
+        # fork unless the oracles pin NULLS FIRST explicitly
+        (None, ts("2024-01-05 08:00:00"), 5, "click", 1.5,
+         '{"k": 5}'),
     ]
 
 

@@ -27,6 +27,7 @@ def main():
     only = set(args[1:])
 
     from gmall_flink_2021_spark.plans import ORACLES, QUERIES
+    from gmall_flink_2021_spark.plans.registry import oracle_is_feasible
     from parity import compare, duck_connect
 
     if vanilla:
@@ -43,11 +44,12 @@ def main():
     if unknown:
         sys.exit(f"unknown query name(s): {sorted(unknown)}")
     con = duck_connect(sf_dir)
-    failures = 0
+    failures = skips = 0
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
         t0 = time.time()
+        skipped = False
         try:
             df = fn(spark, sf_dir)
             if name not in ORACLES:
@@ -55,10 +57,21 @@ def main():
                 # oracle — a missing one is a regression, not a
                 # rows-only mode
                 problems = ["no ORACLES entry (all-oracled invariant)"]
+            elif not oracle_is_feasible(name, sf_dir):
+                # pinned ceiling (registry.ORACLE_INFEASIBLE_ABOVE):
+                # run the ENGINE side only, record rows + wall — the
+                # oracle cannot fit this box above its pinned factor
+                n = len(df.collect())
+                problems, skipped = [], True
+                print(f"[SKIP-ORACLE-INFEASIBLE] {name} "
+                      f"(engine rows={n}, {time.time() - t0:.1f}s)")
             else:
                 problems = compare(df, ORACLES[name], con)
         except Exception as e:
             problems = [f"EXCEPTION: {type(e).__name__}: {str(e)[:500]}"]
+        if skipped:
+            skips += 1
+            continue
         dt = time.time() - t0
         status = "PASS" if not problems else "FAIL"
         if problems:
@@ -66,7 +79,10 @@ def main():
         print(f"[{status}] {name} ({dt:.1f}s)")
         for p in problems:
             print(f"    {p}")
-    print(f"\n{failures} failures / {len(only) if only else len(QUERIES)} run")
+    total = len(only) if only else len(QUERIES)
+    print(f"\n{failures} failures / {total} run"
+          + (f" ({skips} oracle-infeasible, engine-only)" if skips
+             else ""))
     spark.stop()
     sys.exit(1 if failures else 0)
 

@@ -106,6 +106,13 @@ EDGE_QUERIES = [
     "media_text_alignment", "near_dup_rate_by_source",
     "training_shard_plan", "minhash_signatures",
     "hashed_classifier_scores", "doc_length_percentiles_approx",
+    # round-9 (ADVICE r8): a NULL event_id tied on ts inside one
+    # user partition — every order-dependent tiebreak is now
+    # ORDER BY ts, event_id NULLS FIRST (asc) / DESC NULLS LAST in
+    # the oracles, matching Spark's window-sort defaults.  The two
+    # queries below carry the tiebreak but were not yet pinned
+    # (the rest of the class is already in the dated() block above).
+    "first_visits", "linear_attribution",
 ]
 assert len(EDGE_QUERIES) == len(set(EDGE_QUERIES)), "duplicate pins"
 # queries whose empty-input divergence was fixed — re-checked on the

@@ -858,23 +858,65 @@ def test_cross_source_matrix_has_no_cartesian_and_prunes_scans(spark):
         assert ln.count(":") - 1 <= 3, ln
 
 
+_SQL_KEYWORDS = {
+    "WHERE", "ON", "JOIN", "GROUP", "ORDER", "USING", "LEFT", "RIGHT",
+    "INNER", "FULL", "CROSS", "UNION", "WINDOW", "LIMIT", "AS", "AND",
+    "OR", "HAVING", "QUALIFY",
+}
+
+
 def test_documents_oracles_all_carry_the_identity_gate():
     """Every oracle referencing the documents table must mirror the
     canonical load's NULL-doc_id exclusion (plans/_base._t) with an
     in-place predicate per reference — in the SQL text, not a
     mechanical subquery wrap (the wrap cost DuckDB its common-
     subexpression elimination on the tokenization expressions, 1.8×
-    on the heavy dedup oracles).  Counts doc_id IS NOT NULL
-    occurrences per FROM/JOIN documents reference."""
+    on the heavy dedup oracles).
+
+    Anchored per reference (ADVICE r8): each ``FROM/JOIN documents
+    [alias]`` occurrence must be followed within the same clause
+    (200 chars) by an alias-matched ``[alias.]doc_id IS NOT NULL``
+    predicate — a global substring count would let an unrelated
+    gate elsewhere (e.g. a ``dr.doc_id IS NOT NULL`` CASE arm) mask
+    a missing scan gate.  Today every gate sits ≤71 chars after its
+    reference."""
     import re
 
     from gmall_flink_2021_spark.plans import ORACLES
 
-    under = {
-        k: (len(re.findall(r"\b(?:FROM|JOIN)\s+documents\b", v)),
-            v.count("doc_id IS NOT NULL"))
-        for k, v in ORACLES.items()
-        if len(re.findall(r"\b(?:FROM|JOIN)\s+documents\b", v))
-        > v.count("doc_id IS NOT NULL")
-    }
-    assert not under, f"oracles missing the identity gate: {under}"
+    bad = []
+    ref = re.compile(r"\b(?:FROM|JOIN)\s+documents\b"
+                     r"(?:\s+(?:AS\s+)?([a-zA-Z_][a-zA-Z0-9_]*))?")
+    for name, sql in ORACLES.items():
+        for m in ref.finditer(sql):
+            alias = m.group(1)
+            if alias and alias.upper() in _SQL_KEYWORDS:
+                alias = None
+            a = re.escape(alias or "documents")
+            window = sql[m.start():m.start() + 200]
+            if not re.search(rf"\b(?:{a}\.)?doc_id IS NOT NULL", window):
+                bad.append((name, alias, window[:90]))
+    assert not bad, f"documents refs missing an adjacent gate: {bad}"
+
+
+def test_embeddings_oracles_all_carry_the_ingest_gate():
+    """Mirror of the documents invariant for the embeddings table
+    (ADVICE r8): plans/similarity rewrites ``FROM embeddings`` into
+    the valid-vector subquery mechanically, so an oracle written as
+    ``from embeddings`` (case) or ``FROM embeddings e`` (alias
+    inside the replaced literal is fine, but a future miss would
+    not be) silently skips the gate.  Assert every embeddings scan
+    in the final ORACLES dict is immediately the gated form — the
+    inner scan ``FROM embeddings WHERE vec_id IS NOT NULL ...``."""
+    import re
+
+    from gmall_flink_2021_spark.plans import ORACLES
+
+    bad = []
+    for name, sql in ORACLES.items():
+        for m in re.finditer(r"\b(?:from|join)\s+embeddings\b", sql,
+                             re.IGNORECASE):
+            tail = sql[m.end():m.end() + 60]
+            if not re.match(r"\s+WHERE vec_id IS NOT NULL", tail):
+                bad.append((name, sql[m.start():m.start() + 80]))
+    assert not bad, f"embeddings refs missing the ingest gate: {bad}"
