@@ -370,7 +370,16 @@ def purchase_attribution(events: DataFrame) -> DataFrame:
         "user_id", "ts", "event_id", F.lit(1).alias("kind"))
     w = (Window.partitionBy("user_id").orderBy("ts", "kind")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    last_view = F.max(F.when(F.col("kind") == 0, F.col("ts"))).over(w)
+    # NULL identity attributes to nothing: the window groups NULL
+    # users into one pseudo-partition (crediting one anonymous
+    # user's view to another's purchase) while the equivalent as-of
+    # JOIN formulation never matches NULL — the r8 formulation-fork
+    # class, surfaced again by the seeded fuzz. The purchase row
+    # itself stays (with NULL last_view), matching the oracle's
+    # correlated-subquery shape.
+    last_view = F.when(
+        F.col("user_id").isNotNull(),
+        F.max(F.when(F.col("kind") == 0, F.col("ts"))).over(w))
     return (views.unionByName(buys)
             .withColumn("last_view_ts", last_view)
             .filter(F.col("kind") == 1)
@@ -924,12 +933,18 @@ def session_path_ngrams(events: DataFrame, n: int = 3,
                                    f"prev_ts + interval {gap}")),
                                1).otherwise(0))
             .withColumn("sess", F.sum("is_new").over(cum)))
+    # NULL event_type is coded as a literal token: concat_ws SKIPS
+    # NULLs (a ['click', NULL, NULL] trigram would silently shrink
+    # to 'click') while SQL || propagates them (whole path NULL) —
+    # the seeded fuzz forked here. An untyped event still splits/
+    # extends sessions; it just shows up named in the path.
     arrs = (sess
             .groupBy("user_id", "sess")
             .agg(F.array_sort(F.collect_list(
                 F.struct("ts", "event_id", "event_type"))).alias("ev"))
-            .select(F.expr("transform(ev, x -> x.event_type)")
-                    .alias("types")))
+            .select(F.expr(
+                "transform(ev, x -> coalesce(x.event_type, '(null)'))")
+                .alias("types")))
     grams = (arrs
              .filter(F.size("types") >= n)
              .select(F.explode(F.expr(

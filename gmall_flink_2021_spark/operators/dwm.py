@@ -199,10 +199,16 @@ def rolling_uv_accuracy_audit(events: DataFrame,
 
 def first_visits(events: DataFrame) -> DataFrame:
     """O6 row-level form: the first event of each user on each day —
-    the exact rows UniqueVisitApp would emit downstream."""
+    the exact rows UniqueVisitApp would emit downstream.
+
+    Undated events are out of domain (functions.timeutil.dated): an
+    event with no timestamp belongs to no day — and concretely, a
+    NULL day partition key is ALSO the shape that destabilizes
+    DuckDB 1.0 window hash-partitioning (the seeded fuzz caught the
+    oracle returning 81-86 rows across runs on the same corpus)."""
     day = F.date_trunc("DAY", F.col("ts"))
     w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
-    return (events.withColumn("day", day)
+    return (dated(events).withColumn("day", day)
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("day", "user_id", "event_id", "ts"))

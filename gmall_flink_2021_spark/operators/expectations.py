@@ -187,11 +187,18 @@ def profile_sketches(df: DataFrame, cols: list[str]) -> DataFrame:
         f"'{c}', cast({c} as string)" for c in cols)
     un = df.selectExpr(
         f"stack({k}, {stack_args}) as (col_name, val)")
+    # 'v'-prefix before sketching: datasketches HLL silently IGNORES
+    # empty-string updates (seeded-fuzz find, round 9), so a column
+    # whose value set contains '' would undercount by one; the
+    # prefix is a 1:1 encoding that keeps every value non-empty.
+    # concat('v', NULL) stays NULL, which the sketch (correctly)
+    # skips.
     return (un.groupBy("col_name")
             .agg(F.count(F.lit(1)).alias("ct"),
                  F.sum(F.col("val").isNull().cast("long"))
                  .alias("null_ct"),
-                 F.hll_sketch_agg("val").alias("sk")))
+                 F.hll_sketch_agg(F.concat(F.lit("v"), F.col("val")))
+                 .alias("sk")))
 
 
 def profile_estimates(sketches: DataFrame) -> DataFrame:
@@ -226,7 +233,10 @@ def profile_accuracy_audit(df: DataFrame, cols: list[str],
                 F.sum(F.col("val").isNull().cast("long"))
                 .alias("null_ct"),
                 F.countDistinct("val").alias("distinct_exact"),
-                F.hll_sketch_estimate(F.hll_sketch_agg("val"))
+                # 'v'-prefix: empty-string updates are HLL no-ops
+                # (see profile_sketches)
+                F.hll_sketch_estimate(F.hll_sketch_agg(
+                    F.concat(F.lit("v"), F.col("val"))))
                 .alias("distinct_est")))
     # column spine: an empty table still profiles every column (zero
     # counts, estimate 0 => trivially in band), matching the oracle's

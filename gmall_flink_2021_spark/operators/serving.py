@@ -186,8 +186,16 @@ def top_supplier_per_nation(supplier: DataFrame,
 def props_stats(events: DataFrame) -> DataFrame:
     """JSON field extraction from the events props column (F8 analog:
     get_json_object over the schemaless payload), aggregated by
-    event_type."""
-    k = F.get_json_object("props", "$.k").cast("long")
+    event_type.
+
+    Dirty-props contract (seeded fuzz, round 9): only an UNQUOTED
+    integer ``k`` counts — a JSON-string value (``{"k": "s"}``)
+    is NULL, extracted with the same digits-only regex + try_cast
+    the oracle uses (a plain ANSI cast aborts the whole job on one
+    malformed payload; get_json_object would also admit quoted
+    numerals the oracle's regex rejects)."""
+    k = (F.regexp_extract("props", r'"k":\s*(\d+)', 1)
+         .try_cast("long"))
     return (events
             .select("event_type", k.alias("k"))
             .groupBy("event_type")

@@ -544,14 +544,32 @@ def doc_length_percentile_audit(documents: DataFrame,
     the sketch guarantees RANK error ≤ 1/accuracy, which any
     non-degenerate length distribution maps well inside a 10% value
     band. The per-lang window sort is the audit's certification cost;
-    the serving path stays sketch-only."""
+    the serving path stays sketch-only.
+
+    Round 9 (registry consolidation): this audit also carries the
+    exact INTERPOLATED per-lang profile (``doc_length_percentiles``,
+    6-dp-rounded ``percentile()``) as ``p{50,90,99}_interp`` — the
+    two former registry entries shared the per-lang length substrate,
+    so one graded query now certifies the sketch, the discrete-rank
+    exact values, and the interpolated profile together."""
     from pyspark.sql import Window
 
     est = doc_length_percentiles_approx(documents, accuracy)
+    # lang_i: est and interp share the documents lineage, so the
+    # join key needs a distinct name to resolve unambiguously
+    interp = doc_length_percentiles(documents).select(
+        F.col("lang").alias("lang_i"),
+        *[F.col(f"p{p}").alias(f"p{p}_interp") for p in (50, 90, 99)])
+    # the exact reference measures the SKETCH'S population — non-NULL
+    # lengths only (percentile_approx skips NULLs; a NULL-as-0
+    # coalesce here audited the sketch against a different
+    # distribution and failed honest estimates — seeded-fuzz find,
+    # round 9). doc_ct stays the TOTAL group size from the estimate
+    # frame.
     w = Window.partitionBy("lang").orderBy("v")
     ranked = (documents
-              .select("lang",
-                      F.coalesce("n_chars", F.lit(0)).alias("v"))
+              .filter(F.col("n_chars").isNotNull())
+              .select("lang", F.col("n_chars").alias("v"))
               .withColumn("rn", F.row_number().over(w))
               .withColumn("n", F.count(F.lit(1)).over(
                   Window.partitionBy("lang"))))
@@ -561,14 +579,22 @@ def doc_length_percentile_audit(documents: DataFrame,
         for p in (50, 90, 99)])
     sel = [est["lang"].alias("lang"), F.col("doc_ct")]
     for p in (50, 90, 99):
-        ok = (F.abs(F.col(f"p{p}") - F.col(f"p{p}_exact"))
-              <= band * F.col(f"p{p}_exact"))
+        # an all-NULL-length group has NULL exact AND NULL estimate:
+        # vacuously in band (the oracle emits the constant 1)
+        ok = F.when(F.col(f"p{p}_exact").isNull(),
+                    F.col(f"p{p}").isNull()).otherwise(
+            F.abs(F.col(f"p{p}") - F.col(f"p{p}_exact"))
+            <= band * F.col(f"p{p}_exact"))
         sel += [F.col(f"p{p}_exact"),
-                ok.cast("long").alias(f"p{p}_in_band")]
-    # null-safe join: a NULL lang group must survive to match the
-    # oracle's GROUP BY semantics (a plain inner join would drop it
-    # on the Spark side only — latent driver-hash mismatch)
-    return (est.join(exact, est["lang"].eqNullSafe(exact["lang"]))
+                ok.cast("long").alias(f"p{p}_in_band"),
+                F.col(f"p{p}_interp")]
+    # null-safe LEFT joins: a NULL lang group must survive (oracle
+    # GROUP BY semantics), and a group with zero measured lengths
+    # keeps its doc_ct row with NULL percentiles
+    return (est.join(exact, est["lang"].eqNullSafe(exact["lang"]),
+                     "left")
+            .join(interp, est["lang"].eqNullSafe(interp["lang_i"]),
+                  "left")
             .select(*sel))
 
 

@@ -1162,7 +1162,10 @@ ORACLES["session_path_ngrams"] = """
         FROM seq
     ),
     arr AS (
-        SELECT list(event_type ORDER BY ts, event_id NULLS FIRST) AS t
+        -- coalesce mirrors the engine: NULL event_type is a literal
+        -- path token, not a NULL-propagating (or NULL-skipping) hole
+        SELECT list(coalesce(event_type, '(null)')
+                    ORDER BY ts, event_id NULLS FIRST) AS t
         FROM s2 GROUP BY user_id, sess
     ),
     tri AS (

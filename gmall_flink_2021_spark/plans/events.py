@@ -204,7 +204,10 @@ ORACLES: dict[str, str] = {
                    row_number() OVER (
                        PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
                        ORDER BY ts, event_id NULLS FIRST) AS rn
-            FROM events
+            -- order-dependent: undated events out of domain (dated());
+            -- a NULL day partition key also destabilizes DuckDB 1.0
+            -- window hash-partitioning (seeded-fuzz find)
+            FROM events WHERE ts IS NOT NULL
         ) WHERE rn = 1
     """,
     "is_new_repair": """

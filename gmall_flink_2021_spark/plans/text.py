@@ -71,11 +71,6 @@ def q_stratified_sample(spark, sf):
     (documents,) = _t(spark, sf, "documents")
     return textstats.stratified_sample(documents)
 
-def q_doc_length_percentiles(spark, sf):
-    """Gates: per-source percentile aggregation over document lengths."""
-    (documents,) = _t(spark, sf, "documents")
-    return textstats.doc_length_percentiles(documents)
-
 def q_term_df_stats(spark, sf):
     """Gates: corpus document-frequency distribution via exploded distinct
     terms."""
@@ -284,7 +279,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_filter": q_corpus_filter,
     "train_val_split": q_train_val_split,
     "stratified_sample": q_stratified_sample,
-    "doc_length_percentiles": q_doc_length_percentiles,
     "term_df_stats": q_term_df_stats,
     "doc_top_terms": q_doc_top_terms,
     "bpe_token_stats": q_bpe_token_stats,
@@ -492,14 +486,6 @@ ORACLES: dict[str, str] = {
                              IN ('0','1') END AS keep
             FROM documents WHERE doc_id IS NOT NULL)
         GROUP BY source
-    """,
-    "doc_length_percentiles": """
-        SELECT lang, count(*) AS doc_ct,
-               round(quantile_cont(n_chars, 0.5), 6) AS p50,
-               round(quantile_cont(n_chars, 0.9), 6) AS p90,
-               round(quantile_cont(n_chars, 0.99), 6) AS p99
-        FROM documents WHERE doc_id IS NOT NULL
-        GROUP BY lang
     """,
     "term_df_stats": f"""
         WITH {_TOKS}
@@ -1088,24 +1074,48 @@ ORACLES["hashed_classifier_scores"] = f"""
 
 # exact percentiles use the repo's integer rank rule (value at
 # 1-indexed rank (p*n+99)//100 of the per-lang sorted lengths) —
-# winsorized_price_stats' discipline, identical on both engines
+# winsorized_price_stats' discipline, identical on both engines.
+# p{p}_interp carries the exact INTERPOLATED profile (the former
+# doc_length_percentiles entry, merged here in round 9 — same
+# per-lang substrate, one grading slot).
 ORACLES["doc_length_percentiles_approx"] = """
-    WITH ranked AS (
-        SELECT lang, coalesce(n_chars, 0) AS v,
-               row_number() OVER (PARTITION BY lang
-                                  ORDER BY coalesce(n_chars, 0)) AS rn,
-               count(*) OVER (PARTITION BY lang) AS n
+    WITH cts AS (
+        SELECT lang, count(*) AS doc_ct
         FROM documents WHERE doc_id IS NOT NULL
+        GROUP BY lang
+    ),
+    ranked AS (
+        -- the sketch's population: non-NULL lengths only
+        SELECT lang, n_chars AS v,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n_chars) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+        WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    ex AS (
+        SELECT lang,
+               CAST(max(CASE WHEN rn = (50 * n + 99) // 100 THEN v
+                        END) AS BIGINT) AS p50_exact,
+               CAST(max(CASE WHEN rn = (90 * n + 99) // 100 THEN v
+                        END) AS BIGINT) AS p90_exact,
+               CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN v
+                        END) AS BIGINT) AS p99_exact
+        FROM ranked GROUP BY lang
+    ),
+    interp AS (
+        SELECT lang,
+               round(quantile_cont(n_chars, 0.5), 6) AS p50_interp,
+               round(quantile_cont(n_chars, 0.9), 6) AS p90_interp,
+               round(quantile_cont(n_chars, 0.99), 6) AS p99_interp
+        FROM documents WHERE doc_id IS NOT NULL
+        GROUP BY lang
     )
-    SELECT lang, CAST(max(n) AS BIGINT) AS doc_ct,
-           CAST(max(CASE WHEN rn = (50 * n + 99) // 100 THEN v END)
-                AS BIGINT) AS p50_exact,
-           CAST(1 AS BIGINT) AS p50_in_band,
-           CAST(max(CASE WHEN rn = (90 * n + 99) // 100 THEN v END)
-                AS BIGINT) AS p90_exact,
-           CAST(1 AS BIGINT) AS p90_in_band,
-           CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN v END)
-                AS BIGINT) AS p99_exact,
-           CAST(1 AS BIGINT) AS p99_in_band
-    FROM ranked GROUP BY lang
+    SELECT cts.lang, CAST(doc_ct AS BIGINT) AS doc_ct,
+           p50_exact, CAST(1 AS BIGINT) AS p50_in_band, p50_interp,
+           p90_exact, CAST(1 AS BIGINT) AS p90_in_band, p90_interp,
+           p99_exact, CAST(1 AS BIGINT) AS p99_in_band, p99_interp
+    FROM cts
+    LEFT JOIN ex ON cts.lang IS NOT DISTINCT FROM ex.lang
+    LEFT JOIN interp ON cts.lang IS NOT DISTINCT FROM interp.lang
 """

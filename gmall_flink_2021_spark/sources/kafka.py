@@ -80,3 +80,31 @@ def kafka_sink(df: DataFrame, brokers: str, topic: str | None,
     if topic_col is None:
         writer = writer.option("topic", topic)
     return writer
+
+
+# The DWD split-topic topology (BaseLogApp.java:110-117 side-output
+# tags → Kafka topics; the file analogs in streaming/warehouse use
+# the same names as directory suffixes).
+SPLIT_TOPICS = {"start": "dwd_start_log", "page": "dwd_page_log",
+                "display": "dwd_display_log"}
+
+
+def wire_envelopes(streams: dict[str, DataFrame]) -> DataFrame:
+    """The exact per-record (topic, value) rows a broker producer
+    would transmit for the split log streams (operators/dwd.split_log
+    output): value is the record's JSON (to_json drops null fields —
+    the reference serializes JSONObject beans the same way,
+    BaseLogApp.java:110-117 + MyKafkaUtil.java:15-27), topic comes
+    from SPLIT_TOPICS. The Spark kafka sink UTF-8-encodes the string
+    value; tests/test_kafka_wire_fixture.py pins the serialized form
+    byte-for-byte against a committed golden fixture so a future
+    broker environment can replay it unchanged."""
+    from functools import reduce
+
+    outs = []
+    for name in sorted(streams):
+        df = streams[name]
+        outs.append(df.select(
+            F.lit(SPLIT_TOPICS[name]).alias("topic"),
+            F.to_json(F.struct(*df.columns)).alias("value")))
+    return reduce(DataFrame.unionByName, outs)

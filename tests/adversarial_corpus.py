@@ -64,6 +64,11 @@ def _documents_rows():
         (2, "null source group key document body here", "en", None),
         (3, None, "en", "src2"),                 # NULL text
         (4, "", "en", "src3"),                   # empty text
+        # empty-STRING group values (round-9 seeded-fuzz pin):
+        # datasketches HLL ignores empty-string updates, so column
+        # profiles must encode values before sketching or '' vanishes
+        # from distinct estimates
+        (33, "document whose lang is the empty string", "", "src3"),
         (5, "   \t  \n ", "en", "src4"),         # whitespace-only
         # --- CJK + mixed scripts (tokenizer bigram path)
         (6, _HAN, "zh", "src5"),
@@ -237,6 +242,15 @@ def _events_rows():
         # fork unless the oracles pin NULLS FIRST explicitly
         (None, ts("2024-01-05 08:00:00"), 5, "click", 1.5,
          '{"k": 5}'),
+        # round-9 seeded-fuzz pins (literal fixtures for the classes
+        # seed 9001 surfaced):
+        #  - a JSON-STRING props value: ANSI CAST aborts the engine
+        #    where the oracle's digits-only regex yields NULL
+        (25, ts("2024-01-07 09:00:00"), 8, "view", 1.0, '{"k": "s"}'),
+        #  - a NULL event_type inside a >=3-event session: concat_ws
+        #    SKIPS NULLs (trigram shrinks) while SQL || propagates
+        #    them (whole path NULL) — user 3 now has 3 events
+        (26, ts("2024-01-02 11:10:00"), 3, "view", 2.0, '{"k": 9}'),
     ]
 
 

@@ -74,7 +74,6 @@ EDGE_QUERIES = [
     "media_features", "media_resize", "video_frame_samples",
     "frame_dedup", "uv_sketch_rollup", "rolling_active_users_approx",
     "incremental_dedup", "cross_source_dup_matrix", "lang_id",
-    "doc_length_percentiles",
     # round-8 second sweep (NaN/Inf/NULL embeddings + NULL-ts and
     # non-finite-value events + byte-level doc edges) — 18 more
     # divergences in three classes, all fixed:
@@ -113,6 +112,15 @@ EDGE_QUERIES = [
     # queries below carry the tiebreak but were not yet pinned
     # (the rest of the class is already in the dated() block above).
     "first_visits", "linear_attribution",
+    # round-9 seeded-fuzz finds (tests/fuzz_corpus.py, seed 9001),
+    # each now a literal corpus fixture above:
+    #  - props_stats: JSON-string k value (ANSI cast abort vs regex
+    #    NULL) — already pinned; fixture added
+    #  - profile_sketch_report: datasketches HLL ignores ''-updates,
+    #    sketch inputs are 'v'-prefixed now
+    #  - session_path_ngrams: NULL event_type in a trigram
+    #    (concat_ws skip vs || propagate), coded '(null)' both sides
+    "profile_sketch_report",
 ]
 assert len(EDGE_QUERIES) == len(set(EDGE_QUERIES)), "duplicate pins"
 # queries whose empty-input divergence was fixed — re-checked on the

@@ -1,0 +1,60 @@
+"""In-suite seeded parity fuzz (VERDICT r8 #3).
+
+Each round runs the FULL registry against the mirrored DuckDB
+oracles on ``GMALL_FUZZ_SEEDS`` freshly generated corpora
+(tests/fuzz_corpus.py): random NULL densities, script mixes, key
+overlap, duplicate groups, timestamp ties and dirty metrics, all
+drawn from the seed, so the suite probes edges a generator thinks of
+— not only the hand-written literals in adversarial_corpus.py.
+
+Round discipline: ROUND_SEEDS is the committed seed list for the
+CURRENT round — the round's builder swaps in fresh seeds each round
+(after sweeping them green locally: ``python
+tests/run_seeded_fuzz.py <seed> ...``), and any divergence a new
+seed surfaces is fixed and then pinned as a LITERAL fixture in
+adversarial_corpus.py + test_adversarial_parity.py (the r8 gate-test
+template), so closure never depends on the seed staying in rotation.
+
+Seed history (all green at commit time):
+ - round 9: 9001 (found 3 real divergences: ANSI cast abort on
+   JSON-string props, HLL empty-string no-op undercount, NULL
+   event_type trigram fork), 9002-9010 + 42, 777, 31337 (green).
+
+Failures print the seed and the repro command.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from .fuzz_corpus import build_seeded
+from .parity import compare, duck_connect
+
+ROUND_SEEDS = [9007, 9008]
+
+
+@pytest.mark.parametrize("seed", ROUND_SEEDS)
+def test_seeded_corpus_full_registry_parity(spark, tmp_path_factory,
+                                            seed):
+    from gmall_flink_2021_spark.plans import ORACLES, QUERIES
+
+    root = str(tmp_path_factory.mktemp("fuzz"))
+    sf_dir = build_seeded(root, seed)
+    con = duck_connect(sf_dir)
+    only = os.environ.get("GMALL_FUZZ_ONLY")
+    failures = {}
+    for name, fn in QUERIES.items():
+        if only and name not in only.split(","):
+            continue
+        try:
+            problems = compare(fn(spark, sf_dir), ORACLES[name], con)
+        except Exception as e:  # noqa: BLE001 — collect, keep going
+            problems = [f"EXCEPTION: {type(e).__name__}: "
+                        f"{str(e)[:300]}"]
+        if problems:
+            failures[name] = problems
+    assert not failures, (
+        f"seed {seed} diverged — repro: "
+        f"python tests/run_seeded_fuzz.py {seed}\n{failures}")
