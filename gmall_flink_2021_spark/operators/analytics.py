@@ -859,7 +859,15 @@ def score_daily_cents(daily: DataFrame, trailing: int = 7,
     ss = F.sum("cents_sq").over(w).cast("double")
     mean = s / n
     var = (ss - s * s / n) / (n - 1)
-    z = F.round((F.col("cents") - mean) / F.sqrt(var), 6)
+    # fixed-point quantization instead of round(z, 6): at large |z|
+    # (a 1e12-value outlier day) a 6-dp round sits past double
+    # precision and Spark (HALF_UP on the exact decimal expansion)
+    # and SQL engines (binary rounding) fork on half-way cases —
+    # floor(x·1e6 + ½)/1e6 is pure IEEE arithmetic, bit-identical
+    # everywhere (the kmeans-fingerprint discipline; seeded-fuzz
+    # find, round 9)
+    zraw = (F.col("cents") - mean) / F.sqrt(var)
+    z = F.floor(zraw * 1e6 + F.lit(0.5)) / F.lit(1e6)
     return (daily
             .select("event_type", "day", "cents",
                     n.cast("long").alias("n_prior"),

@@ -264,6 +264,14 @@ def ivf_search(corpus: DataFrame, queries: DataFrame,
     Returns (query_id, probed label, neighbor_id, rank, cos_sim)."""
     probe_w = Window.partitionBy("query_id").orderBy(
         F.desc("c_sim"), F.asc("label"))
+    # a NULL label is an unaddressable inverted list: rows carrying
+    # it can never be probed (the candidate equi-join drops NULL),
+    # so it must not be probe-ABLE either — when every c_sim is NULL
+    # (zero-norm query) the label tiebreak would pick NULL on Spark
+    # (asc nulls first) but a real label in SQL (asc nulls last),
+    # silently emptying the query's candidate set on one side only
+    # (seeded-fuzz find, round 9)
+    cents = cents.filter(F.col("label").isNotNull())
     probes = (queries.join(F.broadcast(cents))
               .withColumn("c_sim",
                           F.round(cosine(F.col("vec_q"),
@@ -919,14 +927,21 @@ def _pq_learn(embeddings: DataFrame, m: int = PQ_SUBSPACES,
     def assign(cmap: dict[tuple[int, int], list[int]]) -> DataFrame:
         """argmin cluster per row, dispatched on the subspace column:
         integer squared distances, ties to lowest cluster, dirty rows
-        to nearest-of-origin (the _kmeans_assign JVM-fold rule)."""
+        to nearest-of-origin (the _kmeans_assign JVM-fold rule).
+
+        A cluster that lost every member in an earlier iteration has
+        no recomputed centroid and DROPS OUT of the candidate set —
+        exactly the unrolled oracle's semantics, where c{n} only
+        carries clusters present in a{n} (duplicate-heavy corpora
+        collapse seed clusters routinely; the seeded fuzz caught the
+        range(k) form KeyErroring here)."""
         branches = []
         for s in range(m):
             cand = ",".join(
                 f"struct(coalesce({_isqdist_sql('q', cmap[(s, c)])}, "
                 f"{int(sum(x * x for x in cmap[(s, c)]))}L) as d, "
                 f"{c} as cluster)"
-                for c in range(k))
+                for c in range(k) if (s, c) in cmap)
             branches.append(
                 f"WHEN s = {s} THEN array_min(array({cand})).cluster")
         case = "CASE " + " ".join(branches) + " END"

@@ -398,8 +398,11 @@ ORACLES: dict[str, str] = {
                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
         SELECT event_type, day, cents, CAST(n AS BIGINT) AS n_prior,
                CASE WHEN n >= 3 AND (ss - s * s / n) / (n - 1) > 0
-                    THEN round((cents - s / n)
-                               / sqrt((ss - s * s / n) / (n - 1)), 6)
+                    -- floor-quantized, not round(): see
+                    -- score_daily_cents (bit-identical IEEE ops)
+                    THEN floor((cents - s / n)
+                               / sqrt((ss - s * s / n) / (n - 1))
+                               * 1000000.0 + 0.5) / 1000000.0
                     END AS z
         FROM fr
     """,

@@ -175,7 +175,7 @@ ORACLES: dict[str, str] = {
         SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
         FROM (
             SELECT *, row_number() OVER (
-                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+                PARTITION BY query_id ORDER BY cos_sim DESC NULLS LAST, neighbor_id) AS rank
             FROM scored
         ) WHERE rank <= 5
     """,
@@ -201,9 +201,11 @@ ORACLES: dict[str, str] = {
                 SELECT q.query_id, q.vq, cent.label,
                        row_number() OVER (
                            PARTITION BY q.query_id
-                           ORDER BY round({_cos('vq', 'centroid')}, 6) DESC,
+                           ORDER BY round({_cos('vq', 'centroid')}, 6) DESC NULLS LAST,
                                     cent.label) AS c_rank
-                FROM q, cent
+                -- NULL label = unaddressable inverted list (mirrors
+                -- ivf_search's probe gate)
+                FROM q, cent WHERE cent.label IS NOT NULL
             ) WHERE c_rank <= 1
         ),
         cand AS (
@@ -217,7 +219,7 @@ ORACLES: dict[str, str] = {
         FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY query_id
-                ORDER BY cos_sim DESC, neighbor_id) AS rank
+                ORDER BY cos_sim DESC NULLS LAST, neighbor_id) AS rank
             FROM cand
         ) WHERE rank <= 3
     """,
@@ -283,7 +285,7 @@ ORACLES: dict[str, str] = {
                CAST(rank AS BIGINT) AS rank, cos_sim
         FROM (SELECT *, row_number() OVER (
                   PARTITION BY query_id
-                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+                  ORDER BY cos_sim DESC NULLS LAST, neighbor_id) AS rank
               FROM scored)
         WHERE rank <= 3
     """,

@@ -609,7 +609,11 @@ ORACLES: dict[str, str] = {
             SELECT source, doc_id, n_chars,
                    CAST(row_number() OVER (
                        PARTITION BY source
-                       ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+                       -- NULLS LAST = Spark's F.desc default; NULL
+                       -- n_chars (NULL text) must rank behind real
+                       -- lengths on both engines
+                       ORDER BY n_chars DESC NULLS LAST, doc_id)
+                       AS BIGINT) AS rank
             FROM documents WHERE doc_id IS NOT NULL)
         WHERE rank <= 10
     """,

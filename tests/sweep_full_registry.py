@@ -8,7 +8,8 @@ sf0.1); run `python bench.py` first if it is stale. Queries whose
 audit forms refuse oversized inputs BY DESIGN (the in-code fences on
 the exhaustive/all-pairs forms) are reported as FENCED, not failures.
 
-Usage: python tests/sweep_full_registry.py [out_json] [query ...]
+Usage: python tests/sweep_full_registry.py [out_json]
+           [--factor N] [query ...]
 """
 
 import json
@@ -18,23 +19,32 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+_args = sys.argv[1:]
 FACTOR = 10
+if "--factor" in _args:
+    i = _args.index("--factor")
+    FACTOR = int(_args[i + 1])
+    del _args[i:i + 2]
 SRC = "/root/testdata/sf0.1"
 DST = f"/tmp/gmall_stress_x{FACTOR}"
-OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sweep_x10_full.json"
-ONLY = set(sys.argv[2:])
+OUT = _args[0] if _args else f"/tmp/sweep_x{FACTOR}_full.json"
+ONLY = set(_args[1:])
 
 
 def main():
-    # stress_scale parses sys.argv at import time — hide ours
+    # stress_scale parses sys.argv at import time — hide ours, then
+    # point its module-level FACTOR/DST at this sweep's factor (its
+    # replicate() reads both globals)
     argv, sys.argv = sys.argv, sys.argv[:1]
     import stress_scale
     sys.argv = argv
+    stress_scale.FACTOR = FACTOR
+    stress_scale.DST = DST
 
     from gmall_flink_2021_spark.plans import QUERIES as REG
     from gmall_flink_2021_spark.session import get_spark
 
-    spark = get_spark("sweep-x10")
+    spark = get_spark(f"sweep-x{FACTOR}")
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
     stress_scale.replicate(spark)
@@ -59,7 +69,7 @@ def main():
         wall = time.time() - t0
         b = base.get(name)
         ratio = (wall / b) if b else None
-        rows[name] = {"x10_wall": round(wall, 3), "rows": n,
+        rows[name] = {f"x{FACTOR}_wall": round(wall, 3), "rows": n,
                       "sf01_wall": b, "ratio": round(ratio, 2)
                       if ratio else None, "err": err}
         tag = ""
@@ -69,11 +79,11 @@ def main():
             tag = "  <-- >3x PER DATA"
         elif ratio and ratio > 2 * FACTOR:
             tag = "  <-- >2x per data"
-        print(f"{name:32s} x10={wall:7.2f}s sf0.1={b if b else -1:6.2f}s "
+        print(f"{name:32s} x{FACTOR}={wall:7.2f}s sf0.1={b if b else -1:6.2f}s "
               f"ratio={ratio if ratio else -1:6.1f}{tag}", flush=True)
         json.dump(rows, open(OUT, "w"), indent=1)
-    total = sum(r["x10_wall"] for r in rows.values())
-    print(f"\nTOTAL x10 wall: {total:.1f}s over {len(rows)} queries",
+    total = sum(r[f"x{FACTOR}_wall"] for r in rows.values())
+    print(f"\nTOTAL x{FACTOR} wall: {total:.1f}s over {len(rows)} queries",
           flush=True)
     spark.stop()
 

@@ -15,10 +15,16 @@ seed surfaces is fixed and then pinned as a LITERAL fixture in
 adversarial_corpus.py + test_adversarial_parity.py (the r8 gate-test
 template), so closure never depends on the seed staying in rotation.
 
-Seed history (all green at commit time):
- - round 9: 9001 (found 3 real divergences: ANSI cast abort on
-   JSON-string props, HLL empty-string no-op undercount, NULL
-   event_type trigram fork), 9002-9010 + 42, 777, 31337 (green).
+Seed history (all green at commit time; 13 seeds swept in round 9):
+ - 9001 found ANSI cast abort on JSON-string props, the HLL
+   empty-string no-op undercount, the NULL-event_type trigram fork,
+   and the percentile-audit population mismatch;
+ - 9002 found the first_visits NULL-day DuckDB window instability
+   and the purchase_attribution NULL-identity formulation fork;
+ - 9004 found the k-means/PQ empty-cluster KeyError and the
+   zero-vector-query NULL-label probe fork;
+ - 9008 found the round(z, 6) half-way fork at |z|~1e9;
+ - 9003, 9005-9007, 9009, 9010, 42, 777, 31337 green.
 
 Failures print the seed and the repro command.
 """
@@ -32,7 +38,9 @@ import pytest
 from .fuzz_corpus import build_seeded
 from .parity import compare, duck_connect
 
-ROUND_SEEDS = [9007, 9008]
+# the two highest-yield round-9 seeds, kept in rotation (both green
+# after their fixes); swap in fresh seeds each round
+ROUND_SEEDS = [9004, 9008]
 
 
 @pytest.mark.parametrize("seed", ROUND_SEEDS)
