@@ -30,8 +30,14 @@ import shutil
 import numpy as np
 import pyarrow as pa
 
-from adversarial_corpus import (
-    _copy_relational, _doc_schema, _emb_schema, _evt_schema, _write)
+try:                                   # pytest package context
+    from .adversarial_corpus import (
+        _copy_relational, _doc_schema, _emb_schema, _evt_schema,
+        _write)
+except ImportError:                    # script context (dev tools)
+    from adversarial_corpus import (
+        _copy_relational, _doc_schema, _emb_schema, _evt_schema,
+        _write)
 
 _LATIN = ("data query plan spark merge scan filter join sort shuffle "
           "window state stream batch table column row group order "
