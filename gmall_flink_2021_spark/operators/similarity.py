@@ -194,7 +194,8 @@ def label_centroid_similarity(embeddings: DataFrame) -> DataFrame:
 
 def embedding_dups_exhaustive(embeddings: DataFrame,
                               threshold: float = 0.35,
-                              max_block_rows: int = 20_000) -> DataFrame:
+                              max_scored_pairs: int = 60_000_000
+                              ) -> DataFrame:
     """EXHAUSTIVE AUDIT FORM — not the production near-dup path.
     Embedding-cosine near-duplicate pairs blocked only by the label
     column: every intra-block pair is scored, O(block²) per label.
@@ -203,26 +204,31 @@ def embedding_dups_exhaustive(embeddings: DataFrame,
     default ``embedding_dups`` (LSH-blocked) on a sampled block, not
     to run over a 100 TB corpus. Use ``embedding_dups`` by default.
 
-    IN-CODE FENCE: refuses any label block larger than
-    ``max_block_rows`` (20k rows ⇒ ~2·10⁸ scored pairs per block —
-    already minutes of audit work) with a loud error naming the
-    production alternate. The guard is one map-side-combined
-    (label, count) aggregate — negligible next to the block² join it
-    protects against. Raise ``max_block_rows`` explicitly for a
-    deliberate larger audit; there is no way to hit the quadratic
-    path by accident.
+    IN-CODE FENCE: refuses when the TOTAL scored-pair count
+    Σ ct·(ct−1)/2 over label blocks exceeds ``max_scored_pairs``
+    (default 6·10⁷ ≈ minutes of audit work — the x10 replica corpus
+    sits at 2.4·10⁷ / ~115 s; the x32 corpus at 2.4·10⁸ would grind
+    a skewed single block for an hour, which round 9's sweep proved
+    empirically). The earlier per-block-rows fence let exactly that
+    through: total pairs is the quantity the join actually scores,
+    so it is the quantity the fence bounds. The guard is one
+    map-side-combined (label, count) aggregate — negligible next to
+    the block² join it protects against. Raise ``max_scored_pairs``
+    explicitly for a deliberate larger audit; there is no way to hit
+    the quadratic path by accident.
     """
-    biggest = (embeddings.groupBy("label")
-               .agg(F.count(F.lit(1)).alias("ct"))
-               .agg(F.max("ct").alias("m")).collect()[0].m) or 0
-    if biggest > max_block_rows:
+    pairs = (embeddings.groupBy("label")
+             .agg(F.count(F.lit(1)).alias("ct"))
+             .agg(F.sum(F.expr("ct * (ct - 1) DIV 2")).alias("p"))
+             .collect()[0].p) or 0
+    if pairs > max_scored_pairs:
         raise RuntimeError(
-            f"embedding_dups_exhaustive: largest label block has "
-            f"{biggest} rows (> max_block_rows={max_block_rows}); "
-            f"this audit form scores O(block²) pairs and must not "
+            f"embedding_dups_exhaustive: label blocks hold {pairs} "
+            f"scorable pairs (> max_scored_pairs={max_scored_pairs});"
+            f" this audit form scores O(block²) pairs and must not "
             f"run at this scale — use embedding_dups (banded "
             f"hyperplane LSH, linear) as the production near-dup "
-            f"path, or pass a larger max_block_rows for a "
+            f"path, or pass a larger max_scored_pairs for a "
             f"deliberate audit.")
     a = (embeddings.select("label", F.col("vec_id").alias("vec_a"),
                            as_double("embedding").alias("va"))

@@ -196,12 +196,44 @@ def _events_rows(rng: random.Random, n_events: int):
     return rows
 
 
+def _dirty_relational(dest: str, rng: random.Random) -> None:
+    """Copy the sf0.001 relational tables but inject NULLs into a
+    seeded sample of orders/lineitem rows — foreign keys, dates,
+    statuses, prices (NULL, never NaN/Inf: the warehouse dirty-data
+    contract excludes non-finites but a loader CAN emit NULLs).
+    Injection is per-column independent so mixed-shape rows occur."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _copy_relational(dest, skip=("orders", "lineitem"))
+    for t, cols in [("orders", ["o_custkey", "o_orderdate",
+                                "o_orderstatus", "o_totalprice",
+                                "o_orderpriority"]),
+                    ("lineitem", ["l_partkey", "l_suppkey",
+                                  "l_shipdate", "l_returnflag",
+                                  "l_quantity", "l_discount"])]:
+        tab = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet")
+        n = tab.num_rows
+        arrays = {}
+        for name in tab.schema.names:
+            col = tab.column(name).to_pylist()
+            if name in cols:
+                for _ in range(max(1, n // 80)):   # ~1.2% per column
+                    col[rng.randrange(n)] = None
+            arrays[name] = pa.array(col, type=tab.schema.field(name).type)
+        pq.write_table(pa.table(arrays, schema=tab.schema),
+                       os.path.join(dest, f"{t}.parquet"))
+
+
 def build_seeded(dest_root: str, seed: int, n_docs: int = 90,
                  n_vecs: int = 60, n_events: int = 350,
-                 force: bool = False) -> str:
+                 force: bool = False,
+                 relational_dirt: bool = False) -> str:
     """Write one seeded corpus under ``dest_root/seed{seed}`` with
-    the canonical table schemas (relational tables copied from
-    sf0.001 so every registry query runs); returns the directory."""
+    the canonical table schemas; returns the directory. Relational
+    tables are copied from sf0.001 clean by default;
+    ``relational_dirt=True`` (seeds ≥ 20000 by the dev-tool
+    convention) additionally NULL-injects orders/lineitem columns."""
     dest = os.path.join(dest_root, f"seed{seed}")
     if force:
         shutil.rmtree(dest, ignore_errors=True)
@@ -209,7 +241,10 @@ def build_seeded(dest_root: str, seed: int, n_docs: int = 90,
         return dest
     os.makedirs(dest)
     rng = random.Random(seed)
-    _copy_relational(dest)
+    if relational_dirt:
+        _dirty_relational(dest, rng)
+    else:
+        _copy_relational(dest)
     _write(os.path.join(dest, "documents.parquet"), _doc_schema(),
            _documents_rows(rng, n_docs))
     _write(os.path.join(dest, "embeddings.parquet"), _emb_schema(),

@@ -94,8 +94,11 @@ def stage_adversarial(res):
 
 
 def stage_fuzz(res):
-    sys.path.insert(0, TESTS)
-    from test_seeded_fuzz import ROUND_SEEDS
+    # parse rather than import: test_seeded_fuzz uses package-relative
+    # imports that only resolve under pytest
+    src = open(os.path.join(TESTS, "test_seeded_fuzz.py")).read()
+    m = re.search(r"^ROUND_SEEDS = (\[[^\]]*\])", src, re.M)
+    ROUND_SEEDS = json.loads(m.group(1))
 
     p, wall = _run([sys.executable,
                     os.path.join(TESTS, "run_seeded_fuzz.py"),

@@ -54,7 +54,10 @@ def main():
     total = 0
     for seed in seeds:
         t0 = time.time()
-        sf_dir = build_seeded(ROOT, seed, force=True)
+        # convention: seeds >= 20000 also NULL-inject the relational
+        # tables (orders/lineitem foreign keys, dates, statuses)
+        sf_dir = build_seeded(ROOT, seed, force=True,
+                              relational_dirt=seed >= 20000)
         fails = sweep(spark, duck_connect(sf_dir), sf_dir, seed)
         total += len(fails)
         print(f"seed {seed}: {len(fails)} failures "

@@ -79,8 +79,6 @@ def feed(root: str, cycle: int, seed: int) -> None:
     """Append one seeded micro-corpus: doc_ids strictly increase with
     the cycle (the dedup stream's arrival-order contract — DWD gates
     identity upstream, so only non-NULL ids are fed)."""
-    import pyarrow.parquet  # noqa: F401  (import check)
-
     from fuzz_corpus import _documents_rows, _events_rows
     from adversarial_corpus import _doc_schema, _evt_schema, _write
 
@@ -141,7 +139,9 @@ def verify(spark, root: str) -> dict:
     mh.unpersist()
     if got != want:
         diff = [k for k in want if got.get(k) != want[k]][:5]
-        problems.append(f"dedup marks diverge on {len([k for k in want if got.get(k) != want[k]])} docs, e.g. {diff}")
+        n_bad = len([k for k in want if got.get(k) != want[k]])
+        problems.append(
+            f"dedup marks diverge on {n_bad} docs, e.g. {diff}")
 
     def du(path):
         total = 0

@@ -1164,11 +1164,13 @@ def test_audit_form_guards_trip_beyond_documented_bounds(spark):
         F.lit("blk").alias("label"), F.col("id").alias("vec_id"),
         F.array(F.col("id").cast("double"),
                 F.lit(1.0)).alias("embedding"))
+    # 12 rows in one block = 66 scorable pairs: the fence bounds the
+    # TOTAL pair count (what the join actually scores), not rows
     with pytest.raises(RuntimeError, match="embedding_dups"):
-        similarity.embedding_dups_exhaustive(emb, max_block_rows=10)
+        similarity.embedding_dups_exhaustive(emb, max_scored_pairs=65)
     # under the bound: runs
     assert similarity.embedding_dups_exhaustive(
-        emb, threshold=-1.0, max_block_rows=12).count() == 66
+        emb, threshold=-1.0, max_scored_pairs=66).count() == 66
 
     docs = spark.range(8).select(
         F.col("id").alias("doc_id"),

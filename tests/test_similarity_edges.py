@@ -19,7 +19,6 @@ codebooks), vecs with NULL labels carry real data.
 from __future__ import annotations
 
 import os
-import shutil
 
 import numpy as np
 import pytest
