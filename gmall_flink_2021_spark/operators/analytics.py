@@ -35,8 +35,16 @@ def top_orders_per_segment(customer: DataFrame, orders: DataFrame,
 
 def gmv_daily_delta(orders: DataFrame) -> DataFrame:
     """Daily GMV with day-over-day delta (lag) and running cumulative
-    total (frame: unbounded preceding)."""
+    total (frame: unbounded preceding).
+
+    Order-dependent (the dated() contract): an undated order has no
+    position on the time axis — a NULL day group would enter the
+    running total FIRST on Spark and LAST in SQL, shifting every
+    cumulative value by a constant (seeded relational fuzz, r9).
+    The plain gmv_daily keeps undated orders as a visible NULL
+    group; the delta/cumulative form excludes them."""
     daily = (orders
+             .filter(F.col("o_orderdate").isNotNull())
              .groupBy(F.date_trunc("DAY", "o_orderdate").alias("order_day"))
              .agg(F.sum(wmoney("o_totalprice")).cast("decimal(18,2)")
                   .alias("gmv")))
@@ -604,13 +612,19 @@ def sole_late_suppliers(supplier: DataFrame, orders: DataFrame,
                 .select("o_orderkey", "o_orderdate"),
                 F.col("l_orderkey") == F.col("o_orderkey")))
     late = F.col("l_shipdate") > F.expr("o_orderdate + interval 60 days")
+    # numwait counts the sole supplier's OWN late lines: a late line
+    # with NULL l_suppkey belongs to no supplier, and the correlated
+    # NOT-EXISTS form never attributes it (NULL never equi-joins) —
+    # the aggregate form must not count it either (seeded relational
+    # fuzz, round 9)
+    late_owned = late & F.col("l_suppkey").isNotNull()
     per_order = (li.groupBy("l_orderkey")
                  .agg(F.countDistinct("l_suppkey").alias("supp_ct"),
                       F.countDistinct(F.when(late, F.col("l_suppkey")))
                       .alias("late_supp_ct"),
                       F.max(F.when(late, F.col("l_suppkey")))
                       .alias("late_supp"),
-                      F.sum(F.when(late, 1).otherwise(0))
+                      F.sum(F.when(late_owned, 1).otherwise(0))
                       .alias("late_line_ct")))
     return (per_order
             .filter((F.col("supp_ct") >= 2) & (F.col("late_supp_ct") == 1))
@@ -1013,10 +1027,18 @@ def scd2_enrich(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     only on the fact row and the static version table, so batching
     cannot change any row's assignment (Flink's temporal-table-join
     semantics, FOR SYSTEM_TIME AS OF, on a static dim)."""
-    v1 = orders.select(F.col("o_orderkey").alias("k"),
-                       F.col("o_orderstatus").alias("status"),
-                       F.col("o_orderdate").alias("t"))
-    v2 = (orders.filter(F.col("o_orderkey") % 5 == 0)
+    # SCD2 date domain (seeded relational fuzz, round 9): a version
+    # with NULL eff_from is effective from nothing — in the window
+    # form it would sort NULLS FIRST and poison every later fact,
+    # while the oracle's inequality join never matches it; an
+    # undated or keyless fact has no as-of point and no partition —
+    # both are out of the operator's domain on BOTH sides.
+    dated_orders = orders.filter(F.col("o_orderdate").isNotNull()
+                                 & F.col("o_orderkey").isNotNull())
+    v1 = dated_orders.select(F.col("o_orderkey").alias("k"),
+                             F.col("o_orderstatus").alias("status"),
+                             F.col("o_orderdate").alias("t"))
+    v2 = (dated_orders.filter(F.col("o_orderkey") % 5 == 0)
           .select(F.col("o_orderkey").alias("k"),
                   F.lit("X").alias("status"),
                   (F.col("o_orderdate")
@@ -1025,13 +1047,16 @@ def scd2_enrich(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         "k", "t", F.lit(0).alias("side"), "status",
         F.lit(None).cast("double").alias("px"),
         F.lit(None).cast("double").alias("dc"))
-    facts = lineitem.select(
-        F.col("l_orderkey").alias("k"),
-        F.col("l_shipdate").alias("t"),
-        F.lit(1).alias("side"),
-        F.lit(None).cast("string").alias("status"),
-        F.col("l_extendedprice").alias("px"),
-        F.col("l_discount").alias("dc"))
+    facts = (lineitem
+             .filter(F.col("l_shipdate").isNotNull()
+                     & F.col("l_orderkey").isNotNull())
+             .select(
+                 F.col("l_orderkey").alias("k"),
+                 F.col("l_shipdate").alias("t"),
+                 F.lit(1).alias("side"),
+                 F.lit(None).cast("string").alias("status"),
+                 F.col("l_extendedprice").alias("px"),
+                 F.col("l_discount").alias("dc")))
     w = (Window.partitionBy("k").orderBy("t", "side")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (versions.unionByName(facts)
@@ -1365,8 +1390,13 @@ def winsorized_price_stats(orders: DataFrame, lo_pct: int = 5,
     thresholds."""
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)) \
         .cast("long")
-    base = orders.select(F.col("o_orderpriority").alias("priority"),
-                         cents.alias("c"))
+    # a NULL price is an absent measurement, not a price: it must
+    # not occupy a rank in the quantile sort (Spark orders NULLS
+    # FIRST, SQL NULLS LAST — the thresholds would fork; the
+    # doc-length-audit population rule, seeded relational fuzz r9)
+    base = (orders.filter(F.col("o_totalprice").isNotNull())
+            .select(F.col("o_orderpriority").alias("priority"),
+                    cents.alias("c")))
     w_ord = Window.partitionBy("priority").orderBy("c")
     w_all = Window.partitionBy("priority")
     ranked = (base

@@ -421,7 +421,9 @@ ORACLES: dict[str, str] = {
         WITH daily AS (
             SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS order_day,
                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS gmv
-            FROM orders GROUP BY 1
+            -- order-dependent (running total): undated orders out of
+            -- domain, mirroring the engine's dated() rule
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
         )
         SELECT order_day, gmv,
                CAST(gmv - lag(gmv) OVER (ORDER BY order_day) AS DECIMAL(18,2)) AS gmv_delta,
@@ -875,7 +877,9 @@ ORACLES["winsorized_price_stats"] = """
     WITH base AS (
         SELECT o_orderpriority AS priority,
                CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
-        FROM orders
+        -- NULL price = absent measurement: it must not occupy a
+        -- quantile rank (mirrors the engine's population gate)
+        FROM orders WHERE o_totalprice IS NOT NULL
     ),
     ranked AS (
         SELECT priority, c,
@@ -1115,16 +1119,21 @@ ORACLES["trade_pagerank"] = f"""
 
 ORACLES["scd2_dim_join"] = f"""
     WITH v AS (
+        -- SCD2 date domain: undated/keyless versions and facts are
+        -- out of domain on both sides (see operators.scd2_enrich)
         SELECT o_orderkey AS k, o_orderstatus AS status,
                o_orderdate AS eff_from
         FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_orderkey IS NOT NULL
         UNION ALL
         SELECT o_orderkey, 'X', o_orderdate + INTERVAL 365 DAY
         FROM orders WHERE o_orderkey % 5 = 0
+          AND o_orderdate IS NOT NULL AND o_orderkey IS NOT NULL
     ),
     pairs AS (
         SELECT DISTINCT l_orderkey AS k, l_shipdate AS t
         FROM lineitem
+        WHERE l_shipdate IS NOT NULL AND l_orderkey IS NOT NULL
     ),
     cand AS (
         SELECT p.k, p.t, v.status, v.eff_from
@@ -1142,7 +1151,9 @@ ORACLES["scd2_dim_join"] = f"""
            count(*) AS n_items,
            count(DISTINCT l.l_orderkey) AS order_ct,
            CAST(floor(sum({_DISC}) * 100) AS BIGINT) AS revenue_cents
-    FROM lineitem l
+    FROM (SELECT * FROM lineitem
+          WHERE l_shipdate IS NOT NULL
+            AND l_orderkey IS NOT NULL) l
     JOIN eff e ON e.k = l.l_orderkey AND e.t = l.l_shipdate
     GROUP BY coalesce(e.status, 'pre-order')
 """

@@ -24,7 +24,13 @@ Seed history (all green at commit time; 13 seeds swept in round 9):
  - 9004 found the k-means/PQ empty-cluster KeyError and the
    zero-vector-query NULL-label probe fork;
  - 9008 found the round(z, 6) half-way fork at |z|~1e9;
- - 9003, 9005-9007, 9009, 9010, 42, 777, 31337 green.
+ - 9003, 9005-9007, 9009, 9010, 42, 777, 31337 green;
+ - 20001/20003 (relational dirt: NULL foreign keys / dates /
+   statuses / prices injected into orders+lineitem — seeds >= 20000
+   by convention) found the unattributable-late-line count, the
+   NULL-price quantile-rank occupation, the SCD2 NULL-date
+   carry-forward poison, and the running-GMV NULL-day constant
+   offset; 20002, 20004, 20005 green.
 
 Failures print the seed and the repro command.
 """
@@ -38,9 +44,14 @@ import pytest
 from .fuzz_corpus import build_seeded
 from .parity import compare, duck_connect
 
-# the two highest-yield round-9 seeds, kept in rotation (both green
-# after their fixes); swap in fresh seeds each round
-ROUND_SEEDS = [9004, 9008]
+# the highest-yield round-9 seeds, kept in rotation (all green after
+# their fixes; >= 20000 adds relational dirt); swap in fresh seeds
+# each round
+ROUND_SEEDS = [9004, 20001]
+
+
+def _dirt(seed: int) -> bool:
+    return seed >= 20000
 
 
 @pytest.mark.parametrize("seed", ROUND_SEEDS)
@@ -49,7 +60,7 @@ def test_seeded_corpus_full_registry_parity(spark, tmp_path_factory,
     from gmall_flink_2021_spark.plans import ORACLES, QUERIES
 
     root = str(tmp_path_factory.mktemp("fuzz"))
-    sf_dir = build_seeded(root, seed)
+    sf_dir = build_seeded(root, seed, relational_dirt=_dirt(seed))
     con = duck_connect(sf_dir)
     only = os.environ.get("GMALL_FUZZ_ONLY")
     failures = {}
