@@ -15,7 +15,8 @@ seed surfaces is fixed and then pinned as a LITERAL fixture in
 adversarial_corpus.py + test_adversarial_parity.py (the r8 gate-test
 template), so closure never depends on the seed staying in rotation.
 
-Seed history (all green at commit time; 13 seeds swept in round 9):
+Seed history (all green at commit time; 24 seeds swept in round 9,
+six of them yielding 13 real divergences):
  - 9001 found ANSI cast abort on JSON-string props, the HLL
    empty-string no-op undercount, the NULL-event_type trigram fork,
    and the percentile-audit population mismatch;
@@ -24,13 +25,13 @@ Seed history (all green at commit time; 13 seeds swept in round 9):
  - 9004 found the k-means/PQ empty-cluster KeyError and the
    zero-vector-query NULL-label probe fork;
  - 9008 found the round(z, 6) half-way fork at |z|~1e9;
- - 9003, 9005-9007, 9009, 9010, 42, 777, 31337 green;
+ - 9003, 9005-9007, 9009-9013, 42, 777, 31337 green;
  - 20001/20003 (relational dirt: NULL foreign keys / dates /
    statuses / prices injected into orders+lineitem — seeds >= 20000
    by convention) found the unattributable-late-line count, the
    NULL-price quantile-rank occupation, the SCD2 NULL-date
    carry-forward poison, and the running-GMV NULL-day constant
-   offset; 20002, 20004, 20005 green.
+   offset; 20002, 20004-20008 green.
 
 Failures print the seed and the repro command.
 """
