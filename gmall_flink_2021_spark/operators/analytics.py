@@ -908,7 +908,13 @@ def event_transitions(events: DataFrame) -> DataFrame:
     gmall-realtime/.../app/dwm/UserJumpDetailApp.java:60) to the full
     type×type matrix.
     """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # final tiebreak on event_type: two events tied on (ts, NULL
+    # event_id) with DIFFERENT types have no deterministic order
+    # otherwise, and the transition pair they form flips per engine
+    # (seeded fuzz, seed 10002); identical (ts, id, type) triples
+    # commute, so this closes the ambiguity completely
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id",
+                                              "event_type")
     pairs = (dated(events)
              .select("user_id", "ts", "event_id", "event_type")
              .withColumn("prev_type", F.lag("event_type").over(w))

@@ -1178,8 +1178,13 @@ ORACLES["session_path_ngrams"] = """
     arr AS (
         -- coalesce mirrors the engine: NULL event_type is a literal
         -- path token, not a NULL-propagating (or NULL-skipping) hole
+        -- event_type is the final tiebreak: the engine sorts
+        -- struct(ts, event_id, event_type) arrays, so two events
+        -- tied on (ts, NULL id) with different types still order
+        -- deterministically (identical triples commute)
         SELECT list(coalesce(event_type, '(null)')
-                    ORDER BY ts, event_id NULLS FIRST) AS t
+                    ORDER BY ts, event_id NULLS FIRST,
+                             event_type NULLS FIRST) AS t
         FROM s2 GROUP BY user_id, sess
     ),
     tri AS (
@@ -1312,7 +1317,8 @@ ORACLES["event_transitions"] = """
     WITH seq AS (
         SELECT user_id, event_type,
                lag(event_type) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id NULLS FIRST)
+                                     ORDER BY ts, event_id NULLS FIRST,
+                                              event_type NULLS FIRST)
                    AS prev_type
         -- order-dependent: undated events out of domain (dated())
         FROM events WHERE ts IS NOT NULL

@@ -251,6 +251,14 @@ def _events_rows():
         #    SKIPS NULLs (trigram shrinks) while SQL || propagates
         #    them (whole path NULL) — user 3 now has 3 events
         (26, ts("2024-01-02 11:10:00"), 3, "view", 2.0, '{"k": 9}'),
+        #  - TWO events tied on (ts, NULL event_id) with DIFFERENT
+        #    types (seed 10002): without event_type as the final
+        #    tiebreak their order — and every transition/path ngram
+        #    they form — is engine-defined
+        (None, ts("2024-01-05 14:00:00"), 5, "error", 1.0,
+         '{"k": 2}'),
+        (None, ts("2024-01-05 14:00:00"), 5, "signup", 2.0,
+         '{"k": 3}'),
     ]
 
 
