@@ -15,8 +15,9 @@ seed surfaces is fixed and then pinned as a LITERAL fixture in
 adversarial_corpus.py + test_adversarial_parity.py (the r8 gate-test
 template), so closure never depends on the seed staying in rotation.
 
-Seed history (all green at commit time; 28 seeds swept in round 9,
-seven of them yielding 14 real divergences):
+Seed history (all green at commit time; 34 seeds swept in round 9,
+seven yielding 14 real divergences — the last 17 consecutive seeds
+green, incl. one-empty-table corpus variants checked 150/150 each):
  - 9001 found ANSI cast abort on JSON-string props, the HLL
    empty-string no-op undercount, the NULL-event_type trigram fork,
    and the percentile-audit population mismatch;
@@ -28,13 +29,13 @@ seven of them yielding 14 real divergences):
  - 10002 found the tied-(ts, NULL event_id) different-type
    ordering ambiguity (event_type is now the final tiebreak in the
    type-sequence operators, both sides);
- - 9003, 9005-9007, 9009-9013, 10001, 42, 777, 31337 green;
+ - 9003, 9005-9007, 9009-9016, 10001, 42, 777, 31337 green;
  - 20001/20003 (relational dirt: NULL foreign keys / dates /
    statuses / prices injected into orders+lineitem — seeds >= 20000
    by convention) found the unattributable-late-line count, the
    NULL-price quantile-rank occupation, the SCD2 NULL-date
    carry-forward poison, and the running-GMV NULL-day constant
-   offset; 20002, 20004-20008, 21001, 21002 green.
+   offset; 20002, 20004-20010, 21001-21003 green.
 
 Failures print the seed and the repro command.
 """
