@@ -881,7 +881,17 @@ def score_daily_cents(daily: DataFrame, trailing: int = 7,
     # everywhere (the kmeans-fingerprint discipline; seeded-fuzz
     # find, round 9)
     zraw = (F.col("cents") - mean) / F.sqrt(var)
-    z = F.floor(zraw * 1e6 + F.lit(0.5)) / F.lit(1e6)
+    # quantize only while zraw·1e6 is far inside the long range:
+    # Spark's floor(double) returns LONG (clamps at 2^63) while
+    # DuckDB's floor stays DOUBLE, so the engines fork when
+    # |zraw|·1e6 ≥ 2^63.  Above 9e12 a 1e-6 quantum is already below
+    # double ULP (~2e-3 at that magnitude), so passing zraw through
+    # unquantized keeps the two sides bit-identical — both compute
+    # the same IEEE (cents−mean)/sqrt(var).  Mirrored in the
+    # daily_value_zscores oracle (plans/analytics.py).
+    z = F.when(F.abs(zraw) < F.lit(9e12),
+               F.floor(zraw * 1e6 + F.lit(0.5)) / F.lit(1e6)
+               ).otherwise(zraw)
     return (daily
             .select("event_type", "day", "cents",
                     n.cast("long").alias("n_prior"),

@@ -399,10 +399,21 @@ ORACLES: dict[str, str] = {
         SELECT event_type, day, cents, CAST(n AS BIGINT) AS n_prior,
                CASE WHEN n >= 3 AND (ss - s * s / n) / (n - 1) > 0
                     -- floor-quantized, not round(): see
-                    -- score_daily_cents (bit-identical IEEE ops)
-                    THEN floor((cents - s / n)
+                    -- score_daily_cents (bit-identical IEEE ops).
+                    -- |z| >= 9e12 passes through unquantized: Spark's
+                    -- floor(double) returns LONG (clamps at 2^63)
+                    -- while DuckDB's stays DOUBLE, so both engines
+                    -- skip the quantization there (a 1e-6 quantum is
+                    -- below double ULP at that magnitude anyway)
+                    THEN CASE WHEN abs((cents - s / n)
+                               / sqrt((ss - s * s / n) / (n - 1)))
+                              < 9e12
+                         THEN floor((cents - s / n)
                                / sqrt((ss - s * s / n) / (n - 1))
                                * 1000000.0 + 0.5) / 1000000.0
+                         ELSE (cents - s / n)
+                               / sqrt((ss - s * s / n) / (n - 1))
+                         END
                     END AS z
         FROM fr
     """,
@@ -786,8 +797,11 @@ ORACLES: dict[str, str] = {
     """,
     "nation_market_share": f"""
         SELECT order_year, nation_revenue, total_revenue,
-               round(CAST(nation_revenue AS DOUBLE)
-                     / CAST(total_revenue AS DOUBLE), 6) AS mkt_share
+               -- VARCHAR-routed decimal->double (registry._doubled_sql
+               -- contract): the direct cast double-rounds >= 2^53
+               round(CAST(CAST(nation_revenue AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(total_revenue AS VARCHAR) AS DOUBLE),
+                     6) AS mkt_share
         FROM (
             SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
                    CAST(round(sum(CASE WHEN sn.n_name = 'NATION_3'

@@ -233,10 +233,18 @@ SKETCH_ESTIMATE_QUERIES: dict[
 #
 # Therefore: aggregation stays exact DECIMAL *inside* every operator
 # (order-independent arithmetic), and the registry boundary presents
-# DOUBLE on both sides.  decimal(p,2) -> double is a single correctly-
-# rounded conversion in Spark (BigDecimal.doubleValue), DuckDB (exact
-# int/10^2 division) and CPython, bit-identical for |unscaled| < 2^53
-# (~9e13 at scale 2) — verified over 200k random values.
+# DOUBLE on both sides.  Spark's decimal->double
+# (BigDecimal.doubleValue) and CPython's are correctly rounded at
+# EVERY magnitude, but DuckDB's direct CAST(decimal AS DOUBLE)
+# double-rounds (unscaled int -> double, then /10^scale), forking
+# from Spark once |unscaled| >= 2^53 (~9e13 at scale 2; probed round
+# 10: 14 forks in 51 boundary candidates).  The oracle side therefore
+# routes the presentation through VARCHAR — DuckDB's decimal->text is
+# exact and text->double is strtod, correctly rounded — making the
+# conversion bit-identical on all three sides at all magnitudes up to
+# double overflow (verified: 0 forks over 120k random unscaled values
+# spanning ±10^24 plus the 2^53 neighborhood; pinned by
+# tests/test_relational_edges.py::test_decimal_double_presentation_2e53).
 
 _DECIMAL_OUT: dict[str, tuple[str, ...]] = {
     "pricing_summary": ("sum_qty", "sum_base_price", "sum_disc_price",
@@ -296,7 +304,12 @@ def _doubled(fn: Callable[[SparkSession, str], DataFrame]
 
 
 def _doubled_sql(sql: str, cols: tuple[str, ...]) -> str:
-    reps = ", ".join(f"CAST({c} AS DOUBLE) AS {c}" for c in cols)
+    # VARCHAR route, not a direct CAST(c AS DOUBLE): see the
+    # presentation-contract comment above (DuckDB's direct cast
+    # double-rounds above 2^53 unscaled; text->double is strtod,
+    # correctly rounded like Spark/CPython at every magnitude)
+    reps = ", ".join(
+        f"CAST(CAST({c} AS VARCHAR) AS DOUBLE) AS {c}" for c in cols)
     return f"SELECT * REPLACE ({reps}) FROM (\n{sql}\n)"
 
 
@@ -357,16 +370,27 @@ ORACLE_INFEASIBLE_ABOVE: dict[str, int] = {
 }
 
 
-def replica_factor(sf_dir: str) -> int:
-    """Replica factor of a corpus directory relative to sf0.1: the
-    stress corpora are named .../gmall_stress_x{N}; everything else
-    (sf0.001/sf0.01/sf0.1, adversarial corpora, pytest tmp dirs) is
-    at-or-below the bench scale and maps to 1."""
-    import os
-    import re
+REPLICA_MARKER = "replica_factor.json"
 
-    m = re.search(r"_x(\d+)$", os.path.basename(os.path.normpath(sf_dir)))
-    return int(m.group(1)) if m else 1
+
+def replica_factor(sf_dir: str) -> int:
+    """Replica factor of a corpus directory relative to sf0.1, read
+    from the explicit ``replica_factor.json`` marker that
+    tests/stress_scale.replicate writes next to the tables
+    (``{"factor": N}``).  Directories without the marker
+    (sf0.001/sf0.01/sf0.1, adversarial corpora, pytest tmp dirs) are
+    at-or-below the bench scale and map to 1.  The marker replaces
+    the earlier basename ``_x{N}`` pattern-match (ADVICE r9): a path
+    coincidentally ending in ``_x16`` must NOT silently downgrade a
+    parity sweep to engine-only."""
+    import json
+    import os
+
+    marker = os.path.join(sf_dir, REPLICA_MARKER)
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            return int(json.load(fh)["factor"])
+    return 1
 
 
 def oracle_is_feasible(name: str, sf_dir: str) -> bool:

@@ -121,8 +121,10 @@ ORACLES: dict[str, str] = {
                CAST(round(sum({_DISC}), 2) AS DECIMAL(18,2)) AS sum_disc_price,
                CAST(round(sum(CAST({_DISC} AS DECIMAL(18,4)) *
                         (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS sum_charge,
-               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / count(*) AS avg_qty,
-               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / count(*) AS avg_price,
+               -- VARCHAR-routed decimal->double (registry._doubled_sql
+               -- contract): the direct cast double-rounds >= 2^53
+               CAST(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
+               CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -189,7 +191,10 @@ ORACLES: dict[str, str] = {
             GROUP BY 1
         )
         SELECT ship_month, promo_revenue, total_revenue,
-               CAST(promo_revenue AS DOUBLE) / CAST(total_revenue AS DOUBLE)
+               -- VARCHAR-routed decimal->double (registry._doubled_sql
+               -- contract): the direct cast double-rounds >= 2^53
+               CAST(CAST(promo_revenue AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(total_revenue AS VARCHAR) AS DOUBLE)
                    AS promo_share
         FROM m
     """,

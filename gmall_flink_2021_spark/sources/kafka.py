@@ -101,6 +101,14 @@ def wire_envelopes(streams: dict[str, DataFrame]) -> DataFrame:
     broker environment can replay it unchanged."""
     from functools import reduce
 
+    if not streams:
+        raise ValueError("wire_envelopes needs at least one stream; "
+                         "got an empty dict")
+    unknown = sorted(set(streams) - set(SPLIT_TOPICS))
+    if unknown:
+        raise ValueError(
+            f"unknown stream key(s) {unknown}: wire_envelopes routes "
+            f"only the DWD split streams {sorted(SPLIT_TOPICS)}")
     outs = []
     for name in sorted(streams):
         df = streams[name]

@@ -114,7 +114,6 @@ def stage_fuzz(res):
 
 def _scale(factor, tag, res):
     out = f"/tmp/sweep_x{factor}_full.json"
-    env = dict(os.environ)
     p, wall = _run([sys.executable,
                     os.path.join(TESTS, "sweep_full_registry.py"),
                     out, "--factor", str(factor)])

@@ -12,8 +12,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-ONLY = set(sys.argv[2:])  # optional query-name filter
+# argv is only meaningful when run as a script — under an importer
+# (sweep_full_registry, pytest) the globals are defaults the caller
+# overrides (sweep sets FACTOR/DST; replicate() reads both)
+_cli = sys.argv[1:] if __name__ == "__main__" else []
+FACTOR = int(_cli[0]) if _cli else 10
+ONLY = set(_cli[1:])  # optional query-name filter
 SRC = "/root/testdata/sf0.1"
 DST = f"/tmp/gmall_stress_x{FACTOR}"
 
@@ -72,6 +76,13 @@ def replicate(spark):
     from gmall_flink_2021_spark.sources.tables import TABLE_NAMES, load_table
 
     os.makedirs(DST, exist_ok=True)
+    # explicit replica-factor marker — registry.replica_factor reads
+    # this (never the directory name) to decide oracle feasibility
+    import json
+
+    from gmall_flink_2021_spark.plans.registry import REPLICA_MARKER
+    with open(os.path.join(DST, REPLICA_MARKER), "w") as fh:
+        json.dump({"factor": FACTOR, "source": SRC}, fh)
     shifts = {
         "events": ("event_id", "user_id"),
         "documents": ("doc_id",),

@@ -109,6 +109,21 @@ def test_wire_contract_matches_golden_fixture(spark):
         assert b == g, (b, g)
 
 
+def test_wire_envelopes_rejects_bad_inputs(spark):
+    """Input validation (ADVICE r9): an unknown stream key or an
+    empty dict must raise a ValueError naming the problem, not an
+    opaque KeyError/TypeError from the routing internals."""
+    import pytest
+
+    from gmall_flink_2021_spark.sources.kafka import wire_envelopes
+
+    with pytest.raises(ValueError, match="empty"):
+        wire_envelopes({})
+    df = spark.range(1).select(F.lit("x").alias("a"))
+    with pytest.raises(ValueError, match="bogus.*dwd|unknown"):
+        wire_envelopes({"start": df, "bogus": df})
+
+
 def test_envelope_bytes_are_replayable():
     """The fixture alone must suffice to drive a real producer: every
     envelope's pinned sha256 matches its UTF-8 encoding, topics are

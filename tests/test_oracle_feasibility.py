@@ -41,32 +41,64 @@ def test_pinned_factors_cover_the_proven_scale():
     assert ORACLE_INFEASIBLE_ABOVE["cross_source_dup_matrix"] == 10
 
 
-def test_replica_factor_parsing():
+def _marked(tmp_path, name, factor):
+    d = tmp_path / name
+    d.mkdir()
+    (d / "replica_factor.json").write_text('{"factor": %d}' % factor)
+    return str(d)
+
+
+def test_replica_factor_reads_the_marker(tmp_path):
+    # unmarked dirs — including names that LOOK like stress corpora —
+    # are factor 1 (ADVICE r9: the basename pattern-match was a
+    # silent-downgrade loophole)
     assert replica_factor("/root/testdata/sf0.001") == 1
     assert replica_factor("/root/testdata/sf0.1") == 1
     assert replica_factor("/tmp/gmall_adversarial/edge") == 1
-    assert replica_factor("/tmp/gmall_stress_x10") == 10
-    assert replica_factor("/tmp/gmall_stress_x16") == 16
-    assert replica_factor("/tmp/gmall_stress_x32/") == 32
+    unmarked = tmp_path / "coincidental_x16"
+    unmarked.mkdir()
+    assert replica_factor(str(unmarked)) == 1
+    # marked dirs carry their written factor regardless of name
+    assert replica_factor(_marked(tmp_path, "stress_a", 10)) == 10
+    assert replica_factor(_marked(tmp_path, "whatever", 16)) == 16
+    assert replica_factor(_marked(tmp_path, "big", 32) + "/") == 32
 
 
-def test_oracle_is_feasible_honors_the_pin():
+def test_replicate_writes_the_marker(tmp_path, spark):
+    import tests.stress_scale as stress_scale
+
+    dst = str(tmp_path / "replicated")
+    orig_factor, orig_dst = stress_scale.FACTOR, stress_scale.DST
+    orig_src = stress_scale.SRC
+    try:
+        stress_scale.FACTOR, stress_scale.DST = 2, dst
+        stress_scale.SRC = "/root/testdata/sf0.001"
+        stress_scale.replicate(spark)
+    finally:
+        stress_scale.FACTOR, stress_scale.DST = orig_factor, orig_dst
+        stress_scale.SRC = orig_src
+    assert replica_factor(dst) == 2
+
+
+def test_oracle_is_feasible_honors_the_pin(tmp_path):
     q = "cross_source_dup_matrix"
     assert oracle_is_feasible(q, "/root/testdata/sf0.01")
-    assert oracle_is_feasible(q, "/tmp/gmall_stress_x10")
-    assert not oracle_is_feasible(q, "/tmp/gmall_stress_x16")
-    assert not oracle_is_feasible(q, "/tmp/gmall_stress_x32")
+    assert oracle_is_feasible(q, _marked(tmp_path, "a", 10))
+    assert not oracle_is_feasible(q, _marked(tmp_path, "b", 16))
+    x32 = _marked(tmp_path, "c", 32)
+    assert not oracle_is_feasible(q, x32)
     # unpinned queries are feasible everywhere
-    assert oracle_is_feasible("pricing_summary", "/tmp/gmall_stress_x32")
+    assert oracle_is_feasible("pricing_summary", x32)
 
 
 def test_run_parity_skips_infeasible_oracle_engine_only(tmp_path):
-    """End-to-end: a corpus directory whose name carries an x16
-    replica factor makes run_parity run the ENGINE side only for the
-    pinned query, report SKIP-ORACLE-INFEASIBLE with the engine row
-    count, and exit 0."""
-    corpus = tmp_path / "parity_pin_x16"
+    """End-to-end: a corpus directory carrying an x16
+    replica_factor.json marker makes run_parity run the ENGINE side
+    only for the pinned query, report SKIP-ORACLE-INFEASIBLE with the
+    engine row count, and exit 0."""
+    corpus = tmp_path / "parity_pin"
     corpus.mkdir()
+    (corpus / "replica_factor.json").write_text('{"factor": 16}')
     for t in ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents",
               "embeddings"]:
