@@ -1078,7 +1078,8 @@ ORACLES["trade_pagerank"] = f"""
     r0 AS MATERIALIZED (SELECT n_name AS node, CAST(1000000 AS BIGINT) AS rank_micro FROM nation),
     c0 AS MATERIALIZED (
         SELECT e.dst AS node,
-               CAST((r.rank_micro * e.w) // e.wout AS BIGINT) AS c
+               CAST((CAST(r.rank_micro AS HUGEINT) * e.w) // e.wout
+                    AS BIGINT) AS c
         FROM e2 e JOIN r0 r ON e.src = r.node
     ),
     r1 AS MATERIALIZED (
@@ -1091,7 +1092,8 @@ ORACLES["trade_pagerank"] = f"""
     ),
     c1 AS MATERIALIZED (
         SELECT e.dst AS node,
-               CAST((r.rank_micro * e.w) // e.wout AS BIGINT) AS c
+               CAST((CAST(r.rank_micro AS HUGEINT) * e.w) // e.wout
+                    AS BIGINT) AS c
         FROM e2 e JOIN r1 r ON e.src = r.node
     ),
     r2 AS MATERIALIZED (
@@ -1104,7 +1106,8 @@ ORACLES["trade_pagerank"] = f"""
     ),
     c2 AS MATERIALIZED (
         SELECT e.dst AS node,
-               CAST((r.rank_micro * e.w) // e.wout AS BIGINT) AS c
+               CAST((CAST(r.rank_micro AS HUGEINT) * e.w) // e.wout
+                    AS BIGINT) AS c
         FROM e2 e JOIN r2 r ON e.src = r.node
     ),
     r3 AS MATERIALIZED (

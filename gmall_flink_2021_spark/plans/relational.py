@@ -119,7 +119,10 @@ ORACLES: dict[str, str] = {
                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
                CAST(round(sum({_DISC}), 2) AS DECIMAL(18,2)) AS sum_disc_price,
-               CAST(round(sum(CAST({_DISC} AS DECIMAL(18,4)) *
+               -- DECIMAL(28,4) intermediate (hugeint): the charge
+               -- product's scale alignment overflows DECIMAL(18)'s
+               -- 18-digit width once prices reach ~1e12 (fuzz 20011)
+               CAST(round(sum(CAST({_DISC} AS DECIMAL(28,4)) *
                         (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS sum_charge,
                -- VARCHAR-routed decimal->double (registry._doubled_sql
                -- contract): the direct cast double-rounds >= 2^53

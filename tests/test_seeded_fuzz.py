@@ -49,10 +49,13 @@ import pytest
 from .fuzz_corpus import build_seeded
 from .parity import compare, duck_connect
 
-# the highest-yield round-9 seeds, kept in rotation (all green after
-# their fixes; >= 20000 adds relational dirt); swap in fresh seeds
-# each round
-ROUND_SEEDS = [9004, 20001]
+# the highest-yield round-10 seeds, kept in rotation (all green after
+# their fixes; >= 20000 adds relational dirt + 2^53-crossing money
+# sums); swap in fresh seeds each round.  20010 found the
+# double->decimal input-conversion ambiguity above 9.0e13 and the
+# pagerank INT64 overflow; 20011 found the Q1 charge-product
+# DECIMAL(18) width overflow.
+ROUND_SEEDS = [9010, 20010, 20011]
 
 
 def _dirt(seed: int) -> bool:
