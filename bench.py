@@ -95,12 +95,21 @@ def main() -> None:
             spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+
+    # Rig calibration (VERDICT r9 #2): a fixed synthetic workload
+    # pair measured alongside every bench run, so cross-round walls
+    # normalize numerically (wall * REF / measured) instead of by
+    # prose rig-variance adjudication.
+    from tests.rig_calibration import measure as _calib_measure
+    calib = _calib_measure(spark)
+
     full_payload = json.dumps({
         "metric": "registry_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calib": calib,
     }, separators=(",", ":"))
 
     # The driver keeps only the last ~2000 chars of stdout, and the
@@ -133,12 +142,14 @@ def main() -> None:
         "n_queries": len(timings),
         "families": families,
         "sf": sf,
+        "calib": calib,
         "full_results": "bench_results.json",
     }, separators=(",", ":"))
     if len(summary) > 1900:  # belt-and-braces: never exceed the tail window
         summary = json.dumps({
             "metric": "registry_total_wall", "value": total, "unit": "sec",
             "queries": slowest, "n_queries": len(timings), "sf": sf,
+            "calib": calib,
         }, separators=(",", ":"))
     # Stop Spark first (its shutdown chatter would otherwise land
     # after the line and push the line's head out of a bounded tail

@@ -1,12 +1,18 @@
 """Multimodal column plumbing: opaque binary media columns with typed
 metadata, processed by Arrow-batched pandas UDFs via mapInPandas.
 
-Training-data-pipeline extension. The actual decoders (image/audio/
-video libs) are not available in this environment, so ``_decode`` is a
-clearly-marked deterministic fake keyed only on the payload bytes —
-but the Spark-side plumbing is real: binary column schema, Arrow batch
-transfer, per-batch vectorized processing, and a stable output
-schema. Swapping the fake for PIL/ffmpeg is a one-function change.
+Training-data-pipeline extension. Since round 10 the decode is REAL
+for uncompressed container formats: ``_decode`` sniffs the payload
+magic and genuinely parses BMP headers (width/height from the
+BITMAPINFOHEADER) and RIFF/WAVE chunk lists (sample count = data
+size / block align) with stdlib ``struct`` — and
+``documents_as_media(containers=True)`` builds valid BMP/WAV
+containers around the synthetic payloads, so ``media_features`` /
+``media_resize`` exercise a genuine end-to-end decode.  Only
+COMPRESSED formats (jpeg/mp4-class) remain a clearly-marked
+deterministic fake — their codecs (PIL/ffmpeg) are absent from this
+environment; swapping the fake for a real codec is a one-branch
+change in ``_decode``.
 
 At scale this is the right shape: mapInPandas streams Arrow record
 batches (no per-row Python overhead), media bytes never pass through
@@ -41,25 +47,132 @@ FEATURE_SCHEMA = StructType([
 ])
 
 
-def documents_as_media(documents: DataFrame) -> DataFrame:
-    """Wrap the documents table's text as opaque binary payloads —
-    the stand-in corpus for media blobs (utf-8 bytes; the oracles
-    mirror the stub arithmetic over strlen(text) = UTF-8 byte count,
-    so CJK and NULL texts stay engine-exact too)."""
+def documents_as_media(documents: DataFrame,
+                       containers: bool = False) -> DataFrame:
+    """Wrap the documents table's text as binary payloads — the
+    stand-in corpus for media blobs.
+
+    ``containers=False`` (default): raw utf-8 bytes, standing in for
+    opaque/compressed blobs (the fake-decode path; oracles mirror the
+    arithmetic over strlen(text) = UTF-8 byte count, so CJK and NULL
+    texts stay engine-exact).
+
+    ``containers=True``: image docs become REAL 24-bit uncompressed
+    BMP files and audio docs REAL 16-bit mono PCM WAV files (valid
+    headers, text bytes as pixel/sample payload) built in an Arrow
+    batch, so the downstream ``_decode`` genuinely parses container
+    headers end-to-end.  Video docs stay raw utf-8 (the mp4-class
+    compressed stand-in).  Dimensions derive from the payload byte
+    count B: BMP width = 1 + B%96, height = 1 + B%20; WAV samples =
+    ceil(B/2) — integer-expressible, so the DuckDB oracles can mirror
+    the CONTAINER GEOMETRY while the engine actually reads it from
+    the parsed headers."""
     # NULL text wraps as the EMPTY payload (0 bytes): a dirty corpus
     # must not kill the decode job, and total integer arithmetic keeps
     # the oracle mirror exact (same rule as encode_media's stub)
-    return documents.select(
+    raw = documents.select(
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
          .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
          .otherwise(F.lit("video")).alias("media_type"),
         F.encode(F.coalesce("text", F.lit("")), "utf-8").alias("media"))
+    if not containers:
+        return raw
+
+    def wrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = []
+            for m, t in zip(pdf["media"], pdf["media_type"]):
+                b = b"" if m is None else bytes(m)
+                if t == "image":
+                    media.append(_build_bmp(b))
+                elif t == "audio":
+                    media.append(_build_wav(b))
+                else:
+                    media.append(b)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "media_type": pdf["media_type"],
+                                "media": media})
+
+    return raw.mapInPandas(wrap, MEDIA_SCHEMA)
+
+
+def _build_bmp(payload: bytes) -> bytes:
+    """A valid 24-bit uncompressed BMP whose pixel buffer carries the
+    payload bytes (truncated / zero-padded to the row grid). Width
+    1 + B%96, height 1 + B%20 with B = len(payload); rows padded to
+    4-byte boundaries per the BMP spec."""
+    import struct
+
+    b = len(payload)
+    width, height = 1 + b % 96, 1 + b % 20
+    rowbytes = ((3 * width + 3) // 4) * 4
+    pix = payload[:rowbytes * height].ljust(rowbytes * height, b"\0")
+    size = 54 + len(pix)
+    return (struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
+                          0, len(pix), 2835, 2835, 0, 0)
+            + pix)
+
+
+def _build_wav(payload: bytes) -> bytes:
+    """A valid 16-bit mono 8 kHz PCM WAV whose data chunk carries the
+    payload bytes (zero-padded to the 2-byte block align)."""
+    import struct
+
+    data = payload + (b"\0" if len(payload) % 2 else b"")
+    return (struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+            + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000,
+                          16000, 2, 16)
+            + struct.pack("<4sI", b"data", len(data))
+            + data)
+
+
+def _parse_bmp(media: bytes) -> tuple[int, int, int] | None:
+    """Genuine BMP header parse: BITMAPINFOHEADER width/height.
+    Returns None when the payload is not a parseable BMP."""
+    import struct
+
+    if len(media) < 54 or media[:2] != b"BM":
+        return None
+    header_size = struct.unpack_from("<I", media, 14)[0]
+    if header_size < 40:
+        return None
+    width, height = struct.unpack_from("<ii", media, 18)
+    return abs(width), abs(height), 1     # negative height = top-down
+
+
+def _parse_wav(media: bytes) -> tuple[int, int, int] | None:
+    """Genuine RIFF/WAVE chunk walk: sample count = data chunk size
+    // fmt chunk block align. Returns None when not a WAV."""
+    import struct
+
+    if len(media) < 12 or media[:4] != b"RIFF" or media[8:12] != b"WAVE":
+        return None
+    off, block_align, data_size = 12, None, None
+    while off + 8 <= len(media):
+        cid, csize = struct.unpack_from("<4sI", media, off)
+        if cid == b"fmt " and csize >= 16:
+            block_align = struct.unpack_from("<H", media, off + 20)[0]
+        elif cid == b"data":
+            data_size = csize
+        off += 8 + csize + (csize % 2)    # chunks are word-aligned
+    if not block_align or data_size is None:
+        return None
+    return 0, 0, data_size // block_align
 
 
 def _decode(media: bytes, media_type: str) -> tuple[int, int, int]:
-    """STUB decoder — deterministic fake. A real deployment decodes
-    with PIL/torchaudio/ffmpeg here; only this function changes."""
+    """Media decode: REAL header parsing for uncompressed containers
+    (BMP via ``_parse_bmp``, WAV via ``_parse_wav`` — magic-sniffed),
+    deterministic FAKE for everything else. The fake stands in for
+    compressed formats (jpeg/mp4-class) whose codecs are absent from
+    this environment; a real deployment replaces only the fallback
+    branch with PIL/torchaudio/ffmpeg."""
+    parsed = _parse_bmp(media) or _parse_wav(media)
+    if parsed is not None:
+        return parsed
+    # --- compressed-format STUB (deterministic fake) ---
     n = len(media)
     if media_type == "image":
         return 16 + n % 64, 16 + n % 48, 1
@@ -88,10 +201,13 @@ def decode_features(media_df: DataFrame) -> DataFrame:
 
 
 def media_features(documents: DataFrame) -> DataFrame:
-    """End-to-end: documents → binary media column → decoded feature
-    rows (the registry query; oracle recomputes the deterministic
-    fake's arithmetic from n_chars)."""
-    return decode_features(documents_as_media(documents))
+    """End-to-end: documents → REAL BMP/WAV containers (video stays
+    the raw compressed stand-in) → genuinely parsed feature rows.
+    The oracle recomputes the container GEOMETRY (BMP header+rowgrid
+    size, WAV header+block-aligned data) from strlen(text); the
+    engine reads the same numbers from the parsed headers."""
+    return decode_features(documents_as_media(documents,
+                                              containers=True))
 
 
 FRAME_SCHEMA = StructType([
@@ -173,7 +289,11 @@ def resize_media(media_df: DataFrame, max_dim: int = 64) -> DataFrame:
 
 
 def media_resize(documents: DataFrame) -> DataFrame:
-    return resize_media(documents_as_media(documents))
+    # containers=True: dims come from genuinely parsed BMP/WAV
+    # headers (media_features' contract); the scaling math above is
+    # then exercised on real decoded dimensions
+    return resize_media(documents_as_media(documents,
+                                           containers=True))
 
 
 FRAME_HASH_SCHEMA = StructType([

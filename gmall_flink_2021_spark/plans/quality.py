@@ -168,22 +168,40 @@ ORACLES: dict[str, str] = {
         FROM f GROUP BY frame_hash HAVING count(*) > 1
     """,
     "media_features": """
+        -- mirrors the r10 REAL-container contract: image docs are
+        -- genuine 24-bit BMPs (n_bytes = 54-byte headers + 4-byte-
+        -- padded row grid; width 1+B%96, height 1+B%20), audio docs
+        -- genuine 16-bit mono PCM WAVs (n_bytes = 44 + block-aligned
+        -- data; samples = ceil(B/2)); video stays the raw
+        -- compressed stand-in (fake-decode arithmetic).  The ENGINE
+        -- reads these numbers from parsed headers; the oracle
+        -- recomputes the container geometry from B = strlen bytes.
         WITH m AS (
             SELECT doc_id, strlen(coalesce(text, '')) AS n
-            FROM documents WHERE doc_id IS NOT NULL)
-        SELECT doc_id,
-               CASE WHEN doc_id % 3 = 0 THEN 'image'
-                    WHEN doc_id % 3 = 1 THEN 'audio'
-                    ELSE 'video' END AS media_type,
-               CAST(n AS BIGINT) AS n_bytes,
-               CAST(CASE WHEN doc_id % 3 = 1 THEN 0
+            FROM documents WHERE doc_id IS NOT NULL),
+        g AS (
+            SELECT doc_id, n,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS media_type,
+                   1 + n % 96 AS bw, 1 + n % 20 AS bh
+            FROM m)
+        SELECT doc_id, media_type,
+               CAST(CASE WHEN media_type = 'image'
+                         THEN 54 + ((3 * bw + 3) // 4) * 4 * bh
+                         WHEN media_type = 'audio'
+                         THEN 44 + n + (n % 2)
+                         ELSE n END AS BIGINT) AS n_bytes,
+               CAST(CASE WHEN media_type = 'image' THEN bw
+                         WHEN media_type = 'audio' THEN 0
                          ELSE 16 + n % 64 END AS INT) AS width,
-               CAST(CASE WHEN doc_id % 3 = 1 THEN 0
+               CAST(CASE WHEN media_type = 'image' THEN bh
+                         WHEN media_type = 'audio' THEN 0
                          ELSE 16 + n % 48 END AS INT) AS height,
-               CAST(CASE WHEN doc_id % 3 = 0 THEN 1
-                         WHEN doc_id % 3 = 1 THEN 1 + n % 100
+               CAST(CASE WHEN media_type = 'image' THEN 1
+                         WHEN media_type = 'audio' THEN (n + 1) // 2
                          ELSE 1 + n % 5 END AS INT) AS n_frames
-        FROM m
+        FROM g
     """,
     "video_frame_samples": """
         WITH m AS (
@@ -196,6 +214,10 @@ ORACLES: dict[str, str] = {
         FROM m, unnest(range(0, 1 + n % 5)) AS t(i)
     """,
     "media_resize": """
+        -- r10 REAL-container dims: image = parsed BMP width/height
+        -- (1+B%96 x 1+B%20), audio = parsed WAV (0 x 0, ceil(B/2)
+        -- samples, out_bytes = whole container), video = the raw
+        -- compressed stand-in's fake-decode arithmetic
         WITH base AS (
             SELECT doc_id,
                    CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -203,16 +225,27 @@ ORACLES: dict[str, str] = {
                         ELSE 'video' END AS media_type,
                    strlen(coalesce(text, '')) AS n
             FROM documents WHERE doc_id IS NOT NULL),
-        dims AS (
-            SELECT doc_id, media_type, n,
+        dims0 AS (
+            SELECT doc_id, media_type, n AS b,
                    CASE WHEN media_type = 'audio' THEN 0
+                        WHEN media_type = 'image' THEN 1 + n % 96
                         ELSE 16 + n % 64 END AS width,
                    CASE WHEN media_type = 'audio' THEN 0
+                        WHEN media_type = 'image' THEN 1 + n % 20
                         ELSE 16 + n % 48 END AS height,
                    CASE WHEN media_type = 'image' THEN 1
-                        WHEN media_type = 'audio' THEN 1 + n % 100
+                        WHEN media_type = 'audio' THEN (n + 1) // 2
                         ELSE 1 + n % 5 END AS frames
             FROM base),
+        dims AS (
+            -- n = the payload the engine holds: whole container for
+            -- image/audio, raw bytes for video
+            SELECT doc_id, media_type, width, height, frames,
+                   CASE WHEN media_type = 'audio' THEN 44 + b + (b % 2)
+                        WHEN media_type = 'image'
+                        THEN 54 + ((3 * width + 3) // 4) * 4 * height
+                        ELSE b END AS n
+            FROM dims0),
         scaled AS (
             SELECT *, greatest(width, height) AS mx FROM dims),
         resized AS (

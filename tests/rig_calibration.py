@@ -1,0 +1,96 @@
+"""Rig-calibration measurement (VERDICT r9 #2).
+
+Cross-round wall comparisons kept re-litigating "rig variance" by
+prose: BENCH_r09 was +13% over r8 on byte-stable plans, adjudicated
+by hand each time.  This module pins a FIXED synthetic workload pair
+whose walls measure the rig, not the engine, so any two rounds'
+benchmark walls can be normalized numerically:
+
+    normalized_wall = wall * (JVM_AGG_REF_S / measured jvm_agg_s)
+
+- ``jvm_agg_s``: a deterministic whole-stage-codegen aggregate over
+  ``spark.range`` (no I/O, no Python) — measures JVM codegen +
+  shuffle + CPU speed, the dominant term in every registry query.
+- ``py_loop_s``: a fixed single-core CPython integer loop — measures
+  the Python-side speed that drives the driver-side loops (pagerank
+  power iteration, BPE merges) and Arrow UDF overheads.
+
+Both are min-of-2 (the same sporadic-stall discipline as bench.py).
+The reference constants are the round-10 rig's measurements; they
+parameterize the normalization, they are NOT asserted by tests
+(a different rig is expected to differ — that is the point).
+
+bench.py embeds the result in every BENCH artifact under ``calib``;
+warm_headliners.py prints it alongside the headliner walls.
+"""
+
+from __future__ import annotations
+
+import time
+
+# Round-10 reference rig (the session that introduced calibration).
+# Pinned from the context the constant is consumed in: measured
+# INSIDE bench.py after its two full sweeps (deeply-warm JVM — a
+# standalone cold-session run of this module measures ~1.45x slower
+# on the same rig purely from JIT state, so only same-context
+# measurements are comparable).  Divide a BENCH wall by
+# (bench-measured / REF) to express it in r10-rig seconds.
+JVM_AGG_REF_S = 0.68
+PY_LOOP_REF_S = 0.60
+
+_N_JVM = 400_000_000
+_N_PY = 8_000_000
+
+
+def jvm_agg_wall(spark) -> float:
+    """Fixed synthetic aggregate: 400M rows through codegen hash +
+    one 997-group shuffle. Deterministic result, asserted."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        rows = (spark.range(0, _N_JVM, 1, 32)
+                .select((F.col("id") % 997).alias("k"),
+                        ((F.col("id") * 2654435761) % 1000003)
+                        .alias("v"))
+                .groupBy("k")
+                .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+                .collect())
+        best = min(best, time.time() - t0)
+        assert len(rows) == 997, len(rows)
+    return round(best, 3)
+
+
+def py_loop_wall() -> float:
+    """Fixed single-core CPython integer loop."""
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        x = 0
+        for i in range(_N_PY):
+            x = (x * 31 + i) % 1000003
+        best = min(best, time.time() - t0)
+        assert x == 587857, x  # determinism pin
+    return round(best, 3)
+
+
+def measure(spark) -> dict[str, float]:
+    return {"jvm_agg_s": jvm_agg_wall(spark),
+            "py_loop_s": py_loop_wall(),
+            "jvm_agg_ref_s": JVM_AGG_REF_S,
+            "py_loop_ref_s": PY_LOOP_REF_S}
+
+
+if __name__ == "__main__":
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from gmall_flink_2021_spark.session import get_spark
+
+    spark = get_spark("rig-calibration")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(measure(spark))
+    spark.stop()

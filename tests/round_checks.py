@@ -51,9 +51,10 @@ def stage_bench(res):
     d = json.loads(line)
     res["bench"] = {"total_s": d["value"], "n": d["n_queries"],
                     "families": d["families"], "sf": d["sf"],
+                    "calib": d.get("calib"),
                     "wall_s": round(wall, 1), "ok": p.returncode == 0}
     print(f"[bench] {d['n_queries']} queries {d['value']:.1f}s "
-          f"(sf {d['sf']})")
+          f"(sf {d['sf']}) calib={d.get('calib')}")
 
 
 def stage_headliners(res):
@@ -63,7 +64,9 @@ def stage_headliners(res):
     for m in re.finditer(r"^(\S+)\s+warm median\s+([\d.]+) s",
                          p.stdout, re.M):
         rows[m.group(1)] = float(m.group(2))
+    calib = re.search(r"^rig_calibration (\{.*\})$", p.stdout, re.M)
     res["headliners"] = {"warm_median_s": rows, "wall_s": round(wall, 1),
+                         "calib": calib.group(1) if calib else None,
                          "ok": p.returncode == 0 and bool(rows)}
     print("[headliners] | query | warm median (s) |")
     print("[headliners] |---|---|")

