@@ -47,7 +47,8 @@ def _paths(root):
     return {k: os.path.join(root, k) for k in
             ("src_docs", "src_events", "uv_store", "prof_store",
              "dedup_out", "dedup_state", "ck_uv", "ck_prof",
-             "ck_dedup")}
+             "ck_dedup", "out_trans", "ck_trans", "out_join",
+             "ck_join")}
 
 
 # ------------------------------------------------------------ worker
@@ -62,6 +63,33 @@ def worker(root: str) -> None:
     docs_schema = spark.read.parquet(p["src_docs"]).schema
     ev_schema = spark.read.parquet(p["src_events"]).schema
 
+    # Watermark heartbeat (sentinel user -1, ts = max seen + 60 s),
+    # appended BEFORE any job of this pass so EVERY event consumer —
+    # the uv store included — sees it within the same pass as the
+    # cycle's data (verify recomputes batch counts over the same
+    # files, heartbeats included): the transitions stream's buffered
+    # tails only flush when the watermark passes them, and the
+    # heartbeat guarantees that flush happens INSIDE a completed
+    # worker pass — so whenever the driver sees rc==0, the streamed
+    # output is fully drained for everything fed so far (a SIGKILL
+    # between the data batch and the timeout batch just means the
+    # NEXT attempt appends a fresh heartbeat and drains).
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from adversarial_corpus import _evt_schema, _write
+    mx = spark.read.parquet(p["src_events"]).agg(
+        F.max("ts")).collect()[0][0]
+    if mx is None:                        # all-NULL ts corpus
+        mx = _dt.datetime(2024, 1, 1)
+    n_hb = len([f for f in os.listdir(p["src_events"])
+                if f.startswith("hb_")])
+    _write(os.path.join(p["src_events"], f"hb_{n_hb:05d}.parquet"),
+           _evt_schema(),
+           [(9_000_000_000 + n_hb, mx + _dt.timedelta(seconds=60),
+             -1, "view", 0.0, None)])
+
     uv_sketch_stream(
         spark.readStream.schema(ev_schema).parquet(p["src_events"]),
         p["uv_store"], p["ck_uv"])
@@ -71,24 +99,88 @@ def worker(root: str) -> None:
     minhash_dedup_stream(
         spark.readStream.schema(docs_schema).parquet(p["src_docs"]),
         p["dedup_out"], p["dedup_state"], p["ck_dedup"])
+
+    # ---- round-10 additions (VERDICT r9 #4): the stateful
+    # transitions stream and a watermarked stream-stream interval
+    # join, both through Spark's exactly-once file sink.
+    from gmall_flink_2021_spark.streaming.stateful import (
+        event_transitions_stream)
+
+    proj = (spark.readStream.schema(ev_schema)
+            .parquet(p["src_events"])
+            .filter(F.col("ts").isNotNull())
+            .select("user_id",
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    .alias("ts_us"),
+                    "event_id", "event_type"))
+    q = (event_transitions_stream(proj).writeStream
+         .format("parquet").option("path", p["out_trans"])
+         .option("checkpointLocation", p["ck_trans"])
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    def leg(name):
+        return (spark.readStream.schema(ev_schema)
+                .parquet(p["src_events"])
+                .filter((F.col("event_type") == name)
+                        & F.col("ts").isNotNull()
+                        & F.col("user_id").isNotNull()
+                        & F.col("event_id").isNotNull()))
+
+    # parquet stores TIMESTAMP_NTZ; watermarks need TIMESTAMP
+    clicks = (leg("click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").cast("timestamp").alias("click_ts"))
+              .withWatermark("click_ts", "15 minutes"))
+    purch = (leg("purchase")
+             .select(F.col("user_id").alias("p_user"),
+                     F.col("event_id").alias("purchase_id"),
+                     F.col("ts").cast("timestamp")
+                     .alias("purchase_ts"))
+             .withWatermark("purchase_ts", "15 minutes"))
+    joined = (clicks.join(
+        purch,
+        (clicks.c_user == purch.p_user)
+        & (purch.purchase_ts >= clicks.click_ts)
+        & (purch.purchase_ts
+           <= F.expr("click_ts + interval 15 minutes")),
+        "inner")
+        .select(F.col("c_user").alias("user_id"), "click_id",
+                "purchase_id"))
+    q = (joined.writeStream.format("parquet")
+         .option("path", p["out_join"])
+         .option("checkpointLocation", p["ck_join"])
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
     spark.stop()
 
 
 # ------------------------------------------------------------ feeder
-def feed(root: str, cycle: int, seed: int) -> None:
+def feed(root: str, cycle: int, seed: int, n_docs: int = 40,
+         n_events: int = 120) -> None:
     """Append one seeded micro-corpus: doc_ids strictly increase with
     the cycle (the dedup stream's arrival-order contract — DWD gates
-    identity upstream, so only non-NULL ids are fed)."""
+    identity upstream, so only non-NULL ids are fed). Event
+    timestamps shift forward 7 days per cycle (the generator spreads
+    a cycle over 5 days), so event time is monotone ACROSS cycles —
+    the transitions stream's watermark and the interval join's state
+    eviction see an advancing clock, exactly like a live pipeline;
+    nothing arrives behind the watermark."""
+    import datetime
+
     from fuzz_corpus import _documents_rows, _events_rows
     from adversarial_corpus import _doc_schema, _evt_schema, _write
 
     rng = random.Random(seed * 1000 + cycle)
-    docs = [(cycle * 100000 + i, t, lg, src, n)
+    shift = datetime.timedelta(days=7 * cycle)
+    docs = [(cycle * 1000000 + i, t, lg, src, n)
             for i, (d, t, lg, src, n) in
-            enumerate(_documents_rows(rng, 40))]
-    evs = [(cycle * 100000 + i, ts, u, et, v, pr)
+            enumerate(_documents_rows(rng, n_docs))]
+    evs = [(cycle * 1000000 + i,
+            None if ts is None else ts + shift, u, et, v, pr)
            for i, (e, ts, u, et, v, pr) in
-           enumerate(_events_rows(rng, 120))]
+           enumerate(_events_rows(rng, n_events))]
     _write(os.path.join(root, "src_docs", f"c{cycle:04d}.parquet"),
            _doc_schema(), docs)
     _write(os.path.join(root, "src_events", f"c{cycle:04d}.parquet"),
@@ -143,6 +235,56 @@ def verify(spark, root: str) -> dict:
         problems.append(
             f"dedup marks diverge on {n_bad} docs, e.g. {diff}")
 
+    # ---- transitions stream vs the batch operator (sentinel user
+    # -1 heartbeats excluded on both sides; every completed worker
+    # pass ends with a heartbeat-advanced watermark, so the streamed
+    # output is fully drained — see worker()).
+    from gmall_flink_2021_spark.operators.analytics import \
+        event_transitions
+
+    real = events.filter(F.col("user_id").isNull()
+                         | (F.col("user_id") != -1))
+    want_tr = {(r.prev_type, r.next_type, r.transitions) for r in
+               event_transitions(real).collect()}
+    got_tr = {(r.prev_type, r.next_type, r.cnt) for r in
+              spark.read.parquet(p["out_trans"])
+              .filter(F.col("user_id").isNull()
+                      | (F.col("user_id") != -1))
+              .groupBy("prev_type", "next_type")
+              .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    if want_tr != got_tr:
+        problems.append(
+            f"transitions diverge: {len(want_tr)} batch cells vs "
+            f"{len(got_tr)} streamed, e.g. "
+            f"{sorted(want_tr ^ got_tr)[:4]}")
+
+    # ---- interval join stream vs the batch join (J1/J2 shape)
+    def legb(name):
+        return events.filter((F.col("event_type") == name)
+                             & F.col("ts").isNotNull()
+                             & F.col("user_id").isNotNull()
+                             & F.col("event_id").isNotNull())
+
+    cb = legb("click").select(F.col("user_id").alias("c_user"),
+                              F.col("event_id").alias("click_id"),
+                              F.col("ts").alias("click_ts"))
+    pb = legb("purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"))
+    want_j = {(r.c_user, r.click_id, r.purchase_id) for r in
+              cb.join(pb, (cb.c_user == pb.p_user)
+                      & (pb.purchase_ts >= cb.click_ts)
+                      & (pb.purchase_ts
+                         <= F.expr("click_ts + interval 15 minutes")),
+                      "inner").collect()}
+    got_j = {(r.user_id, r.click_id, r.purchase_id) for r in
+             spark.read.parquet(p["out_join"]).collect()}
+    if want_j != got_j:
+        problems.append(
+            f"interval join diverges: {len(want_j)} batch pairs vs "
+            f"{len(got_j)} streamed")
+
     def du(path):
         total = 0
         for d, _, fs in os.walk(path):
@@ -156,7 +298,11 @@ def verify(spark, root: str) -> dict:
         "uv_store_bytes": du(p["uv_store"]),
         "prof_store_bytes": du(p["prof_store"]),
         "dedup_state_bytes": du(p["dedup_state"]),
+        "trans_state_bytes": du(p["ck_trans"]),
+        "join_state_bytes": du(p["ck_join"]),
         "dedup_out_rows": len(got),
+        "trans_rows": got_tr and sum(c for *_, c in got_tr) or 0,
+        "join_rows": len(got_j),
     }
 
 
@@ -175,6 +321,8 @@ def main() -> None:
     kill_p = opt("--kill-p", 0.4)
     seed = opt("--seed", 90400, int)
     root = opt("--root", "/tmp/gmall_soak", str)
+    n_docs = opt("--docs", 40, int)       # per-cycle slice sizes —
+    n_events = opt("--events", 120, int)  # crank for MB-scale state
     shutil.rmtree(root, ignore_errors=True)
     # only the SOURCE dirs may pre-exist: the jobs key their
     # cold-start behavior on their state/store paths not existing
@@ -191,10 +339,11 @@ def main() -> None:
     deadline = time.time() + minutes * 60
     timeline, cycle, kills = [], 0, 0
     while time.time() < deadline:
-        feed(root, cycle, seed)
-        attempts = 0
+        feed(root, cycle, seed, n_docs, n_events)
+        attempts, walls, killed = 0, [], []
         while True:
             attempts += 1
+            t_att = time.time()
             proc = subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__),
                  "--worker", root],
@@ -205,23 +354,34 @@ def main() -> None:
                     proc.send_signal(signal.SIGKILL)
                     proc.wait()
                     kills += 1
+                    walls.append(round(time.time() - t_att, 1))
+                    killed.append(True)
                     continue   # crashed mid-pass: restart (resume)
             rc = proc.wait()
+            walls.append(round(time.time() - t_att, 1))
+            killed.append(False)
             if rc == 0:
                 break
             if attempts > 4:
                 raise RuntimeError(f"worker kept failing (rc={rc})")
         row = verify(spark, root)
+        # recovery wall: the full wall of the clean pass that follows
+        # a SIGKILL this cycle (resume + finish everything pending)
+        recovery = walls[-1] if any(killed) else None
         row.update(cycle=cycle, kills_so_far=kills,
-                   worker_attempts=attempts, t=round(time.time(), 1))
+                   worker_attempts=attempts, attempt_walls=walls,
+                   recovery_wall=recovery, t=round(time.time(), 1))
         timeline.append(row)
         json.dump(timeline, open(os.path.join(root, "timeline.json"),
                                  "w"), indent=1)
         status = "OK" if not row["problems"] else "FAIL"
+        rec = f" recovery={row['recovery_wall']}s" if recovery else ""
         print(f"cycle {cycle:3d} [{status}] docs={row['docs']:6d} "
               f"events={row['events']:6d} kills={kills} "
-              f"state(dedup/uv/prof)={row['dedup_state_bytes']}/"
-              f"{row['uv_store_bytes']}/{row['prof_store_bytes']} B",
+              f"state(dedup/uv/prof/trans/join)="
+              f"{row['dedup_state_bytes']}/{row['uv_store_bytes']}/"
+              f"{row['prof_store_bytes']}/{row['trans_state_bytes']}/"
+              f"{row['join_state_bytes']} B{rec}",
               flush=True)
         if row["problems"]:
             print("  " + "\n  ".join(row["problems"]), flush=True)
