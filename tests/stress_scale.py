@@ -133,7 +133,16 @@ def main():
         REG[name](spark, SRC).collect()
         base[name] = time.time() - t0
         t0 = time.time()
-        REG[name](spark, DST).collect()
+        try:
+            REG[name](spark, DST).collect()
+        except Exception as exc:  # noqa: BLE001 — a deliberate audit
+            # fence (e.g. embedding_dups_exhaustive's total-scored-
+            # pairs bound) must not kill the rest of the sweep
+            print(f"{name:28s} sf0.1={base[name]:6.2f}s "
+                  f"x{FACTOR}=FENCED/ERROR: "
+                  f"{type(exc).__name__}: {str(exc)[:160]}",
+                  flush=True)
+            continue
         big[name] = time.time() - t0
         ratio = big[name] / max(base[name], 1e-9)
         flag = "" if ratio < FACTOR * 1.8 else "  <-- SUPERLINEAR"
