@@ -8,6 +8,9 @@ Stages (subset-selectable; --all runs every one):
   headliners   warm 3-rep medians of the pinned headliner set
   adversarial  edge+empty corpus full-registry oracle sweeps
   fuzz         the committed ROUND_SEEDS full-registry oracle sweeps
+  soak         short crash-injection streaming soak (5 stream jobs,
+               exactly-once checks per cycle — the 30-min MB-state
+               form is run standalone, SCALE.md round 10)
   x10          full-registry x10 wall sweep (vs bench baselines)
   x32          full-registry x32 wall sweep
 
@@ -34,7 +37,8 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TESTS = os.path.join(REPO, "tests")
-STAGES = ("bench", "headliners", "adversarial", "fuzz", "x10", "x32")
+STAGES = ("bench", "headliners", "adversarial", "fuzz", "soak",
+          "x10", "x32")
 
 
 def _run(cmd, timeout=7200):
@@ -144,6 +148,26 @@ def _scale(factor, tag, res):
           f"{res[tag]['median_ratio']}x per {factor}x data, "
           f"{len(errs)} errors")
     print(f"[{tag}] worst: {res[tag]['worst']}")
+
+
+def stage_soak(res):
+    p, wall = _run([sys.executable,
+                    os.path.join(TESTS, "soak_streaming.py"),
+                    "--minutes", "5", "--kill-p", "0.4",
+                    "--docs", "2000", "--events", "800",
+                    "--root", "/tmp/gmall_soak_rc"])
+    m = re.search(r"SOAK PASS: (\d+) cycles, (\d+) SIGKILLs", p.stdout)
+    res["soak"] = {
+        "cycles": int(m.group(1)) if m else 0,
+        "kills": int(m.group(2)) if m else 0,
+        "wall_s": round(wall, 1),
+        "ok": p.returncode == 0 and bool(m),
+    }
+    print(f"[soak] {res['soak']['cycles']} cycles, "
+          f"{res['soak']['kills']} SIGKILLs, "
+          f"{'OK' if res['soak']['ok'] else 'FAIL'}")
+    if not res["soak"]["ok"]:
+        print(p.stdout[-1500:])
 
 
 def stage_x10(res):
