@@ -2,17 +2,25 @@
 metadata, processed by Arrow-batched pandas UDFs via mapInPandas.
 
 Training-data-pipeline extension. Since round 10 the decode is REAL
-for uncompressed container formats: ``_decode`` sniffs the payload
-magic and genuinely parses BMP headers (width/height from the
-BITMAPINFOHEADER) and RIFF/WAVE chunk lists (sample count = data
-size / block align) with stdlib ``struct`` — and
-``documents_as_media(containers=True)`` builds valid BMP/WAV
-containers around the synthetic payloads, so ``media_features`` /
-``media_resize`` exercise a genuine end-to-end decode.  Only
-COMPRESSED formats (jpeg/mp4-class) remain a clearly-marked
-deterministic fake — their codecs (PIL/ffmpeg) are absent from this
-environment; swapping the fake for a real codec is a one-branch
-change in ``_decode``.
+for uncompressed container formats: ``_decode`` genuinely parses BMP
+headers (width/height from the BITMAPINFOHEADER) and RIFF/WAVE chunk
+lists (sample count = data size / block align) with stdlib
+``struct`` — and ``documents_as_media(containers=True)`` builds
+valid BMP/WAV containers around the synthetic payloads, so
+``media_features`` / ``media_resize`` exercise a genuine end-to-end
+decode.  Round 11 adds a REAL PNG codec with nothing but stdlib
+``zlib``: ``_build_png`` emits spec-valid PNGs (8-bit RGB, per-row
+filter types 0-4, stored-deflate IDAT, CRC'd chunks) and
+``_png_decode`` walks chunks with CRC verification, inflates IDAT
+and reconstructs every filter type — so half the image corpus now
+round-trips through genuine compressed-container decode.  Dispatch
+is on ``media_type`` FIRST (ADVICE r10): a video/raw payload whose
+bytes coincidentally match a container magic is never parsed as one,
+keeping the engine and the stub-arithmetic oracles on the same
+branch by construction.  Only codec-bound formats (jpeg/mp4-class)
+remain a clearly-marked deterministic fake — PIL/ffmpeg are absent
+from this environment; swapping the fake for a real codec is a
+one-branch change in ``_decode``.
 
 At scale this is the right shape: mapInPandas streams Arrow record
 batches (no per-row Python overhead), media bytes never pass through
@@ -57,16 +65,19 @@ def documents_as_media(documents: DataFrame,
     arithmetic over strlen(text) = UTF-8 byte count, so CJK and NULL
     texts stay engine-exact).
 
-    ``containers=True``: image docs become REAL 24-bit uncompressed
-    BMP files and audio docs REAL 16-bit mono PCM WAV files (valid
-    headers, text bytes as pixel/sample payload) built in an Arrow
-    batch, so the downstream ``_decode`` genuinely parses container
-    headers end-to-end.  Video docs stay raw utf-8 (the mp4-class
-    compressed stand-in).  Dimensions derive from the payload byte
-    count B: BMP width = 1 + B%96, height = 1 + B%20; WAV samples =
-    ceil(B/2) — integer-expressible, so the DuckDB oracles can mirror
-    the CONTAINER GEOMETRY while the engine actually reads it from
-    the parsed headers."""
+    ``containers=True``: image docs become REAL image files — 24-bit
+    uncompressed BMP for doc_id % 6 == 0, spec-valid zlib-compressed
+    PNG for the rest (round 11) — and audio docs REAL 16-bit mono PCM
+    WAV files (valid headers, text bytes as pixel/sample payload)
+    built in an Arrow batch, so the downstream ``_decode`` genuinely
+    parses containers end-to-end.  Video docs stay raw utf-8 (the
+    mp4-class compressed stand-in).  Dimensions derive from the
+    payload byte count B: BMP width = 1 + B%96, height = 1 + B%20;
+    PNG width = 1 + B%80, height = 1 + B%24; WAV samples = ceil(B/2)
+    — integer-expressible, so the DuckDB oracles can mirror the
+    CONTAINER GEOMETRY (for PNG including the stored-deflate stream
+    size) while the engine actually reads it from the parsed
+    headers."""
     # NULL text wraps as the EMPTY payload (0 bytes): a dirty corpus
     # must not kill the decode job, and total integer arithmetic keeps
     # the oracle mirror exact (same rule as encode_media's stub)
@@ -82,10 +93,12 @@ def documents_as_media(documents: DataFrame,
     def wrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             media = []
-            for m, t in zip(pdf["media"], pdf["media_type"]):
+            for doc_id, m, t in zip(pdf["doc_id"], pdf["media"],
+                                    pdf["media_type"]):
                 b = b"" if m is None else bytes(m)
                 if t == "image":
-                    media.append(_build_bmp(b))
+                    media.append(_build_bmp(b) if doc_id % 6 == 0
+                                 else _build_png(b))
                 elif t == "audio":
                     media.append(_build_wav(b))
                 else:
@@ -128,6 +141,188 @@ def _build_wav(payload: bytes) -> bytes:
             + data)
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """The PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_filter(ft: int, line: bytes, prev: bytes, bpp: int) -> bytes:
+    """Forward-apply PNG filter type ``ft`` (0-4) to a scanline.
+    Predictors read the ORIGINAL (unfiltered) neighbors, per spec."""
+    out = bytearray(len(line))
+    for i in range(len(line)):
+        a = line[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ft == 0:
+            pred = 0
+        elif ft == 1:
+            pred = a
+        elif ft == 2:
+            pred = b
+        elif ft == 3:
+            pred = (a + b) // 2
+        else:
+            pred = _paeth(a, b, c)
+        out[i] = (line[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def _png_unfilter(ft: int, line: bytes, prev: bytes,
+                  bpp: int) -> bytes:
+    """Reconstruct a filtered scanline. Predictors read the
+    RECONSTRUCTED left neighbors (sequential dependency, per spec)."""
+    out = bytearray(len(line))
+    for i in range(len(line)):
+        a = out[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ft == 0:
+            pred = 0
+        elif ft == 1:
+            pred = a
+        elif ft == 2:
+            pred = b
+        elif ft == 3:
+            pred = (a + b) // 2
+        else:
+            pred = _paeth(a, b, c)
+        out[i] = (line[i] + pred) & 0xFF
+    return bytes(out)
+
+
+def _stored_deflate(data: bytes) -> bytes:
+    """A zlib stream framing ``data`` in stored (uncompressed)
+    deflate blocks, written by hand so its size is a closed-form
+    function of len(data): 2 + 5·max(1, ceil(n/65535)) + n + 4 —
+    which lets the DuckDB oracles mirror the PNG container size
+    exactly while ``zlib.decompress`` genuinely inflates it."""
+    import struct
+    import zlib
+
+    out = bytearray(b"\x78\x01")          # CM=deflate, 32K, no dict
+    n, i = len(data), 0
+    if n == 0:
+        out += struct.pack("<BHH", 1, 0, 0xFFFF)
+    while i < n:
+        chunk = data[i:i + 65535]
+        i += len(chunk)
+        out += struct.pack("<BHH", 1 if i >= n else 0,
+                           len(chunk), 0xFFFF ^ len(chunk))
+        out += chunk
+    out += struct.pack(">I", zlib.adler32(data) & 0xFFFFFFFF)
+    return bytes(out)
+
+
+def _build_png(payload: bytes) -> bytes:
+    """A spec-valid 8-bit RGB PNG whose pixel buffer carries the
+    payload bytes (truncated / zero-padded to width·height·3).  Width
+    1 + B%80, height 1 + B%24 with B = len(payload); row r is
+    forward-filtered with type r % 5 so a decoder must implement ALL
+    five filters to reconstruct; IDAT is a hand-framed stored-deflate
+    stream (size closed-form, see ``_stored_deflate``); every chunk
+    carries its real CRC-32."""
+    import struct
+    import zlib
+
+    b = len(payload)
+    width, height = 1 + b % 80, 1 + b % 24
+    stride = 3 * width
+    pix = payload[:stride * height].ljust(stride * height, b"\0")
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        line = pix[r * stride:(r + 1) * stride]
+        ft = r % 5
+        raw.append(ft)
+        raw += _png_filter(ft, line, prev, 3)
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I",
+                              zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _stored_deflate(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def _png_decode(media: bytes) -> tuple[int, int, bytes] | None:
+    """Genuine PNG decode with stdlib only: chunk walk with CRC-32
+    verification, zlib inflate of the concatenated IDAT stream, and
+    per-row filter reconstruction for all five filter types.
+    Supports 8-bit non-interlaced images of any color type; returns
+    (width, height, reconstructed_pixels) or None when the payload is
+    not a valid PNG (bad magic/CRC/IHDR, torn chunk, inflate error,
+    or a pixel buffer that doesn't match the declared geometry)."""
+    import struct
+    import zlib
+
+    if len(media) < 8 or media[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    off, width, height, channels = 8, None, None, None
+    idat = bytearray()
+    while off + 12 <= len(media):
+        clen, ctype = struct.unpack_from(">I4s", media, off)
+        if off + 12 + clen > len(media):
+            return None                   # torn chunk
+        data = media[off + 8:off + 8 + clen]
+        (crc,) = struct.unpack_from(">I", media, off + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            return None
+        if ctype == b"IHDR":
+            if clen != 13:
+                return None
+            width, height, depth, color, comp, filt, ilace = (
+                struct.unpack(">IIBBBBB", data))
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+            if (channels is None or depth != 8 or comp != 0
+                    or filt != 0 or ilace != 0):
+                return None
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        off += 12 + clen
+    if width is None:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = width * channels
+    if len(raw) != height * (1 + stride):
+        return None
+    out = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        ft = raw[r * (1 + stride)]
+        if ft > 4:
+            return None
+        line = _png_unfilter(
+            ft, raw[r * (1 + stride) + 1:(r + 1) * (1 + stride)],
+            prev, channels)
+        out += line
+        prev = line
+    return width, height, bytes(out)
+
+
+def _parse_png(media: bytes) -> tuple[int, int, int] | None:
+    """(width, height, 1) from a genuine full decode — the inflate
+    and defilter are load-bearing: a corrupt IDAT or geometry
+    mismatch refuses rather than reporting header dims."""
+    dec = _png_decode(media)
+    if dec is None:
+        return None
+    return dec[0], dec[1], 1
+
+
 def _parse_bmp(media: bytes) -> tuple[int, int, int] | None:
     """Genuine BMP header parse: BITMAPINFOHEADER width/height.
     Returns None when the payload is not a parseable BMP."""
@@ -152,10 +347,14 @@ def _parse_wav(media: bytes) -> tuple[int, int, int] | None:
     off, block_align, data_size = 12, None, None
     while off + 8 <= len(media):
         cid, csize = struct.unpack_from("<4sI", media, off)
-        if cid == b"fmt " and csize >= 16:
+        # a truncated container must not report bytes it doesn't
+        # have: clamp the effective chunk size to what's present
+        # (ADVICE r10); the FIRST data chunk wins, per spec
+        avail = len(media) - off - 8
+        if cid == b"fmt " and csize >= 16 and avail >= 16:
             block_align = struct.unpack_from("<H", media, off + 20)[0]
-        elif cid == b"data":
-            data_size = csize
+        elif cid == b"data" and data_size is None:
+            data_size = min(csize, avail)
         off += 8 + csize + (csize % 2)    # chunks are word-aligned
     if not block_align or data_size is None:
         return None
@@ -163,22 +362,28 @@ def _parse_wav(media: bytes) -> tuple[int, int, int] | None:
 
 
 def _decode(media: bytes, media_type: str) -> tuple[int, int, int]:
-    """Media decode: REAL header parsing for uncompressed containers
-    (BMP via ``_parse_bmp``, WAV via ``_parse_wav`` — magic-sniffed),
-    deterministic FAKE for everything else. The fake stands in for
-    compressed formats (jpeg/mp4-class) whose codecs are absent from
-    this environment; a real deployment replaces only the fallback
-    branch with PIL/torchaudio/ffmpeg."""
-    parsed = _parse_bmp(media) or _parse_wav(media)
-    if parsed is not None:
-        return parsed
-    # --- compressed-format STUB (deterministic fake) ---
+    """Media decode: REAL parsing for container formats (BMP via
+    ``_parse_bmp``, PNG via ``_parse_png`` — a genuine inflate +
+    defilter — WAV via ``_parse_wav``), deterministic FAKE for
+    everything else.  Dispatch is on ``media_type`` FIRST (ADVICE
+    r10): only image payloads are tried as BMP/PNG and only audio as
+    WAV, so a video/raw payload whose bytes coincidentally start
+    with a container magic never forks the engine from the oracles'
+    stub arithmetic.  The fake stands in for codec-bound formats
+    (jpeg/mp4-class) absent from this environment; a real deployment
+    replaces only the fallback branches with PIL/torchaudio/ffmpeg."""
     n = len(media)
     if media_type == "image":
-        return 16 + n % 64, 16 + n % 48, 1
+        parsed = _parse_bmp(media) or _parse_png(media)
+        if parsed is not None:
+            return parsed
+        return 16 + n % 64, 16 + n % 48, 1     # compressed-image STUB
     if media_type == "audio":
-        return 0, 0, 1 + n % 100          # "frames" = chunks
-    return 16 + n % 64, 16 + n % 48, 1 + n % 5
+        parsed = _parse_wav(media)
+        if parsed is not None:
+            return parsed
+        return 0, 0, 1 + n % 100          # STUB: "frames" = chunks
+    return 16 + n % 64, 16 + n % 48, 1 + n % 5  # video STUB
 
 
 def decode_features(media_df: DataFrame) -> DataFrame:
@@ -231,6 +436,8 @@ def sample_frames(media_df: DataFrame) -> DataFrame:
                     continue
                 n = len(m)
                 _, _, frames = _decode(m, t)
+                if frames <= 0:           # defensive (ADVICE r10):
+                    continue              # no decode path emits 0 now
                 stride = n // frames
                 for i in range(frames):
                     out["doc_id"].append(doc_id)
@@ -322,6 +529,8 @@ def frame_hashes(media_df: DataFrame) -> DataFrame:
                     continue
                 n = len(m)
                 _, _, frames = _decode(m, t)
+                if frames <= 0:           # defensive (ADVICE r10)
+                    continue
                 stride = n // frames
                 if stride == 0:
                     continue

@@ -168,14 +168,19 @@ ORACLES: dict[str, str] = {
         FROM f GROUP BY frame_hash HAVING count(*) > 1
     """,
     "media_features": """
-        -- mirrors the r10 REAL-container contract: image docs are
-        -- genuine 24-bit BMPs (n_bytes = 54-byte headers + 4-byte-
-        -- padded row grid; width 1+B%96, height 1+B%20), audio docs
-        -- genuine 16-bit mono PCM WAVs (n_bytes = 44 + block-aligned
-        -- data; samples = ceil(B/2)); video stays the raw
-        -- compressed stand-in (fake-decode arithmetic).  The ENGINE
-        -- reads these numbers from parsed headers; the oracle
-        -- recomputes the container geometry from B = strlen bytes.
+        -- mirrors the REAL-container contract: image docs are
+        -- genuine containers — 24-bit BMP for doc_id%6=0 (n_bytes =
+        -- 54-byte headers + 4-byte-padded row grid; width 1+B%96,
+        -- height 1+B%20), spec-valid PNG for the rest (r11: width
+        -- 1+B%80, height 1+B%24; n_bytes = 8 sig + 25 IHDR + 12 IEND
+        -- + 12+z IDAT where the stored-deflate stream z = 6 + nraw +
+        -- 5*ceil(nraw/65535) over nraw = height*(1+3*width) filtered
+        -- scanline bytes) — audio docs genuine 16-bit mono PCM WAVs
+        -- (n_bytes = 44 + block-aligned data; samples = ceil(B/2));
+        -- video stays the raw compressed stand-in (fake-decode
+        -- arithmetic).  The ENGINE reads these numbers from genuinely
+        -- parsed (for PNG: inflated + defiltered) containers; the
+        -- oracle recomputes the geometry from B = strlen bytes.
         WITH m AS (
             SELECT doc_id, strlen(coalesce(text, '')) AS n
             FROM documents WHERE doc_id IS NOT NULL),
@@ -184,24 +189,32 @@ ORACLES: dict[str, str] = {
                    CASE WHEN doc_id % 3 = 0 THEN 'image'
                         WHEN doc_id % 3 = 1 THEN 'audio'
                         ELSE 'video' END AS media_type,
-                   1 + n % 96 AS bw, 1 + n % 20 AS bh
-            FROM m)
+                   doc_id % 6 = 0 AS is_bmp,
+                   1 + n % 96 AS bw, 1 + n % 20 AS bh,
+                   1 + n % 80 AS pw, 1 + n % 24 AS ph
+            FROM m),
+        g2 AS (
+            SELECT *, ph * (1 + 3 * pw) AS nraw FROM g)
         SELECT doc_id, media_type,
-               CAST(CASE WHEN media_type = 'image'
+               CAST(CASE WHEN media_type = 'image' AND is_bmp
                          THEN 54 + ((3 * bw + 3) // 4) * 4 * bh
+                         WHEN media_type = 'image'
+                         THEN 63 + nraw + 5 * ((nraw + 65534) // 65535)
                          WHEN media_type = 'audio'
                          THEN 44 + n + (n % 2)
                          ELSE n END AS BIGINT) AS n_bytes,
-               CAST(CASE WHEN media_type = 'image' THEN bw
+               CAST(CASE WHEN media_type = 'image' AND is_bmp THEN bw
+                         WHEN media_type = 'image' THEN pw
                          WHEN media_type = 'audio' THEN 0
                          ELSE 16 + n % 64 END AS INT) AS width,
-               CAST(CASE WHEN media_type = 'image' THEN bh
+               CAST(CASE WHEN media_type = 'image' AND is_bmp THEN bh
+                         WHEN media_type = 'image' THEN ph
                          WHEN media_type = 'audio' THEN 0
                          ELSE 16 + n % 48 END AS INT) AS height,
                CAST(CASE WHEN media_type = 'image' THEN 1
                          WHEN media_type = 'audio' THEN (n + 1) // 2
                          ELSE 1 + n % 5 END AS INT) AS n_frames
-        FROM g
+        FROM g2
     """,
     "video_frame_samples": """
         WITH m AS (
@@ -214,36 +227,48 @@ ORACLES: dict[str, str] = {
         FROM m, unnest(range(0, 1 + n % 5)) AS t(i)
     """,
     "media_resize": """
-        -- r10 REAL-container dims: image = parsed BMP width/height
-        -- (1+B%96 x 1+B%20), audio = parsed WAV (0 x 0, ceil(B/2)
-        -- samples, out_bytes = whole container), video = the raw
-        -- compressed stand-in's fake-decode arithmetic
+        -- REAL-container dims: image = parsed BMP (doc_id%6=0:
+        -- 1+B%96 x 1+B%20) or genuinely decoded PNG (r11: 1+B%80 x
+        -- 1+B%24), audio = parsed WAV (0 x 0, ceil(B/2) samples,
+        -- out_bytes = whole container), video = the raw compressed
+        -- stand-in's fake-decode arithmetic
         WITH base AS (
             SELECT doc_id,
                    CASE WHEN doc_id % 3 = 0 THEN 'image'
                         WHEN doc_id % 3 = 1 THEN 'audio'
                         ELSE 'video' END AS media_type,
+                   doc_id % 6 = 0 AS is_bmp,
                    strlen(coalesce(text, '')) AS n
             FROM documents WHERE doc_id IS NOT NULL),
         dims0 AS (
             SELECT doc_id, media_type, n AS b,
                    CASE WHEN media_type = 'audio' THEN 0
-                        WHEN media_type = 'image' THEN 1 + n % 96
+                        WHEN media_type = 'image' AND is_bmp
+                        THEN 1 + n % 96
+                        WHEN media_type = 'image' THEN 1 + n % 80
                         ELSE 16 + n % 64 END AS width,
                    CASE WHEN media_type = 'audio' THEN 0
-                        WHEN media_type = 'image' THEN 1 + n % 20
+                        WHEN media_type = 'image' AND is_bmp
+                        THEN 1 + n % 20
+                        WHEN media_type = 'image' THEN 1 + n % 24
                         ELSE 16 + n % 48 END AS height,
                    CASE WHEN media_type = 'image' THEN 1
                         WHEN media_type = 'audio' THEN (n + 1) // 2
-                        ELSE 1 + n % 5 END AS frames
+                        ELSE 1 + n % 5 END AS frames,
+                   is_bmp
             FROM base),
         dims AS (
             -- n = the payload the engine holds: whole container for
-            -- image/audio, raw bytes for video
+            -- image/audio, raw bytes for video (image n is unused by
+            -- out_bytes — resized RGB bytes are computed from dims)
             SELECT doc_id, media_type, width, height, frames,
                    CASE WHEN media_type = 'audio' THEN 44 + b + (b % 2)
-                        WHEN media_type = 'image'
+                        WHEN media_type = 'image' AND is_bmp
                         THEN 54 + ((3 * width + 3) // 4) * 4 * height
+                        WHEN media_type = 'image'
+                        THEN 63 + height * (1 + 3 * width)
+                             + 5 * ((height * (1 + 3 * width)
+                                     + 65534) // 65535)
                         ELSE b END AS n
             FROM dims0),
         scaled AS (

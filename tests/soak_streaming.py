@@ -85,10 +85,17 @@ def worker(root: str) -> None:
         mx = _dt.datetime(2024, 1, 1)
     n_hb = len([f for f in os.listdir(p["src_events"])
                 if f.startswith("hb_")])
-    _write(os.path.join(p["src_events"], f"hb_{n_hb:05d}.parquet"),
-           _evt_schema(),
+    # write-then-rename (ADVICE r10): the killer thread may SIGKILL
+    # this worker mid-write, and a torn parquet INSIDE the source dir
+    # would poison every later spark.read of src_events; rename on
+    # the same filesystem is atomic, so readers only ever see a
+    # complete file
+    hb_tmp = os.path.join(root, f".hb_{n_hb:05d}.parquet.tmp")
+    _write(hb_tmp, _evt_schema(),
            [(9_000_000_000 + n_hb, mx + _dt.timedelta(seconds=60),
              -1, "view", 0.0, None)])
+    os.rename(hb_tmp,
+              os.path.join(p["src_events"], f"hb_{n_hb:05d}.parquet"))
 
     uv_sketch_stream(
         spark.readStream.schema(ev_schema).parquet(p["src_events"]),

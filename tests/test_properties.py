@@ -1361,3 +1361,128 @@ def test_container_roundtrip_and_decode_dispatch():
     assert _decode(raw, "video") == (16 + n % 64, 16 + n % 48,
                                      1 + n % 5)
     assert _decode(raw, "image") == (16 + n % 64, 16 + n % 48, 1)
+
+
+# ---------------------------------------------------------------------------
+# round 11: genuine PNG decode (VERDICT r10 #3) + media_type-first
+# dispatch / WAV clamping (ADVICE r10)
+# ---------------------------------------------------------------------------
+
+def test_png_parser_decodes_a_hand_written_png():
+    """The decoder must genuinely inflate + defilter a byte-literal
+    PNG NOT produced by our own builder: a 2x2 8-bit RGB image,
+    row 0 filter Sub(1), row 1 filter Up(2), IDAT deflate-compressed
+    by vanilla zlib (not our stored-block framer).  Pixel bytes are
+    chosen so every reconstruction addend is nonzero — a decoder that
+    skips defiltering cannot return these pixels."""
+    import struct
+    import zlib
+
+    from gmall_flink_2021_spark.operators.multimodal import (
+        _decode, _parse_png, _png_decode)
+
+    pix_rows = [bytes([10, 20, 30, 40, 50, 60]),
+                bytes([15, 27, 39, 51, 63, 75])]
+    # forward-filter by hand: row0 Sub (left neighbor at offset -3),
+    # row1 Up (previous reconstructed row)
+    r0 = bytes([1]) + bytes([10, 20, 30,
+                             (40 - 10) & 0xFF,
+                             (50 - 20) & 0xFF,
+                             (60 - 30) & 0xFF])
+    r1 = bytes([2]) + bytes([(15 - 10) & 0xFF, (27 - 20) & 0xFF,
+                             (39 - 30) & 0xFF, (51 - 40) & 0xFF,
+                             (63 - 50) & 0xFF, (75 - 60) & 0xFF])
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)
+                              & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2,
+                                        0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(r0 + r1, 9))
+           + chunk(b"IEND", b""))
+    assert _png_decode(png) == (2, 2, pix_rows[0] + pix_rows[1])
+    assert _parse_png(png) == (2, 2, 1)
+    assert _decode(png, "image") == (2, 2, 1)
+    # refusals: bad magic, corrupt CRC, torn IDAT, geometry mismatch
+    assert _parse_png(b"") is None
+    assert _parse_png(b"\x89PNG\r\n\x1a\n") is None
+    bad = bytearray(png)
+    bad[-5] ^= 0xFF
+    assert _parse_png(bytes(bad)) is None
+    assert _parse_png(png[:-20]) is None
+    wrong_h = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 3, 8, 2,
+                                            0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(r0 + r1, 9))
+               + chunk(b"IEND", b""))
+    assert _parse_png(wrong_h) is None
+
+
+def test_png_builder_roundtrip_pins_oracle_geometry():
+    """Builder -> decoder round trip over payload sizes spanning the
+    width/height modulus boundaries and multi-block deflate: the
+    container size must equal the closed form the oracles mirror
+    (63 + nraw + 5*ceil(nraw/65535)), all five filter types must
+    reconstruct the exact payload bytes, and vanilla zlib must
+    inflate the hand-framed stored stream."""
+    import zlib
+
+    from gmall_flink_2021_spark.operators.multimodal import (
+        _build_png, _png_decode, _stored_deflate)
+
+    for b in [0, 1, 2, 23, 24, 25, 79, 80, 81, 200, 1919, 4096]:
+        payload = bytes((7 * i + 13) % 256 for i in range(b))
+        png = _build_png(payload)
+        w, h = 1 + b % 80, 1 + b % 24
+        nraw = h * (1 + 3 * w)
+        assert len(png) == 63 + nraw + 5 * ((nraw + 65534) // 65535)
+        dec = _png_decode(png)
+        assert dec is not None and dec[:2] == (w, h)
+        assert dec[2] == payload[:3 * w * h].ljust(3 * w * h, b"\0")
+    for n in [0, 1, 65535, 65536, 131071]:
+        d = bytes(i % 7 for i in range(n))
+        assert zlib.decompress(_stored_deflate(d)) == d
+
+
+def test_decode_dispatches_on_media_type_first():
+    """ADVICE r10: a video/raw payload whose bytes coincidentally
+    start with a container magic must get the stub arithmetic (the
+    oracles' branch), not a container parse; and a media_type-
+    mismatched container falls back to the stub, never misparses."""
+    from gmall_flink_2021_spark.operators.multimodal import (
+        _build_bmp, _build_png, _build_wav, _decode)
+
+    bmp, wav, png = (_build_bmp(b"x" * 33), _build_wav(b"x" * 33),
+                     _build_png(b"x" * 33))
+    for payload in (bmp, wav, png):
+        n = len(payload)
+        assert _decode(payload, "video") == (16 + n % 64, 16 + n % 48,
+                                             1 + n % 5)
+    n = len(wav)
+    assert _decode(wav, "image") == (16 + n % 64, 16 + n % 48, 1)
+    n = len(bmp)
+    assert _decode(bmp, "audio") == (0, 0, 1 + n % 100)
+
+
+def test_wav_parser_clamps_truncated_and_duplicate_data_chunks():
+    """ADVICE r10: a truncated data chunk reports only the samples
+    actually present; the FIRST data chunk wins when several exist;
+    a zero-size data chunk never divides by zero downstream."""
+    import struct
+
+    from gmall_flink_2021_spark.operators.multimodal import (
+        _build_wav, _parse_wav, sample_frames)
+
+    wav = _build_wav(b"p" * 40)           # 20 samples
+    assert _parse_wav(wav) == (0, 0, 20)
+    assert _parse_wav(wav[:-10]) == (0, 0, 15)   # 30 bytes present
+    dup = wav + struct.pack("<4sI", b"data", 8) + b"\0" * 8
+    assert _parse_wav(dup) == (0, 0, 20)  # first chunk wins
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000,
+                      16000, 2, 16)
+    empty = (struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8, b"WAVE")
+             + fmt + struct.pack("<4sI", b"data", 0))
+    assert _parse_wav(empty) == (0, 0, 0)
