@@ -701,30 +701,23 @@ def editdist_verified_pairs(documents: DataFrame,
                  "ISO-8859-1").alias("t"))).persist()
     a = norm.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
     b = norm.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))
-    # EXACT short-circuit (round 11, VERDICT r10 #6): lev(x, x) = 0,
-    # and string equality is an O(len) memcmp vs the O(len²) DP —
-    # replica corpora carry whole exact-dup blocks through the LSH
-    # candidates, so this branch fires often at scale. when/otherwise
-    # codegen only evaluates the DP on the else branch.
-    lev = F.when(F.col("ta") == F.col("tb"), F.lit(0)) \
-           .otherwise(F.levenshtein("ta", "tb"))
+    lev = F.levenshtein("ta", "tb")
     denom = F.greatest(F.length("ta"), F.length("tb"), F.lit(1))
-    # (A per-row THRESHOLDED levenshtein — levenshtein(ta, tb, t),
-    # banded O(len·t) — was measured here and REJECTED: at
-    # max_rel=0.4 the band is 0.4·len wide, the theoretical saving is
-    # ~20%, and the measured x10 wall was ~15% WORSE than the plain
-    # O(len²) codegen path. Worth revisiting only for much tighter
-    # thresholds.)
-    # EXACT length prefilter (round 11): lev >= |len_a - len_b|, so a
-    # pair whose length gap alone exceeds max_rel·max(len) can never
-    # pass the rel_dist filter — drop it BEFORE the DP projection.
-    # O(1) per pair (lengths are already materialized for denom);
-    # kills exactly the highest-cost spurious candidates (long docs
-    # banded with short ones have the largest len_a·len_b DP).
-    len_gap_ok = (F.abs(F.length("ta") - F.length("tb"))
-                  .cast("double") <= F.lit(max_rel) * denom.cast("double"))
+    # Two REJECTED-by-measurement micro-optimizations, kept on record
+    # so they aren't re-proposed (SCALE.md round 11 has the tables):
+    #  - per-row THRESHOLDED levenshtein(ta, tb, t) (banded O(len·t)):
+    #    at max_rel=0.4 the band is 0.4·len wide; measured x10 wall
+    #    ~15% WORSE than the plain O(len²) codegen path.
+    #  - round 11 (VERDICT r10 #6): an exact |len_a−len_b| prefilter
+    #    + a when(ta==tb, 0) equality short-circuit.  Measured A/B at
+    #    x100 (2.35M candidates, identical output): prefilter-only is
+    #    a wash (drops 1.9% — LSH candidates are length-homogeneous,
+    #    avg 294 chars, so the DP is SMALL and the wall is join/
+    #    shuffle volume, not Levenshtein cells), and the when()
+    #    wrapper REGRESSES ~35% — `lev` feeds both the output column
+    #    and rel_dist, and wrapping it in when/otherwise defeats
+    #    codegen subexpression reuse, evaluating the DP twice.
     out = (pairs.join(a, "doc_a").join(b, "doc_b")
-           .filter(len_gap_ok)
            .select("doc_a", "doc_b",
                    lev.cast("long").alias("lev"),
                    (lev.cast("double") / denom.cast("double"))

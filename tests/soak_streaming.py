@@ -48,7 +48,7 @@ def _paths(root):
             ("src_docs", "src_events", "uv_store", "prof_store",
              "dedup_out", "dedup_state", "ck_uv", "ck_prof",
              "ck_dedup", "out_trans", "ck_trans", "out_join",
-             "ck_join")}
+             "ck_join", "out_pay", "ck_pay")}
 
 
 # ------------------------------------------------------------ worker
@@ -160,7 +160,58 @@ def worker(root: str) -> None:
          .option("checkpointLocation", p["ck_join"])
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
+
+    # ---- round-11 addition (VERDICT r10 #4): soaked stream #6 is
+    # the REAL J2 operator (gmall_dwm.payment_wide_join, payment
+    # within [order, order+15 min], PaymentWideApp.java:80-88) —
+    # purchase events play orders, view events play payments, keyed
+    # by user_id; create_time goes through the operator's own
+    # 'yyyy-MM-dd HH:mm:ss' string clock (second truncation is
+    # mirrored by the batch recomputation in verify()).
+    from gmall_flink_2021_spark.operators import gmall_dwm
+
+    pay_s, ow_s = _payment_join_legs(
+        spark.readStream.schema(ev_schema).parquet(p["src_events"]))
+    q = (gmall_dwm.payment_wide_join(pay_s, ow_s, streaming=True)
+         .select("payment_id", "order_id")
+         .writeStream.format("parquet")
+         .option("path", p["out_pay"])
+         .option("checkpointLocation", p["ck_pay"])
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
     spark.stop()
+
+
+def _payment_join_legs(events):
+    """Project an events frame (batch or stream) into the
+    payment_info / order_wide shapes payment_wide_join consumes.
+    Shared by worker() and verify() so the projection cannot
+    diverge between the streamed run and the batch recomputation."""
+    import pyspark.sql.functions as F
+
+    def leg(name):
+        return events.filter((F.col("event_type") == name)
+                             & F.col("ts").isNotNull()
+                             & F.col("user_id").isNotNull()
+                             & F.col("event_id").isNotNull()
+                             & (F.col("user_id") != -1))
+
+    pay = leg("view").select(
+        F.col("event_id").alias("id"),
+        F.col("user_id").alias("order_id"),
+        "user_id",
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("total_amount"),
+        F.lit("subj").alias("subject"),
+        F.lit("alipay").alias("payment_type"),
+        F.date_format(F.col("ts").cast("timestamp"),
+                      "yyyy-MM-dd HH:mm:ss").alias("create_time"))
+    ow = leg("purchase").select(
+        F.col("user_id").alias("order_id"),
+        F.col("event_id").alias("order_detail_id"),
+        F.col("ts").cast("timestamp").alias("order_et"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1000)
+        .cast("long").alias("order_ts"))
+    return pay, ow
 
 
 # ------------------------------------------------------------ feeder
@@ -292,6 +343,22 @@ def verify(spark, root: str) -> dict:
             f"interval join diverges: {len(want_j)} batch pairs vs "
             f"{len(got_j)} streamed")
 
+    # ---- soaked stream #6: the real J2 operator, streamed vs the
+    # same operator run in batch over everything ingested so far
+    from gmall_flink_2021_spark.operators import gmall_dwm
+
+    pay_b, ow_b = _payment_join_legs(events)
+    want_p = {(r.payment_id, r.order_id) for r in
+              gmall_dwm.payment_wide_join(pay_b, ow_b)
+              .select("payment_id", "order_id").collect()}
+    got_p = {(r.payment_id, r.order_id) for r in
+             spark.read.parquet(p["out_pay"]).collect()}
+    if want_p != got_p:
+        problems.append(
+            f"payment-wide join diverges: {len(want_p)} batch pairs "
+            f"vs {len(got_p)} streamed, e.g. "
+            f"{sorted(want_p ^ got_p)[:4]}")
+
     def du(path):
         total = 0
         for d, _, fs in os.walk(path):
@@ -307,9 +374,11 @@ def verify(spark, root: str) -> dict:
         "dedup_state_bytes": du(p["dedup_state"]),
         "trans_state_bytes": du(p["ck_trans"]),
         "join_state_bytes": du(p["ck_join"]),
+        "pay_state_bytes": du(p["ck_pay"]),
         "dedup_out_rows": len(got),
         "trans_rows": got_tr and sum(c for *_, c in got_tr) or 0,
         "join_rows": len(got_j),
+        "pay_rows": len(got_p),
     }
 
 
