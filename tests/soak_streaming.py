@@ -245,6 +245,26 @@ def feed(root: str, cycle: int, seed: int, n_docs: int = 40,
            _evt_schema(), evs)
 
 
+def du(path):
+    total = 0
+    for d, _, fs in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(d, f))
+                     for f in fs)
+    return total
+
+
+def state_sizes(root: str) -> dict:
+    p = _paths(root)
+    return {
+        "uv_store_bytes": du(p["uv_store"]),
+        "prof_store_bytes": du(p["prof_store"]),
+        "dedup_state_bytes": du(p["dedup_state"]),
+        "trans_state_bytes": du(p["ck_trans"]),
+        "join_state_bytes": du(p["ck_join"]),
+        "pay_state_bytes": du(p["ck_pay"]),
+    }
+
+
 # ------------------------------------------------------------ verify
 def verify(spark, root: str) -> dict:
     import pyspark.sql.functions as F
@@ -359,22 +379,10 @@ def verify(spark, root: str) -> dict:
             f"vs {len(got_p)} streamed, e.g. "
             f"{sorted(want_p ^ got_p)[:4]}")
 
-    def du(path):
-        total = 0
-        for d, _, fs in os.walk(path):
-            total += sum(os.path.getsize(os.path.join(d, f))
-                         for f in fs)
-        return total
-
     return {
         "problems": problems,
         "docs": n, "events": events.count(),
-        "uv_store_bytes": du(p["uv_store"]),
-        "prof_store_bytes": du(p["prof_store"]),
-        "dedup_state_bytes": du(p["dedup_state"]),
-        "trans_state_bytes": du(p["ck_trans"]),
-        "join_state_bytes": du(p["ck_join"]),
-        "pay_state_bytes": du(p["ck_pay"]),
+        **state_sizes(root),
         "dedup_out_rows": len(got),
         "trans_rows": got_tr and sum(c for *_, c in got_tr) or 0,
         "join_rows": len(got_j),
@@ -399,6 +407,16 @@ def main() -> None:
     root = opt("--root", "/tmp/gmall_soak", str)
     n_docs = opt("--docs", 40, int)       # per-cycle slice sizes —
     n_events = opt("--events", 120, int)  # crank for MB-scale state
+    # verify every Nth cycle (default every cycle). At 100+ MB state
+    # the batch recomputation over EVERYTHING ingested dominates the
+    # wall, so the big-state runs sample the exactly-once check; the
+    # final completed cycle is always verified (see after the loop),
+    # so nothing ends unchecked.
+    verify_every = opt("--verify-every", 1, int)
+    # SIGKILL lands uniform(3, kill_window) s into the pass; crank
+    # for big slices whose passes run minutes, so kills probe the
+    # middle/late pass, not just startup
+    kill_window = opt("--kill-window", 25.0)
     shutil.rmtree(root, ignore_errors=True)
     # only the SOURCE dirs may pre-exist: the jobs key their
     # cold-start behavior on their state/store paths not existing
@@ -425,7 +443,7 @@ def main() -> None:
                  "--worker", root],
                 stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
             if rng.random() < kill_p:
-                time.sleep(rng.uniform(3, 25))
+                time.sleep(rng.uniform(3, kill_window))
                 if proc.poll() is None:
                     proc.send_signal(signal.SIGKILL)
                     proc.wait()
@@ -440,7 +458,9 @@ def main() -> None:
                 break
             if attempts > 4:
                 raise RuntimeError(f"worker kept failing (rc={rc})")
-        row = verify(spark, root)
+        do_verify = cycle % verify_every == verify_every - 1
+        row = verify(spark, root) if do_verify else {
+            "problems": [], "verified": False, **state_sizes(root)}
         # recovery wall: the full wall of the clean pass that follows
         # a SIGKILL this cycle (resume + finish everything pending)
         recovery = walls[-1] if any(killed) else None
@@ -450,22 +470,43 @@ def main() -> None:
         timeline.append(row)
         json.dump(timeline, open(os.path.join(root, "timeline.json"),
                                  "w"), indent=1)
-        status = "OK" if not row["problems"] else "FAIL"
-        rec = f" recovery={row['recovery_wall']}s" if recovery else ""
-        print(f"cycle {cycle:3d} [{status}] docs={row['docs']:6d} "
-              f"events={row['events']:6d} kills={kills} "
-              f"state(dedup/uv/prof/trans/join)="
-              f"{row['dedup_state_bytes']}/{row['uv_store_bytes']}/"
-              f"{row['prof_store_bytes']}/{row['trans_state_bytes']}/"
-              f"{row['join_state_bytes']} B{rec}",
-              flush=True)
+        _report(row, kills, recovery)
         if row["problems"]:
             print("  " + "\n  ".join(row["problems"]), flush=True)
             sys.exit(1)
         cycle += 1
+    if cycle and not timeline[-1].get("verified", True):
+        # the run ended on an unverified cycle: close with a full
+        # exactly-once check over everything ingested
+        row = verify(spark, root)
+        row.update(cycle=cycle - 1, final=True,
+                   t=round(time.time(), 1))
+        timeline.append(row)
+        json.dump(timeline, open(os.path.join(root, "timeline.json"),
+                                 "w"), indent=1)
+        _report(row, kills, None)
+        if row["problems"]:
+            print("  " + "\n  ".join(row["problems"]), flush=True)
+            sys.exit(1)
     print(f"\nSOAK PASS: {cycle} cycles, {kills} SIGKILLs, all "
           f"exactly-once checks green → {root}/timeline.json")
     spark.stop()
+
+
+def _report(row, kills, recovery):
+    status = ("OK" if not row["problems"] else "FAIL") \
+        if row.get("verified", True) else "--"
+    rec = f" recovery={row['recovery_wall']}s" \
+        if row.get("recovery_wall") else ""
+    docs = row.get("docs", -1)
+    events = row.get("events", -1)
+    print(f"cycle {row['cycle']:3d} [{status}] docs={docs:6d} "
+          f"events={events:6d} kills={kills} "
+          f"state(dedup/uv/prof/trans/join/pay)="
+          f"{row['dedup_state_bytes']}/{row['uv_store_bytes']}/"
+          f"{row['prof_store_bytes']}/{row['trans_state_bytes']}/"
+          f"{row['join_state_bytes']}/{row['pay_state_bytes']} B{rec}",
+          flush=True)
 
 
 if __name__ == "__main__":
