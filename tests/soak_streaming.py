@@ -417,13 +417,23 @@ def main() -> None:
     # for big slices whose passes run minutes, so kills probe the
     # middle/late pass, not just startup
     kill_window = opt("--kill-window", 25.0)
-    shutil.rmtree(root, ignore_errors=True)
-    # only the SOURCE dirs may pre-exist: the jobs key their
-    # cold-start behavior on their state/store paths not existing
-    # yet (an empty state dir reads as a corrupt store)
+    # --resume: continue feeding/killing/verifying on an EXISTING
+    # soak root (cycle numbering picks up after the last fed slice) —
+    # lets a high-kill-p pass collect recovery walls at the state
+    # size a prior long pass built up, instead of starting from zero
+    resume = "--resume" in argv
     p = _paths(root)
+    if not resume:
+        shutil.rmtree(root, ignore_errors=True)
+    # only the SOURCE dirs may pre-exist on a fresh start: the jobs
+    # key their cold-start behavior on their state/store paths not
+    # existing yet (an empty state dir reads as a corrupt store)
     os.makedirs(p["src_docs"], exist_ok=True)
     os.makedirs(p["src_events"], exist_ok=True)
+    start_cycle = 0
+    if resume:
+        start_cycle = len([f for f in os.listdir(p["src_docs"])
+                           if f.startswith("c")])
 
     from gmall_flink_2021_spark.session import get_spark
 
@@ -431,7 +441,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     rng = random.Random(seed)
     deadline = time.time() + minutes * 60
-    timeline, cycle, kills = [], 0, 0
+    timeline, cycle, kills = [], start_cycle, 0
+    if resume:
+        try:
+            with open(os.path.join(root, "timeline.json")) as fh:
+                timeline = json.load(fh)
+        except OSError:
+            pass
     while time.time() < deadline:
         feed(root, cycle, seed, n_docs, n_events)
         attempts, walls, killed = 0, [], []
