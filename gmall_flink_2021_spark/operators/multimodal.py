@@ -55,6 +55,25 @@ FEATURE_SCHEMA = StructType([
 ])
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism floor for the Python decode stages
+    (guide §2: derive partitioning from the input, don't hard-code
+    either local or cluster constants).  A single small parquet file
+    scans as ONE task, which would serialize every Arrow decode batch
+    through one Python worker; when the scan yields fewer partitions
+    than the cluster's parallelism, hash-repartition on doc_id
+    (deterministic under task retry, unlike round-robin) up to
+    defaultParallelism.  On real corpora — thousands of splits ≥
+    cores — this is a no-op, so no blob-shuffle is ever added at
+    scale; the explicit partition count keeps AQE from coalescing
+    the tiny local exchange back to one task."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, "doc_id")
+
+
 def documents_as_media(documents: DataFrame,
                        containers: bool = False) -> DataFrame:
     """Wrap the documents table's text as binary payloads — the
@@ -87,6 +106,7 @@ def documents_as_media(documents: DataFrame,
          .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
          .otherwise(F.lit("video")).alias("media_type"),
         F.encode(F.coalesce("text", F.lit("")), "utf-8").alias("media"))
+    raw = _spread(raw)
     if not containers:
         return raw
 
@@ -195,6 +215,44 @@ def _png_unfilter(ft: int, line: bytes, prev: bytes,
     return bytes(out)
 
 
+def _unfilter_avg(line: list, prev: list, bpp: int) -> list:
+    """Specialized Average-filter reconstruction: the same serial
+    recurrence as ``_png_unfilter(3, ...)`` with the per-byte filter
+    dispatch and function-call overhead hoisted out (this row type
+    and Paeth are the only ones whose reconstructed-left dependency
+    defeats vectorization)."""
+    out = [0] * len(line)
+    for i in range(bpp):
+        out[i] = (line[i] + (prev[i] >> 1)) & 0xFF
+    for i in range(bpp, len(line)):
+        out[i] = (line[i] + ((out[i - bpp] + prev[i]) >> 1)) & 0xFF
+    return out
+
+
+def _unfilter_paeth(line: list, prev: list, bpp: int) -> list:
+    """Specialized Paeth reconstruction (see ``_unfilter_avg``)."""
+    out = [0] * len(line)
+    for i in range(bpp):
+        # a = c = 0 ⇒ p = b, |p-a| = b ≥ 0, |p-b| = 0, |p-c| = b:
+        # pa <= pb only when b == 0, in which case a(=0) == b — the
+        # predictor is prev[i] either way
+        out[i] = (line[i] + prev[i]) & 0xFF
+    for i in range(bpp, len(line)):
+        a, b, c = out[i - bpp], prev[i], prev[i - bpp]
+        p = a + b - c
+        pa = p - a if p >= a else a - p
+        pb = p - b if p >= b else b - p
+        pc = p - c if p >= c else c - p
+        if pa <= pb and pa <= pc:
+            pred = a
+        elif pb <= pc:
+            pred = b
+        else:
+            pred = c
+        out[i] = (line[i] + pred) & 0xFF
+    return out
+
+
 def _stored_deflate(data: bytes) -> bytes:
     """A zlib stream framing ``data`` in stored (uncompressed)
     deflate blocks, written by hand so its size is a closed-form
@@ -218,6 +276,47 @@ def _stored_deflate(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _filter_grid(pix: bytes, height: int, stride: int,
+                 bpp: int) -> bytes:
+    """Forward-filter a whole pixel grid (row r gets type r % 5) in
+    one vectorized NumPy pass — bit-identical to applying
+    ``_png_filter`` row by row, which is possible because forward
+    filtering reads ORIGINAL (unfiltered) neighbors only, so there is
+    no sequential dependency (guide §4.2: hand whole batches to
+    vectorized native code).  Returns the ``height * (1 + stride)``
+    filtered byte grid (leading filter-type byte per row)."""
+    import numpy as np
+
+    arr = np.frombuffer(pix, np.uint8).reshape(height, stride) \
+        .astype(np.int16)
+    prev = np.zeros_like(arr)
+    prev[1:] = arr[:-1]
+    a = np.zeros_like(arr)
+    a[:, bpp:] = arr[:, :-bpp]
+    c = np.zeros_like(arr)
+    c[:, bpp:] = prev[:, :-bpp]
+    ft = np.arange(height, dtype=np.int64) % 5
+    pred = np.zeros_like(arr)
+    m = ft == 1
+    pred[m] = a[m]
+    m = ft == 2
+    pred[m] = prev[m]
+    m = ft == 3
+    pred[m] = (a[m] + prev[m]) >> 1      # (a+b)//2, both in 0..255
+    m = ft == 4
+    if m.any():
+        pa4, b4, c4 = a[m], prev[m], c[m]
+        p = pa4 + b4 - c4
+        da, db, dc = (np.abs(p - pa4), np.abs(p - b4),
+                      np.abs(p - c4))
+        pred[m] = np.where((da <= db) & (da <= dc), pa4,
+                           np.where(db <= dc, b4, c4))
+    out = np.empty((height, 1 + stride), np.uint8)
+    out[:, 0] = ft
+    out[:, 1:] = ((arr - pred) & 0xFF).astype(np.uint8)
+    return out.tobytes()
+
+
 def _build_png(payload: bytes) -> bytes:
     """A spec-valid 8-bit RGB PNG whose pixel buffer carries the
     payload bytes (truncated / zero-padded to width·height·3).  Width
@@ -233,14 +332,7 @@ def _build_png(payload: bytes) -> bytes:
     width, height = 1 + b % 80, 1 + b % 24
     stride = 3 * width
     pix = payload[:stride * height].ljust(stride * height, b"\0")
-    raw = bytearray()
-    prev = bytes(stride)
-    for r in range(height):
-        line = pix[r * stride:(r + 1) * stride]
-        ft = r % 5
-        raw.append(ft)
-        raw += _png_filter(ft, line, prev, 3)
-        prev = line
+    raw = _filter_grid(pix, height, stride, 3)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + ctype + data
@@ -299,18 +391,49 @@ def _png_decode(media: bytes) -> tuple[int, int, bytes] | None:
     stride = width * channels
     if len(raw) != height * (1 + stride):
         return None
-    out = bytearray()
-    prev = bytes(stride)
+    # Row reconstruction is inherently sequential in the row axis
+    # (each row's predictors read the previous RECONSTRUCTED row) but
+    # vectorizes within a row for filter types 0/1/2: None = copy,
+    # Up = one vector add against prev, Sub = a per-lane cumulative
+    # sum (mod-256 addition is associative, so the running
+    # reconstructed-left chain is exactly cumsum(line) & 0xFF per
+    # byte lane).  Average/Paeth read the reconstructed LEFT neighbor
+    # through a floor-div/branch, a genuinely serial recurrence —
+    # those rows keep the scalar spec-reference loop.  Bit-identical
+    # to ``_png_unfilter`` on every row (pinned by the golden-bytes
+    # and builder-roundtrip tests).
+    import numpy as np
+
+    mat = np.frombuffer(raw, np.uint8).reshape(height, 1 + stride)
+    fts = mat[:, 0]
+    if (fts > 4).any():
+        return None
+    lines = mat[:, 1:].astype(np.int16)
+    out = np.empty((height, stride), np.uint8)
+    prev = np.zeros(stride, np.int16)
+    bpp = channels
     for r in range(height):
-        ft = raw[r * (1 + stride)]
-        if ft > 4:
-            return None
-        line = _png_unfilter(
-            ft, raw[r * (1 + stride) + 1:(r + 1) * (1 + stride)],
-            prev, channels)
-        out += line
-        prev = line
-    return width, height, bytes(out)
+        ft = fts[r]
+        line = lines[r]
+        if ft == 0:
+            rec = line
+        elif ft == 1:
+            # per-lane running sum: stride = width * channels is
+            # always a multiple of bpp, so the lanes are the columns
+            # of the (width, bpp) reshape
+            rec = (np.cumsum(line.reshape(-1, bpp), axis=0)
+                   & 0xFF).reshape(-1)
+        elif ft == 2:
+            rec = (line + prev) & 0xFF
+        elif ft == 3:
+            # serial recurrence (reconstructed left through a
+            # floor-div): tight specialized loop, no per-byte branch
+            rec = _unfilter_avg(line.tolist(), prev.tolist(), bpp)
+        else:
+            rec = _unfilter_paeth(line.tolist(), prev.tolist(), bpp)
+        out[r] = rec
+        prev = out[r].astype(np.int16)
+    return width, height, out.tobytes()
 
 
 def _parse_png(media: bytes) -> tuple[int, int, int] | None:
