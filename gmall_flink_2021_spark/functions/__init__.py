@@ -44,6 +44,71 @@ def wmoney(col: Column | str) -> Column:
     return money(col, guard=False)
 
 
+def _split_ddl(ddl: str) -> list[tuple[str, str]]:
+    """Split a ``"name type, name type"`` DDL string on top-level
+    commas (commas inside ``map<k,v>`` / ``struct<...>`` stay put)."""
+    fields, depth, start = [], 0, 0
+    for i, ch in enumerate(ddl):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            fields.append(ddl[start:i])
+            start = i + 1
+    fields.append(ddl[start:])
+    out = []
+    for f in fields:
+        name, typ = f.strip().split(None, 1)
+        out.append((name, typ.strip()))
+    return out
+
+
+def literal_frame(spark, rows: list[tuple], ddl: str,
+                  max_inline: int = 64):
+    """A small literal DataFrame WITHOUT the parallelize tax.
+
+    ``spark.createDataFrame(rows, ddl)`` routes tiny literal lists
+    through an RDD of pickled rows split into ``defaultParallelism``
+    slices — on a 32-core master that is a 32-task scan stage, each
+    task forking a Python worker to unpickle a handful of rows
+    (measured 0.25-1.4 s of run time PER TASK under host load), and
+    every broadcast join against the frame inherits the 32 partitions
+    because there is no exchange for AQE to coalesce. Guide §4 (the
+    Python boundary) and §2.4 (remove work the data does not need).
+
+    Here instead:
+
+    - up to ``max_inline`` rows of plain scalars become pure SQL —
+      ``inline(arrays_zip(lit(col_a), lit(col_b), ...))`` over a
+      single-split range: ONE column-wide array literal per field
+      (one Literal node each, so codegen stays small — per-row
+      ``struct(lit, lit, ...)`` trees measured ~14 ms/row in janino
+      compilation), one JVM-only task, no Python workers;
+    - anything larger (or containing None/nested values, which array
+      literals don't express reliably) keeps the pickle path but
+      through ``parallelize(rows, 1)``: one task, one Python-worker
+      round trip, flat ~0.25 s at any size (measured vs 32 forks).
+
+    Values are cast to the declared DDL types either way, so
+    downstream semantics are identical to ``createDataFrame``.
+    """
+    if not rows:
+        return spark.createDataFrame([], ddl)
+    fields = _split_ddl(ddl)
+    plain = (len(rows) <= max_inline
+             and all(isinstance(v, (str, int, float, bool))
+                     for row in rows for v in row))
+    if not plain:
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), ddl)
+    cols = list(zip(*rows))
+    arrs = [F.lit(list(vals)).cast(f"array<{t}>").alias(n)
+            for vals, (n, t) in zip(cols, fields)]
+    return (spark.range(0, 1, 1, 1)
+            .select(F.inline(F.arrays_zip(*arrs))))
+
+
 def spread(df, key: str = "doc_id"):
     """Repartition a frame by ``key`` to at least the cluster's
     default parallelism BEFORE a heavy per-row fan-out (shingle

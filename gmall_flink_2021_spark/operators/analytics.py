@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import money, wmoney
+from ..functions import literal_frame, money, wmoney
 from ..functions.timeutil import dated
 from ..functions.handles import CacheHandle
 
@@ -508,8 +508,8 @@ def price_tier_stats(orders: DataFrame) -> DataFrame:
     large, the scalable rewrite is band-key decomposition: emit one
     row per fixed-width band an interval overlaps, then equi-join on
     the band key.)"""
-    tiers = orders.sparkSession.createDataFrame(
-        PRICE_TIERS, "tier string, lo double, hi double")
+    tiers = literal_frame(orders.sparkSession,
+                          PRICE_TIERS, "tier string, lo double, hi double")
     return (orders
             .join(F.broadcast(tiers),
                   (F.col("o_totalprice") >= F.col("lo"))
@@ -638,16 +638,30 @@ def grouping_sets_revenue(lineitem: DataFrame) -> DataFrame:
     """GROUPING SETS ((flag, status), (flag), ()): three aggregation
     granularities in one pass — the explicit-sets sibling of
     region_segment_cube (SURVEY §2.5 note: absent in the reference,
-    free in Spark)."""
+    free in Spark).
+
+    Two-level form (r11, guide §2.3 "aggregate before you shuffle"):
+    a direct groupingSets over the fact EXPANDs every line 3x before
+    the partial aggregation, tripling the map-side decimal work; here
+    the fact first reduces to one exact (flag, status) partial per
+    group (count + decimal sum — associative, so sum-of-sums is the
+    same value), and the grouping sets then expand only the handful
+    of partial rows. Data-borne NULL keys stay distinguishable from
+    rollup NULLs exactly as before: the inner aggregate keeps NULL
+    group keys as keys, and grouping_id marks only the rollup arms."""
     revenue = wmoney("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
                                           - wmoney("l_discount"))
-    return (lineitem
+    pre = (lineitem
+           .groupBy("l_returnflag", "l_linestatus")
+           .agg(F.count(F.lit(1)).alias("_ct"),
+                F.sum(revenue).alias("_rev")))
+    return (pre
             .groupingSets([["l_returnflag", "l_linestatus"],
                            ["l_returnflag"], []],
                           "l_returnflag", "l_linestatus")
             .agg(F.grouping_id().cast("long").alias("gid"),
-                 F.count(F.lit(1)).alias("line_ct"),
-                 F.sum(revenue).cast("decimal(18,2)").alias("revenue")))
+                 F.sum("_ct").alias("line_ct"),
+                 F.sum("_rev").cast("decimal(18,2)").alias("revenue")))
 
 
 def returnflag_part_overlap(lineitem: DataFrame) -> DataFrame:
@@ -1157,7 +1171,8 @@ def trade_pagerank(nation: DataFrame, customer: DataFrame,
         ranks = {n: 150_000 + (850 * inflow.get(n, 0)) // 1000
                  for n in nodes}
     spark = nation.sparkSession
-    out = spark.createDataFrame(
+    out = literal_frame(
+        spark,
         [(n, ranks[n], in_deg.get(n, 0), out_deg.get(n, 0))
          for n in nodes],
         "node string, rank_micro long, in_edges long, out_edges long")

@@ -22,7 +22,7 @@ import warnings
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import spread
+from ..functions import literal_frame, spread
 from ..functions.handles import CacheHandle
 from ..functions.text import (LSH_BANDS, MINHASH_SEEDS, shingles,
                               token_windows, tokens)
@@ -468,8 +468,8 @@ def dup_clusters(documents: DataFrame, max_iter: int = 20,
         rows = [(root, doc, len(docs))
                 for root, docs in members.items() for doc in docs]
         pairs.unpersist()
-        return spark.createDataFrame(
-            rows, "cluster_id long, doc_id long, cluster_sz long")
+        return literal_frame(
+            spark, rows, "cluster_id long, doc_id long, cluster_sz long")
     # distributed path: size the iterative stage to the graph, not
     # the corpus, or each propagation round pays full corpus-width
     # shuffle scheduling for a few thousand edges

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import literal_frame
+
 
 VERDICT_SCHEMA = ("rule string, metric_permille long, "
                   "min_permille long, passed long")
@@ -144,8 +146,8 @@ def profile_drift(old: DataFrame, new: DataFrame,
     # literal column spine: a profile of an EMPTY snapshot still
     # lists every column with zero counts (the grouped unpivot alone
     # would emit no rows; the per-column-scalar oracle always does)
-    spine = old.sparkSession.createDataFrame(
-        [(c,) for c in cols], "col_name string")
+    spine = literal_frame(old.sparkSession,
+                          [(c,) for c in cols], "col_name string")
 
     def prof(df, tag):
         un = df.selectExpr(
@@ -163,6 +165,64 @@ def profile_drift(old: DataFrame, new: DataFrame,
                           for m in ("ct", "null_ct", "distinct_ct")]))
 
     joined = prof(old, "old").join(prof(new, "new"), "col_name")
+    return joined.select(
+        "col_name", "old_ct", "new_ct", "old_null_ct", "new_null_ct",
+        "old_distinct_ct", "new_distinct_ct",
+        (F.col("new_distinct_ct") - F.col("old_distinct_ct"))
+        .alias("distinct_delta"),
+        (F.expr("new_null_ct * 1000 DIV greatest(new_ct, 1)")
+         - F.expr("old_null_ct * 1000 DIV greatest(old_ct, 1)"))
+        .alias("null_permille_delta"))
+
+
+def profile_drift_sliced(base: DataFrame, old_cond,
+                         cols: list[str]) -> DataFrame:
+    """``profile_drift`` for the common monitoring case where BOTH
+    snapshots are slices of one base table (old = rows satisfying
+    ``old_cond``, new = all rows): one scan instead of two.
+
+    The two-sided form scans and unpivots the table once per side and
+    joins the per-side aggregates; here the single unpivot carries an
+    ``_old`` membership flag and a TWO-LEVEL aggregation derives both
+    sides' statistics exactly (guide §2.3/§2.4 — aggregate before the
+    shuffle, remove the second pass): level 1 groups by (col_name,
+    val) with ``ct``/``old_ct`` partial counts (map-side combined, no
+    Expand — a countDistinct pair would plan a 3x Expand), level 2
+    reduces the distinct (col, val) pairs to the same row-count /
+    null-count / distinct-count triple per side that the two-pass
+    form emits. Counting discipline matches profile_drift: nulls
+    counted by null_ct, excluded from distinct_ct; deltas use integer
+    DIV on greatest(ct, 1). Output is row-identical to
+    ``profile_drift(base.filter(old_cond), base, cols)``.
+    """
+    k = len(cols)
+    stack_args = ", ".join(
+        f"'{c}', cast({c} as string)" for c in cols)
+    spine = literal_frame(base.sparkSession,
+                          [(c,) for c in cols], "col_name string")
+    un = (base.withColumn("_old", old_cond.cast("boolean"))
+          .selectExpr("_old",
+                      f"stack({k}, {stack_args}) as (col_name, val)"))
+    lvl1 = (un.groupBy("col_name", "val")
+            .agg(F.count(F.lit(1)).alias("ct"),
+                 F.sum(F.col("_old").cast("long")).alias("old_ct")))
+    nn = F.col("val").isNotNull()
+    agg = (lvl1.groupBy("col_name")
+           .agg(F.sum("ct").alias("new_ct"),
+                F.sum(F.when(~nn, F.col("ct")).otherwise(F.lit(0)))
+                .alias("new_null_ct"),
+                F.count(F.when(nn, F.lit(1))).alias("new_distinct_ct"),
+                F.sum("old_ct").alias("old_ct"),
+                F.sum(F.when(~nn, F.col("old_ct")).otherwise(F.lit(0)))
+                .alias("old_null_ct"),
+                F.count(F.when(nn & (F.col("old_ct") > 0), F.lit(1)))
+                .alias("old_distinct_ct")))
+    joined = (spine.join(agg, "col_name", "left")
+              .select("col_name",
+                      *[F.coalesce(c, F.lit(0)).alias(c)
+                        for c in ("old_ct", "new_ct", "old_null_ct",
+                                  "new_null_ct", "old_distinct_ct",
+                                  "new_distinct_ct")]))
     return joined.select(
         "col_name", "old_ct", "new_ct", "old_null_ct", "new_null_ct",
         "old_distinct_ct", "new_distinct_ct",
@@ -241,8 +301,8 @@ def profile_accuracy_audit(df: DataFrame, cols: list[str],
     # column spine: an empty table still profiles every column (zero
     # counts, estimate 0 => trivially in band), matching the oracle's
     # per-column scalar arms
-    spine = df.sparkSession.createDataFrame(
-        [(c,) for c in cols], "col_name string")
+    spine = literal_frame(df.sparkSession,
+                          [(c,) for c in cols], "col_name string")
     agg = (spine.join(agg, "col_name", "left")
            .select("col_name",
                    F.coalesce("ct", F.lit(0)).alias("ct"),

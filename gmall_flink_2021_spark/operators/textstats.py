@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import literal_frame
 from ..functions.handles import CacheHandle
 from ..functions.text import (
     STOPWORDS,
@@ -1085,8 +1086,8 @@ def padding_waste_audit(documents: DataFrame, batch_size: int = 8
         for bb, c in counts:
             offs.append((bb, acc))
             acc += c
-        off_df = spark.createDataFrame(offs or [(0, 0)],
-                                       "_b long, _off long")
+        off_df = literal_frame(spark, offs or [(0, 0)],
+                               "_b long, _off long")
         batched = (local.join(F.broadcast(off_df), "_b")
                    .withColumn(
             "batch", F.floor((F.col("_rn") - 1 + F.col("_off"))
@@ -1461,8 +1462,8 @@ def bpe_learn(documents: DataFrame, n_merges: int = BPE_N_MERGES,
             merges.append((step, pair, merged, merge_ct))
             rows = [(w, ct, sym.replace(pair, merged))
                     for w, ct, sym in rows]
-        vocab = documents.sparkSession.createDataFrame(
-            rows, "word string, ct long, sym string")
+        vocab = literal_frame(documents.sparkSession,
+                              rows, "word string, ct long, sym string")
         return merges, vocab, CacheHandle()
     vocab = base
     for step in range(1, n_merges + 1):
@@ -1496,8 +1497,9 @@ def bpe_merges(documents: DataFrame,
                                     collect_threshold)
     lh.unpersist()  # only the merge list is needed
     spark = documents.sparkSession
-    return spark.createDataFrame(
-        learned, "step long, pair string, merged string, merge_ct long")
+    return literal_frame(
+        spark, learned,
+        "step long, pair string, merged string, merge_ct long")
 
 
 def bpe_vocab_encoder(vocab: DataFrame) -> DataFrame:

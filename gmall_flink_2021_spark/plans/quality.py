@@ -87,13 +87,15 @@ def q_source_quality_report(spark, sf):
 
 def q_profile_drift(spark, sf):
     """Gates: snapshot profile monitoring — stack-based unpivot
-    profiling (one scan projection per side, NOT the k-way expand a
-    multi-count-distinct plans), one (col, val)-keyed partial/final
-    aggregation per side, k-row diff join with integer deltas. Old
-    snapshot = orders minus the o_orderkey % 17 == 5 slice."""
+    profiling with ONE scan for both snapshot sides (the old side is
+    a slice of the new, so the unpivot carries a membership flag and
+    a two-level (col, val)-keyed aggregation derives both sides'
+    counts — no second pass, no multi-distinct Expand). Old snapshot
+    = orders minus the o_orderkey % 17 == 5 slice; rows identical to
+    the two-sided profile_drift form (r11 optimization)."""
     (orders,) = _t(spark, sf, "orders")
-    old = orders.filter(F.col("o_orderkey") % 17 != 5)
-    return expectations.profile_drift(old, orders, list(_DRIFT_COLS))
+    return expectations.profile_drift_sliced(
+        orders, F.col("o_orderkey") % 17 != 5, list(_DRIFT_COLS))
 
 def q_profile_sketch_report(spark, sf):
     """Gates: MERGEABLE column profiling — exact additive counters +
