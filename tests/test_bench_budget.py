@@ -94,10 +94,31 @@ WALL_BUDGETS = {
 }
 
 
+# The wall budgets above are ~3x margins measured on the REFERENCE
+# rig (calib jvm_agg_s == 0.68). Round-11's rig ran the same
+# byte-stable tree 1.2-2.8x slower with sporadic multi-second
+# hypervisor stalls (calib jvm_agg_s 0.84-1.93), tripping the
+# textstats budget on untouched queries. Scale the budget by the
+# session's measured rig-calibration ratio (the exact normalization
+# BENCH artifacts already embed — tests/rig_calibration.py), floored
+# at 1 (a faster rig keeps the reference budget) and capped at 4x so
+# a genuinely broken engine still fails even on a slow rig.
+_CALIB_SCALE: list[float] = []
+
+
+def _calib_scale(spark) -> float:
+    if not _CALIB_SCALE:
+        from tests.rig_calibration import JVM_AGG_REF_S, jvm_agg_wall
+        _CALIB_SCALE.append(
+            min(4.0, max(1.0, jvm_agg_wall(spark) / JVM_AGG_REF_S)))
+    return _CALIB_SCALE[0]
+
+
 @_skip
 @pytest.mark.parametrize("family", sorted(WALL_BUDGETS))
 def test_family_wall_budget(spark, family):
     names, budget = WALL_BUDGETS[family]
+    budget *= _calib_scale(spark)
     t0 = time.time()
     for name in names:
         QUERIES[name](spark, SF).collect()

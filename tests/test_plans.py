@@ -747,7 +747,12 @@ def test_trade_pagerank_iterates_on_graph_not_corpus(spark):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode         .fromString("formatted")
     plan = df._jdf.queryExecution().explainString(mode)
     assert "Exchange" not in plan
-    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+    # r11 literal_frame: the driver result is pure-SQL
+    # inline(arrays_zip(lit...)) over a single-split Range — one
+    # JVM-only task, no Python workers — replacing the 32-slice
+    # parallelize (LocalTableScan / Scan ExistingRDD) shapes
+    assert ("LocalTableScan" in plan or "Scan ExistingRDD" in plan
+            or ("Generate" in plan and "Range" in plan))
     eplan = eh.edges._jdf.queryExecution().explainString(mode)
     assert eplan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in eplan
