@@ -749,22 +749,54 @@ def kmeans_clusters(embeddings: DataFrame, k: int = KMEANS_K,
     ships, driver-coordinated exactly like MLlib's); recomputation
     is one (cluster × dim)-keyed map-side-combined aggregation whose
     k·d result is all the driver ever collects. Iterations are a
-    fixed small constant, as in real curation pipelines."""
+    fixed small constant, as in real curation pipelines.
+
+    The cluster summary is ONE fused pass: the assignment subtree
+    feeds a single posexplode_outer → (cluster, dim) partial
+    aggregation carrying the centroid sums, the row counts, AND the
+    exemplar mins, re-aggregated per cluster (r11: previously the
+    count/exemplar branch and the centroid branch consumed the
+    assignment separately — two evaluations of the corpus-sized
+    Arrow projection plus a join, for byte-identical output)."""
     assigned, vh = kmeans_assignments(embeddings, k, iters,
                                       memo_key=memo_key)
+    # posexplode_OUTER so zero-length vectors keep their row (dim
+    # NULL): they must count in vec_ct / exemplar_id exactly like the
+    # old whole-row aggregation branch, while contributing nothing to
+    # any centroid dimension.
+    expl = assigned.select(
+        "cluster", "vec_id", F.posexplode_outer("q").alias("dim", "qx"))
+    per_dim = (expl.groupBy("cluster", "dim")
+               .agg(F.sum("qx").alias("sx"),
+                    F.count(F.lit(1)).alias("ct"),
+                    F.min("vec_id").alias("mvid")))
     # floor(x·10⁶ + ½), not round(): round-half behavior on exact .5
     # boundaries is engine-specific, floor is not
-    final = _kmeans_recompute(assigned).withColumn(
-        "cfp", F.md5(F.concat_ws(",", F.transform(
-            "centroid",
-            lambda x: F.floor(x * 1_000_000 + F.lit(0.5))
-                       .cast("bigint")))))
-    out = (assigned.groupBy("cluster")
-           .agg(F.count(F.lit(1)).alias("vec_ct"),
-                F.min("vec_id").alias("exemplar_id"))
-           .join(final.select("cluster", "cfp"), "cluster")
+    centroid = F.transform(F.array_sort(F.collect_list(
+        F.when(F.col("dim").isNotNull(), F.struct(
+            "dim",
+            (F.col("sx").cast("double")
+             / (F.col("ct") * F.lit(float(QUANT_SCALE)))).alias("cx"))))),
+        lambda p: p.cx)
+    # every assignment row lands in exactly one of the dim==0 /
+    # dim IS NULL groups, so summing those groups' row counts is the
+    # old count(*)-per-cluster; min(mvid) is the old min(vec_id)
+    out = (per_dim.groupBy("cluster")
+           .agg(F.coalesce(
+                    F.sum(F.when(F.col("dim").isNull()
+                                 | (F.col("dim") == 0), F.col("ct"))),
+                    F.lit(0).cast("bigint")).alias("vec_ct"),
+                F.min("mvid").alias("exemplar_id"),
+                centroid.alias("centroid"))
+           # a cluster of only zero-length vectors has no centroid
+           # rows; the old inner join against the recompute dropped
+           # it — keep that contract (the oracle's JOIN does too)
+           .filter(F.size("centroid") > 0)
            .select("cluster", "vec_ct", "exemplar_id",
-                   F.col("cfp").alias("centroid_fp")))
+                   F.md5(F.concat_ws(",", F.transform(
+                       "centroid",
+                       lambda x: F.floor(x * 1_000_000 + F.lit(0.5))
+                                  .cast("bigint")))).alias("centroid_fp")))
     return out, vh
 
 
