@@ -582,14 +582,27 @@ def simhash_band_pairs(documents: DataFrame,
 
     The signature is split into four 15-bit bands; by pigeonhole any
     pair with hamming distance ≤ 3 agrees on at least one whole band,
-    so a per-band equi-join generates a complete candidate set and the
-    exact hamming check (bit_count of xor) filters it — the same
-    bucketed join shape as the MinHash LSH path, recall 100% by
+    so grouping by (band, band_key) and emitting every intra-bucket
+    pair generates a complete candidate set and the exact hamming
+    check (bit_count of xor) filters it — recall 100% by
     construction. Scale: candidates are O(Σ bucket²) not O(n²), and
     the 2^15 per-band keyspace keeps random collisions linear up to
     ~10⁶ docs per shard (8-bit bands went quadratic at 10⁴ — measured
     21x at a 10x corpus). A degenerate bucket (mass-duplicated
     boilerplate) is the same pathology exact-dedup removes first.
+
+    Candidates come from ONE pass: a (band, band_key)-keyed
+    collect_list + in-array pair generation, not a self-join of the
+    banded frame — the self-join evaluated the whole signature
+    subtree (tokenize → explode → 60-bit vote aggregation, the
+    dominant cost) once PER SIDE because its two identical subtrees
+    end in different nodes ReuseExchange cannot match (r11 plan
+    evidence: two full scan→Generate→HashAggregate chains). Bucket
+    membership is the only thing the pairing needs, so the bucket is
+    materialized as an array once and pairs are generated in-memory;
+    per-bucket state is the same O(bucket) the join's per-key hash
+    relation held. The hamming filter runs BEFORE the distinct so the
+    dedup shuffle carries only surviving pairs (§2.3).
     """
     # 4 bands guarantee recall only up to 3 flips (pigeonhole); a
     # larger radius silently misses pairs, so refuse it
@@ -600,19 +613,23 @@ def simhash_band_pairs(documents: DataFrame,
         F.posexplode(F.array(*[
             (F.col("simhash").bitwiseAND(F.lit(0x7FFF << (15 * b))))
             for b in range(4)])).alias("band", "band_key"))
-    l, r = banded.alias("l"), banded.alias("r")
-    pairs = (l.join(r, ["band", "band_key"])
-             .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-             .select(F.col("l.doc_id").alias("doc_a"),
-                     F.col("r.doc_id").alias("doc_b"),
-                     F.col("l.simhash").alias("sig_a"),
-                     F.col("r.simhash").alias("sig_b"))
-             .distinct())
+    buckets = (banded.groupBy("band", "band_key")
+               .agg(F.collect_list(
+                   F.struct("doc_id", "simhash")).alias("ds"))
+               .filter(F.size("ds") >= 2))
+    pairs = (buckets
+             .select(F.explode("ds").alias("a"), "ds")
+             .select("a", F.explode(F.filter(
+                 "ds",
+                 lambda d: d["doc_id"] > F.col("a.doc_id"))).alias("b")))
     hamming = F.bit_count(
-        F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long")
     return (pairs
-            .select("doc_a", "doc_b", hamming.alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    hamming.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())
 
 
 def segment_dedup(documents: DataFrame,
@@ -898,93 +915,125 @@ def incremental_dedup(snapshot: DataFrame,
     side; strategy is left to AQE, which broadcasts the batch frames
     when they actually fit (the common case — and always true for the
     streaming form's micro-batches) and falls back to shuffle joins
-    when a multi-TB crawl would OOM a hard broadcast. The snapshot's
-    signature frame is first semi-filtered down to the matched-id set
-    (≤ |batch| rows) before the agreement join. In production the
-    snapshot side is the PERSISTED index (save_snapshot_index — the
-    minhash_signatures + fingerprint projection), so the daily cost
-    is O(batch + collided buckets), never a snapshot text rescan.
+    when a multi-TB crawl would OOM a hard broadcast. Each side is a
+    SINGLE fused index projection (doc_id, fp, h0..h7) — one text
+    pass computes fingerprint AND signature (r11: previously fp and
+    minhash were separate subtrees and the verdict spine was consumed
+    twice, costing ~7 tokenize passes per side uncached; plan
+    evidence 36 scans → 6). In production the snapshot side is the
+    PERSISTED index (save_snapshot_index — this very projection), so
+    the daily cost is O(batch + collided buckets), never a snapshot
+    text rescan.
     """
-    snap_fp, sig_s, bands_s = snapshot_index(snapshot)
-    sig_b = minhash_signatures(batch).persist()
-    out = _novelty_classify(batch, snap_fp, sig_s, bands_s, sig_b=sig_b)
-    return out, CacheHandle(sig_s=sig_s, sig_b=sig_b)
+    snap_idx = snapshot_index(snapshot).persist()
+    batch_idx = snapshot_index(batch).persist()
+    out = _novelty_classify(batch_idx, snap_idx)
+    return out, CacheHandle(sig_s=snap_idx, sig_b=batch_idx)
 
 
-def snapshot_index(snapshot: DataFrame):
-    """The snapshot-side dedup index of incremental_dedup:
-    (snap_fp, sig_s, bands_s) — content fingerprints, the PERSISTED
-    minhash signature frame (caller unpersists via the sig_s handle),
-    and the LSH band buckets derived from it. In production this is
-    the store written at ingest time and reloaded by every later
+def snapshot_index(snapshot: DataFrame) -> DataFrame:
+    """The per-document dedup index of incremental_dedup —
+    (doc_id, fp, h0..h7): token-normalized content fingerprint and
+    the 8 minhash mins, computed in ONE pass over the text (the
+    shingle fan-out carries fp along; explode_outer keeps docs with
+    < 3 tokens, whose signatures stay NULL — same contract as
+    minhash_signatures, which additionally needed a second scan for
+    its doc_id spine). In production this is the store written at
+    ingest time (save_snapshot_index) and reloaded by every later
     batch or stream (the BPE/PQ model-persistence pattern)."""
-    fp = F.md5(F.concat_ws(" ", tokens("text")))
-    snap_fp = snapshot.select(F.col("doc_id").alias("snap_id"),
-                              fp.alias("fp"))
-    sig_s = minhash_signatures(snapshot).persist()
-    bands_s = banded_minhash(snapshot,
-                             sig=sig_s.filter(F.col("h0").isNotNull()))
-    return snap_fp, sig_s, bands_s
+    tok = tokens("text")
+    sh = shingles(tok)
+    expl = (spread(snapshot)
+            .select("doc_id",
+                    F.md5(F.concat_ws(" ", tok)).alias("fp"),
+                    F.explode_outer(sh).alias("s")))
+    h1 = F.md5(F.concat(F.lit("0|"), F.col("s")))
+    h2 = F.md5(F.concat(F.lit("1|"), F.col("s")))
+    hashed = expl.select(
+        "doc_id", "fp",
+        *[F.substring(h1, 1 + 8 * j, 8).alias(f"s{j}") for j in range(4)],
+        *[F.substring(h2, 1 + 8 * j, 8).alias(f"s{j + 4}")
+          for j in range(4)])
+    return hashed.groupBy("doc_id").agg(
+        F.min("fp").alias("fp"),
+        *[F.min(f"s{j}").alias(f"h{j}") for j in range(MINHASH_SEEDS)])
 
 
-def _novelty_classify(batch: DataFrame, snap_fp: DataFrame,
-                      sig_s: DataFrame, bands_s: DataFrame,
-                      sig_b: DataFrame | None = None) -> DataFrame:
+def _novelty_classify(batch_idx: DataFrame,
+                      snap_idx: DataFrame) -> DataFrame:
     """Classification core of incremental_dedup: verdict + matched_id
-    + sig_agree for every `batch` doc against the prebuilt
-    snapshot-side structures. Per-doc output depends only on the doc
-    and the static snapshot, so it is batching-invariant — the
-    streaming form (`streaming/jobs.novelty_gate_stream`) calls this
-    per micro-batch and the union equals the batch operator."""
-    # Join strategy is intentionally UNHINTED: the batch side is
-    # *relatively* small (a daily slice vs the corpus) but absolutely
-    # unbounded — at 100 TB a hard broadcast() of a multi-TB crawl
-    # would OOM, while AQE converts these equi-joins to broadcast at
-    # runtime whenever the measured batch actually fits (the common
-    # case, incl. every micro-batch of the streaming form) and keeps
-    # shuffle joins keyed on fp / (band, band_hash) / doc_id otherwise.
-    fp = F.md5(F.concat_ws(" ", tokens("text")))
-    batch_fp = batch.select("doc_id", fp.alias("fp"))
-    exact = (snap_fp.join(batch_fp, "fp")
-             .groupBy("doc_id").agg(F.min("snap_id").alias("exact_id")))
+    + sig_agree for every batch doc against the snapshot, both sides
+    given as fused (doc_id, fp, h0..h7) index frames
+    (snapshot_index / the persisted store). Per-doc output depends
+    only on the doc and the static snapshot, so it is
+    batching-invariant — the streaming form
+    (`streaming/jobs.novelty_gate_stream`) calls this per micro-batch
+    and the union equals the batch operator.
 
-    if sig_b is None:
-        sig_b = minhash_signatures(batch)
-    bands_b = banded_minhash(batch,
-                             sig=sig_b.filter(F.col("h0").isNotNull()))
-    near = (bands_s.withColumnRenamed("doc_id", "snap_id")
-            .join(bands_b, ["band", "band_hash"])
-            .groupBy("doc_id").agg(F.min("snap_id").alias("near_id")))
+    One-evaluation dataflow (r11): the snapshot index is consumed
+    exactly twice (per-fp exact aggregate; band buckets) and the
+    batch index exactly twice (spine; band buckets) — the matched
+    doc's signature rides the exact/near aggregates via min_by, so
+    the old third snapshot pass (semi-filter + agreement join, which
+    re-evaluated the verdict spine and with it BOTH sides' text
+    scans) is gone. Join strategy stays intentionally UNHINTED: the
+    batch side is *relatively* small but absolutely unbounded — at
+    100 TB a hard broadcast() of a multi-TB crawl would OOM, while
+    AQE converts these equi-joins to broadcast at runtime whenever
+    the measured side actually fits (the common case, incl. every
+    micro-batch of the streaming form) and keeps shuffle joins keyed
+    on fp / (band, band_hash) / doc_id otherwise."""
+    nh = MINHASH_SEEDS
+    sp = snap_idx.select(F.col("doc_id").alias("snap_id"), "fp",
+                         *[F.col(f"h{j}").alias(f"b{j}")
+                           for j in range(nh)])
+    bsig = F.struct(*[f"b{j}" for j in range(nh)])
+    # exact axis: lowest snapshot doc per fingerprint, carrying THAT
+    # doc's signature (min_by keyed on the same snap_id the min picks)
+    sp_by_fp = (sp.groupBy("fp")
+                .agg(F.min("snap_id").alias("exact_id"),
+                     F.min_by(bsig, F.col("snap_id")).alias("exact_sig")))
+    e = batch_idx.join(sp_by_fp, "fp", "left")
 
-    dec = (batch.select("doc_id")
-           .join(exact, "doc_id", "left")
-           .join(near, "doc_id", "left")
-           .select("doc_id",
-                   F.when(F.col("exact_id").isNotNull(),
-                          F.lit("exact_dup"))
-                    .when(F.col("near_id").isNotNull(),
-                          F.lit("near_dup"))
-                    .otherwise(F.lit("novel")).alias("verdict"),
-                   F.coalesce("exact_id", "near_id").alias("matched_id")))
+    # near axis: same banding as banded_minhash (md5 over each band's
+    # concatenated minhashes), sig-less docs excluded on both sides
+    rows_per_band = nh // LSH_BANDS
 
-    a = sig_b.select("doc_id",
-                     *[F.col(f"h{j}").alias(f"a{j}") for j in range(8)])
-    b = sig_s.select(F.col("doc_id").alias("matched_id"),
-                     *[F.col(f"h{j}").alias(f"b{j}") for j in range(8)])
-    # the matched-id set is at most |batch| — semi-filter the
-    # snapshot-sized signature frame down to it, then broadcast
-    matched_sigs = b.join(
-        dec.filter(F.col("matched_id").isNotNull())
-        .select("matched_id").distinct(), "matched_id")
+    def _bands(prefix: str):
+        return F.array(*[
+            F.md5(F.concat_ws("|", *[
+                f"{prefix}{b * rows_per_band + r}"
+                for r in range(rows_per_band)]))
+            for b in range(LSH_BANDS)])
+
+    bands_b = (batch_idx.filter(F.col("h0").isNotNull())
+               .select("doc_id",
+                       F.posexplode(_bands("h")).alias("band",
+                                                       "band_hash")))
+    bands_s = (sp.filter(F.col("b0").isNotNull())
+               .select("snap_id", *[f"b{j}" for j in range(nh)],
+                       F.posexplode(_bands("b")).alias("band",
+                                                       "band_hash")))
+    near = (bands_b.join(bands_s, ["band", "band_hash"])
+            .groupBy("doc_id")
+            .agg(F.min("snap_id").alias("near_id"),
+                 F.min_by(bsig, F.col("snap_id")).alias("near_sig")))
+
+    j = e.join(near, "doc_id", "left")
+    matched_id = F.coalesce("exact_id", "near_id")
+    msig = (F.when(F.col("exact_id").isNotNull(), F.col("exact_sig"))
+            .otherwise(F.col("near_sig")))
     agree = sum(
-        (F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
-         for j in range(8)), F.lit(0))
-    return (dec.join(a, "doc_id", "left")
-            .join(matched_sigs, "matched_id", "left")
-            .select("doc_id", "verdict", "matched_id",
-                    F.when(F.col("matched_id").isNull(),
-                           F.lit(None).cast("long"))
-                     .otherwise(agree.cast("long")).alias("sig_agree")))
+        (F.when(F.col(f"h{x}") == msig[f"b{x}"], 1).otherwise(0)
+         for x in range(nh)), F.lit(0))
+    return j.select(
+        "doc_id",
+        F.when(F.col("exact_id").isNotNull(), F.lit("exact_dup"))
+         .when(F.col("near_id").isNotNull(), F.lit("near_dup"))
+         .otherwise(F.lit("novel")).alias("verdict"),
+        matched_id.alias("matched_id"),
+        F.when(matched_id.isNull(), F.lit(None).cast("long"))
+         .otherwise(agree.cast("long")).alias("sig_agree"))
 
 
 def save_snapshot_index(snapshot: DataFrame, path: str) -> None:
@@ -997,24 +1046,14 @@ def save_snapshot_index(snapshot: DataFrame, path: str) -> None:
     of the corpus bytes and never touches text. md5-based values are
     engine-portable (same persistence discipline as
     similarity.save_codebooks / textstats BPE merge tables)."""
-    fp = F.md5(F.concat_ws(" ", tokens("text")))
-    sig = minhash_signatures(snapshot)
-    (snapshot.select("doc_id", fp.alias("fp"))
-     .join(sig, "doc_id")
-     .write.mode("overwrite").parquet(path))
+    snapshot_index(snapshot).write.mode("overwrite").parquet(path)
 
 
-def snapshot_index_from_store(spark, path: str):
-    """Rebuild (snap_fp, sig_s, bands_s) from a persisted store —
-    drop-in for snapshot_index, zero text reads. The signature frame
-    is persisted (caller unpersists via the sig_s handle) because the
-    banding projection and the agreement join both read it."""
-    store = spark.read.parquet(path)
-    snap_fp = store.select(F.col("doc_id").alias("snap_id"), "fp")
-    sig_s = store.drop("fp").persist()
-    bands_s = banded_minhash(None,
-                             sig=sig_s.filter(F.col("h0").isNotNull()))
-    return snap_fp, sig_s, bands_s
+def snapshot_index_from_store(spark, path: str) -> DataFrame:
+    """Reload the persisted (doc_id, fp, h0..h7) index — drop-in for
+    snapshot_index, zero text reads (the store IS the fused index
+    projection since r11)."""
+    return spark.read.parquet(path)
 
 
 def incremental_dedup_from_store(
@@ -1024,10 +1063,10 @@ def incremental_dedup_from_store(
     verdicts, but the snapshot side is the stored
     fingerprint/signature projection — no corpus text rescan
     (store-backed == recompute pinned by test)."""
-    snap_fp, sig_s, bands_s = snapshot_index_from_store(spark, path)
-    sig_b = minhash_signatures(batch).persist()
-    out = _novelty_classify(batch, snap_fp, sig_s, bands_s, sig_b=sig_b)
-    return out, CacheHandle(sig_s=sig_s, sig_b=sig_b)
+    snap_idx = snapshot_index_from_store(spark, path).persist()
+    batch_idx = snapshot_index(batch).persist()
+    out = _novelty_classify(batch_idx, snap_idx)
+    return out, CacheHandle(sig_s=snap_idx, sig_b=batch_idx)
 
 
 def cross_source_dup_matrix(

@@ -1007,19 +1007,25 @@ def novelty_gate_stream(doc_stream: DataFrame, snapshot: DataFrame,
     from ..operators import dedup
     from . import sinks
 
-    snap_fp, sig_s, bands_s = dedup.snapshot_index(snapshot)
-    sig_s.count()
+    snap_idx = dedup.snapshot_index(snapshot).persist()
+    snap_idx.count()
 
     def sink(batch: DataFrame, bid: int) -> None:
-        sinks.write_idempotent(
-            dedup._novelty_classify(batch, snap_fp, sig_s, bands_s),
-            bid, out_path)
+        # the fused batch index is read twice (spine + band buckets);
+        # persist for the write, release before the next micro-batch
+        batch_idx = dedup.snapshot_index(batch).persist()
+        try:
+            sinks.write_idempotent(
+                dedup._novelty_classify(batch_idx, snap_idx),
+                bid, out_path)
+        finally:
+            batch_idx.unpersist()
 
     q = (doc_stream.writeStream.foreachBatch(sink)
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    sig_s.unpersist()
+    snap_idx.unpersist()
 
 
 def profile_sketch_stream(doc_stream: DataFrame, cols: list[str],

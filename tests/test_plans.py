@@ -160,13 +160,23 @@ def test_minhash_jaccard_scorer_shape(spark):
 
 
 def test_simhash_band_pairs_is_bucketed_equi_join(spark):
-    """Candidate generation must be an equi-join on (band, band_key) —
-    never a nested-loop/cartesian all-pairs scan."""
+    """Candidate generation must be bucketed by (band, band_key) —
+    never a nested-loop/cartesian all-pairs scan. Since r11 the
+    bucket pairing is a single collect_list aggregation plus in-array
+    pair generation (one evaluation of the signature subtree) instead
+    of a banded self-join (which evaluated it once per side), so the
+    pin asserts the grouped shape: no join of any kind, exactly one
+    signature aggregation, and the pair-generating explodes."""
     plan = _plan(spark, "simhash_band_pairs")
-    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
-            or "ShuffledHashJoin" in plan)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    for join in ("BroadcastHashJoin", "SortMergeJoin",
+                 "ShuffledHashJoin"):
+        assert join not in plan
+    # one Generate for the token explode, one for the band
+    # posexplode, two for the in-bucket pair generation
+    assert plan.count("Generate") >= 3
+    assert "collect_list" in plan
 
 
 def test_tfidf_search_shape(spark):
