@@ -570,33 +570,52 @@ def embedding_dups(embeddings: DataFrame,
     (``embedding_dups_exhaustive``), which is O(block²).
 
     Scale shape: the banded projection is narrow (ids + 2 longs), the
-    per-band equi-join is bucketed (keyspace 2⁸ per band per label),
-    and the corpus-sized vector frame is joined back only onto the
-    candidate set — pair mass stays Σ bucket², never n². Returns
+    bucket pairing is keyed (keyspace 2⁸ per band per label), and the
+    corpus-sized vector frame is joined back only onto the candidate
+    set — pair mass stays Σ bucket², never n². Returns
     ``(df, CacheHandle)`` (the persisted vector + banded projections)
-    for callers to release."""
+    for callers to release.
+
+    r11 single-evaluation shape: candidates come from ONE
+    (label, band, bkey)-keyed collect_list + in-array pair generation
+    instead of a banded self-join — the join evaluated the banded
+    subtree (hyperplane signs, and for semdedup_prune the upstream
+    k-means assignment UDF) once per side when the persist is
+    released. The vector join-backs key on vec_id ALONE (vec_id is
+    unique and label is functional on it, so the (label, vec_id) join
+    matched identical rows) — which lets column pruning drop the
+    label column, and with it the whole assignment-UDF projection,
+    from both scoring sides: 5 evaluations of the per-row Python
+    kernels → 1."""
     base = (embeddings.select("label", "vec_id",
                               as_double("embedding").alias("v"))
             .withColumn("n", norm(F.col("v")))
             .persist())
-    # persist the NARROW banded projection: the self-join reads both
-    # sides, and without the persist the hyperplane signs (the
-    # dominant per-row cost even on the Arrow path) would run twice
     bands = base.select(
         "label", "vec_id",
         F.posexplode(emb_band_keys_arrow()).alias("band", "bkey")) \
         .persist()
-    l, r = bands.alias("l"), bands.alias("r")
-    cand = (l.join(r, ["label", "band", "bkey"])
-            .filter(F.col("l.vec_id") < F.col("r.vec_id"))
-            .select("label", F.col("l.vec_id").alias("vec_a"),
-                    F.col("r.vec_id").alias("vec_b"))
+    # NULL labels never formed candidates under the old equi-join
+    # (NULL never equi-joins); grouping would pool them into one
+    # bucket, so keep the join's NULL semantics explicitly
+    buckets = (bands.filter(F.col("label").isNotNull())
+               .groupBy("label", "band", "bkey")
+               .agg(F.collect_list("vec_id").alias("ids"))
+               .filter(F.size("ids") >= 2))
+    cand = (buckets
+            .select("label", F.explode("ids").alias("vec_a"), "ids")
+            .select("label", "vec_a",
+                    F.explode(F.filter(
+                        "ids", lambda i: i > F.col("vec_a")))
+                    .alias("vec_b"))
             .distinct())
-    a = base.select("label", F.col("vec_id").alias("vec_a"),
-                    F.col("v").alias("va"), F.col("n").alias("na"))
-    b = base.select("label", F.col("vec_id").alias("vec_b"),
-                    F.col("v").alias("vb"), F.col("n").alias("nb"))
-    out = (cand.join(a, ["label", "vec_a"]).join(b, ["label", "vec_b"])
+    a = (embeddings.select(F.col("vec_id").alias("vec_a"),
+                           as_double("embedding").alias("va"))
+         .withColumn("na", norm(F.col("va"))))
+    b = (embeddings.select(F.col("vec_id").alias("vec_b"),
+                           as_double("embedding").alias("vb"))
+         .withColumn("nb", norm(F.col("vb"))))
+    out = (cand.join(a, "vec_a").join(b, "vec_b")
            .withColumn("cos_sim",
                        F.try_divide(dot(F.col("va"), F.col("vb")),
                                     F.col("na") * F.col("nb")))
