@@ -97,37 +97,47 @@ def documents_as_media(documents: DataFrame,
     CONTAINER GEOMETRY (for PNG including the stored-deflate stream
     size) while the engine actually reads it from the parsed
     headers."""
-    # NULL text wraps as the EMPTY payload (0 bytes): a dirty corpus
-    # must not kill the decode job, and total integer arithmetic keeps
-    # the oracle mirror exact (same rule as encode_media's stub)
-    raw = documents.select(
-        "doc_id",
-        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
-         .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
-         .otherwise(F.lit("video")).alias("media_type"),
-        F.encode(F.coalesce("text", F.lit("")), "utf-8").alias("media"))
-    raw = _spread(raw)
+    raw = _media_raw(documents)
     if not containers:
         return raw
 
     def wrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            media = []
-            for doc_id, m, t in zip(pdf["doc_id"], pdf["media"],
-                                    pdf["media_type"]):
-                b = b"" if m is None else bytes(m)
-                if t == "image":
-                    media.append(_build_bmp(b) if doc_id % 6 == 0
-                                 else _build_png(b))
-                elif t == "audio":
-                    media.append(_build_wav(b))
-                else:
-                    media.append(b)
+            media = [
+                _build_container(doc_id, m, t)
+                for doc_id, m, t in zip(pdf["doc_id"], pdf["media"],
+                                        pdf["media_type"])]
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "media_type": pdf["media_type"],
                                 "media": media})
 
     return raw.mapInPandas(wrap, MEDIA_SCHEMA)
+
+
+def _media_raw(documents: DataFrame) -> DataFrame:
+    """The pre-container media projection (JVM-only): payload = utf-8
+    text bytes, media_type from doc_id. NULL text wraps as the EMPTY
+    payload (0 bytes): a dirty corpus must not kill the decode job,
+    and total integer arithmetic keeps the oracle mirror exact (same
+    rule as encode_media's stub)."""
+    return _spread(documents.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+         .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+         .otherwise(F.lit("video")).alias("media_type"),
+        F.encode(F.coalesce("text", F.lit("")), "utf-8").alias("media")))
+
+
+def _build_container(doc_id: int, payload, mtype: str) -> bytes:
+    """Per-row container build shared by documents_as_media and the
+    fused build+parse operators: image docs become BMP (doc_id%6==0)
+    or PNG, audio docs WAV, video stays the raw compressed stand-in."""
+    b = b"" if payload is None else bytes(payload)
+    if mtype == "image":
+        return _build_bmp(b) if doc_id % 6 == 0 else _build_png(b)
+    if mtype == "audio":
+        return _build_wav(b)
+    return b
 
 
 def _build_bmp(payload: bytes) -> bytes:
@@ -529,13 +539,37 @@ def decode_features(media_df: DataFrame) -> DataFrame:
 
 
 def media_features(documents: DataFrame) -> DataFrame:
-    """End-to-end: documents → REAL BMP/WAV containers (video stays
-    the raw compressed stand-in) → genuinely parsed feature rows.
-    The oracle recomputes the container GEOMETRY (BMP header+rowgrid
-    size, WAV header+block-aligned data) from strlen(text); the
-    engine reads the same numbers from the parsed headers."""
-    return decode_features(documents_as_media(documents,
-                                              containers=True))
+    """End-to-end: documents → REAL BMP/PNG/WAV containers (video
+    stays the raw compressed stand-in) → genuinely parsed feature
+    rows. The oracle recomputes the container GEOMETRY from
+    strlen(text); the engine reads the same numbers from the parsed
+    headers.
+
+    Build and parse are FUSED into one mapInPandas (r11): chaining
+    documents_as_media → decode_features serialized every container
+    Python→JVM→Python with no JVM operator in between — the blob
+    crosses the Arrow boundary zero times now (slim feature rows come
+    back, the §8 move-heavy-bytes-once rule). `documents_as_media` +
+    `decode_features` stay available for callers that need the
+    container frame itself."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = [_build_container(d, m, t)
+                     for d, m, t in zip(pdf["doc_id"], pdf["media"],
+                                        pdf["media_type"])]
+            dims = [_decode(m, t)
+                    for m, t in zip(media, pdf["media_type"])]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": [len(m) for m in media],
+                "width": [d[0] for d in dims],
+                "height": [d[1] for d in dims],
+                "n_frames": [d[2] for d in dims],
+            })
+
+    return _media_raw(documents).mapInPandas(fn, FEATURE_SCHEMA)
 
 
 FRAME_SCHEMA = StructType([
@@ -618,12 +652,37 @@ def resize_media(media_df: DataFrame, max_dim: int = 64) -> DataFrame:
     return media_df.mapInPandas(fn, RESIZE_SCHEMA)
 
 
-def media_resize(documents: DataFrame) -> DataFrame:
-    # containers=True: dims come from genuinely parsed BMP/WAV
-    # headers (media_features' contract); the scaling math above is
-    # then exercised on real decoded dimensions
-    return resize_media(documents_as_media(documents,
-                                           containers=True))
+def media_resize(documents: DataFrame, max_dim: int = 64) -> DataFrame:
+    """Container build + decode + resize math fused into ONE
+    mapInPandas (same r11 fusion as media_features — the container
+    bytes never cross the Arrow boundary); dims come from genuinely
+    parsed BMP/PNG/WAV headers, the scaling math from resize_media
+    is then exercised on real decoded dimensions."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in RESIZE_SCHEMA.fields}
+            for doc, m0, t in zip(pdf["doc_id"], pdf["media"],
+                                  pdf["media_type"]):
+                m = _build_container(doc, m0, t)
+                w, h, frames = _decode(m, t)
+                mx = max(w, h)
+                if t == "audio" or mx <= max_dim:
+                    nw, nh = w, h
+                else:
+                    nw = max(1, w * max_dim // mx)
+                    nh = max(1, h * max_dim // mx)
+                out["doc_id"].append(doc)
+                out["media_type"].append(t)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["new_width"].append(nw)
+                out["new_height"].append(nh)
+                out["out_bytes"].append(
+                    len(m) if t == "audio" else nw * nh * 3 * frames)
+            yield pd.DataFrame(out)
+
+    return _media_raw(documents).mapInPandas(fn, RESIZE_SCHEMA)
 
 
 FRAME_HASH_SCHEMA = StructType([
