@@ -103,11 +103,21 @@ def minhash_dedup_marks(
     buckets: one min per bucket + one min per doc, so output and
     shuffle stay O(corpus) no matter how duplicated the data is —
     this is the production decision path at 100 TB.
+
+    The per-bucket min is a partition-only window over ONE banded
+    evaluation (r11): the previous aggregate-then-join-back shape
+    consumed the banded frame twice, which re-ran the whole
+    signature chain (two document scans + shingle fan-out + minhash
+    aggregation) per side whenever the internal persist is released
+    — the registry's recompute-on-reuse convention. Same single
+    (band, band_hash) shuffle either way; the window adds a
+    per-bucket sort the join did not have, cheaper than a second
+    signature pass at every scale.
     """
     banded = banded_minhash(documents).persist()
-    buckets = (banded.groupBy("band", "band_hash")
-               .agg(F.min("doc_id").alias("first_doc")))
-    coll = (banded.join(buckets, ["band", "band_hash"])
+    w = Window.partitionBy("band", "band_hash")
+    coll = (banded
+            .withColumn("first_doc", F.min("doc_id").over(w))
             .filter(F.col("first_doc") < F.col("doc_id"))
             .groupBy("doc_id")
             .agg(F.min("first_doc").alias("earliest_prior")))
@@ -156,12 +166,20 @@ def minhash_band_pairs(documents: DataFrame,
                  .filter(F.col("doc_b").isNotNull())
                  .distinct())
     else:
-        l = banded.alias("l")
-        r = banded.alias("r")
-        pairs = (l.join(r, ["band", "band_hash"])
-                 .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-                 .select(F.col("l.doc_id").alias("doc_a"),
-                         F.col("r.doc_id").alias("doc_b"))
+        # bucket arrays, not a self-join (r11): the self-join
+        # evaluated the banded subtree — and the signature chain
+        # under it — once per side whenever the persist is released;
+        # bucket membership is all the pairing needs (same
+        # restructure as simhash_band_pairs, identical pair set)
+        buckets = (banded.groupBy("band", "band_hash")
+                   .agg(F.collect_list("doc_id").alias("ds"))
+                   .filter(F.size("ds") >= 2))
+        pairs = (buckets
+                 .select(F.explode("ds").alias("doc_a"), "ds")
+                 .select("doc_a",
+                         F.explode(F.filter(
+                             "ds", lambda d: d > F.col("doc_a")))
+                         .alias("doc_b"))
                  .distinct())
     # handle for callers that materialize `pairs` and can then release
     # the banded projection (persist() is lazy, so it cannot be
