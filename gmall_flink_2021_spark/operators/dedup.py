@@ -39,18 +39,16 @@ def exact_dups(documents: DataFrame) -> DataFrame:
             .select("canonical_id", "dup_ct", "fp"))
 
 
-def minhash_signatures(documents: DataFrame,
-                       n_hashes: int = MINHASH_SEEDS) -> DataFrame:
-    """Per-document MinHash signature columns h0..h{n-1} over word
-    3-shingles. Docs with < 3 tokens get null signatures.
-
-    Shape chosen for scale: shingles are exploded once and each
-    shingle is hashed exactly twice (two salted md5s, sliced into
-    eight 8-hex-char sub-hashes); the mins aggregate in a single
-    map-side-combined shuffle on doc_id. This is ~10x cheaper than
-    evaluating 8 independent md5 passes per document and keeps the
-    whole pipeline in whole-stage codegen.
-    """
+def minhash_sig_agg(documents: DataFrame,
+                    n_hashes: int = MINHASH_SEEDS) -> DataFrame:
+    """The aggregation core of minhash_signatures: (doc_id, h0..h7)
+    for every document with ≥1 shingle — docs under 3 tokens are
+    ABSENT (not null-signed). Exactly equal to
+    ``minhash_signatures(...).filter(h0 IS NOT NULL)`` (h0 is a min
+    over never-null md5 slices, so it is null only for the spine rows
+    the left join adds), but one corpus scan cheaper — the form every
+    banding/scoring consumer wants, since they all filter the
+    null-signature rows right back out (r11)."""
     assert n_hashes == MINHASH_SEEDS, "slicing scheme is fixed at 8"
     tok = tokens("text")
     sh = shingles(tok)
@@ -63,8 +61,25 @@ def minhash_signatures(documents: DataFrame,
         "doc_id",
         *[F.substring(h1, 1 + 8 * j, 8).alias(f"s{j}") for j in range(4)],
         *[F.substring(h2, 1 + 8 * j, 8).alias(f"s{j + 4}") for j in range(4)])
-    sig = hashed.groupBy("doc_id").agg(
+    return hashed.groupBy("doc_id").agg(
         *[F.min(f"s{j}").alias(f"h{j}") for j in range(n_hashes)])
+
+
+def minhash_signatures(documents: DataFrame,
+                       n_hashes: int = MINHASH_SEEDS) -> DataFrame:
+    """Per-document MinHash signature columns h0..h{n-1} over word
+    3-shingles. Docs with < 3 tokens get null signatures.
+
+    Shape chosen for scale: shingles are exploded once and each
+    shingle is hashed exactly twice (two salted md5s, sliced into
+    eight 8-hex-char sub-hashes); the mins aggregate in a single
+    map-side-combined shuffle on doc_id. This is ~10x cheaper than
+    evaluating 8 independent md5 passes per document and keeps the
+    whole pipeline in whole-stage codegen. Consumers that drop the
+    null-signature rows anyway should use ``minhash_sig_agg`` — the
+    doc_id spine here costs a second corpus scan.
+    """
+    sig = minhash_sig_agg(documents, n_hashes)
     return documents.select("doc_id").join(sig, "doc_id", "left")
 
 
@@ -78,8 +93,10 @@ def banded_minhash(documents: DataFrame,
     Band hash = md5 of the band's concatenated minhashes."""
     rows_per_band = n_hashes // bands
     if sig is None:
-        sig = minhash_signatures(documents, n_hashes).filter(
-            F.col("h0").isNotNull())
+        # the agg form: signature-less docs are absent rather than
+        # null-signed, which is exactly the filter this projection
+        # applied anyway — one corpus scan cheaper (r11)
+        sig = minhash_sig_agg(documents, n_hashes)
     band_hashes = F.array(*[
         F.md5(F.concat_ws(
             "|", *[f"h{b * rows_per_band + r}" for r in range(rows_per_band)]))
@@ -415,8 +432,7 @@ def minhash_jaccard_pairs(documents: DataFrame,
     the component count — bit-identical in the DuckDB oracle. Joining
     candidates back to the signature table costs two doc_id-keyed
     shuffles of the candidate set, now provably O(corpus·cap)."""
-    sig = minhash_signatures(documents, n_hashes).filter(
-        F.col("h0").isNotNull()).persist()
+    sig = minhash_sig_agg(documents, n_hashes).persist()
     pairs, ph = capped_band_pairs(documents, n_hashes,
                                   per_band_cap=per_band_cap, sig=sig)
     matching = sum(
