@@ -173,6 +173,17 @@ def minhash_band_pairs(documents: DataFrame,
     connected — while the edge count becomes linear in the corpus at
     any duplication level. Pair-semantic consumers (the audit
     enumeration, simhash-style verify joins) must keep the default.
+
+    Bucket-array ceiling (ADVICE r11): the default path materializes
+    each (band, band_hash) bucket as ONE collect_list row — O(bucket)
+    in a single aggregation-buffer row, a harder worst case in KIND
+    than the old self-join's streamed per-key pairs (same Σ bucket²
+    pair mass, but the join spilled gracefully where a single giant
+    array row cannot). Exact-dedup upstream plus the 2⁶⁰-hash
+    keyspace keep buckets small on real corpora (pinned by the
+    degenerate-bucket stress test); a mass-duplicated corpus that
+    skipped exact dedup should use ``chain_only=True`` (linear edges,
+    window-streamed, no arrays) or ``capped_band_pairs``.
     """
     banded = banded_minhash(documents, n_hashes, bands, sig).persist()
     if chain_only:
@@ -635,8 +646,12 @@ def simhash_band_pairs(documents: DataFrame,
     membership is the only thing the pairing needs, so the bucket is
     materialized as an array once and pairs are generated in-memory;
     per-bucket state is the same O(bucket) the join's per-key hash
-    relation held. The hamming filter runs BEFORE the distinct so the
-    dedup shuffle carries only surviving pairs (§2.3).
+    relation held — though as a SINGLE array row, which cannot spill
+    the way the join's streamed probe side could (ADVICE r11), so the
+    exact-dedup-first convention above is what bounds the worst case
+    (pinned by the degenerate-bucket stress test). The hamming filter
+    runs BEFORE the distinct so the dedup shuffle carries only
+    surviving pairs (§2.3).
     """
     # 4 bands guarantee recall only up to 3 flips (pigeonhole); a
     # larger radius silently misses pairs, so refuse it
@@ -1016,7 +1031,17 @@ def _novelty_classify(batch_idx: DataFrame,
     AQE converts these equi-joins to broadcast at runtime whenever
     the measured side actually fits (the common case, incl. every
     micro-batch of the streaming form) and keeps shuffle joins keyed
-    on fp / (band, band_hash) / doc_id otherwise."""
+    on fp / (band, band_hash) / doc_id otherwise.
+
+    Width trade (ADVICE r11): bands_s carries all 8 signature columns
+    through the (band, band_hash) shuffle (×8 band rows) so min_by
+    can ride the near aggregate — roughly 9× wider snapshot-side
+    shuffle rows than the old semi-filtered agreement join, bought
+    against deleting that join's ENTIRE third snapshot pass (which
+    re-evaluated both sides' text scans). If near-match volume ever
+    dominates, shuffle only (snap_id, band, band_hash) and fetch the
+    winning signature with a snap_id-keyed join on the (small)
+    matched set — the shape this replaced."""
     nh = MINHASH_SEEDS
     sp = snap_idx.select(F.col("doc_id").alias("snap_id"), "fp",
                          *[F.col(f"h{j}").alias(f"b{j}")

@@ -772,15 +772,28 @@ EMBED_SCHEMA = StructType([
 ])
 
 
-def encode_media(media_df: DataFrame) -> DataFrame:
+def encode_media(media_df: DataFrame,
+                 passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Arrow-batched media encoder STUB: maps each blob to an
     ``EMB_DIM``-dim integer vector derived from the first md5 nibbles
     of the payload (2·nibble − 15 — odd, so never the zero vector and
     cosine denominators never vanish). A real deployment swaps the
     body for a CLIP/SigLIP image tower over the decoded pixels; the
     Spark shape — mapInPandas over Arrow record batches, blobs never
-    shuffled, slim vector rows out — is the production shape."""
+    shuffled, slim vector rows out — is the production shape.
+
+    ``passthrough`` names slim extra input columns to carry through
+    the Arrow stage unchanged (r12: media_text_alignment rides its
+    32-char caption digest through here instead of joining back to
+    the documents scan for it — a few bytes/row across the boundary
+    vs a second corpus scan plus a doc_id shuffle)."""
     import hashlib
+
+    schema = StructType(
+        [StructField("doc_id", LongType()),
+         StructField("media_type", StringType())]
+        + [media_df.schema[c] for c in passthrough]
+        + [StructField("media_emb", StringType())])
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -791,13 +804,14 @@ def encode_media(media_df: DataFrame) -> DataFrame:
                 h = hashlib.md5(b"" if m is None else bytes(m)).hexdigest()
                 embs.append(",".join(
                     str(2 * int(h[i], 16) - 15) for i in range(EMB_DIM)))
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "media_type": pdf["media_type"],
-                "media_emb": embs,
-            })
+            out = {"doc_id": pdf["doc_id"],
+                   "media_type": pdf["media_type"]}
+            for c in passthrough:
+                out[c] = pdf[c]
+            out["media_emb"] = embs
+            yield pd.DataFrame(out)
 
-    return media_df.mapInPandas(fn, EMBED_SCHEMA)
+    return media_df.mapInPandas(fn, schema)
 
 
 def media_text_alignment(documents: DataFrame) -> DataFrame:
@@ -810,18 +824,27 @@ def media_text_alignment(documents: DataFrame) -> DataFrame:
     and the single double rounding (micro-units) is IEEE-identical
     across engines.
 
-    Scale shape: the pair join is doc_id-to-doc_id (media and caption
-    derive from the same row here; with a separate media table it is
-    one equi-join), encoding is a narrow Arrow map over the blobs,
-    and scoring is whole-stage-codegen arithmetic — no shuffle except
-    the join, no blob ever crosses the wire."""
-    enc = encode_media(documents_as_media(documents))
+    Scale shape (r12): ONE corpus scan, zero joins — the caption
+    digest (md5 of 'cap|'+text, 32 chars/row) is computed JVM-side on
+    the media projection (the payload IS the utf-8 caption bytes, so
+    md5('cap|'||payload) ≡ md5 of the salted caption string) and
+    rides through the Arrow encode stage as a passthrough column;
+    scoring is whole-stage-codegen arithmetic above it. The r11 shape
+    re-scanned documents and equi-joined the encoder output back on
+    doc_id just to rebuild that digest — a second scan plus a
+    corpus-wide shuffle/broadcast for 32 bytes/row of derivable data.
+    NULL doc_id rows are dropped exactly as the old inner join
+    dropped them (NULL never equi-joins)."""
+    src = (documents_as_media(documents)
+           .filter(F.col("doc_id").isNotNull())
+           .withColumn("cap_digest",
+                       F.md5(F.concat(F.encode(F.lit("cap|"), "utf-8"),
+                                      F.col("media")))))
+    enc = encode_media(src, passthrough=("cap_digest",))
     m = F.split("media_emb", ",").cast("array<long>")
-    cap = F.md5(F.concat(F.lit("cap|"),
-                         F.coalesce(F.col("text"), F.lit(""))))
 
     def nib(i: int) -> F.Column:
-        a = F.ascii(F.substring(cap, i, 1))
+        a = F.ascii(F.substring(F.col("cap_digest"), i, 1))
         v = F.when(a >= 97, a - 87).otherwise(a - 48)
         return (v * 2 - 15).cast("long")
 
@@ -832,9 +855,7 @@ def media_text_alignment(documents: DataFrame) -> DataFrame:
                      F.lit(0).cast("long"), lambda acc, v: acc + v)
     nt = F.aggregate(F.transform(t, lambda x: x * x),
                      F.lit(0).cast("long"), lambda acc, v: acc + v)
-    joined = (documents.select("doc_id", "text")
-              .join(enc, "doc_id"))
-    return (joined
+    return (enc
             .select("doc_id", "media_type",
                     F.round(dot.cast("double")
                             / F.sqrt((nm * nt).cast("double")) * 1e6)

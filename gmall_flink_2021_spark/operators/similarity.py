@@ -586,11 +586,31 @@ def embedding_dups(embeddings: DataFrame,
     matched identical rows) — which lets column pruning drop the
     label column, and with it the whole assignment-UDF projection,
     from both scoring sides: 5 evaluations of the per-row Python
-    kernels → 1."""
+    kernels → 1.
+
+    INPUT INVARIANT (ADVICE r11): ``vec_id`` must be globally unique
+    across labels — the scoring join-back keys on it alone, so a
+    corpus with the same vec_id under two labels would multiply rows
+    and score the wrong vectors. The registry/audit corpora satisfy
+    this by construction (vec_id is the table's primary key);
+    library callers with label-scoped ids must disambiguate first.
+
+    Bucket-array ceiling (ADVICE r11): each (label, band, bkey)
+    bucket materializes as ONE collect_list row, so a degenerate
+    bucket of m ids holds O(m) in a single aggregation-buffer row —
+    a harder failure mode than the old join's streamed per-key pairs
+    (which still carried the same Σ bucket² pair mass). Exact-dedup
+    upstream plus the per-label 2⁸-per-band keyspace bound m in
+    practice; a mass-duplicated corpus should exact-dedup before
+    this operator (pinned by the degenerate-bucket stress test)."""
+    # NOT persisted (r12, ADVICE r11): since the r11 rewrite the only
+    # consumer of this projection is `bands` (itself persisted) — the
+    # scoring sides a/b rebuild from `embeddings` directly — so a
+    # persist here held corpus-sized vectors in memory with no second
+    # reader
     base = (embeddings.select("label", "vec_id",
                               as_double("embedding").alias("v"))
-            .withColumn("n", norm(F.col("v")))
-            .persist())
+            .withColumn("n", norm(F.col("v"))))
     bands = base.select(
         "label", "vec_id",
         F.posexplode(emb_band_keys_arrow()).alias("band", "bkey")) \
@@ -621,7 +641,7 @@ def embedding_dups(embeddings: DataFrame,
                                     F.col("na") * F.col("nb")))
            .select("label", "vec_a", "vec_b", "cos_sim")
            .filter(F.col("cos_sim") >= threshold))
-    return out, CacheHandle(base=base, bands=bands)
+    return out, CacheHandle(bands=bands)
 
 
 # Back-compat name for the pre-round-3 callers: the LSH-blocked form

@@ -456,6 +456,34 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     # re-certify in round 11's window
     "media_features": 11,
     "media_resize": 11,
+    # round 12 (VERDICT r11 #1): queries whose PHYSICAL PLANS the r11
+    # optimization round restructured (outputs proven identical
+    # against the DuckDB oracle pre-commit, but their driver grades
+    # predate the restructure) — promoted so CORRECTNESS_r12 samples
+    # them first and the semantic-preservation claim stops being
+    # self-certified. Plus the two r8-stale names, and the query
+    # restructured in round 12 itself (media_text_alignment
+    # join-back removal).
+    "minhash_dedup_marks": 12,
+    "minhash_band_pairs": 12,
+    "minhash_jaccard_pairs": 12,
+    "minhash_signatures": 12,
+    "semdedup_prune": 12,
+    "kmeans_clusters": 12,
+    "profile_drift": 12,
+    "dup_clusters": 12,
+    "dedup_keep_best": 12,
+    "embedding_dups_lsh": 12,
+    "corpus_funnel": 12,
+    "corpus_filter": 12,
+    "near_dup_rate_by_source": 12,
+    "cross_source_dup_matrix": 12,
+    "dedup_provenance": 12,
+    "dedup_threshold_calibration": 12,
+    "frame_dedup": 12,
+    "media_text_alignment": 12,
+    "rfm_segments": 12,
+    "video_frame_samples": 12,
 }
 
 _GRADE_PRIORITY: tuple[str, ...] = (

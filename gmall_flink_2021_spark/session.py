@@ -70,19 +70,32 @@ def get_spark(app_name: str = "gmall-spark", master: str | None = None,
     return builder.getOrCreate()
 
 
+# Sessions already hardened — every registry wrapper calls harden()
+# via _t, so without the memo a 150-query bench sweep pays ~900
+# needless py4j conf roundtrips (r12, guide §1.2 "per-task work" at
+# the driver). WeakSet so a stopped session's entry disappears.
+from weakref import WeakSet
+
+_HARDENED: "WeakSet[SparkSession]" = WeakSet()
+
+
 def harden(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine confs to an externally-created
     session (the driver passes its own SparkSession to ``entry``).
 
     Only touches confs that are safe to set mid-session and that the
     engine's correctness depends on (timezone-stable timestamps, the
-    nanos→long parquet read used by the events loader).
+    nanos→long parquet read used by the events loader). Idempotent
+    and memoized per session — callers may invoke it per query.
     """
+    if spark in _HARDENED:
+        return spark
     for k in ("spark.sql.session.timeZone",
               "spark.sql.legacy.parquet.nanosAsLong",
               "spark.sql.adaptive.enabled"):
         try:
             spark.conf.set(k, _DEFAULTS[k])
         except Exception:
-            pass  # conf locked down — loaders fall back gracefully
+            return spark  # conf locked down — loaders fall back; retry next call
+    _HARDENED.add(spark)
     return spark

@@ -54,8 +54,48 @@ def events_ts_is_nanos(path: str) -> bool:
         return False
 
 
+# Session-scoped TABLE memo (r12, guide §1/§6): `spark.read.parquet`
+# costs ~120 ms per call on this rig (py4j + file listing + footer
+# schema read), and the registry wrappers call load_table 2-3 times
+# per query — across a 150-query bench sweep that is tens of seconds
+# of pure repeated catalog work. Memoize the LAZY DataFrame per
+# (session, path, file-stat signature): this is table registration
+# (exactly what register_views/spark.table do), NOT result caching —
+# the DataFrame is an unresolved scan and every action still reads
+# the parquet bytes; the stat signature (mtime_ns, size) invalidates
+# the entry whenever the file/directory is regenerated in place
+# (directory mtime changes when part files are created/deleted).
+# Kill switch: SPARK_GRAFT_TABLE_MEMO=0.
+from weakref import WeakKeyDictionary
+
+_TABLE_MEMO: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+
+
+def _stat_sig(path: str):
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
+    memo_on = os.environ.get("SPARK_GRAFT_TABLE_MEMO", "1") != "0"
+    key = (path, _stat_sig(path))
+    if memo_on:
+        cache = _TABLE_MEMO.setdefault(spark, {})
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+    df = _load_table_uncached(spark, path, name)
+    if memo_on:
+        cache[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, path: str,
+                         name: str) -> DataFrame:
     if name != "events":
         return spark.read.parquet(path)
     if not events_ts_is_nanos(path):

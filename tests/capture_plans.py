@@ -30,7 +30,8 @@ def main() -> None:
     names = sys.argv[2:] or list(QUERIES)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r11")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_DIR", "r12"))
     os.makedirs(out_dir, exist_ok=True)
     do_time = os.environ.get("SPARK_GRAFT_PLAN_TIME") == "1"
 

@@ -62,6 +62,42 @@ def jvm_agg_wall(spark) -> float:
     return round(best, 3)
 
 
+_N_SCALE = 100_000_000
+
+
+def scale_probe_wall(spark) -> float:
+    """Compute-bound PARALLELISM probe (VERDICT r11 #4): the sf0.1
+    registry walls are dominated by fixed per-query constants, so the
+    driver's 8-vs-32-core per-query ratios sit at ≈1 and cannot
+    distinguish this engine from a serial one — and ``jvm_agg_s`` is
+    itself overhead-dominated at its size (measured 8-core/32-core
+    ratio 1.34). This probe is ~60 s of single-core codegen CPU (a
+    64-deep xxhash64 chain per row — allocation-free JVM arithmetic;
+    an md5 variant was measured GC-bound and stopped scaling past 8
+    threads in one JVM), no I/O, 32 independent partitions, 997-row
+    collect: wall ≈ cpu_seconds / min(cores, 32). Measured on the
+    r12 rig: 1.0 s at local[32] vs 2.6 s at local[8] at 40 % of this
+    size (marginal ratio 3.7x) — the core-scaling evidence the
+    driver's per-query block cannot provide, embedded in every BENCH
+    artifact's calib block."""
+    from pyspark.sql import functions as F
+
+    h = F.col("id")
+    for _ in range(64):
+        h = F.xxhash64(h)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        rows = (spark.range(0, _N_SCALE, 1, 32)
+                .select((F.col("id") % 997).alias("k"), h.alias("h"))
+                .groupBy("k")
+                .agg(F.sum(F.col("h") % 1000003).alias("s"))
+                .collect())
+        best = min(best, time.time() - t0)
+        assert len(rows) == 997, len(rows)
+    return round(best, 3)
+
+
 def py_loop_wall() -> float:
     """Fixed single-core CPython integer loop."""
     best = float("inf")
@@ -78,6 +114,7 @@ def py_loop_wall() -> float:
 def measure(spark) -> dict[str, float]:
     return {"jvm_agg_s": jvm_agg_wall(spark),
             "py_loop_s": py_loop_wall(),
+            "scale_probe_s": scale_probe_wall(spark),
             "jvm_agg_ref_s": JVM_AGG_REF_S,
             "py_loop_ref_s": PY_LOOP_REF_S}
 

@@ -57,12 +57,21 @@ from .parity import compare, duck_connect
 # DECIMAL(18) width overflow.
 ROUND_SEEDS = [9010, 20010, 20011]
 
+# Suite split (VERDICT r11 #2): each full-registry sweep costs
+# ~130 s; the DEFAULT run keeps the newest, highest-dirt seed
+# (20011 — relational dirt + 2^53 money sums) and the older green
+# seeds run under the opt-in `slow` marker (python -m pytest -m slow).
+_DEFAULT_SEED = 20011
+
 
 def _dirt(seed: int) -> bool:
     return seed >= 20000
 
 
-@pytest.mark.parametrize("seed", ROUND_SEEDS)
+@pytest.mark.parametrize(
+    "seed",
+    [s if s == _DEFAULT_SEED else pytest.param(s, marks=pytest.mark.slow)
+     for s in ROUND_SEEDS])
 def test_seeded_corpus_full_registry_parity(spark, tmp_path_factory,
                                             seed):
     from gmall_flink_2021_spark.plans import ORACLES, QUERIES

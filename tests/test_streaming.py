@@ -2,6 +2,7 @@
 the same visitor_stats operator behind a watermark must produce, for
 every closed window, exactly the batch answer."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from gmall_flink_2021_spark.operators.dws import visitor_stats_window
@@ -1741,6 +1742,7 @@ def test_event_transitions_flush_promptly_not_only_at_end(spark, tmp_path):
     assert u1 < bids[-1], (u1, bids, emitted)
 
 
+@pytest.mark.slow  # ~60 s state-bound soak (VERDICT r11 #2 split)
 def test_event_transitions_hot_key_state_stays_bounded(spark, tmp_path):
     """Adversarial skew (VERDICT r6 #5): ONE user owns ~all events,
     arrival is shuffled within the watermark delay, and the delay is

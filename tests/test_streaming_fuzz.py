@@ -50,6 +50,12 @@ from gmall_flink_2021_spark.operators import gmall_dwm
 from gmall_flink_2021_spark.streaming import stateful
 from gmall_flink_2021_spark.streaming.jobs import run_to_completion
 
+# Suite split (VERDICT r11 #2): the streaming fuzz sweeps cost
+# ~7.5 min; the deterministic streaming==batch pins in
+# test_streaming.py stay in the default run, these generated sweeps
+# run opt-in (python -m pytest -m slow).
+pytestmark = pytest.mark.slow
+
 # seed -> watermark delay tier (rotates each round; see module doc)
 STREAM_CASES = [
     (31001, "1 second", 1_000),
