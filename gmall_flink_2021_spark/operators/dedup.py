@@ -636,20 +636,23 @@ def simhash_band_pairs(documents: DataFrame,
     21x at a 10x corpus). A degenerate bucket (mass-duplicated
     boilerplate) is the same pathology exact-dedup removes first.
 
-    Candidates come from ONE pass: a (band, band_key)-keyed
-    collect_list + in-array pair generation, not a self-join of the
-    banded frame — the self-join evaluated the whole signature
-    subtree (tokenize → explode → 60-bit vote aggregation, the
-    dominant cost) once PER SIDE because its two identical subtrees
-    end in different nodes ReuseExchange cannot match (r11 plan
-    evidence: two full scan→Generate→HashAggregate chains). Bucket
-    membership is the only thing the pairing needs, so the bucket is
-    materialized as an array once and pairs are generated in-memory;
-    per-bucket state is the same O(bucket) the join's per-key hash
-    relation held — though as a SINGLE array row, which cannot spill
-    the way the join's streamed probe side could (ADVICE r11), so the
-    exact-dedup-first convention above is what bounds the worst case
-    (pinned by the degenerate-bucket stress test). The hamming filter
+    Candidates come from a STREAMING self-join forced to
+    shuffle-merge (r12): the r11 bucket-array shape (collect_list +
+    in-array pair generation) won at bench scale by evaluating the
+    signature subtree once, but its per-bucket array row cannot
+    stream — the first in-array explode materializes O(m²) struct
+    copies per m-doc bucket, and on a high-near-dup-density corpus
+    (the x32 replica sweep, where whole replica clusters share all
+    four bands) it measured 38-131 s where this join shape runs
+    4.6 s (8.4× — interleaved same-session A/B; at sf0.1 the two tie
+    at 1.93 vs 1.95 s). The `merge` hint keeps the join a
+    shuffle-keyed sort-merge at EVERY scale: both sides shuffle on
+    the identical (band, band_key) exchange, which runtime exchange
+    reuse collapses to one signature evaluation — and per-key pairs
+    stream through the sort instead of ballooning one array row
+    (§2.4, §3.1; minhash_band_pairs keeps its arrays — measured
+    faster there at both scales because its md5 band keys scatter
+    replica clusters instead of pooling them). The hamming filter
     runs BEFORE the distinct so the dedup shuffle carries only
     surviving pairs (§2.3).
     """
@@ -661,21 +664,14 @@ def simhash_band_pairs(documents: DataFrame,
         "doc_id", "simhash",
         F.posexplode(F.array(*[
             (F.col("simhash").bitwiseAND(F.lit(0x7FFF << (15 * b))))
-            for b in range(4)])).alias("band", "band_key"))
-    buckets = (banded.groupBy("band", "band_key")
-               .agg(F.collect_list(
-                   F.struct("doc_id", "simhash")).alias("ds"))
-               .filter(F.size("ds") >= 2))
-    pairs = (buckets
-             .select(F.explode("ds").alias("a"), "ds")
-             .select("a", F.explode(F.filter(
-                 "ds",
-                 lambda d: d["doc_id"] > F.col("a.doc_id"))).alias("b")))
+            for b in range(4)])).alias("band", "band_key")).hint("merge")
+    l, r = banded.alias("l"), banded.alias("r")
     hamming = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long")
-    return (pairs
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
+        F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).cast("long")
+    return (l.join(r, ["band", "band_key"])
+            .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(F.col("l.doc_id").alias("doc_a"),
+                    F.col("r.doc_id").alias("doc_b"),
                     hamming.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
             .distinct())

@@ -576,33 +576,29 @@ def embedding_dups(embeddings: DataFrame,
     ``(df, CacheHandle)`` (the persisted vector + banded projections)
     for callers to release.
 
-    r11 single-evaluation shape: candidates come from ONE
-    (label, band, bkey)-keyed collect_list + in-array pair generation
-    instead of a banded self-join — the join evaluated the banded
-    subtree (hyperplane signs, and for semdedup_prune the upstream
-    k-means assignment UDF) once per side when the persist is
-    released. The vector join-backs key on vec_id ALONE (vec_id is
-    unique and label is functional on it, so the (label, vec_id) join
-    matched identical rows) — which lets column pruning drop the
-    label column, and with it the whole assignment-UDF projection,
-    from both scoring sides: 5 evaluations of the per-row Python
-    kernels → 1.
+    Candidate generation (r12): a shuffle-merge-hinted self-join of
+    the banded projection — per-key pairs STREAM through the sorted
+    join instead of pooling each bucket into one collect_list array
+    row (the r11 shape, whose in-array explode materialized O(m²)
+    struct copies per m-member bucket and measured 1.2-1.4× slower
+    on duplicate-heavy corpora at sf0.1/x32). The identical
+    (label, band, bkey) exchanges on the two sides are collapsed by
+    runtime exchange reuse, so the banded subtree (hyperplane signs,
+    and for semdedup_prune the upstream k-means assignment UDF) is
+    still evaluated ONCE even when the persist is released. The
+    vector join-backs key on vec_id ALONE (vec_id is unique and
+    label is functional on it, so the (label, vec_id) join matched
+    identical rows) — which lets column pruning drop the label
+    column, and with it the whole assignment-UDF projection, from
+    both scoring sides: 5 evaluations of the per-row Python
+    kernels → 1 (r11).
 
     INPUT INVARIANT (ADVICE r11): ``vec_id`` must be globally unique
     across labels — the scoring join-back keys on it alone, so a
     corpus with the same vec_id under two labels would multiply rows
     and score the wrong vectors. The registry/audit corpora satisfy
     this by construction (vec_id is the table's primary key);
-    library callers with label-scoped ids must disambiguate first.
-
-    Bucket-array ceiling (ADVICE r11): each (label, band, bkey)
-    bucket materializes as ONE collect_list row, so a degenerate
-    bucket of m ids holds O(m) in a single aggregation-buffer row —
-    a harder failure mode than the old join's streamed per-key pairs
-    (which still carried the same Σ bucket² pair mass). Exact-dedup
-    upstream plus the per-label 2⁸-per-band keyspace bound m in
-    practice; a mass-duplicated corpus should exact-dedup before
-    this operator (pinned by the degenerate-bucket stress test)."""
+    library callers with label-scoped ids must disambiguate first."""
     # NOT persisted (r12, ADVICE r11): since the r11 rewrite the only
     # consumer of this projection is `bands` (itself persisted) — the
     # scoring sides a/b rebuild from `embeddings` directly — so a
@@ -614,20 +610,23 @@ def embedding_dups(embeddings: DataFrame,
     bands = base.select(
         "label", "vec_id",
         F.posexplode(emb_band_keys_arrow()).alias("band", "bkey")) \
+        .hint("merge") \
         .persist()
-    # NULL labels never formed candidates under the old equi-join
-    # (NULL never equi-joins); grouping would pool them into one
-    # bucket, so keep the join's NULL semantics explicitly
-    buckets = (bands.filter(F.col("label").isNotNull())
-               .groupBy("label", "band", "bkey")
-               .agg(F.collect_list("vec_id").alias("ids"))
-               .filter(F.size("ids") >= 2))
-    cand = (buckets
-            .select("label", F.explode("ids").alias("vec_a"), "ids")
-            .select("label", "vec_a",
-                    F.explode(F.filter(
-                        "ids", lambda i: i > F.col("vec_a")))
-                    .alias("vec_b"))
+    # STREAMING self-join forced to shuffle-merge (r12): the r11
+    # bucket-array pairing held each (label, band, bkey) bucket as
+    # ONE collect_list row — O(m²) struct copies per bucket through
+    # the in-array explodes on duplicate-heavy corpora. The merge
+    # hint keeps both sides on the identical exchange (runtime
+    # exchange reuse → one banded evaluation when the persist is
+    # released) and streams per-key pairs (measured 1.18× at sf0.1,
+    # 1.36× at the x32 replica corpus, same-session interleaved A/B).
+    # NULL labels never form candidates — NULL never equi-joins,
+    # exactly the old semantics.
+    lft, rgt = bands.alias("lft"), bands.alias("rgt")
+    cand = (lft.join(rgt, ["label", "band", "bkey"])
+            .filter(F.col("lft.vec_id") < F.col("rgt.vec_id"))
+            .select("label", F.col("lft.vec_id").alias("vec_a"),
+                    F.col("rgt.vec_id").alias("vec_b"))
             .distinct())
     a = (embeddings.select(F.col("vec_id").alias("vec_a"),
                            as_double("embedding").alias("va"))

@@ -1,16 +1,16 @@
 """Degenerate-bucket stress pins (VERDICT r11 #3 / ADVICE r11).
 
-The r11 bucket-array restructure (minhash_band_pairs /
-simhash_band_pairs / embedding_dups) materializes each LSH bucket as
-ONE collect_list row. Pair MASS is unchanged (Σ bucket²), but the
-worst case changed in KIND: a mass-duplicated corpus that skipped
-exact-dedup now builds one O(m) array row per degenerate bucket where
-the old self-join streamed per-key pairs. These pins exercise exactly
-that shape — one bucket ≫ all others (hundreds of byte-identical
-texts / identical vectors) — and assert the operators complete with
-the exact closed-form pair counts, so any future regression in the
-bucket-array path (wrong in-array filter, lost distinct, buffer
-blow-up at this scale) fails loudly.
+One bucket ≫ all others (hundreds of byte-identical texts /
+identical vectors — the mass-duplicated corpus that skipped
+exact-dedup): every LSH pairing shape must complete with the exact
+closed-form pair count. minhash_band_pairs holds each bucket as ONE
+collect_list array row (kept in r12 — measured faster at both
+scales), so this is its single-row-buffer worst case;
+simhash_band_pairs and embedding_dups stream pairs through
+merge-hinted self-joins since r12 (the array shape measured 8.4×
+slower on the x32 high-dup corpus), so for them this pins the
+streamed path's pair semantics. Either way a wrong pair filter, a
+lost distinct, or a buffer blow-up at this scale fails loudly.
 
 Sizing: 400 identical docs → a 400-element bucket per band and
 C(400,2) = 79 800 pairs after the cross-band distinct — big enough
